@@ -1,0 +1,65 @@
+package graft.examples
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.CsvIngest
+import graft.pipeline.Pipeline
+
+/** Runnable end-to-end example of the ingest → evolve → pipeline API
+  * (the reference's §3.1/§3.2 lifecycle in one driver program).
+  *
+  * Usage: runMain graft.examples.IngestDemo [workDir]
+  */
+object IngestDemo {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse(
+      Files.createTempDirectory("graft_demo").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    Files.createDirectories(Paths.get(work))
+    Files.writeString(Paths.get(work, "t1.csv"),
+      "id,fare-amount,when,flag,note\n" +
+        "1,10.5,2025-01-01 10:00:00,true,hi\n" +
+        "2,3.25,2025-01-02 11:30:00,false,yo")
+    val r1 = CsvIngest.ingest(spark, s"$work/t1.csv", "raw.trips",
+      s"$work/zones")
+    println("DDL1=" + r1.evolution.ddl.mkString(" | "))
+    spark.read.parquet(r1.path).show(false)
+    spark.read.parquet(r1.path).printSchema()
+
+    // schema drift: case-changed names + a brand-new column
+    Files.writeString(Paths.get(work, "t2.csv"),
+      "ID,Fare-Amount,when,flag,note,tip pct\n" +
+        "3,9.0,2025-02-01 09:00:00,true,new,12.5")
+    val r2 = CsvIngest.ingest(spark, s"$work/t2.csv", "raw.trips",
+      s"$work/zones")
+    println("DDL2=" + r2.evolution.ddl.mkString(" | "))
+    CsvIngest.readZoneTable(spark, s"$work/zones", "raw.trips")
+      .orderBy("id").show(false)
+
+    // probe: missing input file
+    try CsvIngest.ingest(spark, s"$work/nope.csv", "raw.x", s"$work/zones")
+    catch {
+      case e: Exception => println(
+        "PROBE missing-file -> " + e.getClass.getSimpleName + ": " +
+          e.getMessage.linesIterator.next())
+    }
+
+    val rep = Pipeline.run(spark,
+      CsvIngest.readZoneTable(spark, s"$work/zones", "raw.trips"),
+      d => d.where("fare_amount > 5"),
+      d => d.agg(Map("fare_amount" -> "avg")),
+      s"$work/zones/analytics/trips_clean.parquet")
+    println("REPORT=" + rep)
+    spark.stop()
+  }
+}

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The reference's orchestration semantics as plain Scala sequencing
+  * (SURVEY.md §2.9): a linear task DAG (C1) with fail-fast quality
+  * gates (C2), ordinary return values instead of XCom (C3), and
+  * full-refresh materialization with post-write recount (M1/M2;
+  * reference dags/taxi_transform_dag.py:27-105).
+  *
+  * Spark jobs are already lazily-staged DAGs — the pipeline layer only
+  * sequences actions and carries metrics.
+  */
+object Pipeline {
+
+  final case class StageReport(name: String, rows: Long)
+  final case class RunReport(stages: Seq[StageReport])
+
+  /** C2: the reference's empty-input gate — abort before transforming
+    * (reference dags/taxi_transform_dag.py:31-32). */
+  def qualityGate(df: DataFrame, what: String): Long = {
+    val n = df.count()
+    require(n > 0, s"No data in $what — aborting pipeline")
+    n
+  }
+
+  /** M1+M2: full-refresh materialize (overwrite ≡ TRUNCATE+INSERT,
+    * atomic per job) and recount from the written files — the recount
+    * re-reads the sink, like the reference's post-insert COUNT(*). */
+  def materialize(spark: SparkSession, df: DataFrame,
+                  path: String): Long = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path).count()
+  }
+
+  /** C1: validate → transform → summarize, fail-fast (reference chain
+    * dags/taxi_transform_dag.py:102-105). */
+  def run(spark: SparkSession,
+          raw: DataFrame,
+          transform: DataFrame => DataFrame,
+          summarize: DataFrame => DataFrame,
+          targetPath: String): RunReport = {
+    val rawCount = qualityGate(raw, "raw input")
+    val cleaned = transform(raw)
+    val written = materialize(spark, cleaned, targetPath)
+    val back = spark.read.parquet(targetPath)
+    val summaryRows = summarize(back).count()
+    RunReport(Seq(
+      StageReport("validate_raw", rawCount),
+      StageReport("transform_materialize", written),
+      StageReport("summary", summaryRows)))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.schema.SchemaEvolver.TableName
+
+/** Pure-function coverage of the reference's schema contract:
+  * 5-type lattice (agent-schema/app.py:33-44), sanitization (:110),
+  * case-insensitive additive evolution (:104-114), name parsing
+  * (:190-193), statement split (:226-231). */
+class SchemaSpec extends AnyFunSuite {
+
+  // ---- TypeLattice: all five branches of app.py:33-44 ----
+  test("lattice SQL spellings match the reference's 5 types") {
+    assert(TypeLattice.sqlType(LongType) == "INT")
+    assert(TypeLattice.sqlType(IntegerType) == "INT")
+    assert(TypeLattice.sqlType(DoubleType) == "FLOAT")
+    assert(TypeLattice.sqlType(FloatType) == "FLOAT")
+    assert(TypeLattice.sqlType(TimestampType) == "TIMESTAMP")
+    assert(TypeLattice.sqlType(BooleanType) == "BOOLEAN")
+    assert(TypeLattice.sqlType(StringType) == "VARCHAR(255)")
+    assert(TypeLattice.sqlType(ArrayType(LongType)) == "VARCHAR(255)")
+  }
+
+  test("sanitize: hyphens and spaces become underscores") {
+    assert(TypeLattice.sanitize("trip-distance km") == "trip_distance_km")
+    assert(TypeLattice.sanitize("ok_name") == "ok_name")
+  }
+
+  // ---- SchemaInference column sniffing ----
+  test("inferColumn picks the narrowest lattice type") {
+    import SchemaInference.inferColumn
+    assert(inferColumn(Seq("true", "False")) == BooleanType)
+    assert(inferColumn(Seq("1", "42", "-7")) == LongType)
+    assert(inferColumn(Seq("1.5", "2", "-0.25")) == DoubleType)
+    assert(inferColumn(Seq("2025-01-01 10:00:00", "2025-02-03")) == TimestampType)
+    assert(inferColumn(Seq("2025-01-01 10:00:00.123456")) == TimestampType)
+    assert(inferColumn(Seq("abc", "1")) == StringType)
+    assert(inferColumn(Seq("nan", "1.0")) == StringType)
+    assert(inferColumn(Nil) == StringType)
+  }
+
+  // ---- SchemaEvolver ----
+  private def st(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, t) => StructField(n, t) })
+
+  test("table name splits on FIRST dot only (app.py:190-193)") {
+    assert(SchemaEvolver.parseTableName("raw.trips") ==
+      TableName(Some("raw"), "trips"))
+    assert(SchemaEvolver.parseTableName("a.b.c") ==
+      TableName(Some("a"), "b.c"))
+    assert(SchemaEvolver.parseTableName("solo") == TableName(None, "solo"))
+  }
+
+  test("missing table → CREATE with full schema") {
+    val evo = SchemaEvolver.evolve(None, st("a" -> LongType, "b" -> StringType),
+      TableName(Some("raw"), "t"))
+    assert(evo.createdTable)
+    assert(evo.merged.fieldNames.toSeq == Seq("a", "b"))
+    assert(evo.ddl.head == "CREATE SCHEMA IF NOT EXISTS raw;")
+    assert(evo.ddl(1).contains("CREATE TABLE IF NOT EXISTS raw.t"))
+    assert(evo.ddl(1).contains("a INT") && evo.ddl(1).contains("b VARCHAR(255)"))
+  }
+
+  test("additive evolution: only missing columns added, case-insensitive") {
+    val existing = st("ID" -> LongType, "name" -> StringType)
+    val inferred = st("id" -> LongType, "Name" -> StringType,
+      "extra" -> DoubleType)
+    val evo = SchemaEvolver.evolve(Some(existing), inferred)
+    assert(evo.addedColumns.map(_.name) == Seq("extra"))
+    assert(evo.merged.fieldNames.toSeq == Seq("ID", "name", "extra"))
+    assert(evo.ddl == Seq("ALTER TABLE t ADD COLUMN extra FLOAT;"))
+  }
+
+  test("evolution never drops or retypes existing columns") {
+    val existing = st("a" -> LongType, "b" -> StringType)
+    val inferred = st("a" -> DoubleType) // narrower file: still no change
+    val evo = SchemaEvolver.evolve(Some(existing), inferred)
+    assert(evo.merged == existing)
+    assert(evo.addedColumns.isEmpty && evo.ddl.isEmpty)
+  }
+
+  test("hyphenated inferred names are sanitized before merge") {
+    val evo = SchemaEvolver.evolve(Some(st("trip_distance" -> DoubleType)),
+      st("trip-distance" -> DoubleType, "new col" -> LongType))
+    assert(evo.addedColumns.map(_.name) == Seq("new_col"))
+  }
+
+  test("statement split drops empties (app.py:226-231)") {
+    assert(SchemaEvolver.splitStatements("a;;\n b ;") == Seq("a", "b"))
+  }
+
+  // ---- property: evolve is additive and idempotent ----
+  private val genField: Gen[(String, DataType)] = for {
+    n <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    t <- Gen.oneOf(TypeLattice.LatticeTypes)
+  } yield (n, t)
+
+  private val genSchema: Gen[StructType] =
+    Gen.listOf(genField).map(fs =>
+      StructType(fs.toMap.toSeq.map { case (n, t) => StructField(n, t) }))
+
+  test("property: evolve(existing, inferred) ⊇ existing, and is idempotent") {
+    // Plain ScalaCheck sampling (scalatest-plus bridge isn't a declared
+    // dependency): 200 deterministic cases.
+    val pair = Gen.zip(genSchema, genSchema)
+    (0 until 200).foreach { i =>
+      val (existing, inferred) =
+        pair.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val evo = SchemaEvolver.evolve(Some(existing), inferred)
+      // superset, in order, types unchanged
+      assert(evo.merged.fields.take(existing.length).toSeq ==
+        existing.fields.toSeq)
+      // idempotent: evolving again with the same inferred adds nothing
+      val again = SchemaEvolver.evolve(Some(evo.merged), inferred)
+      assert(again.addedColumns.isEmpty)
+      assert(again.merged == evo.merged)
+    }
+  }
+}
