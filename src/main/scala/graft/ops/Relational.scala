@@ -1,0 +1,302 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.util.{Exact, Ordered}
+
+/** Relational operator coverage beyond the reference's surface
+  * (SURVEY.md §2.5/§2.6 record the reference has NO joins, windows,
+  * sorts, limits, or set ops — these are the engine operators a user
+  * of a complete analytics library needs, all Spark built-ins, all
+  * oracle-checked).
+  *
+  * Scale notes per operator are inline; the common themes:
+  * partial aggregation before every shuffle, broadcast for dimension
+  * joins, explicit pivot values (no driver-side value collection),
+  * window functions instead of self-joins.
+  */
+object Relational {
+
+  private val D = DecimalType(18, 2)
+
+  /** TPC-H Q1 shape: grouped multi-aggregate with derived measures —
+    * one shuffle, map-side partial agg, exact decimal sums. */
+  def groupbyAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Exact.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("sum_disc_price"),
+        Exact.davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Fact ⋈ dimension with an explicit broadcast hint: part is small
+    * relative to lineitem at every scale factor (dimension tables stay
+    * broadcastable at 100 TB fact scale — no shuffle of the fact side). */
+  def broadcastJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val p = Tables.load(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q5 shape: 5-table star join → revenue per region. Dimension
+    * chain (region→nation→customer) broadcasts; the lineitem⋈orders
+    * fact join shuffles on the join key once. */
+  def multiJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(s, dir, "region")
+    val n = Tables.load(s, dir, "nation")
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        Exact.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name")
+  }
+
+  /** Left-semi join = EXISTS: customers having at least one order.
+    * Semi joins only carry the left side through the shuffle. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** Left-anti join = NOT EXISTS: customers with no orders. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** Top-N per group via row_number window — the scalable dedup/topk
+    * primitive (one shuffle on the partition key; no self-join). */
+  def windowTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running (cumulative) sum per user over event time. Decimal inside
+    * the window sum keeps the accumulation exact in both engines. */
+  def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast(D)).over(w).cast("double").as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Lag/lead: inter-event gap per user in seconds. */
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        (unix_millis(col("ts")) -
+          unix_millis(lag(col("ts"), 1).over(w))).as("gap_ms"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** DISTINCT projection (shuffle dedup). */
+  def distinctValues(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    * per-partition heaps + driver merge of k rows, never a full sort. */
+  def topkGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** UNION (distinct) of two key sets. */
+  def unionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .where(col("c_acctbal") > 9000).select(col("c_custkey").as("k"))
+    val o = Tables.load(s, dir, "orders")
+      .where(col("o_totalprice") > 400000).select(col("o_custkey").as("k"))
+    c.union(o).distinct().orderBy("k")
+  }
+
+  /** ROLLUP grouping sets (hierarchical totals in one pass). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** GROUP BY + HAVING. */
+  def havingFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("total_spent"))
+      .where(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+
+  /** Scalar-subquery filter: orders above the global average price.
+    * The average is ONE aggregated scalar (exact decimal) — computed
+    * distributed, only the scalar reaches the driver. */
+  def scalarSubqueryFilter(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val avgPrice = o.agg(Exact.davg(col("o_totalprice")).as("a"))
+      .head().getDouble(0)
+    o.where(col("o_totalprice") > avgPrice)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** IN-subquery as left-semi join: lineitems of large parts. */
+  def inSubquery(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val bigParts = Tables.load(s, dir, "part")
+      .where(col("p_size") > 40).select(col("p_partkey"))
+    li.join(broadcast(bigParts), li("l_partkey") === bigParts("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** PIVOT with explicit values (no value-discovery job): conditional
+    * aggregation per status. */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_groupby_agg"      -> (groupbyAgg _),
+    "q11_broadcast_join"   -> (broadcastJoinAgg _),
+    "q12_multi_join"       -> (multiJoinRevenue _),
+    "q13_semi_join"        -> (semiJoin _),
+    "q14_anti_join"        -> (antiJoin _),
+    "q15_window_topk"      -> (windowTopkPerGroup _),
+    "q16_window_running"   -> (windowRunningSum _),
+    "q17_window_lag"       -> (windowLag _),
+    "q18_distinct"         -> (distinctValues _),
+    "q19_topk_global"      -> (topkGlobal _),
+    "q20_union_distinct"   -> (unionDistinct _),
+    "q21_rollup"           -> (rollupAgg _),
+    "q22_having"           -> (havingFilter _),
+    "q23_scalar_subquery"  -> (scalarSubqueryFilter _),
+    "q24_in_subquery"      -> (inSubquery _),
+    "q25_pivot"            -> (pivotStatus _))
+
+  val oracle: Map[String, String] = Map(
+    "q10_groupby_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Exact.sqlDsum("l_quantity")} AS sum_qty,
+         |  ${Exact.sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${Exact.sqlDsumProd("l_extendedprice", "1.0 - l_discount")} AS sum_disc_price,
+         |  ${Exact.sqlDavg("l_quantity")} AS avg_qty,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_broadcast_join" ->
+      s"""SELECT p_brand, count(*) AS n,
+         |  ${Exact.sqlDsum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "q12_multi_join" ->
+      s"""SELECT r_name,
+         |  ${Exact.sqlDsumProd("l_extendedprice", "1.0 - l_discount")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1 ORDER BY r_name""".stripMargin,
+    "q13_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q16_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q17_window_lag" ->
+      """SELECT user_id, event_id,
+        |  epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q18_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q19_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q20_union_distinct" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+        |ORDER BY k""".stripMargin,
+    "q21_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${Exact.sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q22_having" ->
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |  ${Exact.sqlDsum("o_totalprice")} AS total_spent
+         |FROM orders GROUP BY 1 HAVING count(*) >= 15
+         |ORDER BY o_custkey""".stripMargin,
+    "q23_scalar_subquery" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_totalprice > (SELECT ${Exact.sqlDavg("o_totalprice")} FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
+    "q24_in_subquery" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q25_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS F,
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS O
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+}
