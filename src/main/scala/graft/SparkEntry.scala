@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreParity.queries ++ ops.Relational.queries ++
-      text.TextAnalysis.queries ++ dedup.Dedup.queries
+      text.TextAnalysis.queries ++ dedup.Dedup.queries ++
+      sim.Similarity.queries ++ ops.EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.CoreParity.oracle ++ ops.Relational.oracle ++
-      text.TextAnalysis.oracle ++ dedup.Dedup.oracle
+      text.TextAnalysis.oracle ++ dedup.Dedup.oracle ++
+      sim.Similarity.oracle ++ ops.EventOps.oracle
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-time operators over the `events` table: tumbling windows,
+  * gap-based sessionization, and as-of join — the batch semantics that
+  * the streaming module (graft.streaming) mirrors with watermarks.
+  *
+  * Scale shape: everything partitions by `user_id` (or the window
+  * bucket) — one shuffle, then per-key windows; the as-of join is the
+  * union-and-last-value trick, NOT an inequality join (which would be
+  * a broadcast-nested-loop at cluster scale). Timestamps surface as
+  * epoch millis (long) so cross-engine comparison is integer-exact.
+  */
+object EventOps {
+
+  private val D = DecimalType(18, 2)
+
+  /** q60: tumbling 1-hour window aggregation. */
+  def tumblingHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(
+        unix_millis(date_trunc("HOUR", col("ts"))).as("hour_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy("hour_ms", "event_type")
+
+  /** q61: gap-based sessionization (30-min inactivity): classic
+    * lag → new-session flag → running sum → per-session aggregate.
+    * Two window passes over the same (user_id, ts) ordering — Spark
+    * reuses the single sort/shuffle for both. */
+  def sessionize(s: SparkSession, dir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(byUser)))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** q62: as-of join — for each 'error' event, the most recent 'click'
+    * timestamp of the same user at or before it. Implemented as ONE
+    * pass: order each user's events by time with clicks sorting before
+    * errors on ties, carry the last click forward (`last` with
+    * ignoreNulls over an unbounded-preceding frame), keep errors. */
+  def asofLastClick(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .where(col("event_type").isin("click", "error"))
+    // click=0 sorts before error=1 at equal ts → ts<=ts ties included
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1),
+        col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_ms",
+        last(when(col("event_type") === "click", unix_millis(col("ts"))),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("last_click_ms"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_tumbling_hourly" -> (tumblingHourly _),
+    "q61_sessionize"      -> ((s: SparkSession, d: String) => sessionize(s, d)),
+    "q62_asof_join"       -> (asofLastClick _))
+
+  val oracle: Map[String, String] = Map(
+    "q60_tumbling_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    "q61_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessed AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
+        |FROM sessed GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "q62_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT max(epoch_ms(c.ts)) FROM events c
+        |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |     AND c.ts <= e.ts) AS last_click_ms
+        |FROM events e WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin)
+}

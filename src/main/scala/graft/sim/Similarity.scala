@@ -1,0 +1,136 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (unit-norm
+  * `Array[Float]`, 64-dim → cosine ≡ dot product).
+  *
+  * Two paths, the same contract:
+  *  - brute-force top-k: broadcast the (small) query set against the
+  *    corpus — exact, O(|Q|·N·d), the baseline and the verifier;
+  *  - SRP-LSH top-k: 16-bit sign-random-projection signatures, banded
+  *    4×4 bits; candidates share ≥1 band with the query, then exact
+  *    re-rank. At 100 TB the corpus-side signature is computed once at
+  *    scan speed and the join is bucket-equality — never a cross join
+  *    against the full corpus.
+  *
+  * All projections are deterministic (hash-derived ±1 matrices), so
+  * results are reproducible across runs/cluster layouts; no oracle SQL
+  * because DuckDB lacks an equivalent of the fold semantics with
+  * identical float behavior — gate is rows+tests instead.
+  */
+object Similarity {
+
+  val Dim = 64
+  val SigBits = 16
+  val Bands = 4
+  val BandBits: Int = SigBits / Bands
+
+  /** Deterministic ±1 projection matrix (xorshift-mixed), bits × dim. */
+  private[sim] lazy val projections: Array[Array[Double]] =
+    Array.tabulate(SigBits, Dim) { (b, d) =>
+      var x = (b.toLong << 32) ^ (d.toLong * 0x9e3779b97f4a7c15L) ^ 0x5bd1e995L
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+      if ((x & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** dot(embedding, lit vector) as a fold — codegen-friendly. */
+  private def dotLit(v: Column, proj: Array[Double]): Column = {
+    val litArr = array(proj.map(lit): _*)
+    aggregate(zip_with(v, litArr, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  }
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** 16-bit SRP signature of an embedding column. */
+  def signature(v: Column): Column =
+    (0 until SigBits).map { b =>
+      when(dotLit(v, projections(b)) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** q50: exact brute-force top-k for a fixed query set (vec_id < 10).
+    * The query side is tiny → broadcast; corpus side streams through
+    * one scan. */
+  def knnBrute(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val all = corpus(s, dir)
+    val q = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotCol(col("embedding"), col("qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q51: SRP-LSH top-k — same contract as q50, bucket-join candidates
+    * (any shared band) then exact re-rank. Recall < 1 by construction;
+    * measured against q50 in tests. */
+  def knnLsh(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val sigged = corpus(s, dir)
+      .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
+    val banded = sigged.select(col("vec_id"), col("embedding"),
+      posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> (sig >> (b * $BandBits)) & ${(1 << BandBits) - 1})"))
+        .as(Seq("band", "bandVal")))
+    val q = banded.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("band").as("qband"), col("bandVal").as("qbandVal"))
+    val cand = banded.join(q,
+        col("band") === col("qband") && col("bandVal") === col("qbandVal") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("qv"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      dotCol(col("embedding"), col("qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q52: embedding near-duplicate pairs (cosine ≥ threshold) — the
+    * embedding leg of the dedup suite. Candidates via shared signature
+    * band, exact verify, no cross join. */
+  def nearDupPairs(s: SparkSession, dir: String,
+                   threshold: Double = 0.45): DataFrame = {
+    val sigged = corpus(s, dir)
+      .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
+    val banded = sigged.select(col("vec_id"), col("embedding"),
+      posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> (sig >> (b * $BandBits)) & ${(1 << BandBits) - 1})"))
+        .as(Seq("band", "bandVal")))
+    val a = banded.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+      col("band"), col("bandVal"))
+    val b = banded.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+      col("band").as("band2"), col("bandVal").as("bandVal2"))
+    a.join(b, col("band") === col("band2") &&
+        col("bandVal") === col("bandVal2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2")).distinct()
+      .select(col("id1"), col("id2"), dotCol(col("v1"), col("v2")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .orderBy("id1", "id2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
+    "q51_knn_lsh"   -> ((s: SparkSession, d: String) => knnLsh(s, d)),
+    "q52_embedding_neardup" ->
+      ((s: SparkSession, d: String) => nearDupPairs(s, d)))
+
+  val oracle: Map[String, String] = Map.empty
+}

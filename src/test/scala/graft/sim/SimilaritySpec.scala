@@ -1,0 +1,47 @@
+package graft.sim
+
+import graft.SparkSpec
+
+/** Semantic checks for the similarity suite (no SQL oracle exists for
+  * these — DuckDB float-fold semantics differ): brute force is the
+  * internal ground truth, LSH is measured against it. */
+class SimilaritySpec extends SparkSpec {
+
+  test("knn brute: k results per query, ranked by descending cosine") {
+    val rows = Similarity.knnBrute(spark, sf(), k = 5).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val cos = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("knn lsh: subset-of-corpus neighbors with usable recall") {
+    val brute = Similarity.knnBrute(spark, sf(), k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.knnLsh(spark, sf(), k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // These embeddings are RANDOM unit vectors (no planted clusters) —
+    // the hardest case for LSH; on clustered data recall is far higher.
+    assert(recall >= 0.25, s"recall $recall")
+  }
+
+  test("near-dup pairs: every emitted pair is above threshold, ordered") {
+    val rows = Similarity.nearDupPairs(spark, sf(), threshold = 0.4).collect()
+    assert(rows.forall(_.getAs[Double]("cosine") >= 0.4))
+    val keys = rows.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    assert(keys.forall { case (a, b) => a < b })
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("signatures are deterministic across sessions") {
+    import org.apache.spark.sql.functions.col
+    val a = Similarity.knnLsh(spark, sf(), k = 3).collect()
+    val b = Similarity.knnLsh(spark, sf(), k = 3).collect()
+    assert(a.sameElements(b))
+  }
+}
