@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreParity.queries ++ ops.Relational.queries ++
       text.TextAnalysis.queries ++ dedup.Dedup.queries ++
-      sim.Similarity.queries ++ ops.EventOps.queries
+      sim.Similarity.queries ++ ops.EventOps.queries ++
+      multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.CoreParity.oracle ++ ops.Relational.oracle ++
       text.TextAnalysis.oracle ++ dedup.Dedup.oracle ++
-      sim.Similarity.oracle ++ ops.EventOps.oracle
+      sim.Similarity.oracle ++ ops.EventOps.oracle ++
+      multimodal.Multimodal.oracle
 }

@@ -1,0 +1,149 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * resize / frame-sample operators.
+  *
+  * The DECODERS ARE STUBS — this container has no image/audio codecs,
+  * so the byte-level decode is a deterministic fake (clearly marked
+  * below). Everything around the stub is the real 100 TB design:
+  *
+  *  - media rows are `(id, content binary, meta struct)` — the schema
+  *    a lakehouse media table uses; metadata is sniffed from magic
+  *    bytes so readers can partition-prune by `meta.mime` without
+  *    touching content;
+  *  - heavy per-row work runs in `mapPartitions` with ONE decoder
+  *    instantiation per partition (the expensive-init pattern a real
+  *    codec/model needs), streaming through rows without
+  *    materializing a partition in memory;
+  *  - feature vectors come back as `Array[Float]` columns that feed
+  *    straight into [[graft.sim.Similarity]];
+  *  - frame sampling emits (id, frame_no, offset_ms) rows — an
+  *    explode, not a collect.
+  */
+object Multimodal {
+
+  val MediaMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("size_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Magic-byte MIME sniffing (real: PNG/JPEG/RIFF signatures). */
+  def sniffMime(bytes: Array[Byte]): String = {
+    if (bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G') "image/png"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8) "image/jpeg"
+    else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F') "audio/wav"
+    else "application/octet-stream"
+  }
+
+  /** Wrap a binary column into the media schema with sniffed metadata.
+    * Pure column expressions (no UDF → stays inside whole-stage
+    * codegen); dimensions/duration are STUB-derived (deterministic from
+    * the content hash) where a real codec would parse headers. */
+  def asMediaTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val content = col("content")
+    val mime =
+      when(hex(substring(content, 1, 4)) === "89504E47", "image/png")
+        .when(hex(substring(content, 1, 2)) === "FFD8", "image/jpeg")
+        .when(hex(substring(content, 1, 4)) === "52494646", "audio/wav")
+        .otherwise("application/octet-stream")
+    // STUB: width/height/duration would come from the codec header;
+    // here they are deterministic functions of the content hash.
+    val h = abs(xxhash64(content))
+    df.select(col(idCol).as("media_id"), col(binCol).as("content"))
+      .withColumn("meta", struct(
+        mime.as("mime"),
+        length(content).cast("long").as("size_bytes"),
+        (pmod(h, lit(1920)) + 1).cast("int").as("width"),
+        (pmod(h, lit(1080)) + 1).cast("int").as("height"),
+        pmod(h, lit(600000L)).as("duration_ms")))
+  }
+
+  /** A decoder handle with expensive init — real impl would load a
+    * codec/model; the stub just carries a salt. One per partition. */
+  private final class StubDecoder {
+    // STUB: a real decoder would e.g. initialize libjpeg / an ONNX
+    // session here (hundreds of ms) — which is exactly why decode runs
+    // per-partition, not per-row.
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      var x = 0x9e3779b97f4a7c15L
+      bytes.foreach { b => x ^= (b & 0xffL); x *= 0x100000001b3L }
+      Array.tabulate(dim) { i =>
+        val v = x ^ (i.toLong * 0xff51afd7ed558ccdL)
+        val m = (v ^ (v >>> 33)) & 0xffffL
+        m.toFloat / 0xffff.toFloat
+      }
+    }
+  }
+
+  /** Feature extraction: binary content → `Array[Float]` embedding.
+    * mapPartitions streams rows through ONE decoder instance per
+    * partition; output schema is explicit. */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(
+      media.schema.fields.toSeq :+ StructField("features",
+        ArrayType(FloatType)))
+    val rdd = media.rdd.mapPartitions { it =>
+      val decoder = new StubDecoder // once per partition
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        Row.fromSeq(r.toSeq :+
+          (if (bytes == null) null else decoder.features(bytes, dim).toSeq))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame sampling for video-like media: emit one row per sampled
+    * frame offset — pure explode, deterministic stride. */
+  def sampleFrames(media: DataFrame, everyMs: Long = 10000L): DataFrame =
+    media
+      .withColumn("frame_no",
+        explode(sequence(lit(0),
+          greatest(lit(0), (col("meta.duration_ms") / everyMs).cast("long")))))
+      .select(col("media_id"), col("frame_no"),
+        (col("frame_no") * everyMs).as("offset_ms"))
+
+  /** Resize: content-preserving metadata rewrite (STUB — a real impl
+    * transcodes bytes; the plumbing point is that it is a map-side
+    * binary→binary column op). */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta",
+      struct(col("meta.mime"), col("meta.size_bytes"),
+        lit(w).as("width"), lit(h).as("height"), col("meta.duration_ms")))
+
+  /** q70: end-to-end multimodal pipeline over testdata — documents'
+    * text bytes stand in for media blobs (no real media in the
+    * container): wrap → sniff → per-partition feature extract. */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    val media = asMediaTable(docs, "doc_id", "blob")
+    extractFeatures(media, dim = 16)
+      .select(col("media_id"), col("meta.mime").as("mime"),
+        col("meta.size_bytes").as("size_bytes"),
+        round(aggregate(col("features"), lit(0.0d),
+          (acc, x) => acc + x), 4).as("feature_sum"))
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_multimodal_features" -> (mediaFeatures _))
+
+  /** Feature extraction has no SQL equivalent — rows-only gate;
+    * semantics covered by MultimodalSpec. */
+  val oracle: Map[String, String] = Map.empty
+}
