@@ -58,12 +58,31 @@ object Dedup {
       col("toks").as("t1"))
     val b = docs.select(col("doc_id").as("id2"), col("source").as("source2"),
       col("toks").as("t2"))
-    a.join(b, col("source") === col("source2") && col("id1") < col("id2"))
+    // Broadcast the right side: a shuffle join on ~20 source keys is
+    // skew-bound (20 keys << partitions). The probe side is
+    // repartitioned first — the whole table is one parquet split, and
+    // without the spread the O(pairs) intersect work runs on ONE core.
+    // The size-ratio conjunct is a necessary condition of J ≥ 0.8
+    // (J ≤ min/max of set sizes), so cheap integer comparisons prune
+    // pairs before any intersection is computed — semantics unchanged.
+    a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+      .join(broadcast(b),
+        col("source") === col("source2") && col("id1") < col("id2") &&
+          size(col("t1")) * 5 >= size(col("t2")) * 4 &&
+          size(col("t2")) * 5 >= size(col("t1")) * 4)
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
       .select(col("id1"), col("id2"),
-        (size(array_intersect(col("t1"), col("t2"))) /
-          (size(col("t1")) + size(col("t2")) -
-            size(array_intersect(col("t1"), col("t2"))))).as("jaccard"))
-      .where(col("jaccard") >= 0.8)
+        (col("inter") /
+          (size(col("t1")) + size(col("t2")) - col("inter"))).as("jaccard"))
+      // `+ rand() * 0` is exactly 0 but makes the WHOLE predicate
+      // non-deterministic (a separate `AND rand() < 2` conjunct gets
+      // split off and the deterministic half pushed anyway). Without
+      // the barrier Catalyst pushes this filter into the join
+      // condition, where it evaluates the intersection BEFORE the
+      // cheap size guards, 2-3× per candidate pair (observed in the
+      // plan). With it, intersection runs exactly once, only for
+      // size-compatible pairs.
+      .where(col("jaccard") + rand() * 0.0 >= 0.8)
       .orderBy("id1", "id2")
   }
 
@@ -86,7 +105,10 @@ object Dedup {
     * `xxhash64(shingle, perm)` per permutation — 32 associative mins,
     * partially aggregated map-side. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    // spread docs across cores BEFORE the explode — the table is one
+    // parquet split, and shingling is the CPU-bound stage
     val docs = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
     val aggs = (0 until MinhashPerms).map(i =>
       min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
@@ -139,8 +161,10 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 15), b -> (simhash >> (b * 4)) & 15)"))
         .as(Seq("band", "bandVal")))
-    val a = banded.select(col("doc_id").as("id1"), col("simhash").as("h1"),
-      col("band"), col("bandVal"))
+    val a = banded
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id1"), col("simhash").as("h1"),
+        col("band"), col("bandVal"))
     val b = banded.select(col("doc_id").as("id2"), col("simhash").as("h2"),
       col("band").as("band2"), col("bandVal").as("bandVal2"))
     a.join(b, col("band") === col("band2") &&
@@ -158,6 +182,7 @@ object Dedup {
     // hamming-close signatures stop implying textual similarity
     // (observed empirically: 12/14 unigram pairs had true Jaccard ≈ 0).
     val words = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         explode(shingles(col("text"))).as("w"))
       .withColumn("h", xxhash64(col("w")))

@@ -107,20 +107,36 @@ object Similarity {
     * band, exact verify, no cross join. */
   def nearDupPairs(s: SparkSession, dir: String,
                    threshold: Double = 0.45): DataFrame = {
-    val sigged = corpus(s, dir)
-      .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
-    val banded = sigged.select(col("vec_id"), col("embedding"),
-      posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), " +
-          s"b -> (sig >> (b * $BandBits)) & ${(1 << BandBits) - 1})"))
-        .as(Seq("band", "bandVal")))
-    val a = banded.select(col("vec_id").as("id1"), col("embedding").as("v1"),
-      col("band"), col("bandVal"))
-    val b = banded.select(col("vec_id").as("id2"), col("embedding").as("v2"),
-      col("band").as("band2"), col("bandVal").as("bandVal2"))
-    a.join(b, col("band") === col("band2") &&
+    // Band rows carry ONLY (vec_id, band, bandVal): the 64-float
+    // vectors never ride through the explode/join/distinct (at sf0.1
+    // that alone was ~4× the shuffle volume). Dedup candidate pairs on
+    // the id pair, then re-attach vectors with two broadcast joins
+    // (the embedding table is the small side by construction here; at
+    // true corpus scale the re-attach becomes a shuffle join on vec_id
+    // — still linear, never quadratic).
+    val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
+    val banded = emb
+      .select(col("vec_id"), signature(col("embedding")).as("sig"))
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${Bands - 1}), " +
+            s"b -> (sig >> (b * $BandBits)) & ${(1 << BandBits) - 1})"))
+          .as(Seq("band", "bandVal")))
+    // repartition: the corpus is one parquet split — without the
+    // spread, candidate generation and the dot products run on 1 core.
+    val par = s.sparkContext.defaultParallelism
+    val a = banded.repartition(par)
+      .select(col("vec_id").as("id1"), col("band"), col("bandVal"))
+    val b = banded.select(col("vec_id").as("id2"), col("band").as("band2"),
+      col("bandVal").as("bandVal2"))
+    val cand = a.join(broadcast(b), col("band") === col("band2") &&
         col("bandVal") === col("bandVal2") && col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2")).distinct()
+      .select("id1", "id2").distinct()
+    cand
+      .join(broadcast(emb.select(col("vec_id").as("id1"),
+        col("embedding").as("v1"))), "id1")
+      .join(broadcast(emb.select(col("vec_id").as("id2"),
+        col("embedding").as("v2"))), "id2")
       .select(col("id1"), col("id2"), dotCol(col("v1"), col("v2")).as("cosine"))
       .where(col("cosine") >= threshold)
       .orderBy("id1", "id2")
