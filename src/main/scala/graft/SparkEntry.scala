@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreParity.queries ++ ops.Relational.queries ++
+      ops.Extras.queries ++
       text.TextAnalysis.queries ++ dedup.Dedup.queries ++
       sim.Similarity.queries ++ ops.EventOps.queries ++
       multimodal.Multimodal.queries
@@ -26,6 +27,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.CoreParity.oracle ++ ops.Relational.oracle ++
+      ops.Extras.oracle ++
       text.TextAnalysis.oracle ++ dedup.Dedup.oracle ++
       sim.Similarity.oracle ++ ops.EventOps.oracle ++
       multimodal.Multimodal.oracle

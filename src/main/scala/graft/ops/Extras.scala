@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.{Exact, Ordered}
+
+/** Second tier of relational/scalar coverage: set ops, CUBE, exact
+  * distinct counts, scalar string/date function families, cross join,
+  * and moment-based statistics computed from exact decimal power sums
+  * (the only way stddev/variance hash-match across engines — built-in
+  * stddev accumulates doubles in engine-specific order). */
+object Extras {
+
+  /** INTERSECT: customers appearing in both filter sets. */
+  def intersectKeys(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val hi = c.where(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    val seg = c.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    hi.intersect(seg).orderBy("k")
+  }
+
+  /** EXCEPT: high-balance customers NOT in the segment. */
+  def exceptKeys(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val hi = c.where(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    val seg = c.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    hi.except(seg).orderBy("k")
+  }
+
+  /** CUBE over two dimensions (all 4 grouping sets in one pass). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Exact COUNT(DISTINCT) per group — expands to a two-phase
+    * aggregation; at 100 TB scale swap for approx_count_distinct when
+    * 2% error is acceptable (HLL sketches differ per engine, so the
+    * exact form is the oracle-checkable one). */
+  def countDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Scalar string-function family over part names. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("u"),
+      lower(col("p_brand")).as("l"),
+      substring(col("p_name"), 1, 5).as("pre"),
+      length(col("p_name")).as("len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+      instr(col("p_type"), "E").as("epos"),
+      lpad(col("p_brand"), 12, "#").as("padded"))
+      .orderBy("p_partkey")
+
+  /** Scalar date-function family over order dates. Dates are emitted
+    * as formatted strings / integer day counts so both engines hash
+    * identical primitives. */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      quarter(col("o_orderdate")).as("q"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso"),
+      date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+        .as("plus30"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+      datediff(lit("1998-01-01").cast("date"),
+        col("o_orderdate").cast("date")).as("days_to_98"))
+      .orderBy("o_orderkey")
+
+  /** Cross join of two small dims (the only place a cartesian product
+    * is legitimate: both sides tiny and bounded). */
+  def crossJoinDims(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "region")
+      .crossJoin(Tables.load(s, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  /** Variance/stddev from exact decimal power sums: S1=Σx, S2=Σx² are
+    * exact (quantity ≤ 50 → x² ≤ 2500, 2dp), so
+    * var = (S2 − S1²/n)/(n−1) is one fixed double expression — the
+    * same bits in any engine, at any parallelism. */
+  def momentStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(28, 4)
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(col("l_quantity")).as("n"),
+        sum(col("l_quantity").cast(D)).cast("double").as("s1"),
+        sum((col("l_quantity") * col("l_quantity")).cast(D)).cast("double")
+          .as("s2"))
+      .select(col("l_returnflag"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("variance"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_intersect"      -> (intersectKeys _),
+    "q27_except"         -> (exceptKeys _),
+    "q28_cube"           -> (cubeAgg _),
+    "q29_count_distinct" -> (countDistinctAgg _),
+    "q44_string_funcs"   -> (stringFuncs _),
+    "q45_date_funcs"     -> (dateFuncs _),
+    "q46_cross_join"     -> (crossJoinDims _),
+    "q47_moment_stats"   -> (momentStats _))
+
+  val oracle: Map[String, String] = Map(
+    "q26_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY k""".stripMargin,
+    "q27_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY k""".stripMargin,
+    "q28_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q29_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q44_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS u, lower(p_brand) AS l,
+        |  substring(p_name, 1, 5) AS pre, length(p_name) AS len,
+        |  concat_ws('|', p_brand, p_type) AS cat,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  strpos(p_type, 'E') AS epos,
+        |  lpad(p_brand, 12, '#') AS padded
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q45_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS eom,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+        |    AS days_to_98
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q46_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q47_moment_stats" ->
+      """SELECT l_returnflag, count(l_quantity) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(l_quantity) AS mean,
+        |  (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |   - CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |     * CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(l_quantity))
+        |  / (count(l_quantity) - 1) AS variance
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+}
