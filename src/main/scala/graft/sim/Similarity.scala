@@ -38,14 +38,18 @@ object Similarity {
       if ((x & 1L) == 0L) 1.0 else -1.0
     }
 
-  /** dot(embedding, lit vector) as a fold — codegen-friendly. */
-  private def dotLit(v: Column, proj: Array[Double]): Column = {
-    val litArr = array(proj.map(lit): _*)
-    aggregate(zip_with(v, litArr, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-  }
+  /** dot(embedding, lit projection vector) via the native expression
+    * (±1 values are exact in float, so the implicit double→float cast
+    * is lossless). */
+  private def dotLit(v: Column, proj: Array[Double]): Column =
+    call_function("float_dot", v,
+      array(proj.map(lit): _*).cast("array<float>"))
 
+  /** Codegen'd native dot product (graft.functions.FloatDot) — callers
+    * must have run GraftFunctions.register(spark) first. Bit-identical
+    * to the aggregate(zip_with(...)) spelling it replaces. */
   private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("float_dot", a, b)
 
   /** 16-bit SRP signature of an embedding column. */
   def signature(v: Column): Column =
@@ -60,6 +64,7 @@ object Similarity {
     * The query side is tiny → broadcast; corpus side streams through
     * one scan. */
   def knnBrute(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val all = corpus(s, dir)
     val q = all.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -77,6 +82,7 @@ object Similarity {
     * (any shared band) then exact re-rank. Recall < 1 by construction;
     * measured against q50 in tests. */
   def knnLsh(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val sigged = corpus(s, dir)
       .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
     val banded = sigged.select(col("vec_id"), col("embedding"),
@@ -107,6 +113,7 @@ object Similarity {
     * band, exact verify, no cross join. */
   def nearDupPairs(s: SparkSession, dir: String,
                    threshold: Double = 0.45): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     // Band rows carry ONLY (vec_id, band, bandVal): the 64-float
     // vectors never ride through the explode/join/distinct (at sf0.1
     // that alone was ~4× the shuffle volume). Dedup candidate pairs on
