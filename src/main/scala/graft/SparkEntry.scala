@@ -21,7 +21,7 @@ object SparkEntry {
       ops.Extras.queries ++
       text.TextAnalysis.queries ++ dedup.Dedup.queries ++
       sim.Similarity.queries ++ ops.EventOps.queries ++
-      multimodal.Multimodal.queries
+      multimodal.Multimodal.queries ++ ops.SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       ops.Extras.oracle ++
       text.TextAnalysis.oracle ++ dedup.Dedup.oracle ++
       sim.Similarity.oracle ++ ops.EventOps.oracle ++
-      multimodal.Multimodal.oracle
+      multimodal.Multimodal.oracle ++ ops.SqlSurface.oracle
 }

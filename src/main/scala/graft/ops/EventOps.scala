@@ -76,10 +76,39 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** q63: range join — for each 'purchase', how many 'click' events of
+    * the same user in the preceding 10 minutes. A naive inequality
+    * join is O(n²)-ish (broadcast-nested-loop at scale); instead both
+    * sides bucket to the range width and equi-join on
+    * (user, bucket) with clicks replicated to ≤2 adjacent buckets —
+    * the residual range predicate then filters exactly. Linear, one
+    * shuffle, no BNLJ. */
+  def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
+    val winMs = 600000L // 10 minutes = bucket width
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms").as("p_ms"),
+        (col("ms") / winMs).cast("long").as("bucket"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ms").as("c_ms"),
+        explode(array((col("ms") / winMs).cast("long"),
+          (col("ms") / winMs).cast("long") + 1)).as("bucket"))
+    purchases.join(clicks,
+        purchases("user_id") === clicks("c_user") &&
+          purchases("bucket") === clicks("bucket") &&
+          col("c_ms") >= col("p_ms") - winMs && col("c_ms") <= col("p_ms"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("c_ms")).as("n_clicks_10m"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tumbling_hourly" -> (tumblingHourly _),
     "q61_sessionize"      -> ((s: SparkSession, d: String) => sessionize(s, d)),
-    "q62_asof_join"       -> (asofLastClick _))
+    "q62_asof_join"       -> (asofLastClick _),
+    "q63_range_join"      -> (rangeJoinClicks _))
 
   val oracle: Map[String, String] = Map(
     "q60_tumbling_hourly" ->
@@ -110,5 +139,12 @@ object EventOps {
         |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
         |     AND c.ts <= e.ts) AS last_click_ms
         |FROM events e WHERE e.event_type = 'error'
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+    "q63_range_join" ->
+      """SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks_10m
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 600000 AND epoch_ms(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin)
 }

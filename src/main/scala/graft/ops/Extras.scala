@@ -111,7 +111,42 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** Salted two-phase aggregation: the skew-mitigation pattern for
+    * hot grouping keys. Phase 1 groups on (key, salt) — a skewed key's
+    * rows spread over 16 reducers; phase 2 merges the partials. The
+    * result is IDENTICAL to a plain GROUP BY (the oracle), which is
+    * the point: salting changes the shuffle layout, not the answer. */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(18, 2)
+    Tables.load(s, dir, "events")
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value").cast(D)).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** BPE-ish tokenization: letter runs, digit runs, and single
+    * punctuation marks as separate token classes (the pre-tokenizer
+    * split BPE vocabularies build on) — counted per document with one
+    * regex pass per class. */
+  def bpeTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+        .as("n_word_tokens"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .as("n_digit_tokens"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .as("n_punct_tokens"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_bpe_tokens"     -> (bpeTokenCount _),
+    "q49_salted_agg"     -> (saltedAgg _),
     "q26_intersect"      -> (intersectKeys _),
     "q27_except"         -> (exceptKeys _),
     "q28_cube"           -> (cubeAgg _),
@@ -122,6 +157,16 @@ object Extras {
     "q47_moment_stats"   -> (momentStats _))
 
   val oracle: Map[String, String] = Map(
+    "q48_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_tokens,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_digit_tokens,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q49_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q26_intersect" ->
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
         |INTERSECT

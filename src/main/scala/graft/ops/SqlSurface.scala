@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.util.Exact
+
+/** The SQL front end: zone tables registered as views, queries issued
+  * as SQL strings through `spark.sql` — the entry path a BI tool or a
+  * user of the reference's warehouse actually takes (every reference
+  * computation is a SQL string handed to an engine, SURVEY.md §4.1;
+  * here Catalyst is that engine). Plans are identical to the
+  * DataFrame spelling, so everything downstream (pushdown, AQE,
+  * codegen) applies unchanged.
+  */
+object SqlSurface {
+
+  /** Register every testdata table as a temp view (idempotent). */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    Tables.All.foreach { t =>
+      Tables.load(s, dir, t).createOrReplaceTempView(t)
+    }
+
+  /** q90: a TPC-H Q3-shape query issued as a SQL string — shipped
+    * revenue of BUILDING-segment customers by order, top 10. */
+  def sqlTopRevenue(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      s"""SELECT o_orderkey,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |           CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS revenue,
+         |  count(*) AS n_items
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderkey
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_sql_surface" -> (sqlTopRevenue _))
+
+  val oracle: Map[String, String] = Map(
+    "q90_sql_surface" ->
+      s"""SELECT o_orderkey,
+         |  ${Exact.sqlDsumProd("l_extendedprice", "1.0 - l_discount")} AS revenue,
+         |  count(*) AS n_items
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderkey
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin)
+}
