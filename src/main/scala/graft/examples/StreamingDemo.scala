@@ -64,6 +64,26 @@ object StreamingDemo {
     println("== session windows (30-min gap) ==")
     spark.table("sessions").orderBy("user_id", "start_ms").show()
 
+    // streaming dedup: duplicate event_id dropped
+    Files.writeString(Paths.get(in, "dups.json"), Seq(
+      """{"event_id":99,"ts":"2024-01-01T00:50:00Z","user_id":3,"event_type":"click","value":1.0}""",
+      """{"event_id":99,"ts":"2024-01-01T00:50:00Z","user_id":3,"event_type":"click","value":1.0}""")
+      .mkString("\n"))
+    Streams.runToMemory(
+      Streams.dedupStream(Streams.fileStream(spark, in, schema)),
+      "deduped", OutputMode.Append)
+    println("== streaming dedup (event 99 appears once) ==")
+    spark.table("deduped").where("event_id = 99").show()
+
+    // stream-stream join: purchase joined to preceding click
+    Files.writeString(Paths.get(in, "purchase.json"),
+      """{"event_id":50,"ts":"2024-01-01T00:45:00Z","user_id":1,"event_type":"purchase","value":9.0}""")
+    Streams.runToMemory(
+      Streams.purchaseClickJoin(Streams.fileStream(spark, in, schema)),
+      "joined", OutputMode.Append)
+    println("== stream-stream join (purchase 50 <- click at 00:40) ==")
+    spark.table("joined").show()
+
     // probe: malformed record in the stream
     Files.writeString(Paths.get(in, "bad.json"), "{not json at all")
     Streams.runToMemory(

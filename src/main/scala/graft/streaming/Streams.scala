@@ -56,6 +56,36 @@ object Streams {
         unix_millis(col("session_window.end")).as("end_ms"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen within the watermark horizon — the streaming mirror of
+    * q34/q35. State is keyed by event_id and evicted past the
+    * watermark, so memory is bounded by (rate × lateness), not by
+    * stream history. */
+  def dedupStream(events: DataFrame,
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
+  /** Stream-stream inner join: purchases enriched with the user's
+    * clicks in the preceding 10 minutes (the streaming mirror of the
+    * q63 range join). Both sides watermarked; the range condition
+    * bounds join state retention on each side. */
+  def purchaseClickJoin(events: DataFrame,
+                        watermark: String = "30 minutes"): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
   /** Run a streaming query into an in-memory table until all currently
     * available input is processed (test/demo harness; production sinks
     * are parquet/kafka `writeStream`). */

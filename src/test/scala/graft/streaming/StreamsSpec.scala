@@ -54,6 +54,37 @@ class StreamsSpec extends SparkSpec {
     assert(n == 2L)
   }
 
+  test("streaming dedup drops duplicate event ids") {
+    val in = Files.createTempDirectory("stream_dedup").toString
+    writeBatch(in, "b1.json",
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"view","value":2.0}""")
+    Streams.runToMemory(Streams.dedupStream(
+      Streams.fileStream(spark, in, schema)), "dedup_out",
+      OutputMode.Append)
+    val ids = spark.table("dedup_out").collect()
+      .map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("stream-stream join: purchases pick up preceding clicks") {
+    val in = Files.createTempDirectory("stream_join").toString
+    writeBatch(in, "b1.json",
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":5,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:05:00Z","user_id":5,"event_type":"purchase","value":9.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:30:00Z","user_id":5,"event_type":"purchase","value":9.0}""",
+      """{"event_id":4,"ts":"2024-01-01T00:06:00Z","user_id":6,"event_type":"purchase","value":9.0}""")
+    Streams.runToMemory(Streams.purchaseClickJoin(
+      Streams.fileStream(spark, in, schema)), "join_out",
+      OutputMode.Append)
+    val pairs = spark.table("join_out").collect()
+      .map(r => r.getAs[Long]("p_id"))
+    // only purchase 2 is within 10 min of user 5's click;
+    // purchase 3 is too late, purchase 4 is another user
+    assert(pairs.toSeq == Seq(2L))
+  }
+
   test("session windows close on gap") {
     val in = Files.createTempDirectory("stream_in3").toString
     writeBatch(in, "b1.json",
