@@ -144,7 +144,22 @@ object Extras {
         .as("n_punct_tokens"))
       .orderBy("doc_id")
 
+  /** Exact interpolated percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share linear-interpolation semantics and produce
+    * bit-identical doubles (verified empirically, including the
+    * ...99999 ulp tails). At 100 TB swap for approx_percentile and
+    * drop the oracle. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_percentiles"    -> (percentiles _),
     "q48_bpe_tokens"     -> (bpeTokenCount _),
     "q49_salted_agg"     -> (saltedAgg _),
     "q26_intersect"      -> (intersectKeys _),
@@ -157,6 +172,12 @@ object Extras {
     "q47_moment_stats"   -> (momentStats _))
 
   val oracle: Map[String, String] = Map(
+    "q54_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q48_bpe_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_tokens,

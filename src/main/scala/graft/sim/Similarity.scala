@@ -108,6 +108,55 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q53: IVF (inverted-file) top-k — the other ANN scale path: a
+    * seeded k-means coarse quantizer partitions the corpus into cells;
+    * each query probes only its `nProbe` closest cells and re-ranks
+    * exactly within them. At 100 TB the cell id becomes the partition
+    * key (partition pruning on probe), and the centroid table is a
+    * broadcast. Recall is tunable via nProbe; measured against q50 in
+    * tests. */
+  def knnIvf(s: SparkSession, dir: String, k: Int = 5,
+             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("v", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("v").fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"),
+        col(model.getPredictionCol).as("cell"))
+    // centroid table: tiny, broadcast everywhere
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    val cdf = s.createDataFrame(centroids.toSeq).toDF("cell", "cvec")
+    // probe set: nProbe closest centroids per query (unit vectors →
+    // max dot = min angle)
+    val q = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdot").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(cdf))
+      .withColumn("cdot", call_function("float_dot", col("qv"), col("cvec")))
+      .withColumn("crank", row_number().over(wCell))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // candidates: corpus rows in probed cells only (partition-pruned at
+    // scale), exact re-rank
+    val scored = assigned.join(broadcast(probed),
+        assigned("cell") === probed("cell") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotCol(col("embedding"), col("qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** q52: embedding near-duplicate pairs (cosine ≥ threshold) — the
     * embedding leg of the dedup suite. Candidates via shared signature
     * band, exact verify, no cross join. */
@@ -152,6 +201,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "q51_knn_lsh"   -> ((s: SparkSession, d: String) => knnLsh(s, d)),
+    "q53_knn_ivf"   -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "q52_embedding_neardup" ->
       ((s: SparkSession, d: String) => nearDupPairs(s, d)))
 

@@ -38,6 +38,21 @@ class SimilaritySpec extends SparkSpec {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("knn ivf: k ranked results per query with usable recall") {
+    val brute = Similarity.knnBrute(spark, sf(), k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.knnIvf(spark, sf(), k = 5).collect()
+    val byQuery = ivf.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach(rs => assert(rs.length == 5))
+    val found = ivf.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & found).size.toDouble / brute.size
+    // random vectors: worst case for IVF cell locality; clustered data
+    // recalls far higher at the same nProbe
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("signatures are deterministic across sessions") {
     import org.apache.spark.sql.functions.col
     val a = Similarity.knnLsh(spark, sf(), k = 3).collect()
