@@ -158,7 +158,24 @@ object Extras {
         expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
       .orderBy("l_returnflag")
 
+  /** Column profiling in ONE pass: null counts, exact extrema, and
+    * distinct counts per profiled column — the data-quality summary a
+    * pipeline runs after every load (the reference's quality gates
+    * grown up). All integer/exact-decimal outputs → oracle-checkable. */
+  def profileTable(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("null_custkey"),
+      countDistinct(col("o_custkey")).as("distinct_custkey"),
+      countDistinct(col("o_orderstatus")).as("distinct_status"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"),
+      Exact.dsum(col("o_totalprice")).as("sum_price"),
+      min(unix_millis(col("o_orderdate"))).as("min_date_ms"),
+      max(unix_millis(col("o_orderdate"))).as("max_date_ms"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_profile"        -> (profileTable _),
     "q54_percentiles"    -> (percentiles _),
     "q48_bpe_tokens"     -> (bpeTokenCount _),
     "q49_salted_agg"     -> (saltedAgg _),
@@ -172,6 +189,17 @@ object Extras {
     "q47_moment_stats"   -> (momentStats _))
 
   val oracle: Map[String, String] = Map(
+    "q64_profile" ->
+      s"""SELECT count(*) AS n_rows,
+         |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+         |  count(DISTINCT o_custkey) AS distinct_custkey,
+         |  count(DISTINCT o_orderstatus) AS distinct_status,
+         |  min(o_totalprice) AS min_price,
+         |  max(o_totalprice) AS max_price,
+         |  ${Exact.sqlDsum("o_totalprice")} AS sum_price,
+         |  min(epoch_ms(o_orderdate)) AS min_date_ms,
+         |  max(epoch_ms(o_orderdate)) AS max_date_ms
+         |FROM orders""".stripMargin,
     "q54_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50_qty,

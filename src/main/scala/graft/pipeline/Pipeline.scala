@@ -33,6 +33,21 @@ object Pipeline {
     spark.read.parquet(path).count()
   }
 
+  /** Partition-layout materialize: the 100 TB default. Output is laid
+    * out by the partition columns so downstream readers with matching
+    * predicates scan only the partitions they touch (PartitionFilters
+    * at the scan — verified in PipelineSpec). Writer-side,
+    * `maxRecordsPerFile` caps file sizes against partition skew. */
+  def materializePartitioned(spark: SparkSession, df: DataFrame,
+                             path: String, partitionCols: Seq[String],
+                             maxRecordsPerFile: Long = 5000000L): Long = {
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    spark.read.parquet(path).count()
+  }
+
   /** C1: validate → transform → summarize, fail-fast (reference chain
     * dags/taxi_transform_dag.py:102-105). */
   def run(spark: SparkSession,
