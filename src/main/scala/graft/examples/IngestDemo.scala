@@ -54,6 +54,17 @@ object IngestDemo {
           e.getMessage.linesIterator.next())
     }
 
+    // keyed upsert: incremental refresh of the zone table
+    import graft.sinks.Upsert
+    import spark.implicits._
+    val target = s"$work/zones/analytics/scores.parquet"
+    Upsert.merge(spark,  target,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score"), Seq("id"))
+    Upsert.merge(spark, target,
+      Seq((2L, 21.0), (3L, 30.0)).toDF("id", "score"), Seq("id"))
+    println("== upsert result (id 2 updated, 1 kept, 3 added) ==")
+    spark.read.parquet(target).orderBy("id").show()
+
     val rep = Pipeline.run(spark,
       CsvIngest.readZoneTable(spark, s"$work/zones", "raw.trips"),
       d => d.where("fare_amount > 5"),

@@ -85,6 +85,32 @@ class StreamsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq(2L))
   }
 
+  test("streaming parquet sink with checkpoint resumes exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Files.createTempDirectory("stream_pq_in").toString
+    val out = Files.createTempDirectory("stream_pq_out").toString
+    val ckpt = Files.createTempDirectory("stream_pq_ckpt").toString
+    writeBatch(in, "b1.json",
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"click","value":1.0}""")
+    def runOnce(): Unit = {
+      val q = Streams.fileStream(spark, in, schema)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 1)
+    // second run with NO new input: checkpoint prevents reprocessing
+    runOnce()
+    assert(spark.read.parquet(out).count() == 1)
+    // new file arrives → only the delta lands
+    writeBatch(in, "b2.json",
+      """{"event_id":2,"ts":"2024-01-01T00:02:00Z","user_id":1,"event_type":"view","value":2.0}""")
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("session windows close on gap") {
     val in = Files.createTempDirectory("stream_in3").toString
     writeBatch(in, "b1.json",
