@@ -21,7 +21,8 @@ object SparkEntry {
       ops.Extras.queries ++
       text.TextAnalysis.queries ++ dedup.Dedup.queries ++
       sim.Similarity.queries ++ ops.EventOps.queries ++
-      multimodal.Multimodal.queries ++ ops.SqlSurface.queries
+      multimodal.Multimodal.queries ++ ops.SqlSurface.queries ++
+      ops.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       ops.Extras.oracle ++
       text.TextAnalysis.oracle ++ dedup.Dedup.oracle ++
       sim.Similarity.oracle ++ ops.EventOps.oracle ++
-      multimodal.Multimodal.oracle ++ ops.SqlSurface.oracle
+      multimodal.Multimodal.oracle ++ ops.SqlSurface.oracle ++
+      ops.Advanced.oracle
 }
