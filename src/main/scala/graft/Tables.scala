@@ -33,6 +33,12 @@ object Tables {
   }
 
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    // Session-wide by necessity: the conf is consulted both at schema
+    // resolution and at scan execution, so it cannot be set-and-
+    // restored around this read. Documented trade-off: after events is
+    // touched, INT64-nanos timestamp columns in OTHER parquet sources
+    // read as raw longs instead of erroring (they would otherwise
+    // fail the read outright — Spark has no lossless nanos path).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
     // ts arrives as INT64 nanoseconds; truncate to micros with integer

@@ -92,13 +92,15 @@ object Dedup {
   val LshBands = 8                       // 8 bands × 4 rows
   val LshRows: Int = MinhashPerms / LshBands
 
-  /** Word-shingle column (3-grams joined by space); one array per doc. */
+  /** Word-shingle column (3-grams joined by space); one array per doc.
+    * Built from the PASSED column via the lambda Column API (an expr()
+    * string would hardcode the column name and silently ignore `c`). */
   private def shingles(c: Column, n: Int = 3): Column = {
     val w = tokens(c)
     when(size(w) < n, array(concat_ws(" ", w)))
-      .otherwise(expr(
-        s"array_distinct(transform(sequence(0, size(split(trim(text), '\\\\s+')) - $n), " +
-          s"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, $n))))"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
   }
 
   /** Per-doc MinHash signature: explode shingles once, take the min of

@@ -39,14 +39,23 @@ object CsvIngest {
     val existing = readExistingSchema(spark, target)
     val evo = SchemaEvolver.evolve(existing, inferred, table, dialect)
 
-    // Full read: explicit schema (inferred names may be sanitized, so
-    // read by position — header order IS the sample's column order).
-    val raw = spark.read
-      .option("header", "true")
-      .schema(StructType(evo.merged.fields.toSeq.filter(f =>
-        inferred.fieldNames.map(_.toLowerCase)
-          .contains(f.name.toLowerCase))))
-      .csv(csvPath)
+    // Full read: header-named all-string read, then cast BY NAME to the
+    // merged types. An explicit schema on a CSV read is applied
+    // positionally (the header is ignored under enforceSchema), so a
+    // file whose column order differs from the table's would silently
+    // misassign values across columns — casting by name is order-proof.
+    val byLower = evo.merged.fields.map(f => f.name.toLowerCase -> f).toMap
+    val strings = spark.read.option("header", "true").csv(csvPath)
+    val raw = strings.select(strings.columns.toSeq.map { c =>
+      val name = TypeLattice.sanitize(c)
+      byLower.get(name.toLowerCase) match {
+        // try_cast: values that drifted after the inference sample
+        // become NULL (the reference's sample-typed behavior), instead
+        // of failing the whole load under ANSI cast semantics
+        case Some(f) => col(s"`$c`").try_cast(f.dataType).as(f.name)
+        case None    => col(s"`$c`").as(name)
+      }
+    }: _*)
 
     // Align to the merged schema: columns the file lacks become typed
     // nulls (additive evolution never loses existing columns).

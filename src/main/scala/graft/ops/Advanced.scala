@@ -98,7 +98,7 @@ object Advanced {
         |  string_split_regex(trim(text), '\s+')[-1] AS last_tok,
         |  len(list_slice(string_split_regex(trim(text), '\s+'), 1, 3)) AS head3_n,
         |  list_contains(string_split_regex(trim(text), '\s+'), 'spark') AS has_spark,
-        |  list_position(string_split_regex(trim(text), '\s+'), 'data') AS data_pos,
+        |  CAST(coalesce(list_position(string_split_regex(trim(text), '\s+'), 'data'), 0) AS BIGINT) AS data_pos,
         |  list_sort(string_split_regex(trim(text), '\s+'))[1] AS min_tok
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -69,19 +69,23 @@ object SchemaInference {
         { t.toDouble; true }
     } catch { case _: NumberFormatException => false }
 
+  // Only formats the subsequent typed read actually parses (Spark's
+  // default CSV timestamp parsing is ISO-ish): inferring a type the
+  // reader can't parse would silently NULL the whole column.
   private val TsPatterns = Seq(
-    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd",
-    "yyyy/MM/dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss")
+    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd")
 
   private def isTimestamp(s: String): Boolean = {
-    val t = s.trim
+    // strip fractional seconds / trailing zone designator for the match
+    val t = s.trim.replaceFirst("\\.\\d+", "").stripSuffix("Z")
     TsPatterns.exists { p =>
-      try {
-        val f = new java.text.SimpleDateFormat(p)
-        f.setLenient(false)
-        // Accept fractional seconds by trimming them for the match.
-        f.parse(t.replaceFirst("\\.\\d+$", "")); true
-      } catch { case _: java.text.ParseException => false }
+      val f = new java.text.SimpleDateFormat(p)
+      f.setLenient(false)
+      val pos = new java.text.ParsePosition(0)
+      val parsed = f.parse(t, pos)
+      // require the WHOLE string consumed: SimpleDateFormat accepts
+      // prefixes ('2025-01-01 meeting notes' would otherwise pass)
+      parsed != null && pos.getIndex == t.length
     }
   }
 }

@@ -34,14 +34,24 @@ object Upsert {
     }
 
     // copy-on-write via staging dir: never read and overwrite the same
-    // path in one job (Spark would delete the input mid-read)
-    val staging = targetPath + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    // path in one job (Spark would delete the input mid-read).
+    // Publish order is backup-then-swap so a crash at any point leaves
+    // the data recoverable: either the original is still at target, or
+    // it survives at .old alongside the completed staging dir. (True
+    // single-op atomicity needs a table format — Delta/Iceberg — or a
+    // metastore pointer swap; plain directories can't do better.)
+    val staging = new org.apache.hadoop.fs.Path(targetPath + ".staging")
+    val backup = new org.apache.hadoop.fs.Path(targetPath + ".old")
+    val target = new org.apache.hadoop.fs.Path(targetPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(targetPath)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    try {
+      merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      fs.delete(backup, true)
+      if (existing.isDefined) fs.rename(target, backup)
+      fs.rename(staging, target)
+      fs.delete(backup, true)
+    } finally fs.delete(staging, true) // no orphaned staging on failure
     spark.read.parquet(targetPath).count()
   }
 }

@@ -65,7 +65,10 @@ object Streams {
                   watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id", "ts")
+      // id-ONLY key: a replayed event re-stamped with a different ts
+      // must still dedup; dropDuplicatesWithinWatermark keeps state
+      // evictable without ts in the key.
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream inner join: purchases enriched with the user's
     * clicks in the preceding 10 minutes (the streaming mirror of the
