@@ -78,13 +78,29 @@ object TextAnalysis {
         " ")).as("fp"))
       .orderBy("doc_id")
 
+  /** q95: corpus token frequency — explode (UNNEST) + groupBy count,
+    * the vocabulary-building primitive. Map-side partial counts make
+    * the shuffle carry one row per (partition, token), not per
+    * occurrence. */
+  def tokenFrequency(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_token_freq"    -> (tokenFrequency _),
     "q30_token_stats"   -> (tokenStats _),
     "q31_quality_score" -> (qualityScore _),
     "q32_langid"        -> (langId _),
     "q33_fingerprint"   -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q95_token_freq" ->
+      """SELECT t.tok, count(*) AS n
+        |FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(tok)
+        |GROUP BY 1 ORDER BY n DESC, tok""".stripMargin,
     "q30_token_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
