@@ -123,6 +123,29 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Window navigation + ranking family. Explicit ROWS frames on the
+    * value functions (default frames differ subtly per engine);
+    * percent_rank/cume_dist are rank-derived rationals — identical
+    * doubles cross-engine. ntile deliberately uses the unique orderkey
+    * ordering (ties would make bucket assignment nondeterministic). */
+  def windowRankFamily(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val fullFrame = byPrice.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"),
+        percent_rank().over(byPrice).as("prnk"),
+        cume_dist().over(byPrice).as("cdist"),
+        ntile(4).over(byPrice).as("quartile"),
+        first(col("o_totalprice")).over(fullFrame).as("best_price"),
+        last(col("o_totalprice")).over(fullFrame).as("worst_price"),
+        nth_value(col("o_totalprice"), 2).over(fullFrame).as("second_price"))
+      .orderBy("o_custkey", "rnk")
+  }
+
   /** DISTINCT projection (shuffle dedup). */
   def distinctValues(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -205,6 +228,7 @@ object Relational {
     "q15_window_topk"      -> (windowTopkPerGroup _),
     "q16_window_running"   -> (windowRunningSum _),
     "q17_window_lag"       -> (windowLag _),
+    "q96_window_rank_family" -> (windowRankFamily _),
     "q18_distinct"         -> (distinctValues _),
     "q19_topk_global"      -> (topkGlobal _),
     "q20_union_distinct"   -> (unionDistinct _),
@@ -265,6 +289,23 @@ object Relational {
         |  epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q96_window_rank_family" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(o_totalprice) OVER wf AS best_price,
+        |  last_value(o_totalprice) OVER wf AS worst_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, rnk""".stripMargin,
     "q18_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
