@@ -25,8 +25,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: JVM/codegen/parquet-footer costs land here, not on the
     // alphabetically-first query (observed ~4 s inflation without it).
+    // Runs the flagship shape against the BENCH dataset (entry()
+    // hardcodes sf0.001, which need not exist where the bench runs) and
+    // never aborts the run — a warmup failure would otherwise kill the
+    // benchmark before the JSON line is printed.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    try ops.CoreParity.cleanedTransform(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     // Best of two runs per query: the container shares the machine and
     // single-run timings showed 2-4× contention noise on the heavy
     // queries; min-of-2 reports the query's actual cost. A failing

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.util.Exact
+import graft.util.Tokens
 
 /** Deduplication operators over the `documents` table — the dedup
   * toolbox a large-scale training-data pipeline needs (exact, MinHash
@@ -26,7 +26,7 @@ import graft.util.Exact
   */
 object Dedup {
 
-  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+  private def tokens(c: Column): Column = Tokens.whitespace(c)
 
   /** q34: exact dedup via content digest — representative row (min
     * doc_id) + multiplicity per distinct text. */

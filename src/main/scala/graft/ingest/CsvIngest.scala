@@ -35,9 +35,9 @@ object CsvIngest {
     val table = SchemaEvolver.parseTableName(tableName)
     val target = targetPath(zoneRoot, table)
 
-    val inferred = SchemaInference.inferCsv(spark, csvPath, sampleRows)
+    val sampled = SchemaInference.inferCsvSample(spark, csvPath, sampleRows)
     val existing = readExistingSchema(spark, target)
-    val evo = SchemaEvolver.evolve(existing, inferred, table, dialect)
+    val evo = SchemaEvolver.evolve(existing, sampled.schema, table, dialect)
 
     // Full read: header-named all-string read, then cast BY NAME to the
     // merged types. An explicit schema on a CSV read is applied
@@ -73,8 +73,8 @@ object CsvIngest {
     // additive evolution without rewriting 100 TB of history.
     aligned.write.mode(SaveMode.Append).parquet(target)
 
-    IngestResult(table, evo, math.min(sampleRows, raw.limit(sampleRows)
-      .count().toInt), target)
+    // the sample count comes from the inference read — no extra job
+    IngestResult(table, evo, sampled.rowsSampled, target)
   }
 
   def targetPath(zoneRoot: String, table: TableName): String =

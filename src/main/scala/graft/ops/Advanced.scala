@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.util.Exact
+import graft.util.{Exact, Tokens}
 
 /** Third coverage tier: explicit GROUPING SETS with grouping_id
   * disambiguation, the TPC-H Q6 predicate-aggregate shape,
@@ -15,7 +15,10 @@ object Advanced {
   /** q91: GROUPING SETS ((flag), (status), ()) with grouping_id so
     * subtotal NULLs are distinguishable from data NULLs. */
   def groupingSets(s: SparkSession, dir: String): DataFrame = {
-    SqlSurface.registerViews(s, dir)
+    // register only the table this query touches — registerViews loads
+    // all 10 zone tables (10 driver-side parquet schema reads) inside
+    // what Bench times as this query
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
     s.sql(
       s"""SELECT l_returnflag, l_linestatus,
          |  grouping(l_returnflag) AS g_flag,
@@ -53,7 +56,7 @@ object Advanced {
 
   /** q94: array-function family over document token arrays. */
   def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
+    val toks = Tokens.whitespace(col("text"))
     Tables.load(s, dir, "documents").select(
       col("doc_id"),
       element_at(toks, 1).as("first_tok"),

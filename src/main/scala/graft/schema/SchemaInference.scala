@@ -17,20 +17,33 @@ object SchemaInference {
 
   val DefaultSampleRows = 100
 
+  /** Inference outcome: the lattice schema plus how many rows the
+    * sample actually contained (≤ sampleRows for short files). */
+  final case class InferredSample(schema: StructType, rowsSampled: Int)
+
   /** Infer a lattice schema for a header-ful CSV. */
   def inferCsv(spark: SparkSession, path: String,
-               sampleRows: Int = DefaultSampleRows): StructType = {
+               sampleRows: Int = DefaultSampleRows): StructType =
+    inferCsvSample(spark, path, sampleRows).schema
+
+  /** As [[inferCsv]], but also report the sampled row count (one read,
+    * one collect — no separate counting job). */
+  def inferCsvSample(spark: SparkSession, path: String,
+                     sampleRows: Int = DefaultSampleRows): InferredSample = {
     val sample = spark.read
       .option("header", "true")
       .csv(path)           // all-string read: no full-file inference pass
       .limit(sampleRows)
-    infer(sample)
+    val rows = sample.collect() // bounded: ≤ sampleRows rows
+    InferredSample(inferFields(sample.columns, rows), rows.length)
   }
 
   /** Infer from an all-string sample DataFrame (header already parsed). */
-  def infer(sample: DataFrame): StructType = {
-    val names = sample.columns
-    val rows: Array[Row] = sample.collect() // bounded: ≤ sampleRows rows
+  def infer(sample: DataFrame): StructType =
+    inferFields(sample.columns, sample.collect())
+
+  private def inferFields(names: Array[String],
+                          rows: Array[Row]): StructType = {
     val fields = names.zipWithIndex.map { case (name, i) =>
       val values = rows.iterator
         .map(r => if (r.isNullAt(i)) null else r.getString(i))

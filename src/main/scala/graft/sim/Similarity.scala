@@ -60,6 +60,24 @@ object Similarity {
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Band-explode of a 16-bit `sig` column into (band, bandVal) rows —
+    * the one spelling shared by every LSH path. */
+  private def bandCols: Column =
+    posexplode(expr(
+      s"transform(sequence(0, ${Bands - 1}), " +
+        s"b -> (sig >> (b * $BandBits)) & ${(1 << BandBits) - 1})"))
+      .as(Seq("band", "bandVal"))
+
+  /** Shared exact re-rank: top-k rows per query_id by descending
+    * cosine, neighbor_id as the deterministic tiebreak. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** q50: exact brute-force top-k for a fixed query set (vec_id < 10).
     * The query side is tiny → broadcast; corpus side streams through
     * one scan. */
@@ -71,11 +89,7 @@ object Similarity {
     val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dotCol(col("embedding"), col("qv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** q51: SRP-LSH top-k — same contract as q50, bucket-join candidates
@@ -83,29 +97,29 @@ object Similarity {
     * measured against q50 in tests. */
   def knnLsh(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sigged = corpus(s, dir)
-      .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
-    val banded = sigged.select(col("vec_id"), col("embedding"),
-      posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), " +
-          s"b -> (sig >> (b * $BandBits)) & ${(1 << BandBits) - 1})"))
-        .as(Seq("band", "bandVal")))
+    // Band rows carry ONLY (vec_id, band, bandVal) — as in nearDupPairs,
+    // the 64-float vectors never ride through the explode/join/distinct;
+    // they are re-attached to the deduped candidate id pairs instead.
+    val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
+    val banded = emb
+      .select(col("vec_id"), signature(col("embedding")).as("sig"))
+      .select(col("vec_id"), bandCols)
     val q = banded.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      .select(col("vec_id").as("query_id"),
         col("band").as("qband"), col("bandVal").as("qbandVal"))
     val cand = banded.join(q,
         col("band") === col("qband") && col("bandVal") === col("qbandVal") &&
           col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("embedding"), col("qv"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      dotCol(col("embedding"), col("qv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    val scored = cand
+      .join(broadcast(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), "query_id")
+      .join(broadcast(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"))), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dotCol(col("nv"), col("qv")).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** q53: IVF (inverted-file) top-k — the other ANN scale path: a
@@ -150,11 +164,7 @@ object Similarity {
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dotCol(col("embedding"), col("qv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** q52: embedding near-duplicate pairs (cosine ≥ threshold) — the
@@ -173,11 +183,7 @@ object Similarity {
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
     val banded = emb
       .select(col("vec_id"), signature(col("embedding")).as("sig"))
-      .select(col("vec_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${Bands - 1}), " +
-            s"b -> (sig >> (b * $BandBits)) & ${(1 << BandBits) - 1})"))
-          .as(Seq("band", "bandVal")))
+      .select(col("vec_id"), bandCols)
     // repartition: the corpus is one parquet split — without the
     // spread, candidate generation and the dot products run on 1 core.
     val par = s.sparkContext.defaultParallelism

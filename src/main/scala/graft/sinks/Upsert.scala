@@ -43,13 +43,22 @@ object Upsert {
     val staging = new org.apache.hadoop.fs.Path(targetPath + ".staging")
     val backup = new org.apache.hadoop.fs.Path(targetPath + ".old")
     val target = new org.apache.hadoop.fs.Path(targetPath)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // the TARGET's filesystem, not FileSystem.get (the default FS): for
+    // a non-default-scheme target the default FS would report rename
+    // failure and the merge would silently publish nothing.
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       fs.delete(backup, true)
-      if (existing.isDefined) fs.rename(target, backup)
-      fs.rename(staging, target)
+      // rename returns false instead of throwing on most Hadoop
+      // filesystems — unchecked, a failed publish would be silent and
+      // the count below would just re-read whatever is left at target.
+      if (existing.isDefined && !fs.rename(target, backup))
+        sys.error(s"merge: could not move $target aside to $backup")
+      if (!fs.rename(staging, target)) {
+        if (existing.isDefined) fs.rename(backup, target) // restore
+        sys.error(s"merge: could not publish $staging to $target")
+      }
       fs.delete(backup, true)
     } finally fs.delete(staging, true) // no orphaned staging on failure
     spark.read.parquet(targetPath).count()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.Tokens
 
 /** Text-analysis operators for a training-data pipeline, over the
   * `documents` table: token statistics, quality scoring, language-ID,
@@ -19,7 +20,7 @@ object TextAnalysis {
 
   /** Whitespace tokenization, both engines split on the same RE2/Java
     * compatible pattern. */
-  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+  private def tokens(c: Column): Column = Tokens.whitespace(c)
 
   /** q30: per-document token statistics. */
   def tokenStats(s: SparkSession, dir: String): DataFrame =
