@@ -71,6 +71,31 @@ object IngestDemo {
       d => d.agg(Map("fare_amount" -> "avg")),
       s"$work/zones/analytics/trips_clean.parquet")
     println("REPORT=" + rep)
+
+    // the reference's COMPLETE §3 lifecycle on its own schema: taxi
+    // CSV → inferred ingest → verbatim transform → one-pass summary
+    Files.writeString(Paths.get(work, "taxi.csv"),
+      "tpep_pickup_datetime,tpep_dropoff_datetime,passenger_count," +
+        "trip_distance,PULocationID,DOLocationID,fare_amount," +
+        "tip_amount,total_amount,payment_type,cbd_congestion_fee\n" +
+        "2025-01-05 10:00:00,2025-01-05 10:10:00,1,2.5,100,200,10.0,2.0,12.0,1,0.75\n" +
+        "2025-01-05 11:00:00,2025-01-05 11:40:00,2,8.0,101,201,30.0,0.0,30.0,2,\n" +
+        "2025-01-05 12:00:00,2025-01-05 11:00:00,1,3.0,102,202,15.0,0.0,15.0,1,0.75")
+    val taxi = CsvIngest.ingest(spark, s"$work/taxi.csv",
+      "raw.taxi_trips_raw", s"$work/zones")
+    val taxiReport = Pipeline.run(spark,
+      CsvIngest.readZoneTable(spark, s"$work/zones", "raw.taxi_trips_raw"),
+      graft.ops.TaxiTransform.transform,
+      graft.ops.TaxiTransform.summary,
+      s"$work/zones/analytics/taxi_trips_cleaned.parquet")
+    println("TAXI_DDL=" + taxi.evolution.ddl.mkString(" | "))
+    println("TAXI_REPORT=" + taxiReport)
+    spark.read
+      .parquet(s"$work/zones/analytics/taxi_trips_cleaned.parquet")
+      .select("pickup_datetime", "trip_duration_minutes",
+        "pickup_day_of_week", "tip_percentage", "payment_type_desc",
+        "trip_duration_category", "congestion_fee")
+      .orderBy("pickup_datetime").show(false)
     spark.stop()
   }
 }
