@@ -174,7 +174,21 @@ object Extras {
       min(unix_millis(col("o_orderdate"))).as("min_date_ms"),
       max(unix_millis(col("o_orderdate"))).as("max_date_ms"))
 
+  /** Second string-function family: regex capture groups, translate,
+    * reverse, repeat, split_part — the remaining scalar string surface. */
+  def stringEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
+      translate(col("p_brand"), "#", "n").as("trans"),
+      reverse(col("p_brand")).as("rev"),
+      repeat(lit("ab"), 3).as("rep"),
+      expr("split_part(p_type, ' ', 1)").as("head_part"),
+      expr("split_part(p_type, ' ', -1)").as("tail_part"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_string_edges"   -> (stringEdges _),
     "q64_profile"        -> (profileTable _),
     "q54_percentiles"    -> (percentiles _),
     "q48_bpe_tokens"     -> (bpeTokenCount _),
@@ -189,6 +203,15 @@ object Extras {
     "q47_moment_stats"   -> (momentStats _))
 
   val oracle: Map[String, String] = Map(
+    "q97_string_edges" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+        |  translate(p_brand, '#', 'n') AS trans,
+        |  reverse(p_brand) AS rev,
+        |  repeat('ab', 3) AS rep,
+        |  split_part(p_type, ' ', 1) AS head_part,
+        |  split_part(p_type, ' ', -1) AS tail_part
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q64_profile" ->
       s"""SELECT count(*) AS n_rows,
          |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
