@@ -93,8 +93,8 @@ object IngestDemo {
     spark.read
       .parquet(s"$work/zones/analytics/taxi_trips_cleaned.parquet")
       .select("pickup_datetime", "trip_duration_minutes",
-        "pickup_day_of_week", "tip_percentage", "payment_type_desc",
-        "trip_duration_category", "congestion_fee")
+        "pickup_day_of_week", "tip_percentage", "payment_method",
+        "trip_category", "congestion_fee")
       .orderBy("pickup_datetime").show(false)
     spark.stop()
   }

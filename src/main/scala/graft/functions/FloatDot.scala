@@ -20,10 +20,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Float multiply then double accumulate — bit-compatible with the
   * higher-order spelling it replaces (verified against numpy in the
-  * similarity suite).
+  * similarity suite), INCLUDING its null semantics: `zip_with` pads the
+  * shorter array with nulls and `x * null` is null, so a length
+  * mismatch or any null element makes the whole sum null. This
+  * expression returns null in exactly those cases rather than silently
+  * truncating to the common prefix.
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // null even on non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -43,10 +50,12 @@ case class FloatDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i) * y.getFloat(i)
       i += 1
     }
@@ -59,12 +68,16 @@ case class FloatDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $acc += $a.getFloat($i) * $b.getFloat($i);
          |}
+         |${ev.isNull} = $bad;
          |${ev.value} = $acc;
        """.stripMargin
     })

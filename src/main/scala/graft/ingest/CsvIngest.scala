@@ -88,8 +88,17 @@ object CsvIngest {
     spark.read.option("mergeSchema", "true")
       .parquet(targetPath(zoneRoot, SchemaEvolver.parseTableName(tableName)))
 
+  /** Schema of the existing zone table, or None only when the table
+    * genuinely does not exist yet. Only path-absence means 'new table';
+    * any other failure propagates — treating a transient read error as
+    * 'new' would append a file typed without the historically evolved
+    * columns and misreport the evolution DDL for that run. */
   private def readExistingSchema(spark: SparkSession,
-                                 path: String): Option[StructType] =
-    try Some(spark.read.option("mergeSchema", "true").parquet(path).schema)
-    catch { case _: Exception => None }
+                                 path: String): Option[StructType] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.option("mergeSchema", "true").parquet(path).schema)
+    else None
+  }
 }

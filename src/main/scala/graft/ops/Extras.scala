@@ -214,7 +214,7 @@ object Extras {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q64_profile" ->
       s"""SELECT count(*) AS n_rows,
-         |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
          |  count(DISTINCT o_custkey) AS distinct_custkey,
          |  count(DISTINCT o_orderstatus) AS distinct_status,
          |  min(o_totalprice) AS min_price,

@@ -29,17 +29,16 @@ object TaxiTransform {
     val dropoff = col("tpep_dropoff_datetime")
     val durationMin =
       (unix_timestamp(dropoff) - unix_timestamp(pickup)) / lit(60.0)
+    // Column names AND order are the reference's INSERT list verbatim
+    // (taxi_transform_dag.py:43-49): pickup_datetime … dropoff_location_id.
     raw.filter(validityFilter).select(
       pickup.as("pickup_datetime"),
       dropoff.as("dropoff_datetime"),
-      col("passenger_count"),
-      col("trip_distance"),
-      col("PULocationID").as("pickup_location_id"),
-      col("DOLocationID").as("dropoff_location_id"),
       durationMin.as("trip_duration_minutes"),
       hour(pickup).as("pickup_hour"),
       (dayofweek(pickup) - 1).as("pickup_day_of_week"), // 0=Sunday (pg)
       month(pickup).as("pickup_month"),
+      col("trip_distance"),
       col("fare_amount"),
       col("tip_amount"),
       when(col("fare_amount") > 0,
@@ -50,7 +49,8 @@ object TaxiTransform {
         .when(col("payment_type") === 2, "Cash")
         .when(col("payment_type") === 3, "No Charge")
         .when(col("payment_type") === 4, "Dispute")
-        .otherwise("Other").as("payment_type_desc"),
+        .otherwise("Other").as("payment_method"),
+      col("passenger_count"),
       when(col("trip_distance") > 0,
         col("total_amount") / col("trip_distance"))
         .otherwise(lit(0.0)).as("revenue_per_mile"),
@@ -58,9 +58,11 @@ object TaxiTransform {
         .when(durationMin < 15, "Short")
         .when(durationMin < 30, "Medium")
         .when(durationMin < 60, "Long")
-        .otherwise("Very Long").as("trip_duration_category"),
+        .otherwise("Very Long").as("trip_category"),
       coalesce(col("cbd_congestion_fee"), lit(0.0))
-        .as("congestion_fee"))
+        .as("congestion_fee"),
+      col("PULocationID").as("pickup_location_id"),
+      col("DOLocationID").as("dropoff_location_id"))
   }
 
   /** A2: the reference's one-pass summary (taxi_transform_dag.py:92-95). */

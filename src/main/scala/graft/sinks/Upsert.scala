@@ -21,9 +21,15 @@ object Upsert {
   def merge(spark: SparkSession, targetPath: String, updates: DataFrame,
             keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
+    // 'Table absent' must mean the PATH IS ABSENT, nothing weaker: a
+    // transient read failure (permissions, corrupt footer, FS hiccup) on
+    // an existing populated target must abort the merge, not silently
+    // degrade it into an overwrite that drops every non-matching row.
+    val probe = new org.apache.hadoop.fs.Path(targetPath)
+    val probeFs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try Some(spark.read.parquet(targetPath))
-      catch { case _: Exception => None }
+      if (probeFs.exists(probe)) Some(spark.read.parquet(targetPath))
+      else None
 
     val merged = existing match {
       case None => updates

@@ -50,7 +50,7 @@ class TaxiTransformSpec extends SparkSpec {
       ("2025-01-05 10:00:00", "2025-01-05 11:00:00", 1, 1.0, 1, 2, 10.0, 0.0, 10.0, 1, 0.0)))
     val cats = TaxiTransform.transform(raw)
       .orderBy("dropoff_datetime")
-      .select("trip_duration_category").collect().map(_.getString(0))
+      .select("trip_category").collect().map(_.getString(0))
     assert(cats.toSeq == Seq(
       "Very Short", "Short", "Medium", "Long", "Very Long"))
   }
@@ -71,7 +71,7 @@ class TaxiTransformSpec extends SparkSpec {
       ("2025-01-05 10:00:00", "2025-01-05 10:10:00", 1, 1.0, 1, 2, 10.0, 0.0, 10.0, null, null),
       ("2025-01-05 10:00:00", "2025-01-05 10:11:00", 1, 1.0, 1, 2, 10.0, 0.0, 10.0, 4, 2.75)))
     val rows = TaxiTransform.transform(raw).orderBy("dropoff_datetime")
-      .select("payment_type_desc", "congestion_fee").collect()
+      .select("payment_method", "congestion_fee").collect()
     assert(rows(0).getString(0) == "Other" && rows(0).getDouble(1) == 0.0)
     assert(rows(1).getString(0) == "Dispute" && rows(1).getDouble(1) == 2.75)
   }
@@ -80,13 +80,15 @@ class TaxiTransformSpec extends SparkSpec {
     val raw = mkRaw(Seq(
       ("2025-01-05 10:00:00", "2025-01-05 10:10:00", 2, 4.0, 1, 2, 10.0, 2.0, 12.0, 1, 0.0)))
     val cleaned = TaxiTransform.transform(raw)
+    // the reference's INSERT column list, verbatim order
+    // (taxi_transform_dag.py:43-49)
     assert(cleaned.columns.toSeq == Seq(
-      "pickup_datetime", "dropoff_datetime", "passenger_count",
-      "trip_distance", "pickup_location_id", "dropoff_location_id",
-      "trip_duration_minutes", "pickup_hour", "pickup_day_of_week",
-      "pickup_month", "fare_amount", "tip_amount", "tip_percentage",
-      "total_amount", "payment_type_desc", "revenue_per_mile",
-      "trip_duration_category", "congestion_fee"))
+      "pickup_datetime", "dropoff_datetime", "trip_duration_minutes",
+      "pickup_hour", "pickup_day_of_week", "pickup_month",
+      "trip_distance", "fare_amount", "tip_amount", "tip_percentage",
+      "total_amount", "payment_method", "passenger_count",
+      "revenue_per_mile", "trip_category", "congestion_fee",
+      "pickup_location_id", "dropoff_location_id"))
     val s = TaxiTransform.summary(cleaned).collect().head
     assert(s.getAs[Long]("total_trips") == 1L)
     assert(s.getAs[Double]("avg_distance") == 4.0)
