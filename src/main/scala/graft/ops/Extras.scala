@@ -154,8 +154,13 @@ object Extras {
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
-        expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+        // one buffer for both l_extendedprice percentiles: the
+        // array form sorts the group's values once and interpolates
+        // both points, instead of two independent full buffers
+        expr("percentile(l_extendedprice, array(0.9, 0.25))").as("pp"))
+      .select(col("l_returnflag"), col("p50_qty"),
+        col("pp").getItem(0).as("p90_price"),
+        col("pp").getItem(1).as("p25_price"))
       .orderBy("l_returnflag")
 
   /** Column profiling in ONE pass: null counts, exact extrema, and
