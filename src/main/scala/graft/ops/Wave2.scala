@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.util.Exact
+
+/** Fourth coverage tier — the remaining relational/source surface:
+  * full-outer join, RANGE-frame moving aggregates, exact correlation
+  * from power sums, multiset set-ops (EXCEPT/INTERSECT ALL), unpivot,
+  * CSV/JSON source round-trips (the S2 ingest path under a data-level
+  * differential gate), ordered string aggregation, and the boolean/
+  * conditional aggregate family.
+  *
+  * Scale notes: every aggregate here partial-aggregates map-side; the
+  * full-outer join shuffles two pre-aggregated (tiny) sides, not the
+  * base tables; the RANGE frame sorts once per user partition; the
+  * round-trips write through executor-parallel files, never the driver.
+  */
+object Wave2 {
+
+  private val D = DecimalType(18, 2)
+
+  /** q65: FULL OUTER join of two pre-aggregated sides with partially
+    * disjoint keys (high-balance customers vs high-balance suppliers
+    * per nation) — exercises null-producing both-side semantics. */
+  def fullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .where(col("c_acctbal") > 9500)
+      .groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = Tables.load(s, dir, "supplier")
+      .where(col("s_acctbal") > 8000)
+      .groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** q66: moving aggregate over a RANGE frame — per user, count and
+    * exact sum of event values in the trailing hour (peers at the same
+    * millisecond share a frame in both engines). */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.load(s, dir, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ms"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(D)).over(w).cast("double").as("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  /** q67: exact Pearson correlation + population covariance from
+    * decimal power sums; the final combination is row-level double
+    * arithmetic, mirrored character-for-character in the oracle so the
+    * IEEE operation sequence is identical. */
+  def corrFromSums(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        Exact.dsum(col("l_quantity")).as("sx"),
+        Exact.dsum(col("l_extendedprice")).as("sy"),
+        Exact.dsumProd(col("l_quantity"), col("l_quantity")).as("sxx"),
+        Exact.dsumProd(col("l_quantity"), col("l_extendedprice")).as("sxy"),
+        Exact.dsumProd(col("l_extendedprice"), col("l_extendedprice")).as("syy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+          .as("cov_pop"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(col("n") * col("sxx") - col("sx") * col("sx")) /
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))).as("corr"))
+      .orderBy("l_returnflag")
+
+  /** q68: multiset set operations — EXCEPT ALL keeps multiplicity
+    * differences, INTERSECT ALL keeps common multiplicity; both tagged
+    * and unioned into one result. */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val a = o.where(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k"))
+    val b = o.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    a.exceptAll(b).withColumn("op", lit("except_all"))
+      .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      .select(col("op"), col("k"))
+      .orderBy("op", "k")
+  }
+
+  /** q69: unpivot/melt — wide per-flag aggregates to (flag, measure,
+    * value) long form. */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(Exact.dsum(col("l_quantity")).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "measure", "val")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  private def scratch(dir: String, kind: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip/$tag/$kind"
+  }
+
+  /** q71: CSV source round-trip — write `customer` as headered CSV
+    * (executor-parallel), read it back under the explicit schema, and
+    * diff against the parquet original via the oracle. This is the S2
+    * ingest path (schema'd CSV read) under a data-level gate: header
+    * handling, quoting, and numeric round-tripping must all be exact.
+    * NOTE an explicit schema on a CSV read binds POSITIONALLY (header
+    * names are skipped, not matched) — safe here because the write
+    * emits columns in schema order. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val out = scratch(dir, "csv_customer")
+    cust.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true").schema(cust.schema).csv(out)
+      .orderBy("c_custkey")
+  }
+
+  /** q72: JSON-lines source round-trip — `orders` through JSON and
+    * back under the explicit schema; timestamps surface as epoch ms so
+    * the comparison is integer-exact. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val out = scratch(dir, "json_orders")
+    o.write.mode("overwrite").json(out)
+    s.read.schema(o.schema).json(out)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_millis(col("o_orderdate")).as("odate_ms"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q73: ordered string aggregation — deterministic LISTAGG via
+    * sort-then-join (collect_list alone is partition-order-dependent;
+    * array_sort makes it reproducible at any parallelism). */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(array_sort(collect_list(col("c_name"))), ",")
+          .as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
+  /** q74: conditional/boolean aggregate family — count_if, bool_and,
+    * bool_or per group. */
+  def boolAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("count_if(l_discount > 0.05)").as("n_disc"),
+        expr("bool_and(l_quantity > 0)").as("all_pos_qty"),
+        expr("bool_or(l_discount > 0.09)").as("any_deep_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_full_outer"    -> (fullOuter _),
+    "q66_range_frame"   -> (rangeFrame _),
+    "q67_corr"          -> (corrFromSums _),
+    "q68_setops_all"    -> (setOpsAll _),
+    "q69_unpivot"       -> (unpivotMeasures _),
+    "q71_csv_roundtrip" -> (csvRoundtrip _),
+    "q72_json_roundtrip" -> (jsonRoundtrip _),
+    "q73_string_agg"    -> (stringAgg _),
+    "q74_bool_agg"      -> (boolAgg _))
+
+  val oracle: Map[String, String] = Map(
+    "q65_full_outer" ->
+      """SELECT coalesce(c.ck, p.sk) AS nationkey,
+        |  coalesce(c.n_cust, 0) AS n_cust,
+        |  coalesce(p.n_supp, 0) AS n_supp
+        |FROM
+        |  (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer
+        |   WHERE c_acctbal > 9500 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |  (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier
+        |   WHERE s_acctbal > 8000 GROUP BY 1) p
+        |ON c.ck = p.sk
+        |ORDER BY nationkey""".stripMargin,
+    "q66_range_frame" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q67_corr" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CAST(n AS BIGINT) AS n_rows,
+        |  (sxy - sx * sy / n) / n AS cov_pop,
+        |  (n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)
+        |    / sqrt(n * syy - sy * sy) AS corr
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
+    "q68_setops_all" ->
+      """SELECT * FROM (
+        |  SELECT 'except_all' AS op, k FROM (
+        |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |    EXCEPT ALL
+        |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |  UNION ALL
+        |  SELECT 'intersect_all' AS op, k FROM (
+        |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |    INTERSECT ALL
+        |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'))
+        |ORDER BY op, k""".stripMargin,
+    "q69_unpivot" ->
+      """SELECT l_returnflag, measure, val FROM (
+        |  UNPIVOT (
+        |    SELECT l_returnflag,
+        |      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |      CAST(count(*) AS DOUBLE) AS n_rows
+        |    FROM lineitem GROUP BY 1)
+        |  ON sum_qty, sum_price, n_rows INTO NAME measure VALUE val)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q71_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q72_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  epoch_ms(o_orderdate) AS odate_ms, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q73_string_agg" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "q74_bool_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  bool_and(l_quantity > 0) AS all_pos_qty,
+        |  bool_or(l_discount > 0.09) AS any_deep_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+}
