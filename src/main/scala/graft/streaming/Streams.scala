@@ -89,6 +89,50 @@ object Streams {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Dead-letter ingest source: parse a file stream PERMISSIVEly,
+    * carrying unparseable payloads in `corruptCol` instead of failing
+    * the query — one malformed line in 100 TB of feed must quarantine,
+    * not kill the pipeline. Pair with [[runWithDeadLetter]]. */
+  def deadLetterStream(spark: SparkSession, inDir: String,
+                       schema: StructType, format: String = "json",
+                       corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema(schema.add(corruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("maxFilesPerTrigger", "64")
+      .load(inDir)
+
+  /** Split each micro-batch into the main sink (parsed rows) and a
+    * quarantine sink (raw corrupt payload + batch id for lineage).
+    * The batch is cached once and filtered twice — also required by
+    * Spark's corrupt-record rule (a query must not select ONLY the
+    * corrupt column from an uncached scan). Both writes are per-batch
+    * appends under the one checkpoint, so a replayed batch re-appends
+    * deterministically. */
+  def runWithDeadLetter(parsed: DataFrame, goodDir: String, badDir: String,
+                        checkpointDir: String,
+                        corruptCol: String = "_corrupt_record"): Unit = {
+    val q = parsed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          batch.where(col(corruptCol).isNull).drop(corruptCol)
+            .write.mode("append").parquet(goodDir)
+          batch.where(col(corruptCol).isNotNull)
+            .select(col(corruptCol).as("raw_payload"),
+              lit(batchId).as("batch_id"))
+            .write.mode("append").parquet(badDir)
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query into an in-memory table until all currently
     * available input is processed (test/demo harness; production sinks
     * are parquet/kafka `writeStream`). */

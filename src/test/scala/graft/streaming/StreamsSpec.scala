@@ -111,6 +111,32 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("corrupt records quarantine to the dead-letter sink") {
+    val in = Files.createTempDirectory("stream_dl_in").toString
+    val good = Files.createTempDirectory("stream_dl_good").toString + "/out"
+    val bad = Files.createTempDirectory("stream_dl_bad").toString + "/out"
+    val ckpt = Files.createTempDirectory("stream_dl_ckpt").toString
+    writeBatch(in, "b1.json",
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"click","value":1.0}""",
+      """this is not json at all""",
+      """{"event_id":2,"ts":"2024-01-01T00:01:00Z","user_id":2,"event_type":"view","value":2.0}""",
+      """{"event_id":3,"ts":"BROKEN_TS,"user_id":""")
+    Streams.runWithDeadLetter(
+      Streams.deadLetterStream(spark, in, schema), good, bad, ckpt)
+    val goodRows = spark.read.parquet(good)
+    assert(goodRows.count() == 2)
+    assert(goodRows.columns.toSeq == schema.fieldNames.toSeq) // no corrupt col
+    val badRows = spark.read.parquet(bad).collect()
+    assert(badRows.length == 2)
+    val payloads = badRows.map(_.getAs[String]("raw_payload")).toSet
+    assert(payloads.exists(_.contains("not json")))
+    assert(payloads.exists(_.contains("BROKEN_TS"))) // raw line preserved
+    // re-run with no new input: checkpoint prevents double quarantine
+    Streams.runWithDeadLetter(
+      Streams.deadLetterStream(spark, in, schema), good, bad, ckpt)
+    assert(spark.read.parquet(bad).count() == 2)
+  }
+
   test("session windows close on gap") {
     val in = Files.createTempDirectory("stream_in3").toString
     writeBatch(in, "b1.json",
