@@ -100,11 +100,14 @@ object GraftFunctions {
       (children: Seq[Expression]) => FloatDot(children(0), children(1)))
 }
 
-/** `SparkSessionExtensions` hook for config-based injection. */
+/** `SparkSessionExtensions` hook for config-based injection: the
+  * float_dot function plus the [[DotFusion]] optimizer rule. */
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+    ext.injectOptimizerRule(_ => DotFusion)
+  }
 }

@@ -168,7 +168,42 @@ object Wave2 {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** q75: safe-casting surface — try_cast returns NULL on malformed
+    * input instead of raising (ANSI mode makes plain CAST throw; a
+    * 100 TB load must divert bad cells, not die). Mixed good/bad
+    * sources: the numeric prefix of o_orderpriority parses, the status
+    * letter does not. */
+  def tryCastSurface(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey"),
+      expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)")
+        .as("prio_num"),
+      expr("try_cast(o_orderstatus AS INT)").as("status_num"),
+      expr("try_cast(o_totalprice AS DECIMAL(18,2))").cast("double")
+        .as("price_dec"),
+      expr("try_cast(concat(o_orderstatus, '9') AS INT)").as("mixed_num"))
+      .orderBy("o_orderkey")
+
+  /** q76: calendar gap-fill — per-user daily counts INCLUDING empty
+    * days, via sequence() over the user's [min_day, max_day] span
+    * exploded and left-joined back. The time-series densification every
+    * pipeline needs; integer day numbers keep it engine-exact. */
+  def gapFillDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    span.select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_try_cast"      -> (tryCastSurface _),
+    "q76_gap_fill"      -> (gapFillDaily _),
     "q65_full_outer"    -> (fullOuter _),
     "q66_range_frame"   -> (rangeFrame _),
     "q67_corr"          -> (corrFromSums _),
@@ -180,6 +215,26 @@ object Wave2 {
     "q74_bool_agg"      -> (boolAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q75_try_cast" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
+        |  TRY_CAST(o_orderstatus AS INT) AS status_num,
+        |  CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+        |  TRY_CAST(concat(o_orderstatus, '9') AS INT) AS mixed_num
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q76_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |days AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span)
+        |SELECT days.user_id, days.day, coalesce(daily.n, 0) AS n
+        |FROM days LEFT JOIN daily
+        |  ON days.user_id = daily.user_id AND days.day = daily.day
+        |ORDER BY days.user_id, days.day""".stripMargin,
     "q65_full_outer" ->
       """SELECT coalesce(c.ck, p.sk) AS nationkey,
         |  coalesce(c.n_cust, 0) AS n_cust,

@@ -55,6 +55,34 @@ class FloatDotSpec extends SparkSpec {
     assert(rows(3).getDouble(0) == 2.0)
   }
 
+  test("DotFusion rewrites the composable spelling to FloatDot") {
+    DotFusion.install(spark)
+    try {
+      // a parquet-backed source: a purely local relation would be
+      // constant-folded away before the fused expression is observable
+      val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").as("a"))
+        .limit(50)
+      val comp =
+        "aggregate(zip_with(a, a, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+      val df2 = emb.select(expr(comp).as("d"))
+      val fused = df2.queryExecution.optimizedPlan.collectFirst {
+        case p if p.expressions.exists(_.exists(_.isInstanceOf[FloatDot])) => p
+      }.isDefined
+      assert(fused, df2.queryExecution.optimizedPlan.toString)
+      // fused results bit-match the direct expression
+      val a = df2.collect().map(_.getDouble(0))
+      val b = emb.select(expr("float_dot(a, a)")).collect().map(_.getDouble(0))
+      assert(a.zip(b).forall { case (x, y) =>
+        java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y)
+      })
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DotFusion)
+    }
+  }
+
   test("interpreted eval agrees with codegen") {
     // force the interpreted path through a non-codegen context: eval on
     // the expression directly
