@@ -201,9 +201,27 @@ object Wave2 {
       .orderBy("user_id", "day")
   }
 
+  /** q77: typed Dataset aggregation through a custom `Aggregator`
+    * (graft.functions.ExactStats) — groupByKey over a case-class-ish
+    * tuple Dataset, exact decimal buffer, deterministic at any
+    * parallelism. The typed mirror of the untyped Exact.dsum recipe. */
+  def typedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ExactStats
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(ExactStats.toColumn.name("stats"))
+      .select(col("key").as("event_type"),
+        col("stats._1").as("n"), col("stats._2").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_try_cast"      -> (tryCastSurface _),
     "q76_gap_fill"      -> (gapFillDaily _),
+    "q77_typed_agg"     -> (typedAgg _),
     "q65_full_outer"    -> (fullOuter _),
     "q66_range_frame"   -> (rangeFrame _),
     "q67_corr"          -> (corrFromSums _),
@@ -235,6 +253,10 @@ object Wave2 {
         |FROM days LEFT JOIN daily
         |  ON days.user_id = daily.user_id AND days.day = daily.day
         |ORDER BY days.user_id, days.day""".stripMargin,
+    "q77_typed_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q65_full_outer" ->
       """SELECT coalesce(c.ck, p.sk) AS nationkey,
         |  coalesce(c.n_cust, 0) AS n_cust,

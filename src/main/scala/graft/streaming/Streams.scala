@@ -89,6 +89,56 @@ object Streams {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream
+    * broadcast-joins the (small) static dimension — no streaming state
+    * at all, the dimension is re-resolved per batch so a dimension
+    * refresh is picked up without restarting the query. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * totals emitted on every update, optionally expiring idle users'
+    * state with a final tombstone row — the hand-rolled state machine
+    * that session_window/aggregations can't express.
+    *
+    * State is (count, sum); output rows are (user_id, n, sum, closed).
+    * At scale state is hash-partitioned by key in the state store and,
+    * with a timeout set, bounded by it — idle keys are reaped.
+    * `idleTimeout = None` (NoTimeout) is the replayable/batch-drain
+    * mode: a processing-time timer keeps an AvailableNow drain alive
+    * waiting for wall-clock expiry, so pair timeouts with a continuous
+    * trigger only. */
+  def runningTotalsWithTimeout(events: DataFrame,
+                               idleTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val conf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double, Boolean)](
+        OutputMode.Append, conf) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, sum) = state.get
+            state.remove()
+            Iterator((user, n, sum, true)) // tombstone: key went idle
+          } else {
+            val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+            val batch = rows.toSeq
+            val n = n0 + batch.size
+            val sum = s0 + batch.map(_._2).sum
+            state.update((n, sum))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator((user, n, sum, false))
+          }
+      }
+      .toDF("user_id", "n", "sum", "closed")
+  }
+
   /** Dead-letter ingest source: parse a file stream PERMISSIVEly,
     * carrying unparseable payloads in `corruptCol` instead of failing
     * the query — one malformed line in 100 TB of feed must quarantine,

@@ -137,6 +137,38 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(bad).count() == 2)
   }
 
+  test("stream-static dimension enrichment joins per micro-batch") {
+    val in = Files.createTempDirectory("stream_dim_in").toString
+    writeBatch(in, "b1.json",
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":10,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:01:00Z","user_id":99,"event_type":"view","value":2.0}""")
+    import spark.implicits._
+    val dim = Seq((10L, "alice"), (20L, "bob")).toDF("dim_user", "name")
+    val enriched = Streams.enrichWithDim(
+      Streams.fileStream(spark, in, schema), dim, "user_id", "dim_user")
+    Streams.runToMemory(enriched, "enriched", OutputMode.Append)
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[String]("name"))))
+      .toSet
+    // matched key enriched; unmatched key kept with null dim (left join)
+    assert(rows == Set((1L, Some("alice")), (2L, None)))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals") {
+    val in = Files.createTempDirectory("stream_state_in").toString
+    writeBatch(in, "b1.json",
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"click","value":1.5}""",
+      """{"event_id":2,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"click","value":2.5}""",
+      """{"event_id":3,"ts":"2024-01-01T00:02:00Z","user_id":2,"event_type":"view","value":4.0}""")
+    val totals = Streams.runningTotalsWithTimeout(
+      Streams.fileStream(spark, in, schema))
+    Streams.runToMemory(totals, "totals", OutputMode.Append)
+    val rows = spark.table("totals").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum"), r.getAs[Boolean]("closed"))).toSet
+    assert(rows == Set((1L, 2L, 4.0, false), (2L, 1L, 4.0, false)))
+  }
+
   test("session windows close on gap") {
     val in = Files.createTempDirectory("stream_in3").toString
     writeBatch(in, "b1.json",
