@@ -170,18 +170,21 @@ object Wave2 {
 
   /** q75: safe-casting surface — try_cast returns NULL on malformed
     * input instead of raising (ANSI mode makes plain CAST throw; a
-    * 100 TB load must divert bad cells, not die). Mixed good/bad
-    * sources: the numeric prefix of o_orderpriority parses, the status
-    * letter does not. */
+    * 100 TB load must divert bad cells, not die). Failures are kept to
+    * ~1% of rows BY DESIGN: Spark's try_cast is exception-based per
+    * failing row (an all-failing column cost ~10 µs/row — measured
+    * 6 s at sf0.1), so the safe cast belongs on mostly-clean columns;
+    * an always-garbage column should be regex-guarded instead. */
   def tryCastSurface(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders").select(
       col("o_orderkey"),
       expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)")
         .as("prio_num"),
-      expr("try_cast(o_orderstatus AS INT)").as("status_num"),
       expr("try_cast(o_totalprice AS DECIMAL(18,2))").cast("double")
         .as("price_dec"),
-      expr("try_cast(concat(o_orderstatus, '9') AS INT)").as("mixed_num"))
+      expr("""try_cast(CASE WHEN o_orderkey % 100 = 0 THEN o_orderstatus
+             |  ELSE CAST(o_orderkey % 1000 AS STRING) END AS INT)"""
+        .stripMargin).as("mixed_num"))
       .orderBy("o_orderkey")
 
   /** q76: calendar gap-fill — per-user daily counts INCLUDING empty
@@ -236,9 +239,9 @@ object Wave2 {
     "q75_try_cast" ->
       """SELECT o_orderkey,
         |  TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
-        |  TRY_CAST(o_orderstatus AS INT) AS status_num,
         |  CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
-        |  TRY_CAST(concat(o_orderstatus, '9') AS INT) AS mixed_num
+        |  TRY_CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_orderstatus
+        |    ELSE CAST(o_orderkey % 1000 AS VARCHAR) END AS INT) AS mixed_num
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q76_gap_fill" ->
       """WITH daily AS (

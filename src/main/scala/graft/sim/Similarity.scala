@@ -100,14 +100,23 @@ object Similarity {
     // Band rows carry ONLY (vec_id, band, bandVal) — as in nearDupPairs,
     // the 64-float vectors never ride through the explode/join/distinct;
     // they are re-attached to the deduped candidate id pairs instead.
+    // The corpus-side signature pipeline (16 dots/row) appears in
+    // exactly ONE plan branch: the query side re-derives its 10
+    // signatures from a separate pushdown-filtered scan instead of
+    // re-filtering `banded` (which would plan the full corpus signature
+    // computation a second time).
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
     val banded = emb
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), signature(col("embedding")).as("sig"))
       .select(col("vec_id"), bandCols)
-    val q = banded.where(col("vec_id") < 10)
+    val q = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"),
+        signature(col("embedding")).as("sig"))
+      .select(col("query_id"), bandCols)
+      .select(col("query_id"),
         col("band").as("qband"), col("bandVal").as("qbandVal"))
-    val cand = banded.join(q,
+    val cand = banded.join(broadcast(q),
         col("band") === col("qband") && col("bandVal") === col("qbandVal") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -181,19 +190,23 @@ object Similarity {
     // true corpus scale the re-attach becomes a shuffle join on vec_id
     // — still linear, never quadratic).
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
+    // repartition: the corpus is one parquet split — without the
+    // spread, signatures and the dot products run on 1 core. The
+    // single-pass bucket shape (as in Dedup.minhashLshPairs) runs the
+    // corpus signature pipeline ONCE; a band self-join would plan it
+    // once per side.
     val banded = emb
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), signature(col("embedding")).as("sig"))
       .select(col("vec_id"), bandCols)
-    // repartition: the corpus is one parquet split — without the
-    // spread, candidate generation and the dot products run on 1 core.
-    val par = s.sparkContext.defaultParallelism
-    val a = banded.repartition(par)
-      .select(col("vec_id").as("id1"), col("band"), col("bandVal"))
-    val b = banded.select(col("vec_id").as("id2"), col("band").as("band2"),
-      col("bandVal").as("bandVal2"))
-    val cand = a.join(broadcast(b), col("band") === col("band2") &&
-        col("bandVal") === col("bandVal2") && col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    val buckets = banded.groupBy(col("band"), col("bandVal"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val cand = buckets
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
+      .select(col("x").as("id1"),
+        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id2"))
+      .distinct()
     cand
       .join(broadcast(emb.select(col("vec_id").as("id1"),
         col("embedding").as("v1"))), "id1")
