@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Fifth coverage tier: map-typed columns, null-safe equality joins,
+  * bounded sliding ROWS frames, and the value window-function family
+  * (first/last/nth). All scalar outputs (cross-engine array/map
+  * comparison is representation-sensitive; extraction is the portable
+  * contract). */
+object Wave3 {
+
+  private val D = DecimalType(18, 2)
+
+  /** q78: map construction + extraction — build a map column, extract
+    * present and missing keys (missing → NULL, not error), measure
+    * cardinality. DuckDB's map extraction returns a list; `[1]`
+    * unwraps to the same scalar contract. */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .withColumn("m", map(
+        lit("status"), col("o_orderstatus"),
+        lit("prio"), col("o_orderpriority")))
+      .select(
+        col("o_orderkey"),
+        element_at(col("m"), "status").as("status_v"),
+        element_at(col("m"), "missing").as("missing_v"),
+        element_at(col("m"), "prio").isNotNull.as("has_prio"),
+        size(col("m")).cast("long").as("n_entries"))
+      .orderBy("o_orderkey")
+
+  /** q79: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) —
+    * NULL keys match each other instead of vanishing from the join.
+    * Keys are nulled for one nation so both the null-bucket and the
+    * regular buckets are exercised; output is pair counts per key. */
+  def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(nullif(col("c_nationkey"), lit(7)).as("k1"))
+    val p = Tables.load(s, dir, "supplier")
+      .select(nullif(col("s_nationkey"), lit(7)).as("k2"))
+    c.join(p, col("k1") <=> col("k2"))
+      .groupBy(coalesce(col("k1"), lit(-1)).as("nk"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("nk")
+  }
+
+  /** q80: bounded sliding ROWS frame — 4-row moving average of order
+    * totals per customer (exact decimal sum / frame count; the double
+    * division happens once per row, identically in both engines). */
+  def movingRowsFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, 0)
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      count(lit(1)).over(w).as("n_win"),
+      (sum(col("o_totalprice").cast(D)).over(w).cast("double") /
+        count(lit(1)).over(w)).as("avg_price_4"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q81: value window functions — first/last/nth order total per
+    * customer over the FULL partition frame (the default running frame
+    * makes last_value useless-by-surprise; the explicit frame is the
+    * deterministic contract). */
+  def valueFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      first(col("o_totalprice")).over(w).as("first_price"),
+      last(col("o_totalprice")).over(w).as("last_price"),
+      nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_map_funcs"     -> (mapFuncs _),
+    "q79_null_safe_join" -> (nullSafeJoin _),
+    "q80_moving_rows"   -> (movingRowsFrame _),
+    "q81_value_funcs"   -> (valueFuncs _))
+
+  val oracle: Map[String, String] = Map(
+    "q78_map_funcs" ->
+      """SELECT o_orderkey,
+        |  m['status'][1] AS status_v,
+        |  m['missing'][1] AS missing_v,
+        |  m['prio'][1] IS NOT NULL AS has_prio,
+        |  CAST(cardinality(m) AS BIGINT) AS n_entries
+        |FROM (
+        |  SELECT o_orderkey,
+        |    MAP {'status': o_orderstatus, 'prio': o_orderpriority} AS m
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q79_null_safe_join" ->
+      """SELECT coalesce(k1, -1) AS nk, count(*) AS n_pairs
+        |FROM (SELECT nullif(c_nationkey, 7) AS k1 FROM customer) c
+        |JOIN (SELECT nullif(s_nationkey, 7) AS k2 FROM supplier) p
+        |  ON k1 IS NOT DISTINCT FROM k2
+        |GROUP BY 1 ORDER BY nk""".stripMargin,
+    "q80_moving_rows" ->
+      """SELECT o_orderkey, o_custkey,
+        |  count(*) OVER w AS n_win,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS avg_price_4
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q81_value_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin)
+}
