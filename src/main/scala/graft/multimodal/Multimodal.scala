@@ -10,9 +10,13 @@ import graft.Tables
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * The DECODERS ARE STUBS — this container has no image/audio codecs,
-  * so the byte-level decode is a deterministic fake (clearly marked
-  * below). Everything around the stub is the real 100 TB design:
+  * Decode is REAL for binary PPM images ([[Ppm]] — pure byte parsing,
+  * no codec library needed): header dims, channel/quadrant features,
+  * and nearest-neighbor resize all operate on actual pixel data (see
+  * [[decodeImages]] / [[resizePpm]]). For compressed formats
+  * (JPEG/PNG/WAV) the container has no codecs, so the byte-level
+  * decode is a deterministic fake (clearly marked below) behind the
+  * same plumbing. That plumbing is the real 100 TB design:
   *
   *  - media rows are `(id, content binary, meta struct)` — the schema
   *    a lakehouse media table uses; metadata is sniffed from magic
@@ -36,9 +40,12 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** Magic-byte MIME sniffing (real: PNG/JPEG/RIFF signatures). */
+  val PpmMime = "image/x-portable-pixmap"
+
+  /** Magic-byte MIME sniffing (real: PPM/PNG/JPEG/RIFF signatures). */
   def sniffMime(bytes: Array[Byte]): String = {
-    if (bytes.length >= 8 &&
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') PpmMime
+    else if (bytes.length >= 8 &&
       (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
       bytes(3) == 'G') "image/png"
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
@@ -55,7 +62,8 @@ object Multimodal {
   def asMediaTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val content = col("content")
     val mime =
-      when(hex(substring(content, 1, 4)) === "89504E47", "image/png")
+      when(hex(substring(content, 1, 2)) === "5036", PpmMime)
+        .when(hex(substring(content, 1, 4)) === "89504E47", "image/png")
         .when(hex(substring(content, 1, 2)) === "FFD8", "image/jpeg")
         .when(hex(substring(content, 1, 4)) === "52494646", "audio/wav")
         .otherwise("application/octet-stream")
@@ -107,6 +115,54 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** REAL image decode: PPM rows get actual header dimensions and
+    * pixel-derived features ([[Ppm.features]] — channel means +
+    * quadrant luminance); non-PPM rows get nulls. Same mapPartitions
+    * shape as [[extractFeatures]]: one decoder scope per partition,
+    * streaming, corrupt blobs → null columns (not exceptions). */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields.toSeq ++ Seq(
+      StructField("img_width", IntegerType),
+      StructField("img_height", IntegerType),
+      StructField("img_features", ArrayType(FloatType))))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val decoded = Ppm.decode(r.getAs[Array[Byte]]("content"))
+        Row.fromSeq(r.toSeq ++ (decoded match {
+          case Some(img) =>
+            Seq(img.width, img.height, Ppm.features(img).toSeq)
+          case None => Seq(null, null, null)
+        }))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL resize for PPM content: nearest-neighbor resample and
+    * re-encode — a distributed binary→binary column transform.
+    * Non-PPM (or corrupt) content passes through unchanged; metadata
+    * dims are updated only for transcoded rows. */
+  def resizePpm(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val idx = r.fieldIndex("content")
+        Ppm.decode(r.getAs[Array[Byte]](idx)) match {
+          case Some(img) =>
+            val out = Ppm.encode(Ppm.resizeNearest(img, w, h))
+            val metaIdx = r.fieldIndex("meta")
+            val meta = r.getStruct(metaIdx)
+            val newMeta = Row(meta.get(0), out.length.toLong,
+              w, h, meta.get(4))
+            Row.fromSeq(r.toSeq.updated(idx, out).updated(metaIdx, newMeta))
+          case None => r
+        }
+      }
+    }
+    spark.createDataFrame(rdd, media.schema)
+  }
+
   /** Frame sampling for video-like media: emit one row per sampled
     * frame offset — pure explode, deterministic stride. */
   def sampleFrames(media: DataFrame, everyMs: Long = 10000L): DataFrame =
@@ -125,18 +181,28 @@ object Multimodal {
       struct(col("meta.mime"), col("meta.size_bytes"),
         lit(w).as("width"), lit(h).as("height"), col("meta.duration_ms")))
 
-  /** q70: end-to-end multimodal pipeline over testdata — documents'
-    * text bytes stand in for media blobs (no real media in the
-    * container): wrap → sniff → per-partition feature extract. */
+  /** q70: end-to-end multimodal pipeline over testdata. No real media
+    * ships in the container, so each document's bytes are rendered
+    * into an 8×8 PPM raster — and from there the pipeline is REAL:
+    * magic-byte sniff → header decode → pixel-derived features via the
+    * [[Ppm]] codec, all distributed, plus the stub-decoder leg for the
+    * codec-less formats. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-    val media = asMediaTable(docs, "doc_id", "blob")
-    extractFeatures(media, dim = 16)
+    import s.implicits._
+    val blobs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val raster = Array.tabulate(8 * 8 * 3)(i => bytes(i % bytes.length))
+        (id, Ppm.encode(Ppm.Image(8, 8, raster)))
+      }.toDF("doc_id", "blob")
+    val media = asMediaTable(blobs, "doc_id", "blob")
+    decodeImages(media)
       .select(col("media_id"), col("meta.mime").as("mime"),
         col("meta.size_bytes").as("size_bytes"),
-        round(aggregate(col("features"), lit(0.0d),
-          (acc, x) => acc + x), 4).as("feature_sum"))
+        col("img_width"), col("img_height"),
+        round(aggregate(col("img_features").cast("array<double>"),
+          lit(0.0d), (acc, x) => acc + x), 3).as("feature_sum"))
       .orderBy("media_id")
   }
 

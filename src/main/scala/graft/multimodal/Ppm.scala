@@ -1,0 +1,108 @@
+package graft.multimodal
+
+/** A REAL image codec, dependency-free: binary PPM (P6) — ASCII header
+  * `P6 <width> <height> <maxval>` then a raw RGB raster. Pure byte
+  * parsing, so the multimodal decode path is genuinely real for this
+  * format even in a container with no image libraries; compressed
+  * formats (JPEG/PNG) stay behind the documented stub.
+  */
+object Ppm {
+
+  final case class Image(width: Int, height: Int, rgb: Array[Byte])
+
+  def encode(img: Image): Array[Byte] = {
+    require(img.rgb.length == img.width * img.height * 3,
+      s"raster size ${img.rgb.length} != ${img.width}x${img.height}x3")
+    val header = s"P6\n${img.width} ${img.height}\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + img.rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.rgb, 0, out, header.length, img.rgb.length)
+    out
+  }
+
+  /** Parse a P6 image; None on anything malformed (never throws —
+    * corrupt blobs are data, not errors). Handles comments (#...) and
+    * arbitrary whitespace in the header, per the PPM spec. */
+  def decode(bytes: Array[Byte]): Option[Image] = {
+    if (bytes == null || bytes.length < 2 ||
+      bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        if (bytes(i) == '#') {
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+        } else if (Character.isWhitespace(bytes(i))) i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = -1
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = math.max(v, 0) * 10 + (bytes(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    i += 1 // exactly one whitespace byte separates maxval from raster
+    val need = w.toLong * h.toLong * 3L
+    if (w <= 0 || h <= 0 || maxv != 255 || need > Int.MaxValue ||
+      bytes.length - i < need) None
+    else Some(Image(w, h,
+      java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
+  }
+
+  /** Nearest-neighbor resample — the real resize kernel. */
+  def resizeNearest(img: Image, w2: Int, h2: Int): Image = {
+    require(w2 > 0 && h2 > 0)
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      val sy = y * img.height / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * img.width / w2
+        val si = (sy * img.width + sx) * 3
+        val di = (y * w2 + x) * 3
+        out(di) = img.rgb(si); out(di + 1) = img.rgb(si + 1)
+        out(di + 2) = img.rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(w2, h2, out)
+  }
+
+  /** Real content features: [meanR, meanG, meanB, then mean luminance
+    * of each 2×2 spatial quadrant] — 7 floats, deterministic, feeds
+    * straight into the similarity operators. */
+  def features(img: Image): Array[Float] = {
+    val n = img.width * img.height
+    var r = 0L; var g = 0L; var b = 0L
+    val quad = new Array[Long](4)
+    val quadN = new Array[Long](4)
+    var p = 0
+    while (p < n) {
+      val x = p % img.width; val y = p / img.width
+      val rr = img.rgb(p * 3) & 0xff
+      val gg = img.rgb(p * 3 + 1) & 0xff
+      val bb = img.rgb(p * 3 + 2) & 0xff
+      r += rr; g += gg; b += bb
+      val q = (if (y * 2 >= img.height) 2 else 0) +
+        (if (x * 2 >= img.width) 1 else 0)
+      quad(q) += (299L * rr + 587L * gg + 114L * bb) / 1000L
+      quadN(q) += 1L
+      p += 1
+    }
+    val out = new Array[Float](7)
+    out(0) = r.toFloat / n; out(1) = g.toFloat / n; out(2) = b.toFloat / n
+    var q = 0
+    while (q < 4) {
+      out(3 + q) = if (quadN(q) == 0) 0f else quad(q).toFloat / quadN(q)
+      q += 1
+    }
+    out
+  }
+}

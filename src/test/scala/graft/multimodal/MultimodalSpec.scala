@@ -42,6 +42,63 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 != f2)
   }
 
+  // A 4x2 P6 image with known pixels: top row red shades, bottom blue
+  private def gradientPpm: Array[Byte] = {
+    val rgb = new Array[Byte](4 * 2 * 3)
+    for (x <- 0 until 4) {
+      rgb(x * 3) = (x * 60).toByte                   // top: R = 0,60,120,180
+      rgb((4 + x) * 3 + 2) = 200.toByte              // bottom: B = 200
+    }
+    Ppm.encode(Ppm.Image(4, 2, rgb))
+  }
+
+  test("PPM codec: decode is exact and corrupt input is None") {
+    val img = Ppm.decode(gradientPpm).get
+    assert(img.width == 4 && img.height == 2)
+    assert((img.rgb(3) & 0xff) == 60)          // pixel (1,0) red channel
+    assert((img.rgb((4 + 2) * 3 + 2) & 0xff) == 200) // pixel (2,1) blue
+    // header with comment parses; truncated raster and garbage do not
+    val withComment = ("P6\n# a comment\n4 2\n255\n").getBytes("US-ASCII") ++
+      Ppm.decode(gradientPpm).get.rgb
+    assert(Ppm.decode(withComment).exists(_.width == 4))
+    assert(Ppm.decode(gradientPpm.dropRight(5)).isEmpty)
+    assert(Ppm.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.sniffMime(gradientPpm) == Multimodal.PpmMime)
+  }
+
+  test("real image decode: header dims and pixel-derived features") {
+    val df = Seq((1L, gradientPpm), (2L, wav)).toDF("id", "bin")
+      .repartition(2)
+    val media = Multimodal.asMediaTable(df, "id", "bin")
+    val rows = Multimodal.decodeImages(media).orderBy("media_id").collect()
+    val ppmRow = rows(0)
+    assert(ppmRow.getAs[Int]("img_width") == 4)
+    assert(ppmRow.getAs[Int]("img_height") == 2)
+    val f = ppmRow.getAs[scala.collection.Seq[Float]]("img_features")
+    // meanR = (0+60+120+180)/8 = 45; meanG = 0; meanB = 200*4/8 = 100
+    assert(f(0) == 45f && f(1) == 0f && f(2) == 100f)
+    // top-left quadrant luminance: pixels (0,0),(1,0): (0 + 60*299/1000)/2
+    assert(math.abs(f(3) - (0f + (60 * 299 / 1000)) / 2f) < 0.01f)
+    // non-image row: nulls, not an error
+    assert(rows(1).isNullAt(rows(1).fieldIndex("img_width")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("img_features")))
+  }
+
+  test("real PPM resize: transcoded bytes decode to expected pixels") {
+    val df = Seq((1L, gradientPpm), (2L, wav)).toDF("id", "bin")
+    val media = Multimodal.asMediaTable(df, "id", "bin")
+    val resized = Multimodal.resizePpm(media, 2, 1).orderBy("media_id").collect()
+    val out = Ppm.decode(resized(0).getAs[Array[Byte]]("content")).get
+    assert(out.width == 2 && out.height == 1)
+    // nearest-neighbor: (0,0)<-src(0,0) R=0; (1,0)<-src(2,0) R=120
+    assert((out.rgb(0) & 0xff) == 0)
+    assert((out.rgb(3) & 0xff) == 120)
+    val meta = resized(0).getStruct(resized(0).fieldIndex("meta"))
+    assert(meta.getAs[Int]("width") == 2 && meta.getAs[Int]("height") == 1)
+    // non-PPM content passes through untouched
+    assert(resized(1).getAs[Array[Byte]]("content").sameElements(wav))
+  }
+
   test("frame sampling explodes deterministic offsets") {
     val df = Seq((1L, png)).toDF("id", "bin")
     val media = Multimodal.asMediaTable(df, "id", "bin")
