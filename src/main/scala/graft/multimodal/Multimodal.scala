@@ -163,6 +163,31 @@ object Multimodal {
     spark.createDataFrame(rdd, media.schema)
   }
 
+  /** REAL audio decode: PCM-WAV rows get actual sample rate, channel
+    * count, header-derived duration, and signal features (RMS,
+    * zero-crossing rate, windowed energy — [[Wav.features]]); non-WAV
+    * rows get nulls. Same streaming mapPartitions shape as
+    * [[decodeImages]]. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields.toSeq ++ Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("n_channels", IntegerType),
+      StructField("audio_ms", LongType),
+      StructField("audio_features", ArrayType(FloatType))))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        Wav.decode(r.getAs[Array[Byte]]("content")) match {
+          case Some(a) =>
+            Row.fromSeq(r.toSeq ++ Seq(a.sampleRate, a.channels,
+              a.durationMs, Wav.features(a).toSeq))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling for video-like media: emit one row per sampled
     * frame offset — pure explode, deterministic stride. */
   def sampleFrames(media: DataFrame, everyMs: Long = 10000L): DataFrame =

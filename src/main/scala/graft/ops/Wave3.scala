@@ -79,13 +79,43 @@ object Wave3 {
       .orderBy("o_orderkey")
   }
 
+  /** q82: remaining scalar families — edit distance (levenshtein),
+    * bitwise and/or/xor/shifts/popcount, and multi-arg greatest/least.
+    * All engine-built-ins with identical cross-engine definitions. */
+  def miscScalars(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part").select(
+      col("p_partkey"),
+      levenshtein(col("p_brand"), col("p_type")).as("edit_dist"),
+      (col("p_partkey").bitwiseAND(lit(255L))).as("b_and"),
+      (col("p_partkey").bitwiseOR(lit(16L))).as("b_or"),
+      (col("p_partkey").bitwiseXOR(lit(85L))).as("b_xor"),
+      shiftleft(col("p_partkey"), 3).as("b_shl"),
+      shiftright(col("p_partkey"), 2).as("b_shr"),
+      bit_count(col("p_partkey")).as("popcount"),
+      greatest(col("p_size"), col("p_retailprice"), lit(50.0)).as("g3"),
+      least(col("p_size"), col("p_retailprice"), lit(50.0)).as("l3"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_misc_scalars"  -> (miscScalars _),
     "q78_map_funcs"     -> (mapFuncs _),
     "q79_null_safe_join" -> (nullSafeJoin _),
     "q80_moving_rows"   -> (movingRowsFrame _),
     "q81_value_funcs"   -> (valueFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "q82_misc_scalars" ->
+      """SELECT p_partkey,
+        |  levenshtein(p_brand, p_type) AS edit_dist,
+        |  p_partkey & 255 AS b_and,
+        |  p_partkey | 16 AS b_or,
+        |  xor(p_partkey, 85) AS b_xor,
+        |  p_partkey << 3 AS b_shl,
+        |  p_partkey >> 2 AS b_shr,
+        |  bit_count(p_partkey) AS popcount,
+        |  greatest(p_size, p_retailprice, 50.0) AS g3,
+        |  least(p_size, p_retailprice, 50.0) AS l3
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q78_map_funcs" ->
       """SELECT o_orderkey,
         |  m['status'][1] AS status_v,

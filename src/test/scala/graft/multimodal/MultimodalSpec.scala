@@ -99,6 +99,42 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(1).getAs[Array[Byte]]("content").sameElements(wav))
   }
 
+  test("WAV codec: PCM roundtrip, real duration, signal features") {
+    // 1 kHz of samples: first half a +/-16384 square wave, second half silence
+    val samples = Array.tabulate[Short](1000) { i =>
+      if (i >= 500) 0
+      else if ((i / 10) % 2 == 0) 16384.toShort else (-16384).toShort
+    }
+    val blob = Wav.encode(Wav.Audio(1000, 1, samples))
+    assert(Multimodal.sniffMime(blob) == "audio/wav")
+    val a = Wav.decode(blob).get
+    assert(a.sampleRate == 1000 && a.channels == 1)
+    assert(a.durationMs == 1000L)       // real, from the header+data
+    assert(a.samples.toSeq == samples.toSeq)
+    val f = Wav.features(a)
+    // RMS: square wave at 0.5 amplitude over half the signal → sqrt(0.125)
+    assert(math.abs(f(0) - math.sqrt(0.125).toFloat) < 1e-4)
+    assert(f(2) > 0.49f && f(3) > 0.49f) // first two windows active
+    assert(f(5) == 0f)                   // last window silent
+    assert(Wav.decode(blob.dropRight(7)).isEmpty)       // truncated
+    assert(Wav.decode(Array[Byte](1, 2, 3, 4)).isEmpty) // garbage
+  }
+
+  test("real audio decode over a media table") {
+    val tone = Wav.encode(Wav.Audio(8000, 2,
+      Array.tabulate[Short](1600)(i => (i % 256).toShort)))
+    val df = Seq((1L, tone), (2L, gradientPpm)).toDF("id", "bin")
+      .repartition(2)
+    val rows = Multimodal.decodeAudio(
+      Multimodal.asMediaTable(df, "id", "bin")).orderBy("media_id").collect()
+    assert(rows(0).getAs[Int]("sample_rate") == 8000)
+    assert(rows(0).getAs[Int]("n_channels") == 2)
+    assert(rows(0).getAs[Long]("audio_ms") == 100L) // 1600/(8000*2) s
+    assert(rows(0).getAs[scala.collection.Seq[Float]]("audio_features")
+      .length == 6)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("sample_rate"))) // image row
+  }
+
   test("frame sampling explodes deterministic offsets") {
     val df = Seq((1L, png)).toDF("id", "bin")
     val media = Multimodal.asMediaTable(df, "id", "bin")
