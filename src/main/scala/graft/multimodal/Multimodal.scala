@@ -41,10 +41,13 @@ object Multimodal {
     StructField("duration_ms", LongType)))
 
   val PpmMime = "image/x-portable-pixmap"
+  val Y4mMime = "video/x-yuv4mpeg"
 
-  /** Magic-byte MIME sniffing (real: PPM/PNG/JPEG/RIFF signatures). */
+  /** Magic-byte MIME sniffing (real: PPM/Y4M/PNG/JPEG/RIFF). */
   def sniffMime(bytes: Array[Byte]): String = {
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') PpmMime
+    else if (bytes.length >= 9 &&
+      new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2") Y4mMime
     else if (bytes.length >= 8 &&
       (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
       bytes(3) == 'G') "image/png"
@@ -63,6 +66,7 @@ object Multimodal {
     val content = col("content")
     val mime =
       when(hex(substring(content, 1, 2)) === "5036", PpmMime)
+        .when(substring(content, 1, 9).cast("string") === "YUV4MPEG2", Y4mMime)
         .when(hex(substring(content, 1, 4)) === "89504E47", "image/png")
         .when(hex(substring(content, 1, 2)) === "FFD8", "image/jpeg")
         .when(hex(substring(content, 1, 4)) === "52494646", "audio/wav")
@@ -188,8 +192,41 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** REAL video frame sampling: Y4M rows demux to every `stride`-th
+    * frame, each emitted as (frame_no, offset_ms, mean_luma, and the
+    * frame itself transcoded to a grayscale PPM blob) — the
+    * video→image bridge, so sampled frames feed [[decodeImages]] /
+    * [[resizePpm]] directly. flatMap shape: one input row → k frame
+    * rows, streamed, never collected. */
+  def sampleVideoFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("offset_ms", LongType),
+      StructField("mean_luma", DoubleType),
+      StructField("frame_ppm", BinaryType)))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getAs[Long]("media_id")
+        Y4m.decode(r.getAs[Array[Byte]]("content")) match {
+          case Some(v) =>
+            (0 until v.frameCount by stride).iterator.map { f =>
+              val offsetMs =
+                f.toLong * 1000L * v.fpsDen / v.fpsNum
+              Row(id, f, offsetMs, Y4m.meanLuma(v, f),
+                Ppm.encode(Y4m.frameAsPpm(v, f)))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling for video-like media: emit one row per sampled
-    * frame offset — pure explode, deterministic stride. */
+    * frame offset — pure explode, deterministic stride (metadata-level;
+    * see [[sampleVideoFrames]] for the real Y4M demux). */
   def sampleFrames(media: DataFrame, everyMs: Long = 10000L): DataFrame =
     media
       .withColumn("frame_no",

@@ -135,6 +135,40 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("sample_rate"))) // image row
   }
 
+  // 2x2 C444 video, 3 frames at 10 fps with luma 50/100/150
+  private def tinyY4m: Array[Byte] = {
+    val frames = IndexedSeq(50, 100, 150).map { luma =>
+      Array.fill[Byte](2 * 2 * 3)(luma.toByte) // Y,U,V planes all = luma
+    }
+    Y4m.encode(Y4m.Video(2, 2, 10, 1, "444", frames))
+  }
+
+  test("Y4M codec: header, demux, luma; corrupt input is None") {
+    assert(Multimodal.sniffMime(tinyY4m) == Multimodal.Y4mMime)
+    val v = Y4m.decode(tinyY4m).get
+    assert(v.width == 2 && v.height == 2 && v.frameCount == 3)
+    assert(v.durationMs == 300L) // 3 frames at 10 fps
+    assert(Y4m.meanLuma(v, 0) == 50.0 && Y4m.meanLuma(v, 2) == 150.0)
+    assert(Y4m.decode(tinyY4m.dropRight(3)).isEmpty) // truncated frame
+    assert(Y4m.decode("YUV4MPEG2 W0 H2 F10:1\n".getBytes).isEmpty)
+    assert(Y4m.decode(Array[Byte](9, 9)).isEmpty)
+  }
+
+  test("real video frame sampling emits decodable PPM frames") {
+    val df = Seq((1L, tinyY4m), (2L, wav)).toDF("id", "bin")
+    val media = Multimodal.asMediaTable(df, "id", "bin")
+    val frames = Multimodal.sampleVideoFrames(media, stride = 2)
+      .orderBy("frame_no").collect()
+    assert(frames.length == 2) // frames 0 and 2; non-video row emits none
+    assert(frames.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 2))
+    assert(frames.map(_.getAs[Long]("offset_ms")).toSeq == Seq(0L, 200L))
+    assert(frames.map(_.getAs[Double]("mean_luma")).toSeq == Seq(50.0, 150.0))
+    // the video→image bridge: sampled frame decodes as a real PPM
+    val img = Ppm.decode(frames(1).getAs[Array[Byte]]("frame_ppm")).get
+    assert(img.width == 2 && img.height == 2)
+    assert((img.rgb(0) & 0xff) == 150) // grayscale = luma
+  }
+
   test("frame sampling explodes deterministic offsets") {
     val df = Seq((1L, png)).toDF("id", "bin")
     val media = Multimodal.asMediaTable(df, "id", "bin")
