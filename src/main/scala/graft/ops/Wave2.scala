@@ -60,7 +60,13 @@ object Wave2 {
   /** q67: exact Pearson correlation + population covariance from
     * decimal power sums; the final combination is row-level double
     * arithmetic, mirrored character-for-character in the oracle so the
-    * IEEE operation sequence is identical. */
+    * IEEE operation sequence is identical. The outputs are rounded
+    * (cov 4dp, corr 9dp): power sums here exceed 2^52 decimal quanta,
+    * and decimal→double conversion of such values is correctly rounded
+    * on the JVM but not guaranteed so in other engines — a 1-ulp input
+    * wobble (observed vs DuckDB at sf0.001) survives to the final
+    * double, and rounding to a grid 10^7 above ulp scale collapses
+    * it deterministically. */
   def corrFromSums(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -73,11 +79,11 @@ object Wave2 {
         Exact.dsumProd(col("l_extendedprice"), col("l_extendedprice")).as("syy"))
       .select(col("l_returnflag"),
         col("n").cast("long").as("n_rows"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 4)
           .as("cov_pop"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
           sqrt(col("n") * col("sxx") - col("sx") * col("sx")) /
-          sqrt(col("n") * col("syy") - col("sy") * col("sy"))).as("corr"))
+          sqrt(col("n") * col("syy") - col("sy") * col("sy")), 9).as("corr"))
       .orderBy("l_returnflag")
 
   /** q68: multiset set operations — EXCEPT ALL keeps multiplicity
@@ -295,9 +301,9 @@ object Wave2 {
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag,
         |  CAST(n AS BIGINT) AS n_rows,
-        |  (sxy - sx * sy / n) / n AS cov_pop,
-        |  (n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)
-        |    / sqrt(n * syy - sy * sy) AS corr
+        |  round((sxy - sx * sy / n) / n, 4) AS cov_pop,
+        |  round((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)
+        |    / sqrt(n * syy - sy * sy), 9) AS corr
         |FROM sums ORDER BY l_returnflag""".stripMargin,
     "q68_setops_all" ->
       """SELECT * FROM (
