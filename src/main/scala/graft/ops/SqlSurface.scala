@@ -39,10 +39,36 @@ object SqlSurface {
          |LIMIT 10""".stripMargin)
   }
 
+  /** q83: explicit join-strategy hints — BROADCAST pins the dimension
+    * build side, SHUFFLE_MERGE pins the fact join to sort-merge
+    * (results are hint-invariant; HintsSpec asserts the strategies
+    * actually land in the physical plan). The hint comment is legal
+    * SQL, so the oracle runs the identical text. */
+  def sqlJoinHints(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      s"""SELECT /*+ BROADCAST(nation), SHUFFLE_MERGE(orders) */
+         |  n_name, count(*) AS n_orders,
+         |  ${Exact.sqlDsum("o_totalprice")} AS sum_price
+         |FROM customer
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN orders ON o_custkey = c_custkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q90_sql_surface" -> (sqlTopRevenue _))
+    "q90_sql_surface" -> (sqlTopRevenue _),
+    "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    "q83_join_hints" ->
+      s"""SELECT /*+ BROADCAST(nation), SHUFFLE_MERGE(orders) */
+         |  n_name, count(*) AS n_orders,
+         |  ${Exact.sqlDsum("o_totalprice")} AS sum_price
+         |FROM customer
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN orders ON o_custkey = c_custkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q90_sql_surface" ->
       s"""SELECT o_orderkey,
          |  ${Exact.sqlDsumProd("l_extendedprice", "1.0 - l_discount")} AS revenue,
