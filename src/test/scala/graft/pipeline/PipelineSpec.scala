@@ -30,6 +30,18 @@ class PipelineSpec extends SparkSpec {
       events.where("event_type = 'click'").count())
   }
 
+  test("cached table reuse: second read plans an in-memory scan") {
+    val t = Tables.load(spark, sf(), "nation")
+    t.createOrReplaceTempView("cache_probe")
+    spark.sql("CACHE TABLE cache_probe")
+    try {
+      val again = spark.table("cache_probe").filter("n_regionkey = 1")
+      val plan = again.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryRelation"), plan)
+      assert(again.count() > 0)
+    } finally spark.sql("UNCACHE TABLE cache_probe")
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(graft.SparkEntry.entry(spark).limit(5).count() > 0)
   }
