@@ -124,9 +124,13 @@ object Dedup {
   /** q37: MinHash-LSH near-dup candidate pairs, verified by signature
     * similarity. Candidates come from band-bucket equality (shuffle
     * join on (band, bandHash)), never from a cross join. */
-  /** Buckets with more docs than this are skipped: a band bucket that
-    * large is non-discriminative (its pairs are noise, and expanding it
-    * is quadratic). None of the test corpora come near it. */
+  /** Above this size a minhash band bucket switches from full
+    * lower-triangle pair expansion (quadratic) to STAR expansion: every
+    * member pairs with the bucket's smallest id. Buckets this large are
+    * giant duplicate clusters (64-bit band hashes rarely collide
+    * otherwise), and downstream dedup is a connected-components
+    * operation, so the hub-star keeps every member discoverable —
+    * linear pairs, no silently dropped documents. */
   val MaxLshBucket = 1000
 
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
@@ -148,18 +152,23 @@ object Dedup {
         .as(Seq("band", "bandHash")))
     val buckets = banded.groupBy(col("band"), col("bandHash"))
       .agg(array_sort(collect_list(col("d"))).as("ds"))
-      .where(size(col("ds")) >= 2 && size(col("ds")) <= MaxLshBucket)
+      .where(size(col("ds")) >= 2)
     // Two-stage pair expansion: first explode to one row per bucket
     // element (keeping the bucket array alongside — pipelined in the
     // same stage, never shuffled), then explode that element's
     // lower-triangle remainder. Pair generation distributes across
     // element rows instead of concentrating a bucket's O(B²) pairs in
     // one row. ds is sorted by doc_id (struct ordering), so x before
-    // y ⇒ id1 < id2.
+    // y ⇒ id1 < id2. Oversized buckets (giant dup clusters) expand as
+    // a hub-star instead of dropping — see MaxLshBucket.
     buckets
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(col("x"),
-        explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("y"))
+        explode(
+          when(size(col("ds")) <= MaxLshBucket,
+            expr("slice(ds, i + 2, size(ds) - i - 1)"))
+          .otherwise(when(col("i") === 0, expr("slice(ds, 2, size(ds) - 1)"))
+            .otherwise(expr("slice(ds, 1, 0)")))).as("y"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
         (size(expr("filter(zip_with(x.sig, y.sig, (a, b) -> a = b), v -> v)")) /
           lit(MinhashPerms.toDouble)).as("est_jaccard"))
@@ -194,14 +203,19 @@ object Dedup {
         .as(Seq("band", "bandVal")))
     val buckets = banded.groupBy(col("band"), col("bandVal"))
       .agg(array_sort(collect_list(col("d"))).as("ds"))
-      .where(size(col("ds")) >= 2 && size(col("ds")) <= MaxLshBucket)
+      .where(size(col("ds")) >= 2)
     // NOTE the cost model: narrow 4-bit bands give the pigeonhole
     // full-recall guarantee (≤15 corrupted bits always leave a band
-    // intact) at the price of a large candidate set — verification must
-    // stay a single XOR+popcount per candidate, and the two-stage
-    // explode below spreads candidate generation across element rows
-    // (a single-row flatten concentrated a bucket's O(B²) pairs and was
-    // measurably slower).
+    // intact) at the price of a large candidate set — bucket sizes are
+    // ~n/16 BY CONSTRUCTION (16 possible values per band), so no
+    // bucket-size cap is applied here: a cap would empty the output for
+    // corpora beyond ~16·cap docs and break the guarantee. Candidates
+    // are inherently ~O(n²/2·0.64); verification must stay a single
+    // XOR+popcount per candidate, and the two-stage explode below
+    // spreads candidate generation across element rows (a single-row
+    // flatten concentrated a bucket's O(B²) pairs and was measurably
+    // slower). The 100 TB dial is WIDER bands (8×8 bits), trading the
+    // hamming-15 guarantee for selectivity.
     buckets
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(col("x"),

@@ -10,13 +10,16 @@ import graft.Tables
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * Decode is REAL for binary PPM images ([[Ppm]] — pure byte parsing,
-  * no codec library needed): header dims, channel/quadrant features,
-  * and nearest-neighbor resize all operate on actual pixel data (see
-  * [[decodeImages]] / [[resizePpm]]). For compressed formats
-  * (JPEG/PNG/WAV) the container has no codecs, so the byte-level
-  * decode is a deterministic fake (clearly marked below) behind the
-  * same plumbing. That plumbing is the real 100 TB design:
+  * Decode is REAL for every uncompressed format — pure byte parsing,
+  * no codec library needed: PPM images ([[Ppm]]: header dims,
+  * channel/quadrant features, nearest-neighbor resize — see
+  * [[decodeImages]] / [[resizePpm]]), PCM WAV audio ([[Wav]]:
+  * sample-rate/channels/duration, signal features — [[decodeAudio]]),
+  * and Y4M video ([[Y4m]]: demux, per-frame luma, frame extraction —
+  * [[sampleVideoFrames]]). Only compressed formats (JPEG/PNG) have no
+  * codec in this container, so their byte-level decode is a
+  * deterministic fake (clearly marked below) behind the same
+  * plumbing. That plumbing is the real 100 TB design:
   *
   *  - media rows are `(id, content binary, meta struct)` — the schema
   *    a lakehouse media table uses; metadata is sniffed from magic
@@ -254,8 +257,12 @@ object Multimodal {
     val blobs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val raster = Array.tabulate(8 * 8 * 3)(i => bytes(i % bytes.length))
+        // null/empty text is data, not an error: render a black frame
+        val bytes = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val raster =
+          if (bytes.isEmpty) new Array[Byte](8 * 8 * 3)
+          else Array.tabulate(8 * 8 * 3)(i => bytes(i % bytes.length))
         (id, Ppm.encode(Ppm.Image(8, 8, raster)))
       }.toDF("doc_id", "blob")
     val media = asMediaTable(blobs, "doc_id", "blob")

@@ -55,7 +55,10 @@ object Wav {
     while (i + 8 <= bytes.length && data.isEmpty) {
       val id = new String(bytes, i, 4, "US-ASCII")
       val len = le32(bytes, i + 4)
-      if (len < 0 || i + 8 + len > bytes.length) return None
+      // Long arithmetic: a hostile/corrupt length near Int.MaxValue must
+      // fail the bounds check, not wrap negative past it (decode must
+      // return None on corrupt bytes, never throw)
+      if (len < 0 || i.toLong + 8L + len.toLong > bytes.length) return None
       id match {
         case "fmt " if len >= 16 =>
           fmt = le16(bytes, i + 8)

@@ -36,12 +36,18 @@ object Y4m {
     buf.toByteArray
   }
 
-  private def frameBytes(w: Int, h: Int, cs: String): Option[Int] = cs match {
-    case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
-      Some(w * h + 2 * ((w + 1) / 2) * ((h + 1) / 2))
-    case "444" => Some(w * h * 3)
-    case "mono" => Some(w * h)
-    case _ => None
+  private def frameBytes(w: Int, h: Int, cs: String): Option[Int] = {
+    // Long arithmetic: corrupt/hostile dims near sqrt(Int.MaxValue)
+    // must be rejected, not wrapped negative past the bounds checks
+    val wl = w.toLong; val hl = h.toLong
+    val n: Long = cs match {
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
+        wl * hl + 2L * ((wl + 1) / 2) * ((hl + 1) / 2)
+      case "444" => wl * hl * 3L
+      case "mono" => wl * hl
+      case _ => -1L
+    }
+    if (n <= 0L || n > Int.MaxValue) None else Some(n.toInt)
   }
 
   /** Parse a Y4M stream; None on anything malformed (corrupt blobs are
@@ -79,7 +85,8 @@ object Y4m {
         while (j < bytes.length && bytes(j) != '\n') j += 1
         j
       }
-      if (nl >= bytes.length || nl + 1 + fb > bytes.length) return None
+      if (nl >= bytes.length ||
+        nl.toLong + 1L + fb.toLong > bytes.length) return None
       frames += java.util.Arrays.copyOfRange(bytes, nl + 1, nl + 1 + fb)
       i = nl + 1 + fb
     }

@@ -169,6 +169,18 @@ class MultimodalSpec extends SparkSpec {
     assert((img.rgb(0) & 0xff) == 150) // grayscale = luma
   }
 
+  test("hostile headers return None, never throw (overflow guards)") {
+    // WAV chunk length near Int.MaxValue would wrap the bounds check
+    val evilWav = ("RIFF" + " " * 4 + "WAVE" + "fmt ").getBytes("ISO-8859-1") ++
+      Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte) ++
+      new Array[Byte](32)
+    assert(Wav.decode(evilWav).isEmpty)
+    // Y4M dims whose product overflows Int
+    val evilY4m = "YUV4MPEG2 W26755 H26755 F10:1 C444\nFRAME\n".getBytes ++
+      new Array[Byte](64)
+    assert(Y4m.decode(evilY4m).isEmpty)
+  }
+
   test("frame sampling explodes deterministic offsets") {
     val df = Seq((1L, png)).toDF("id", "bin")
     val media = Multimodal.asMediaTable(df, "id", "bin")
