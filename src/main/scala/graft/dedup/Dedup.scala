@@ -133,7 +133,8 @@ object Dedup {
     * linear pairs, no silently dropped documents. */
   val MaxLshBucket = 1000
 
-  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairs(s: SparkSession, dir: String,
+                      maxBucket: Int = MaxLshBucket): DataFrame = {
     val sig = minhashSignatures(s, dir)
       .withColumn("sig", array((0 until MinhashPerms).map(i => col(s"m$i")): _*))
       .select("doc_id", "sig")
@@ -165,7 +166,7 @@ object Dedup {
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(col("x"),
         explode(
-          when(size(col("ds")) <= MaxLshBucket,
+          when(size(col("ds")) <= maxBucket,
             expr("slice(ds, i + 2, size(ds) - i - 1)"))
           .otherwise(when(col("i") === 0, expr("slice(ds, 2, size(ds) - 1)"))
             .otherwise(expr("slice(ds, 1, 0)")))).as("y"))
@@ -253,7 +254,7 @@ object Dedup {
     "q34_dedup_exact"   -> (exactGroups _),
     "q35_dedup_keep_first" -> (keepFirst _),
     "q36_jaccard_pairs" -> (jaccardPairs _),
-    "q37_minhash_lsh"   -> (minhashLshPairs _),
+    "q37_minhash_lsh"   -> ((s: SparkSession, d: String) => minhashLshPairs(s, d)),
     "q38_simhash"       -> ((s: SparkSession, d: String) => simhashPairs(s, d)))
 
   /** q37/q38 depend on xxhash64, which DuckDB lacks — rows-only gate. */

@@ -54,6 +54,27 @@ class DedupSpec extends SparkSpec {
     assert(rows.length == docs.size) // corpus has no exact dups
   }
 
+  test("oversized bucket expands as hub-star, not silent drop") {
+    import spark.implicits._
+    // 12 identical docs + 2 distinct ones; with maxBucket=5 the
+    // identical cluster exceeds the cap in every band
+    val dir = java.nio.file.Files.createTempDirectory("star_docs").toString
+    val docs = ((0L until 12L).map(i =>
+      (i, "the same exact document text repeated for cluster members", "a")) ++
+      Seq((20L, "an entirely different document about something else", "a"),
+        (21L, "yet another unrelated piece of text entirely here now", "a")))
+      .toDF("doc_id", "text", "source")
+    docs.write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(spark, dir, maxBucket = 5).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    // star: every cluster member pairs with the hub (min id 0) — no
+    // document lost, linear pair count instead of 66
+    assert(pairs.length == 11, pairs.toSeq.toString)
+    assert(pairs.forall(_._1 == 0L))
+    assert(pairs.map(_._2).sorted.toSeq == (1L to 11L))
+  }
+
   test("minhash estimate tracks true jaccard within 0.15") {
     val est = Dedup.minhashLshPairs(spark, sf()).collect()
       .map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
