@@ -127,10 +127,15 @@ object Dedup {
   /** Above this size a minhash band bucket switches from full
     * lower-triangle pair expansion (quadratic) to STAR expansion: every
     * member pairs with the bucket's smallest id. Buckets this large are
-    * giant duplicate clusters (64-bit band hashes rarely collide
-    * otherwise), and downstream dedup is a connected-components
-    * operation, so the hub-star keeps every member discoverable —
-    * linear pairs, no silently dropped documents. */
+    * overwhelmingly giant duplicate clusters (64-bit band hashes rarely
+    * collide otherwise), and downstream dedup is a connected-components
+    * operation, so the hub-star keeps every member of the hub's cluster
+    * discoverable at linear cost. The precise recall trade: a near-dup
+    * SUBGROUP that shares the oversized bucket but is NOT similar to
+    * the hub loses its intra-subgroup pairs in this band — it is found
+    * only if some other (non-oversized) band catches it. That bounded
+    * loss replaces the quadratic blowup; the previous behavior (drop
+    * the whole bucket) lost the hub's own cluster too. */
   val MaxLshBucket = 1000
 
   def minhashLshPairs(s: SparkSession, dir: String,
@@ -207,16 +212,18 @@ object Dedup {
       .where(size(col("ds")) >= 2)
     // NOTE the cost model: narrow 4-bit bands give the pigeonhole
     // full-recall guarantee (≤15 corrupted bits always leave a band
-    // intact) at the price of a large candidate set — bucket sizes are
-    // ~n/16 BY CONSTRUCTION (16 possible values per band), so no
-    // bucket-size cap is applied here: a cap would empty the output for
-    // corpora beyond ~16·cap docs and break the guarantee. Candidates
-    // are inherently ~O(n²/2·0.64); verification must stay a single
-    // XOR+popcount per candidate, and the two-stage explode below
-    // spreads candidate generation across element rows (a single-row
-    // flatten concentrated a bucket's O(B²) pairs and was measurably
-    // slower). The 100 TB dial is WIDER bands (8×8 bits), trading the
-    // hamming-15 guarantee for selectivity.
+    // intact) at the price of a large candidate set. Each band has only
+    // 16 possible values, so buckets are big — ~n/16 each under an
+    // even spread, up to n in one bucket for skewed corpora (e.g. mass
+    // boilerplate collapsing to one signature) — and NO bucket-size cap
+    // is applied: any cap silently empties output once buckets exceed
+    // it and breaks the guarantee. Candidate volume is inherently
+    // O(n²)-ish; verification must stay a single XOR+popcount per
+    // candidate, and the two-stage explode below spreads candidate
+    // generation across element rows (a single-row flatten concentrated
+    // a bucket's O(B²) pairs and was measurably slower). The 100 TB
+    // dial is WIDER bands (8×8 bits), trading the hamming-15 guarantee
+    // for selectivity.
     buckets
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(col("x"),
