@@ -96,7 +96,28 @@ object Wave3 {
       least(col("p_size"), col("p_retailprice"), lit(50.0)).as("l3"))
       .orderBy("p_partkey")
 
+  /** q84: the sketch-based scale path — approx_count_distinct (HLL++)
+    * and approx_percentile per group. No oracle BY DESIGN: sketches are
+    * implementation-defined; PipelineSpec pins their error against the
+    * exact answers (rsd 5%, percentile rank error 1%), which is the
+    * meaningful contract. This is what q29/q54 become at 100 TB, where
+    * exact distinct/percentile shuffles don't fit. */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.05)
+          .as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+          .as("approx_p50_p90"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("approx_orders"),
+        col("approx_p50_p90").getItem(0).as("ap50"),
+        col("approx_p50_p90").getItem(1).as("ap90"), col("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_approx_stats"  -> (approxStats _),
     "q82_misc_scalars"  -> (miscScalars _),
     "q78_map_funcs"     -> (mapFuncs _),
     "q79_null_safe_join" -> (nullSafeJoin _),
