@@ -125,17 +125,20 @@ object Dedup {
     * similarity. Candidates come from band-bucket equality (shuffle
     * join on (band, bandHash)), never from a cross join. */
   /** Above this size a minhash band bucket switches from full
-    * lower-triangle pair expansion (quadratic) to STAR expansion: every
-    * member pairs with the bucket's smallest id. Buckets this large are
-    * overwhelmingly giant duplicate clusters (64-bit band hashes rarely
-    * collide otherwise), and downstream dedup is a connected-components
-    * operation, so the hub-star keeps every member of the hub's cluster
-    * discoverable at linear cost. The precise recall trade: a near-dup
-    * SUBGROUP that shares the oversized bucket but is NOT similar to
-    * the hub loses its intra-subgroup pairs in this band — it is found
-    * only if some other (non-oversized) band catches it. That bounded
-    * loss replaces the quadratic blowup; the previous behavior (drop
-    * the whole bucket) lost the hub's own cluster too. */
+    * lower-triangle pair expansion (quadratic) to STAR + CHAIN
+    * expansion over the signature-sorted bucket: every member pairs
+    * with the bucket's first element (star) and with its successor in
+    * signature order (chain) — linear pairs. Buckets this large are
+    * overwhelmingly giant duplicate clusters; downstream dedup is a
+    * connected-components operation, so the star keeps the hub's
+    * cluster connected, and the chain recovers co-bucketed SUBGROUPS
+    * that are not similar to the hub: a subgroup with identical
+    * signatures is a contiguous run in signature order, so its members
+    * chain together even when their star pairs fail verification. The
+    * residual trade: a subgroup whose signatures are close-but-unequal
+    * may interleave with others in sort order and lose some intra
+    * pairs in this band (other bands can still catch it); that bounded
+    * loss replaces the quadratic blowup. */
   val MaxLshBucket = 1000
 
   def minhashLshPairs(s: SparkSession, dir: String,
@@ -156,17 +159,21 @@ object Dedup {
         s"transform(sequence(0, ${LshBands - 1}), " +
           s"b -> xxhash64(slice(sig, b * $LshRows + 1, $LshRows)))"))
         .as(Seq("band", "bandHash")))
+    // Buckets sort SIGNATURE-major (any total order preserves
+    // lower-triangle completeness; signature order additionally makes
+    // identical-signature runs contiguous, which the oversized-bucket
+    // chain below exploits — see MaxLshBucket).
     val buckets = banded.groupBy(col("band"), col("bandHash"))
-      .agg(array_sort(collect_list(col("d"))).as("ds"))
+      .agg(expr("array_sort(transform(collect_list(d), " +
+        "e -> struct(e.sig AS sig, e.doc_id AS doc_id)))").as("ds"))
       .where(size(col("ds")) >= 2)
     // Two-stage pair expansion: first explode to one row per bucket
     // element (keeping the bucket array alongside — pipelined in the
     // same stage, never shuffled), then explode that element's
-    // lower-triangle remainder. Pair generation distributes across
-    // element rows instead of concentrating a bucket's O(B²) pairs in
-    // one row. ds is sorted by doc_id (struct ordering), so x before
-    // y ⇒ id1 < id2. Oversized buckets (giant dup clusters) expand as
-    // a hub-star instead of dropping — see MaxLshBucket.
+    // remainder: full lower-triangle for normal buckets; star (i=0
+    // pairs with all) + chain (successor in signature order) for
+    // oversized ones. Pair generation distributes across element rows
+    // instead of concentrating a bucket's O(B²) pairs in one row.
     buckets
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(col("x"),
@@ -174,8 +181,10 @@ object Dedup {
           when(size(col("ds")) <= maxBucket,
             expr("slice(ds, i + 2, size(ds) - i - 1)"))
           .otherwise(when(col("i") === 0, expr("slice(ds, 2, size(ds) - 1)"))
-            .otherwise(expr("slice(ds, 1, 0)")))).as("y"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+            .otherwise(expr("slice(ds, i + 2, 1)")))).as("y"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("id1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id2"),
         (size(expr("filter(zip_with(x.sig, y.sig, (a, b) -> a = b), v -> v)")) /
           lit(MinhashPerms.toDouble)).as("est_jaccard"))
       .where(col("est_jaccard") >= 0.5)

@@ -67,12 +67,17 @@ class DedupSpec extends SparkSpec {
     docs.write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val pairs = Dedup.minhashLshPairs(spark, dir, maxBucket = 5).collect()
-      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
-    // star: every cluster member pairs with the hub (min id 0) — no
-    // document lost, linear pair count instead of 66
-    assert(pairs.length == 11, pairs.toSeq.toString)
-    assert(pairs.forall(_._1 == 0L))
-    assert(pairs.map(_._2).sorted.toSeq == (1L to 11L))
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    // star + chain: linear pair count (≤ 2·B per band, far below the
+    // 66 of full expansion), every pair inside the true cluster, and
+    // the whole cluster connected (single component via union-find)
+    assert(pairs.nonEmpty && pairs.size <= 22, pairs.toString)
+    assert(pairs.forall { case (a, b) => a < b && a <= 11 && b <= 11 })
+    val parent = scala.collection.mutable.Map((0L to 11L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L to 11L).map(find).toSet.size == 1, "cluster not connected")
   }
 
   test("minhash estimate tracks true jaccard within 0.15") {
