@@ -17,6 +17,28 @@ import graft.schema.SchemaEvolver
   */
 object Warehouse {
 
+  final case class TableStats(files: Int, bytes: Long, rows: Long,
+                              columns: Int)
+
+  /** C5 grown up: physical health of a parquet zone table — file
+    * count (compaction trigger: many small files), total bytes, exact
+    * row count, column count. The rows count is the only distributed
+    * job; listing reads no data. */
+  def tableStats(spark: SparkSession, path: String): TableStats = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var files = 0; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        files += 1; bytes += f.getLen
+      }
+    }
+    val df = spark.read.parquet(path)
+    TableStats(files, bytes, df.count(), df.columns.length)
+  }
+
   /** S5: column name/type listing for a registered table or view. */
   def describeTable(spark: SparkSession, table: String): Seq[(String, String)] =
     spark.table(table).schema.fields.toSeq

@@ -22,4 +22,13 @@ class WarehouseSpec extends SparkSpec {
   test("connectivity probe") {
     assert(Warehouse.probe(spark))
   }
+
+  test("tableStats reports files, bytes, rows, columns") {
+    val dir = java.nio.file.Files.createTempDirectory("stats").toString + "/t"
+    graft.Tables.load(spark, sf(), "nation").repartition(3)
+      .write.parquet(dir)
+    val st = Warehouse.tableStats(spark, dir)
+    assert(st.files == 3 && st.rows == 25 && st.columns == 3)
+    assert(st.bytes > 0)
+  }
 }
