@@ -27,16 +27,16 @@ object Compact {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val target = new Path(tablePath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles() = {
-      val it = fs.listFiles(target, true)
-      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) b += f
-      }
-      b.result()
-    }
-    val before = dataFiles()
+    val before = SwapPublish.parquetFiles(fs, target)
+    // empty/new table: nothing to compact — a no-op report, not an
+    // opaque schema-inference error from the read below
+    if (before.isEmpty) return Report(0, 0, 0L, 0L)
+    // a flat rewrite of a partitioned root would silently destroy the
+    // k=v layout (and downstream partition pruning) — refuse; callers
+    // compact per-partition directory
+    require(!SwapPublish.hasPartitionDirs(fs, target, before),
+      s"compact: $tablePath has Hive-style partition subdirectories; " +
+        "compact each partition directory instead")
     val bytes = before.map(_.getLen).sum
     val desired = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
       .min(Int.MaxValue).toInt
@@ -52,15 +52,8 @@ object Compact {
       df.coalesce(desired).write.mode(SaveMode.Overwrite)
         .parquet(staging.toString)
       rows = spark.read.parquet(staging.toString).count()
-      fs.delete(backup, true)
-      if (!fs.rename(target, backup))
-        sys.error(s"compact: could not move $target aside to $backup")
-      if (!fs.rename(staging, target)) {
-        fs.rename(backup, target) // restore
-        sys.error(s"compact: could not publish $staging to $target")
-      }
-      fs.delete(backup, true)
+      SwapPublish.publish(fs, staging, target, backup, targetExists = true)
     } finally fs.delete(staging, true)
-    Report(before.size, dataFiles().size, bytes, rows)
+    Report(before.size, SwapPublish.parquetFiles(fs, target).size, bytes, rows)
   }
 }

@@ -1,0 +1,62 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, LocatedFileStatus, Path}
+
+/** Shared primitives for the copy-on-write sinks (Upsert, Compact):
+  * the backup-then-swap atomic-ish publish and the recursive parquet
+  * data-file listing. One implementation so a crash-safety fix cannot
+  * silently miss one of the paths. */
+private[sinks] object SwapPublish {
+
+  /** Publish `staging` over `target`: move the existing target aside
+    * to `backup`, swap staging in, drop the backup. On a failed swap
+    * the restore is ATTEMPTED and the error says exactly where the
+    * original data is — restored at the target, or surviving only at
+    * the backup (never silently lost). Callers own deleting `staging`
+    * in their finally block. */
+  def publish(fs: FileSystem, staging: Path, target: Path, backup: Path,
+              targetExists: Boolean): Unit = {
+    fs.delete(backup, true)
+    // rename returns false instead of throwing on most Hadoop
+    // filesystems — unchecked, a failed publish would be silent.
+    if (targetExists && !fs.rename(target, backup))
+      sys.error(s"publish: could not move $target aside to $backup")
+    if (!fs.rename(staging, target)) {
+      val restored = !targetExists || fs.rename(backup, target)
+      sys.error(s"publish: could not publish $staging to $target; " +
+        (if (restored) s"original left in place at $target"
+         else s"original NOT at $target — recover it from $backup"))
+    }
+    fs.delete(backup, true)
+  }
+
+  /** All parquet data files under `root`, recursively. */
+  def parquetFiles(fs: FileSystem, root: Path): Seq[LocatedFileStatus] = {
+    if (!fs.exists(root)) return Seq.empty
+    val it = fs.listFiles(root, true)
+    val b = Seq.newBuilder[LocatedFileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) b += f
+    }
+    b.result()
+  }
+
+  /** True if any data file sits under a Hive-style `k=v` partition
+    * directory strictly BELOW `root`. Root must be qualified with the
+    * same fs as the listed files or the stop-at-root comparison never
+    * matches (listFiles returns scheme-qualified paths). */
+  def hasPartitionDirs(fs: FileSystem, root: Path,
+                       files: Seq[LocatedFileStatus]): Boolean = {
+    val qRoot = fs.makeQualified(root)
+    files.exists { f =>
+      var p = f.getPath.getParent
+      var found = false
+      while (p != null && p != qRoot && !found) {
+        if (p.getName.contains("=")) found = true
+        p = p.getParent
+      }
+      found
+    }
+  }
+}

@@ -55,17 +55,8 @@ object Upsert {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      fs.delete(backup, true)
-      // rename returns false instead of throwing on most Hadoop
-      // filesystems — unchecked, a failed publish would be silent and
-      // the count below would just re-read whatever is left at target.
-      if (existing.isDefined && !fs.rename(target, backup))
-        sys.error(s"merge: could not move $target aside to $backup")
-      if (!fs.rename(staging, target)) {
-        if (existing.isDefined) fs.rename(backup, target) // restore
-        sys.error(s"merge: could not publish $staging to $target")
-      }
-      fs.delete(backup, true)
+      SwapPublish.publish(fs, staging, target, backup,
+        targetExists = existing.isDefined)
     } finally fs.delete(staging, true) // no orphaned staging on failure
     spark.read.parquet(targetPath).count()
   }

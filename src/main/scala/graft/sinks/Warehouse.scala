@@ -27,16 +27,11 @@ object Warehouse {
   def tableStats(spark: SparkSession, path: String): TableStats = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
-    var files = 0; var bytes = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        files += 1; bytes += f.getLen
-      }
-    }
+    val files = SwapPublish.parquetFiles(fs, p)
+    if (files.isEmpty) return TableStats(0, 0L, 0L, 0)
     val df = spark.read.parquet(path)
-    TableStats(files, bytes, df.count(), df.columns.length)
+    TableStats(files.size, files.map(_.getLen).sum, df.count(),
+      df.columns.length)
   }
 
   /** S5: column name/type listing for a registered table or view. */

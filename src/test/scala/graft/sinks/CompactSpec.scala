@@ -28,4 +28,23 @@ class CompactSpec extends SparkSpec {
     val parent = new java.io.File(dir).getParentFile.list().toSeq
     assert(parent == Seq("t.parquet"), parent.toString)
   }
+
+  test("empty table compacts to a no-op report, not a read error") {
+    val dir = Files.createTempDirectory("compact_e").toString + "/none"
+    assert(Compact.compact(spark, dir) == Compact.Report(0, 0, 0L, 0L))
+    assert(Warehouse.tableStats(spark, dir) ==
+      Warehouse.TableStats(0, 0L, 0L, 0))
+  }
+
+  test("partitioned table root is refused (layout would be destroyed)") {
+    val dir = Files.createTempDirectory("compact_p").toString + "/p.parquet"
+    Tables.load(spark, sf(), "nation")
+      .write.partitionBy("n_regionkey").parquet(dir)
+    val e = intercept[IllegalArgumentException](Compact.compact(spark, dir))
+    assert(e.getMessage.contains("partition"))
+    // per-partition compaction is the supported path
+    val part = dir + "/n_regionkey=1"
+    val r = Compact.compact(spark, part)
+    assert(r.filesAfter == 1 && r.rows == 5)
+  }
 }
