@@ -116,7 +116,21 @@ object Wave3 {
         col("approx_p50_p90").getItem(1).as("ap90"), col("n"))
       .orderBy("l_returnflag")
 
+  /** q85: generator/UDTF surface — posexplode_outer over arrays that
+    * are genuinely empty for some rows (tokens longer than 7 chars,
+    * first 3): outer semantics keep the row with NULL pos/tok instead
+    * of dropping it. DuckDB spelling is LEFT JOIN LATERAL unnest with
+    * generate_subscripts; NULLS FIRST aligns the null-position rows
+    * with Spark's default ascending order. */
+  def generators(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("arr", expr(
+        "slice(filter(split(trim(text), '\\\\s+'), t -> length(t) > 7), 1, 3)"))
+      .select(col("doc_id"), posexplode_outer(col("arr")).as(Seq("pos", "tok")))
+      .orderBy("doc_id", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_generators"    -> (generators _),
     "q84_approx_stats"  -> (approxStats _),
     "q82_misc_scalars"  -> (miscScalars _),
     "q78_map_funcs"     -> (mapFuncs _),
@@ -125,6 +139,17 @@ object Wave3 {
     "q81_value_funcs"   -> (valueFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "q85_generators" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> length(t) > 7)[1:3] AS arr
+        |  FROM documents)
+        |SELECT d.doc_id, u.pos, u.tok
+        |FROM d LEFT JOIN LATERAL (
+        |  SELECT unnest(arr) AS tok,
+        |    generate_subscripts(arr, 1) - 1 AS pos) u ON true
+        |ORDER BY d.doc_id, u.pos NULLS FIRST""".stripMargin,
     "q82_misc_scalars" ->
       """SELECT p_partkey,
         |  levenshtein(p_brand, p_type) AS edit_dist,
