@@ -24,6 +24,48 @@ import graft.util.Tokens
   * At 100 TB none of these materialize pairs outside a bucket, and
   * every aggregation is associative (partial agg before shuffle).
   */
+/** Pluggable hash for the MinHash/SimHash pipelines.
+  *
+  * `XxHash64` is the production default: full 64 bits, one constant-time
+  * mix per value, codegen'd. `Md5Prefix` (first 15 hex chars of md5 read
+  * as a BIGINT — 60 bits, always non-negative) exists because DuckDB can
+  * compute the identical value (`('0x'||substr(md5(x),1,15))::BIGINT`),
+  * which makes the FULL LSH pipelines differential-testable: the
+  * correctness gate (q37/q38) runs under Md5Prefix so every stage —
+  * shingling, signature, banding, candidate join, verify — is
+  * hash-checked against an independent engine, while library callers
+  * keep the faster hash by default.
+  */
+sealed abstract class DedupHash(val bits: Int) {
+  /** 64-bit-ish hash of a string column. */
+  def h(c: Column): Column
+  /** Permuted re-hash of an existing hash value (MinHash permutation i). */
+  def perm(hc: Column, i: Int): Column
+  /** SQL snippet for the LSH bucket key of a signature slice. */
+  def bandKeySql(slice: String): String
+}
+
+/** Production hash: permutations re-mix the 8-byte value, band keys are
+  * 8-byte hashes of the slice. */
+case object XxHash64 extends DedupHash(64) {
+  def h(c: Column): Column = xxhash64(c)
+  def perm(hc: Column, i: Int): Column = xxhash64(hc, lit(i))
+  def bandKeySql(slice: String): String = s"xxhash64($slice)"
+}
+
+/** Cross-engine hash (DuckDB-reproducible): 60-bit md5 prefix.
+  * Permutations hash the decimal string `"<h>_<i>"` (both engines print
+  * BIGINT identically); the band key is the raw signature slice — an
+  * array grouping key (32 bytes instead of 8) so no second hash needs a
+  * cross-engine contract. */
+case object Md5Prefix extends DedupHash(60) {
+  def h(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def perm(hc: Column, i: Int): Column =
+    h(concat(hc.cast("string"), lit("_" + i)))
+  def bandKeySql(slice: String): String = slice
+}
+
 object Dedup {
 
   private def tokens(c: Column): Column = Tokens.whitespace(c)
@@ -109,15 +151,16 @@ object Dedup {
     * the 32 permutations re-hash the resulting 8-byte value
     * (`xxhash64(h, i)`), which costs a constant-size mix instead of a
     * full string traversal per permutation — 32 string hashes → 1. */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(s: SparkSession, dir: String,
+                        hash: DedupHash = XxHash64): DataFrame = {
     // spread docs across cores BEFORE the explode — the table is one
     // parquet split, and shingling is the CPU-bound stage
     val docs = Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .select(col("doc_id"), hash.h(col("sh")).as("h"))
     val aggs = (0 until MinhashPerms).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      min(hash.perm(col("h"), i)).as(s"m$i"))
     docs.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -142,8 +185,9 @@ object Dedup {
   val MaxLshBucket = 1000
 
   def minhashLshPairs(s: SparkSession, dir: String,
-                      maxBucket: Int = MaxLshBucket): DataFrame = {
-    val sig = minhashSignatures(s, dir)
+                      maxBucket: Int = MaxLshBucket,
+                      hash: DedupHash = XxHash64): DataFrame = {
+    val sig = minhashSignatures(s, dir, hash)
       .withColumn("sig", array((0 until MinhashPerms).map(i => col(s"m$i")): _*))
       .select("doc_id", "sig")
     // Single-pass bucket design: a band self-JOIN would plan the
@@ -157,7 +201,7 @@ object Dedup {
       struct(col("doc_id"), col("sig")).as("d"),
       posexplode(expr(
         s"transform(sequence(0, ${LshBands - 1}), " +
-          s"b -> xxhash64(slice(sig, b * $LshRows + 1, $LshRows)))"))
+          s"b -> ${hash.bandKeySql(s"slice(sig, b * $LshRows + 1, $LshRows)")})"))
         .as(Seq("band", "bandHash")))
     // Buckets sort SIGNATURE-major (any total order preserves
     // lower-triangle completeness; signature order additionally makes
@@ -205,46 +249,67 @@ object Dedup {
     * true near-dups (shingle J ≥ 0.9) land at Hamming 0-10 and
     * unrelated docs at ≥ 14 — clean margin both sides. */
   def simhashPairs(s: SparkSession, dir: String,
-                   maxHamming: Int = 12): DataFrame = {
-    val sigs = simhashSignatures(s, dir)
+                   maxHamming: Int = 12,
+                   hash: DedupHash = XxHash64,
+                   bandBits: Int = 4,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    val nBands = hash.bits / bandBits
+    val bandMask = (1 << bandBits) - 1
+    val sigs = simhashSignatures(s, dir, hash)
     // same single-pass bucket shape as minhashLshPairs: a self-join
-    // would run the signature pipeline (explode + 64 bit-sums) once per
+    // would run the signature pipeline (explode + per-bit sums) once per
     // branch; bucketing runs it once, and the payload riding the band
     // shuffle is a single long.
     val banded = sigs.select(
       struct(col("doc_id"), col("simhash")).as("d"),
       posexplode(expr(
-        "transform(sequence(0, 15), b -> (simhash >> (b * 4)) & 15)"))
+        s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> (simhash >> (b * $bandBits)) & $bandMask)"))
         .as(Seq("band", "bandVal")))
+    // Buckets sort SIGNATURE-major (simhash, doc_id): lower-triangle
+    // completeness holds under any total order, and signature order makes
+    // identical-signature runs contiguous — which the oversized-bucket
+    // star+chain expansion below needs (see MaxLshBucket for the full
+    // argument; the trade is identical).
     val buckets = banded.groupBy(col("band"), col("bandVal"))
-      .agg(array_sort(collect_list(col("d"))).as("ds"))
+      .agg(expr("array_sort(transform(collect_list(d), " +
+        "e -> struct(e.simhash AS simhash, e.doc_id AS doc_id)))").as("ds"))
       .where(size(col("ds")) >= 2)
-    // NOTE the cost model: narrow 4-bit bands give the pigeonhole
-    // full-recall guarantee (≤15 corrupted bits always leave a band
-    // intact) at the price of a large candidate set. Each band has only
-    // 16 possible values, so buckets are big — ~n/16 each under an
-    // even spread, up to n in one bucket for skewed corpora (e.g. mass
-    // boilerplate collapsing to one signature) — and NO bucket-size cap
-    // is applied: any cap silently empties output once buckets exceed
-    // it and breaks the guarantee. Candidate volume is inherently
-    // O(n²)-ish; verification must stay a single XOR+popcount per
-    // candidate, and the two-stage explode below spreads candidate
-    // generation across element rows (a single-row flatten concentrated
-    // a bucket's O(B²) pairs and was measurably slower). The 100 TB
-    // dial is WIDER bands (8×8 bits), trading the hamming-15 guarantee
-    // for selectivity.
+    // Cost model: `bandBits` is the recall/volume dial. Narrow 4-bit
+    // bands (the default) give the pigeonhole full-recall guarantee for
+    // hamming ≤ nBands-1 (15 corrupted bits always leave one of 16 bands
+    // intact) but only 16 values per band — buckets run ~n/16 under an
+    // even spread, worse when boilerplate collapses many docs to one
+    // signature. The two 100 TB dials, both implemented:
+    //  - bandBits = 8 → 8 bands × 256 values: guarantee drops to
+    //    hamming ≤ 7, candidate volume drops ~16× per band;
+    //  - maxBucket: beyond it a bucket switches from the quadratic
+    //    lower-triangle to linear STAR+CHAIN expansion over the
+    //    signature-sorted bucket — mass-duplicate clusters (identical
+    //    signatures, contiguous in sort order) chain together with
+    //    bounded pair counts, at the documented recall trade for
+    //    close-but-unequal subgroups interleaved in sort order.
+    // The q38 gate runs uncapped 4-bit mode so the oracle's full
+    // lower-triangle join sees the identical pair set.
     buckets
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
       .select(col("x"),
-        explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("y"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        explode(
+          when(size(col("ds")) <= maxBucket,
+            expr("slice(ds, i + 2, size(ds) - i - 1)"))
+          .otherwise(when(col("i") === 0, expr("slice(ds, 2, size(ds) - 1)"))
+            .otherwise(expr("slice(ds, i + 2, 1)")))).as("y"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("id1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id2"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("id1", "id2")
   }
 
-  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  def simhashSignatures(s: SparkSession, dir: String,
+                        hash: DedupHash = XxHash64): DataFrame = {
     // Features are 3-gram shingles, not unigrams: on corpora with a
     // small shared vocabulary, unigram frequency profiles collide and
     // hamming-close signatures stop implying textual similarity
@@ -253,27 +318,35 @@ object Dedup {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         explode(shingles(col("text"))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", hash.h(col("w")))
+    val bitSums = (0 until hash.bits).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1)
         .otherwise(-1)).as(s"b$b")
     }
     val perDoc = words.groupBy(col("doc_id"), col("source"))
       .agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map(b =>
+    val simhash = (0 until hash.bits).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
     perDoc.select(col("doc_id"), col("source"), simhash.as("simhash"))
   }
 
+  /** q37/q38 run under [[Md5Prefix]] so the FULL LSH pipelines are
+    * oracle-checked (DuckDB reproduces the hash); library callers default
+    * to the faster [[XxHash64]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_dedup_exact"   -> (exactGroups _),
     "q35_dedup_keep_first" -> (keepFirst _),
     "q36_jaccard_pairs" -> (jaccardPairs _),
-    "q37_minhash_lsh"   -> ((s: SparkSession, d: String) => minhashLshPairs(s, d)),
-    "q38_simhash"       -> ((s: SparkSession, d: String) => simhashPairs(s, d)))
+    "q37_minhash_lsh"   -> ((s: SparkSession, d: String) =>
+      minhashLshPairs(s, d, hash = Md5Prefix)),
+    "q38_simhash"       -> ((s: SparkSession, d: String) =>
+      simhashPairs(s, d, hash = Md5Prefix)))
 
-  /** q37/q38 depend on xxhash64, which DuckDB lacks — rows-only gate. */
+  /** The q37/q38 oracles replay the ENTIRE pipeline in DuckDB SQL —
+    * shingling, md5-prefix hashing, signatures, banding, candidate
+    * join, verification — list comprehensions standing in for Spark's
+    * higher-order array functions. */
   val oracle: Map[String, String] = Map(
     "q34_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
@@ -299,5 +372,68 @@ object Dedup {
         |ON a.source = b.source AND a.id1 < b.id2
         |WHERE len(list_intersect(a.t1, b.t2)) /
         |    (len(a.t1) + len(b.t2) - len(list_intersect(a.t1, b.t2))) >= 0.8
-        |ORDER BY id1, id2""".stripMargin)
+        |ORDER BY id1, id2""".stripMargin,
+    "q37_minhash_lsh" ->
+      raw"""WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), shingled AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct([array_to_string(w[i+1:i+3], ' ')
+        |                             for i in range(0, len(w) - 2)])
+        |    END AS sh FROM words
+        |), feat AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+        |), minh AS (
+        |  SELECT doc_id, i,
+        |    min(('0x' || substr(md5(h::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT) AS m
+        |  FROM feat CROSS JOIN range(32) t(i)
+        |  GROUP BY doc_id, i
+        |), sig AS (
+        |  SELECT doc_id, list(m ORDER BY i) AS sig FROM minh GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, sig, b, sig[b*4 + 1 : b*4 + 4] AS band
+        |  FROM sig CROSS JOIN range(8) t(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.sig AS s1, c.sig AS s2
+        |  FROM banded a JOIN banded c
+        |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id
+        |)
+        |SELECT id1, id2,
+        |  len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 AS est_jaccard
+        |FROM pairs
+        |WHERE len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+    "q38_simhash" ->
+      raw"""WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), shingled AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct([array_to_string(w[i+1:i+3], ' ')
+        |                             for i in range(0, len(w) - 2)])
+        |    END AS sh FROM words
+        |), feat AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+        |  FROM feat CROSS JOIN range(60) t(b)
+        |  GROUP BY doc_id, b
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN sb > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (b*4)) & 15 AS bv
+        |  FROM sig CROSS JOIN range(15) t(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+        |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+        |  FROM banded a JOIN banded c
+        |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+        |)
+        |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 12 ORDER BY id1, id2""".stripMargin)
 }
