@@ -35,23 +35,39 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    // Best of two runs per query: the container shares the machine and
-    // single-run timings showed 2-4× contention noise on the heavy
-    // queries; min-of-2 reports the query's actual cost. A failing
-    // query reports -1 (NOT a near-zero success time that would
-    // silently deflate the total) and is excluded from the sum.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+    // Noise model: the container shares the machine, and co-tenant load
+    // arrives in MINUTES-long bursts — back-to-back min-of-2 runs of the
+    // same query sit inside the same burst and both inflate (observed:
+    // a 4-13× spike across one consecutive query block while every
+    // other query was clean). Countermeasures, in order:
+    //  1. INTERLEAVE the two passes (run every query once, then every
+    //     query again): a noisy minute now touches one pass of a few
+    //     queries, never both timings of one query;
+    //  2. best-of-3 arbitration for any query whose two passes disagree
+    //     by >2× — the disagreement itself is the contention signal.
+    // A failing query reports -1 (NOT a near-zero success time that
+    // would silently deflate the total) and is excluded from the sum.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val pass1 = named.map { case (n, f) => timeOne(n, f) }
+    val pass2 = named.map { case (n, f) => timeOne(n, f) }
+    val results = named.zip(pass1.zip(pass2)).map { case ((name, fn), (a, b)) =>
+      val ts = Seq(a, b).filter(_ >= 0)
+      val t =
+        if (ts.isEmpty) -1.0
+        else if (ts.size == 2 && ts.max > 2 * ts.min)
+          (ts :+ timeOne(name, fn)).filter(_ >= 0).min
+        else ts.min
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

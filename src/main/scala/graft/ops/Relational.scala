@@ -187,13 +187,14 @@ object Relational {
       .orderBy("o_custkey")
 
   /** Scalar-subquery filter: orders above the global average price.
-    * The average is ONE aggregated scalar (exact decimal) — computed
-    * distributed, only the scalar reaches the driver. */
+    * The 1-row aggregate joins back as a broadcast nested-loop join —
+    * ONE plan, one job; the scalar never takes a driver round-trip
+    * (an earlier spelling used `.head()`, which split this into two
+    * jobs and serialized the aggregate through the driver). */
   def scalarSubqueryFilter(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
-    val avgPrice = o.agg(Exact.davg(col("o_totalprice")).as("a"))
-      .head().getDouble(0)
-    o.where(col("o_totalprice") > avgPrice)
+    val avgPrice = o.agg(Exact.davg(col("o_totalprice")).as("avg_price"))
+    o.join(broadcast(avgPrice), col("o_totalprice") > col("avg_price"))
       .select("o_orderkey", "o_totalprice")
       .orderBy("o_orderkey")
   }

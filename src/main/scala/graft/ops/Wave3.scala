@@ -98,23 +98,48 @@ object Wave3 {
 
   /** q84: the sketch-based scale path — approx_count_distinct (HLL++)
     * and approx_percentile per group. No oracle BY DESIGN: sketches are
-    * implementation-defined; PipelineSpec pins their error against the
-    * exact answers (rsd 5%, percentile rank error 1%), which is the
-    * meaningful contract. This is what q29/q54 become at 100 TB, where
-    * exact distinct/percentile shuffles don't fit. */
-  def approxStats(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+    * implementation-defined. Instead the result itself CARRIES the
+    * error witness: exact values (fine at gate scale, impossible at
+    * 100 TB) ride alongside the sketches with relative-error columns
+    * and in-bound flags — the row gate sees the bound hold, not just
+    * that rows came back. Bounds asserted: HLL++ within 3·rsd = 15%
+    * (observed ≪); approx_percentile(…, 10000) rank error ≤ 1/10000,
+    * witnessed as value-relative error ≤ 5% on this distribution.
+    * This is what q29/q54 become at 100 TB, where exact
+    * distinct/percentile shuffles don't fit. */
+  def approxStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    // The exact distinct count runs as its OWN aggregation, joined back
+    // (3-row broadcast): mixing a DISTINCT aggregate with the sketch
+    // aggregates makes the planner route everything through an Expand
+    // (one duplicated row-set per distinct group) — measured 10× slower
+    // than two clean scans.
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.05)
           .as("approx_orders"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
           .as("approx_p50_p90"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9))")
+          .as("exact_p50_p90"),
         count(lit(1)).as("n"))
-      .select(col("l_returnflag"), col("approx_orders"),
+      .join(broadcast(exact), "l_returnflag")
+      .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) /
+          col("exact_orders")).as("cd_rel_err"),
         col("approx_p50_p90").getItem(0).as("ap50"),
-        col("approx_p50_p90").getItem(1).as("ap90"), col("n"))
+        col("exact_p50_p90").getItem(0).as("ep50"),
+        col("approx_p50_p90").getItem(1).as("ap90"),
+        col("exact_p50_p90").getItem(1).as("ep90"), col("n"))
+      .withColumn("cd_in_bound", col("cd_rel_err") <= 0.15)
+      .withColumn("p50_in_bound",
+        abs(col("ap50") - col("ep50")) / col("ep50") <= 0.05)
+      .withColumn("p90_in_bound",
+        abs(col("ap90") - col("ep90")) / col("ep90") <= 0.05)
       .orderBy("l_returnflag")
+  }
 
   /** q85: generator/UDTF surface — posexplode_outer over arrays that
     * are genuinely empty for some rows (tokens longer than 7 chars,

@@ -145,8 +145,21 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("v", array_to_vector(col("embedding")))
+    // The quantizer fits on a BOUNDED sample: k-means is iterative
+    // (maxIter full scans + a driver-side centroid reduce), so fitting
+    // on the whole corpus is the one step that would not survive a
+    // 100 TB table. Centroid geometry converges on a uniform sample —
+    // ~6k rows per cell is plenty — and the corpus-wide cell ASSIGNMENT
+    // below stays a single broadcast-scored scan. The row count comes
+    // from parquet metadata (no data read); at gate scale the fraction
+    // is 1.0, so q53 results are bit-identical to a full fit.
+    val fitCap = 100000L
+    val n = emb.count()
+    val fitSet =
+      if (n <= fitCap) emb
+      else emb.sample(withReplacement = false, fitCap.toDouble / n, seed = 7)
     val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("v").fit(emb)
+      .setFeaturesCol("v").fit(fitSet)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"),
         col(model.getPredictionCol).as("cell"))

@@ -80,6 +80,67 @@ class DedupSpec extends SparkSpec {
     assert((0L to 11L).map(find).toSet.size == 1, "cluster not connected")
   }
 
+  test("simhash oversized bucket: star+chain bounds a mass-duplicate corpus") {
+    import spark.implicits._
+    // 5000 identical docs + 2 distinct: every band collapses the clones
+    // into ONE bucket value. Uncapped, that is ~12.5M candidate pairs
+    // per band; with maxBucket the expansion is star+chain — linear.
+    val dir = java.nio.file.Files.createTempDirectory("simhash_mass").toString
+    val docs = ((0L until 5000L).map(i =>
+      (i, "the same boilerplate paragraph stamped on every mirror page", "a")) ++
+      Seq((9000L, "an entirely different document about something else", "a"),
+        (9001L, "yet another unrelated piece of text entirely here now", "a")))
+      .toDF("doc_id", "text", "source")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.simhashPairs(spark, dir, maxBucket = 100).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    // identical signatures ⇒ every band yields the SAME star+chain set:
+    // ≤ 2·B distinct pairs total, not 12.5M
+    assert(pairs.size <= 2 * 5000, s"pair count ${pairs.size} not bounded")
+    assert(pairs.forall { case (a, b) => a < b && b < 5000L })
+    // the clone cluster stays one connected component
+    val parent = scala.collection.mutable.Map((0L until 5000L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until 5000L).map(find).toSet.size == 1, "cluster not connected")
+  }
+
+  test("simhash wide-band mode (8x8) still finds every planted near-dup") {
+    // the 100 TB selectivity dial: 8-bit bands guarantee hamming ≤ 7
+    // recall; planted near-dups in this corpus sit at hamming 0-10, so
+    // compare against the 4-bit truth instead of asserting exhaustive
+    // recall — wide mode must find every pair the guarantee covers.
+    val narrow = Dedup.simhashPairs(spark, sf()).collect()
+      .map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Int]("hamming"))).toMap
+    val wide = Dedup.simhashPairs(spark, sf(), bandBits = 8).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val guaranteed = narrow.filter(_._2 <= 7).keySet
+    assert(guaranteed.nonEmpty, "fixture should plant hamming<=7 pairs")
+    assert((guaranteed -- wide).isEmpty,
+      s"wide bands missed guaranteed pairs: ${(guaranteed -- wide).take(5)}")
+    assert(wide.subsetOf(narrow.keySet), "wide mode invented pairs")
+  }
+
+  test("q36 guard: jaccard threshold filter is NOT pushed into the join") {
+    // The threshold filter computes array_intersect; pushed into the
+    // join condition it would run BEFORE the cheap size guards and
+    // 2-3x per candidate (see the nondeterminism barrier in
+    // jaccardPairs). This pins the plan shape so an optimizer upgrade
+    // that folds `rand() * 0` cannot silently reintroduce the
+    // regression.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val lp = Dedup.jaccardPairs(spark, sf()).queryExecution.optimizedPlan
+    val joinConds = lp.collect {
+      case j: Join => j.condition.map(_.sql).getOrElse("") }
+    assert(joinConds.nonEmpty, "expected a join in the q36 plan")
+    assert(joinConds.forall(c => !c.toLowerCase.contains("array_intersect")),
+      s"intersection leaked into a join condition:\n${joinConds.mkString("\n")}")
+    assert(lp.collect { case f: Filter => f }.nonEmpty,
+      "threshold filter vanished from the plan")
+  }
+
   test("minhash estimate tracks true jaccard within 0.15") {
     val est = Dedup.minhashLshPairs(spark, sf()).collect()
       .map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
