@@ -52,8 +52,10 @@ object Warehouse {
 
   /** S4: JDBC writer for postgres/mysql warehouse targets. Batched and
     * partition-parallel; `truncate=true` preserves the target's DDL on
-    * overwrite (the reference's TRUNCATE+INSERT refresh, M1). Untested
-    * here (no database in the container) — configuration surface only. */
+    * overwrite (the reference's TRUNCATE+INSERT refresh, M1).
+    * Exercised end-to-end in WarehouseSpec against embedded Derby:
+    * append-create, read-back equality, and a truncate overwrite into a
+    * pre-created lattice-DDL table whose column types survive. */
   def jdbcWriter(df: DataFrame, url: String, table: String,
                  user: String, password: String,
                  batchSize: Int = 10000): DataFrameWriter[Row] =

@@ -23,6 +23,61 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.probe(spark))
   }
 
+  test("S4: jdbc sink round-trip and truncate overwrite (embedded Derby)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import graft.schema.TypeLattice
+    // Derby in-memory: a real JDBC database in-process — the closest
+    // zero-egress stand-in for the reference's Postgres/MySQL targets.
+    val url = s"jdbc:derby:memory:wh${System.nanoTime()};create=true"
+    val nation = graft.Tables.load(spark, sf(), "nation")
+    def rows(df: DataFrame): Set[(Long, String, Long)] =
+      df.selectExpr("cast(n_nationkey as bigint)", "cast(n_name as string)",
+          "cast(n_regionkey as bigint)")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def readBack(table: String): DataFrame =
+      spark.read.format("jdbc").option("url", url)
+        .option("dbtable", table).load()
+
+    // 1. append against an absent table creates + loads it
+    Warehouse.jdbcWriter(nation, url, "nation_t", "app", "app")
+      .mode("append").save()
+    assert(rows(readBack("nation_t")) == rows(nation))
+
+    // 2. both dialects spell the 5 lattice types identically, and the
+    //    spellings are real executable SQL (Derby accepts the DDL)
+    import org.apache.spark.sql.types._
+    val lattice = Seq(BooleanType, LongType, DoubleType, TimestampType,
+      StringType)
+    val pg = lattice.map(TypeLattice.sqlType(_, TypeLattice.Postgres))
+    assert(pg == Seq("BOOLEAN", "INT", "FLOAT", "TIMESTAMP", "VARCHAR(255)"))
+    assert(lattice.map(TypeLattice.sqlType(_, TypeLattice.MySql)) == pg)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE lattice_t (" +
+          lattice.zipWithIndex.map { case (t, i) =>
+            s"c$i ${TypeLattice.sqlType(t)}" }.mkString(", ") + ")")
+      // 3. pre-created dialect-DDL table + truncate overwrite: rows are
+      //    replaced but the target's own DDL survives (M1 refresh parity)
+      conn.createStatement().execute(
+        "CREATE TABLE nation_ddl (" + nation.schema.fields.map(f =>
+          s"${TypeLattice.sanitize(f.name)} " +
+            TypeLattice.sqlType(TypeLattice.toLattice(f.dataType)))
+          .mkString(", ") + ")")
+      Warehouse.jdbcWriter(nation, url, "nation_ddl", "app", "app")
+        .mode("overwrite").save()
+      assert(rows(readBack("nation_ddl")) == rows(nation))
+      val five = nation.where(col("n_nationkey") < 5)
+      Warehouse.jdbcWriter(five, url, "nation_ddl", "app", "app")
+        .mode("overwrite").save()
+      assert(rows(readBack("nation_ddl")) == rows(five))
+      val md = conn.getMetaData.getColumns(null, "APP", "NATION_DDL", "N_NAME")
+      assert(md.next() && md.getString("TYPE_NAME") == "VARCHAR",
+        "truncate overwrite must preserve the target's own column DDL")
+    } finally conn.close()
+  }
+
   test("tableStats reports files, bytes, rows, columns") {
     val dir = java.nio.file.Files.createTempDirectory("stats").toString + "/t"
     graft.Tables.load(spark, sf(), "nation").repartition(3)
