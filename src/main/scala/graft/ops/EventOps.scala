@@ -104,11 +104,41 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** q86: partitioned-zone consumer — the zone layout a 100 TB events
+    * table actually uses. Events are materialized partitioned by
+    * `event_date` (hive-style day directories,
+    * Pipeline.materializePartitioned), and the query reads the zone
+    * back with a 3-of-30-day predicate: the scan's plan shows
+    * `PartitionFilters: [... (event_date >= 2024-01-10) ...]` and lists
+    * only the three matching day directories — 90% of the table is
+    * never opened (plan audit in PLANS.md). The zone write is
+    * idempotent per scale factor (skipped when present), so the gate
+    * measures the CONSUMER, not the one-time materialization. */
+  def partitionPruned(s: SparkSession, dir: String): DataFrame = {
+    val zone = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
+      s"events_by_day_${Integer.toHexString(dir.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(zone)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+      graft.pipeline.Pipeline.materializePartitioned(
+        s, ev, zone, Seq("event_date"))
+    }
+    s.read.parquet(zone)
+      .where(col("event_date").between("2024-01-10", "2024-01-12"))
+      .groupBy(col("event_date").cast("string").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tumbling_hourly" -> (tumblingHourly _),
     "q61_sessionize"      -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_asof_join"       -> (asofLastClick _),
-    "q63_range_join"      -> (rangeJoinClicks _))
+    "q63_range_join"      -> (rangeJoinClicks _),
+    "q86_partition_prune" -> (partitionPruned _))
 
   val oracle: Map[String, String] = Map(
     "q60_tumbling_hourly" ->
@@ -146,5 +176,11 @@ object EventOps {
         |  ON c.user_id = p.user_id AND c.event_type = 'click'
         |  AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 600000 AND epoch_ms(p.ts)
         |WHERE p.event_type = 'purchase'
-        |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin,
+    "q86_partition_prune" ->
+      """SELECT CAST(ts::DATE AS VARCHAR) AS day, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts::DATE BETWEEN '2024-01-10' AND '2024-01-12'
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
 }
