@@ -54,16 +54,48 @@ case object XxHash64 extends DedupHash(64) {
 }
 
 /** Cross-engine hash (DuckDB-reproducible): 60-bit md5 prefix.
-  * Permutations hash the decimal string `"<h>_<i>"` (both engines print
-  * BIGINT identically); the band key is the raw signature slice — an
-  * array grouping key (32 bytes instead of 8) so no second hash needs a
+  * Permutations are the classic universal family `(aᵢ·x + bᵢ) mod p`,
+  * p = 2³¹−1, over the hash's low 31 bits — one multiply-add per
+  * permutation (an earlier spelling re-md5'd a decimal string per
+  * permutation: 32 string hashes per shingle, measured 2× the whole
+  * query). p must sit just ABOVE the input range: a first attempt with
+  * p = 2⁶¹−1 wrapped at most once, leaving the map order-preserving in
+  * x — every doc pair sharing a few globally-small shingle hashes
+  * collided to the same minima (pair count exploded 40×). With p=2³¹−1
+  * the product wraps ~2³¹ times and aᵢ·x < 2⁶² keeps the arithmetic
+  * exact BIGINT in both engines (DuckDB overflow-checks; neither
+  * triggers). The band key is the raw signature slice — an array
+  * grouping key (32 bytes instead of 8) so no second hash needs a
   * cross-engine contract. */
 case object Md5Prefix extends DedupHash(60) {
+  /** 2³¹ − 1, the Mersenne prime of the permutation family. */
+  val P31: Long = (1L << 31) - 1
+  /** Deterministic splitmix64-derived constants: aᵢ ∈ [1, p−1],
+    * bᵢ ∈ [0, p−1]. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  val PermA: IndexedSeq[Long] =
+    (0 until Dedup.MinhashPerms).map(i => (mix(2L * i) >>> 3) % (P31 - 1) + 1)
+  val PermB: IndexedSeq[Long] =
+    (0 until Dedup.MinhashPerms).map(i => (mix(2L * i + 1) >>> 3) % P31)
+
   def h(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
   def perm(hc: Column, i: Int): Column =
-    h(concat(hc.cast("string"), lit("_" + i)))
+    (lit(PermA(i)) * (hc.bitwiseAND(lit(0x7FFFFFFFL)) % lit(P31)) +
+      lit(PermB(i))) % lit(P31)
   def bandKeySql(slice: String): String = slice
+
+  /** The identical family as a DuckDB VALUES relation `perms(i, a, b)`
+    * — spliced into the q37 oracle so both engines evaluate the same
+    * constants. */
+  def permsSqlValues: String =
+    (0 until Dedup.MinhashPerms)
+      .map(i => s"(${i}, ${PermA(i)}, ${PermB(i)})").mkString(", ")
 }
 
 object Dedup {
@@ -374,7 +406,7 @@ object Dedup {
         |    (len(a.t1) + len(b.t2) - len(list_intersect(a.t1, b.t2))) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
     "q37_minhash_lsh" ->
-      raw"""WITH words AS (
+      (raw"""WITH words AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
         |), shingled AS (
         |  SELECT doc_id,
@@ -385,10 +417,12 @@ object Dedup {
         |), feat AS (
         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
         |  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+        |), perms(i, a, b) AS (VALUES """.stripMargin + Md5Prefix.permsSqlValues +
+      raw"""
         |), minh AS (
         |  SELECT doc_id, i,
-        |    min(('0x' || substr(md5(h::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT) AS m
-        |  FROM feat CROSS JOIN range(32) t(i)
+        |    min((a::BIGINT * ((h & 2147483647) % 2147483647) + b) % 2147483647) AS m
+        |  FROM feat CROSS JOIN perms
         |  GROUP BY doc_id, i
         |), sig AS (
         |  SELECT doc_id, list(m ORDER BY i) AS sig FROM minh GROUP BY doc_id
@@ -404,7 +438,7 @@ object Dedup {
         |  len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 AS est_jaccard
         |FROM pairs
         |WHERE len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 >= 0.5
-        |ORDER BY id1, id2""".stripMargin,
+        |ORDER BY id1, id2""".stripMargin),
     "q38_simhash" ->
       raw"""WITH words AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

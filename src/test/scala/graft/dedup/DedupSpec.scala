@@ -39,6 +39,16 @@ class DedupSpec extends SparkSpec {
       s"missed pairs: ${(truePairs -- found).take(5)}")
   }
 
+  test("md5-prefix gate hash keeps full minhash-lsh recall") {
+    // the oracle-checkable hash must not just agree with DuckDB — it
+    // must still FIND the planted near-dups (a broken permutation
+    // family would agree cross-engine while flooding or dropping pairs)
+    val found = Dedup.minhashLshPairs(spark, sf(), hash = Md5Prefix).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert((truePairs -- found).isEmpty,
+      s"missed pairs under Md5Prefix: ${(truePairs -- found).take(5)}")
+  }
+
   test("simhash pair set agrees with brute-force truth") {
     val found = Dedup.simhashPairs(spark, sf()).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
