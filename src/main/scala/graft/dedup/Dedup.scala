@@ -166,16 +166,11 @@ object Dedup {
   val LshBands = 8                       // 8 bands × 4 rows
   val LshRows: Int = MinhashPerms / LshBands
 
-  /** Word-shingle column (3-grams joined by space); one array per doc.
-    * Built from the PASSED column via the lambda Column API (an expr()
-    * string would hardcode the column name and silently ignore `c`). */
-  private def shingles(c: Column, n: Int = 3): Column = {
-    val w = tokens(c)
-    when(size(w) < n, array(concat_ws(" ", w)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
-  }
+  /** Distinct word-shingle column (3-grams joined by space); one array
+    * per doc. Shares [[Tokens.ngrams]] so every module's n-grams match
+    * the oracle spelling. */
+  private def shingles(c: Column, n: Int = 3): Column =
+    array_distinct(Tokens.ngrams(c, n))
 
   /** Per-doc MinHash signature: explode shingles once, take the min of
     * a permuted hash per permutation — 32 associative mins, partially

@@ -90,12 +90,100 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok"))
 
+  /** q87: benchmark-contamination scan — the eval-set hygiene check a
+    * training pipeline runs before every release: which corpus docs
+    * share word n-grams with the held-out benchmark set, and how much.
+    * Here the "benchmark" is the deterministic 15% slice
+    * `doc_id % 20 < 3`; real pipelines pass the eval corpus and use
+    * 8-13-gram windows (3 here because the synthetic docs are short).
+    *
+    * Scale shape: n-grams are hashed to 8 bytes BEFORE the join
+    * ([[graft.dedup.Md5Prefix]] — cross-engine, so the oracle replays
+    * it); the benchmark gram set is distinct + broadcast (real
+    * benchmark sets are ≪ corpus); the corpus side is one scan,
+    * left-semi probed, counts partial-aggregated. Nothing quadratic,
+    * no string shuffles. */
+  def contamination(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val grams = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(array_distinct(Tokens.ngrams(col("text"), n))).as("g"))
+      .select(col("doc_id"), Md5Prefix.h(col("g")).as("gh"))
+    val bench = grams.where(col("doc_id") % 20 < 3)
+      .select(col("gh")).distinct()
+    val corpus = grams.where(col("doc_id") % 20 >= 3)
+    val hits = corpus.join(broadcast(bench), Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / col("n_grams"))
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** q88: PII detection + redaction — the scrub pass before text joins
+    * a training corpus. Regex families are RE2-safe (no lookaround) so
+    * Spark and DuckDB agree byte-for-byte. The synthetic tables carry
+    * no PII, so the query derives a deterministic contact string per
+    * customer (email always, phone on even keys) and the operator
+    * detects and redacts it — counts witness the detector, the
+    * redacted text witnesses the rewriter. Map-side only: scan speed
+    * at 100 TB. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9.]+@[a-z0-9.-]+"
+    val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+    val contact = concat(
+      col("c_name"), lit(" <user"), col("c_custkey"),
+      lit("@example.com>"),
+      when(col("c_custkey") % 2 === 0,
+        concat(lit(" ph +1-"),
+          lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
+          lit("-"),
+          lpad((col("c_custkey") % 9000 + 1000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), contact.as("contact"))
+      .select(col("c_custkey"),
+        regexp_count(col("contact"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("contact"), lit(phoneRe)).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("contact"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  /** q89: repetition scoring — the degenerate-text filter (boilerplate,
+    * keyboard mashing, decoding loops): duplicate-bigram ratio and
+    * adjacent-token repeat ratio, both linear per document and
+    * map-side only. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val g2 = Tokens.ngrams(col("text"), 2)
+    val adj = when(size(w) < 2, lit(0)).otherwise(
+      size(filter(
+        transform(sequence(lit(1), size(w) - 1),
+          i => element_at(w, i) === element_at(w, i + 1)),
+        x => x)))
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      size(w).as("n_tokens"),
+      (lit(1.0) - size(array_distinct(g2)) / size(g2)).as("dup_2gram_ratio"),
+      (adj / size(g2)).as("adj_repeat_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_token_freq"    -> (tokenFrequency _),
     "q30_token_stats"   -> (tokenStats _),
     "q31_quality_score" -> (qualityScore _),
     "q32_langid"        -> (langId _),
-    "q33_fingerprint"   -> (fingerprint _))
+    "q33_fingerprint"   -> (fingerprint _),
+    "q87_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
+    "q88_pii_redact"    -> (piiRedact _),
+    "q89_repetition"    -> (repetition _))
 
   val oracle: Map[String, String] = Map(
     "q95_token_freq" ->
@@ -136,5 +224,57 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q87_contamination" ->
+      raw"""WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS gh
+        |  FROM (SELECT doc_id, unnest(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct([array_to_string(w[i+1:i+3], ' ')
+        |                             for i in range(0, len(w) - 2)]) END) AS s
+        |    FROM words)
+        |), bench AS (
+        |  SELECT DISTINCT gh FROM g WHERE doc_id % 20 < 3
+        |)
+        |SELECT c.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    / count(*) AS contamination
+        |FROM (SELECT * FROM g WHERE doc_id % 20 >= 3) c
+        |LEFT JOIN bench b USING (gh)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "q88_pii_redact" ->
+      raw"""WITH c AS (
+        |  SELECT c_custkey,
+        |    c_name || ' <user' || c_custkey || '@example.com>' ||
+        |    CASE WHEN c_custkey % 2 = 0
+        |      THEN ' ph +1-' || lpad((c_custkey % 900 + 100)::VARCHAR, 3, '0')
+        |        || '-' || lpad((c_custkey % 9000 + 1000)::VARCHAR, 4, '0')
+        |      ELSE '' END AS contact
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(contact, '[a-z0-9.]+@[a-z0-9.-]+')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(contact, '\+1-[0-9]{3}-[0-9]{4}')) AS INTEGER)
+        |    AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(contact, '[a-z0-9.]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |FROM c ORDER BY c_custkey""".stripMargin,
+    "q89_repetition" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) < 2
+        |      THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+        |      ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+2], ' ')
+        |            for i in range(0, len(string_split_regex(trim(text), '\s+')) - 1)]
+        |    END AS g2
+        |  FROM documents)
+        |SELECT doc_id, len(w) AS n_tokens,
+        |  1.0 - len(list_distinct(g2)) / len(g2) AS dup_2gram_ratio,
+        |  len([i for i in range(1, len(w)) if w[i] = w[i+1]]) / len(g2)
+        |    AS adj_repeat_ratio
+        |FROM t ORDER BY doc_id""".stripMargin)
 }

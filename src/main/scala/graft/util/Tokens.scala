@@ -13,4 +13,20 @@ import org.apache.spark.sql.functions.{split, trim}
   */
 object Tokens {
   def whitespace(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-grams (space-joined) over the whitespace tokens; documents
+    * shorter than `n` tokens collapse to ONE n-gram of the whole text.
+    * DuckDB spelling:
+    * `CASE WHEN len(w) < n THEN [array_to_string(w, ' ')]
+    *  ELSE [array_to_string(w[i+1:i+n], ' ') for i in range(0, len(w)-n+1)] END`.
+    * Callers wanting distinct n-grams wrap in `array_distinct`
+    * (`list_distinct`). */
+  def ngrams(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val w = whitespace(c)
+    when(size(w) < n, array(concat_ws(" ", w)))
+      .otherwise(transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+  }
 }
