@@ -1,0 +1,98 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Merge-on-read zone table: the reconciled view must match the
+  * copy-on-write merge semantics row-for-row, writes must be O(delta)
+  * (base untouched), and compaction must preserve the view. */
+class MergeOnReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot(): String =
+    java.nio.file.Files.createTempDirectory("mor").toString + "/t"
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.select("id", "name", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  private def baseFiles(root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/base")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SwapPublish.parquetFiles(fs, p)
+      .map(f => f.getPath.toString + "@" + f.getModificationTime).toSet
+  }
+
+  test("merge view matches copy-on-write semantics; base files untouched") {
+    val root = newRoot()
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "score")
+    MergeOnRead.init(spark, root, base)
+    val before = baseFiles(root)
+
+    val updates = Seq((2L, "b2", 20.0), (4L, "d", 4.0))
+      .toDF("id", "name", "score")
+    MergeOnRead.merge(spark, root, updates, Seq("id"))
+
+    assert(rows(MergeOnRead.read(spark, root, Seq("id"))) ==
+      Set((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    assert(baseFiles(root) == before, "merge must not rewrite the base")
+  }
+
+  test("later epochs win; tombstones hide base rows and earlier upserts") {
+    val root = newRoot()
+    MergeOnRead.init(spark, root,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"))
+    MergeOnRead.merge(spark, root,
+      Seq((2L, "b2", 20.0), (3L, "c", 3.0)).toDF("id", "name", "score"),
+      Seq("id"))
+    MergeOnRead.merge(spark, root,
+      Seq((2L, "b3", 30.0)).toDF("id", "name", "score"), Seq("id"))
+    MergeOnRead.delete(spark, root, Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+
+    assert(rows(MergeOnRead.read(spark, root, Seq("id"))) ==
+      Set((1L, "a", 1.0), (2L, "b3", 30.0)))
+    assert(MergeOnRead.epochs(spark, root) == Seq(1L, 2L, 3L))
+  }
+
+  test("re-inserting a deleted key resurrects it (delete is not final)") {
+    val root = newRoot()
+    MergeOnRead.init(spark, root,
+      Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    MergeOnRead.delete(spark, root, Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    MergeOnRead.merge(spark, root,
+      Seq((1L, "a2", 10.0)).toDF("id", "name", "score"), Seq("id"))
+    assert(rows(MergeOnRead.read(spark, root, Seq("id"))) ==
+      Set((1L, "a2", 10.0)))
+  }
+
+  test("compact preserves the view and clears the delta chain") {
+    val root = newRoot()
+    MergeOnRead.init(spark, root,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"))
+    MergeOnRead.merge(spark, root,
+      Seq((2L, "b2", 20.0), (5L, "e", 5.0)).toDF("id", "name", "score"),
+      Seq("id"))
+    MergeOnRead.delete(spark, root, Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+
+    val viewBefore = rows(MergeOnRead.read(spark, root, Seq("id")))
+    MergeOnRead.compact(spark, root, Seq("id"))
+    assert(MergeOnRead.epochs(spark, root).isEmpty, "deltas must be cleared")
+    assert(rows(MergeOnRead.read(spark, root, Seq("id"))) == viewBefore)
+    // and the table keeps accepting merges after compaction
+    MergeOnRead.merge(spark, root,
+      Seq((6L, "f", 6.0)).toDF("id", "name", "score"), Seq("id"))
+    assert(rows(MergeOnRead.read(spark, root, Seq("id"))) ==
+      viewBefore + ((6L, "f", 6.0)))
+  }
+
+  test("init refuses an existing table") {
+    val root = newRoot()
+    val df = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    MergeOnRead.init(spark, root, df)
+    intercept[IllegalArgumentException] {
+      MergeOnRead.init(spark, root, df)
+    }
+  }
+}
