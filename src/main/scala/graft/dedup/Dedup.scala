@@ -358,6 +358,83 @@ object Dedup {
     perDoc.select(col("doc_id"), col("source"), simhash.as("simhash"))
   }
 
+  /** q98: near-dup CLUSTERS and survivor choice — what a dedup pipeline
+    * actually ships: pair lists (q36-q38) folded into connected
+    * components, one representative (min doc_id) kept per component.
+    *
+    * Components via min-label propagation WITH pointer jumping: each
+    * round every node takes the min label over itself and its
+    * neighbors (edge step), then chases its label's label (jump step) —
+    * the jump halves chain lengths, so rounds are O(log diameter)
+    * instead of O(diameter); this is the same regime as the
+    * large-star/small-star map-reduce CC algorithm. Each round is two
+    * shuffle joins on bounded-size (id, label) pairs — never the text,
+    * never the pair list squared. Convergence is detected by the label
+    * SUM reaching a fixpoint (labels only decrease; one tiny aggregate
+    * per round crosses the driver). The fixpoint — min component id per
+    * node — is iteration-order independent, which is what makes an
+    * engine-independent oracle possible (recursive CTE in DuckDB). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+    // BOTH edge directions from one pass over the pair pipeline: a
+    // union of two selects would re-plan the whole jaccard derivation
+    // per branch (the multi-branch recompute trap — measured 2×).
+    val edges = jaccardPairs(s, dir)
+      .select(explode(array(
+        struct(col("id1").as("src"), col("id2").as("dst")),
+        struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The label table is broadcast in both per-round joins: labels are
+    // (id, label) pairs — KB here, and still only 16 bytes/node at
+    // 10⁹-node scale (~16 GB: past broadcast range). At that scale drop
+    // the hints and pre-partition `edges` by src once: every round's
+    // joins then co-locate on id with a single exchange for the
+    // groupBy — same algorithm, same round count.
+    var prevSum = Long.MaxValue
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 40) {
+      val nbrMin = edges.join(broadcast(labels), edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+      // persisted: the jump join reads `stepped` on BOTH sides — uncached,
+      // the broadcast build branch would recompute the whole round
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val jumpTo = stepped.select(col("id").as("jid"), col("label").as("jlabel"))
+      // localCheckpoint (eager), NOT persist: each round's plan nests
+      // every prior round's joins, and optimizer time on that chain
+      // grows super-linearly — round 3 took 65 s of pure planning before the
+      // lineage cut (execution itself was ~1 s). Checkpointing roots a
+      // fresh plan per round. (On a cluster with lossy executors use
+      // reliable checkpoint() instead — same shape.)
+      val next = stepped.join(broadcast(jumpTo),
+          stepped("label") === jumpTo("jid"))
+        .select(col("id"), col("jlabel").as("label"))
+        .localCheckpoint()
+      val sum = next.agg(org.apache.spark.sql.functions.sum(col("label")))
+        .head().getLong(0)
+      stepped.unpersist()
+      labels.unpersist()
+      labels = next
+      converged = sum == prevSum
+      prevSum = sum
+      rounds += 1
+    }
+    val out = labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   /** q37/q38 run under [[Md5Prefix]] so the FULL LSH pipelines are
     * oracle-checked (DuckDB reproduces the hash); library callers default
     * to the faster [[XxHash64]]. */
@@ -368,7 +445,27 @@ object Dedup {
     "q37_minhash_lsh"   -> ((s: SparkSession, d: String) =>
       minhashLshPairs(s, d, hash = Md5Prefix)),
     "q38_simhash"       -> ((s: SparkSession, d: String) =>
-      simhashPairs(s, d, hash = Md5Prefix)))
+      simhashPairs(s, d, hash = Md5Prefix)),
+    "q98_dedup_clusters" -> (dedupClusters _))
+
+  /** The q36 pair derivation as a bare SQL body — shared by the q36
+    * oracle and q98's recursive-CTE clustering oracle so the two can
+    * never drift. */
+  private val JaccardPairsSql: String =
+    """SELECT a.id1, b.id2,
+      |  len(list_intersect(a.t1, b.t2)) /
+      |    (len(a.t1) + len(b.t2) - len(list_intersect(a.t1, b.t2))) AS jaccard
+      |FROM
+      |  (SELECT doc_id AS id1, source,
+      |     list_distinct(string_split_regex(trim(text), '\s+')) AS t1
+      |   FROM documents) a
+      |JOIN
+      |  (SELECT doc_id AS id2, source,
+      |     list_distinct(string_split_regex(trim(text), '\s+')) AS t2
+      |   FROM documents) b
+      |ON a.source = b.source AND a.id1 < b.id2
+      |WHERE len(list_intersect(a.t1, b.t2)) /
+      |    (len(a.t1) + len(b.t2) - len(list_intersect(a.t1, b.t2))) >= 0.8""".stripMargin
 
   /** The q37/q38 oracles replay the ENTIRE pipeline in DuckDB SQL —
     * shingling, md5-prefix hashing, signatures, banding, candidate
@@ -385,21 +482,19 @@ object Dedup {
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q36_jaccard_pairs" ->
-      """SELECT a.id1, b.id2,
-        |  len(list_intersect(a.t1, b.t2)) /
-        |    (len(a.t1) + len(b.t2) - len(list_intersect(a.t1, b.t2))) AS jaccard
-        |FROM
-        |  (SELECT doc_id AS id1, source,
-        |     list_distinct(string_split_regex(trim(text), '\s+')) AS t1
-        |   FROM documents) a
-        |JOIN
-        |  (SELECT doc_id AS id2, source,
-        |     list_distinct(string_split_regex(trim(text), '\s+')) AS t2
-        |   FROM documents) b
-        |ON a.source = b.source AND a.id1 < b.id2
-        |WHERE len(list_intersect(a.t1, b.t2)) /
-        |    (len(a.t1) + len(b.t2) - len(list_intersect(a.t1, b.t2))) >= 0.8
-        |ORDER BY id1, id2""".stripMargin,
+      (JaccardPairsSql + "\nORDER BY id1, id2"),
+    "q98_dedup_clusters" ->
+      ("WITH RECURSIVE p AS (\n" + JaccardPairsSql + "\n), " +
+        """e(src, dst) AS (
+        |  SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p
+        |), reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+        |)
+        |SELECT id AS doc_id, min(label) AS cluster_id,
+        |  (id = min(label)) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     "q37_minhash_lsh" ->
       (raw"""WITH words AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
