@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka-SHAPED source plumbing — everything around a Kafka topic
+  * except the broker connection (no Kafka client ships in this build;
+  * `spark-sql-kafka` exposes exactly this schema, so swapping
+  * [[simulatedTopic]] for `spark.readStream.format("kafka")` is a
+  * one-line change and nothing downstream moves):
+  *
+  *  - [[WireSchema]]: the record shape Spark's Kafka source emits
+  *    (key/value bytes + topic/partition/offset/timestamp metadata);
+  *  - [[decode]]: value-bytes → typed columns via `from_json`, with
+  *    malformed records ROUTED, not dropped — the wire metadata rides
+  *    along so a dead-lettered record can be replayed by offset;
+  *  - [[highWaterMarks]]: per-(topic, partition) max offset + count of
+  *    a micro-batch — what an exactly-once sink commits atomically with
+  *    its output so restarts resume instead of re-emitting;
+  *  - [[simulatedTopic]]: a file-backed stand-in emitting [[WireSchema]]
+  *    records for tests and demos.
+  */
+object KafkaShaped {
+
+  /** The record schema of Spark's Kafka source, field for field. */
+  val WireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Wire-metadata columns every decoded row carries. */
+  private val Meta = Seq("topic", "partition", "offset")
+
+  /** Decode JSON value bytes into `valueSchema` columns. Rows whose
+    * value fails to parse keep `decode_error = true` and the raw value
+    * in `raw_value` — split with [[deadLetterSplit]]; nothing is
+    * silently dropped. A row is malformed when EVERY target field is
+    * null but the raw bytes are non-null (from_json PERMISSIVE
+    * semantics), which distinguishes corrupt bytes from a legitimate
+    * all-null record only when the schema has at least one required
+    * field in practice — documents the same contract as
+    * Streams.deadLetterStream. */
+  def decode(wire: DataFrame, valueSchema: StructType): DataFrame = {
+    val parsed = wire
+      .withColumn("raw_value", col("value").cast("string"))
+      .withColumn("v", from_json(col("raw_value"), valueSchema))
+    val allNull = valueSchema.fieldNames
+      .map(f => col("v").getField(f).isNull)
+      .reduce(_ && _)
+    parsed.select(
+      Meta.map(col) ++
+        Seq(col("timestamp").as("kafka_ts"),
+          (col("raw_value").isNotNull && allNull).as("decode_error"),
+          col("raw_value")) ++
+        valueSchema.fieldNames.map(f => col("v").getField(f).as(f)): _*)
+  }
+
+  /** (good, bad) split of a decoded batch/stream. */
+  def deadLetterSplit(decoded: DataFrame): (DataFrame, DataFrame) =
+    (decoded.where(!col("decode_error")).drop("decode_error", "raw_value"),
+      decoded.where(col("decode_error"))
+        .select((Meta :+ "kafka_ts" :+ "raw_value").map(col): _*))
+
+  /** Per-(topic, partition) high-water mark + row count of a batch —
+    * the offsets an exactly-once sink commits with its output. */
+  def highWaterMarks(batch: DataFrame): DataFrame =
+    batch.groupBy(col("topic"), col("partition"))
+      .agg(max(col("offset")).as("hwm"), count(lit(1)).as("n"))
+      .orderBy("topic", "partition")
+
+  /** File-backed topic: stream JSON lines shaped
+    * `{topic, partition, offset, ts_ms, key, value}` from `dir` and
+    * emit [[WireSchema]] records. Used by tests/demos; a real
+    * deployment replaces this one call with the kafka format. */
+  def simulatedTopic(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = StructType(Seq(
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("ts_ms", LongType),
+      StructField("key", StringType),
+      StructField("value", StringType)))
+    spark.readStream.format("json").schema(fileSchema)
+      .option("maxFilesPerTrigger", "64")
+      .load(dir)
+      .select(
+        col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"),
+        col("topic"),
+        col("partition"),
+        col("offset"),
+        timestamp_millis(col("ts_ms")).as("timestamp"),
+        lit(0).as("timestampType"))
+  }
+}
