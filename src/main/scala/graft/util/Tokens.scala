@@ -21,9 +21,14 @@ object Tokens {
     *  ELSE [array_to_string(w[i+1:i+n], ' ') for i in range(0, len(w)-n+1)] END`.
     * Callers wanting distinct n-grams wrap in `array_distinct`
     * (`list_distinct`). */
-  def ngrams(c: Column, n: Int): Column = {
+  def ngrams(c: Column, n: Int): Column = ngramsOf(whitespace(c), n)
+
+  /** Same, over an ALREADY-tokenized array column — callers that need
+    * the token array for other expressions too should tokenize once
+    * into a column and pass it here (the text variant inlines the
+    * split into every consumer). */
+  def ngramsOf(w: Column, n: Int): Column = {
     import org.apache.spark.sql.functions._
-    val w = whitespace(c)
     when(size(w) < n, array(concat_ws(" ", w)))
       .otherwise(transform(
         sequence(lit(0), size(w) - n),
