@@ -166,11 +166,15 @@ object Dedup {
   val LshBands = 8                       // 8 bands × 4 rows
   val LshRows: Int = MinhashPerms / LshBands
 
-  /** Distinct word-shingle column (3-grams joined by space); one array
-    * per doc. Shares [[Tokens.ngrams]] so every module's n-grams match
-    * the oracle spelling. */
-  private def shingles(c: Column, n: Int = 3): Column =
-    array_distinct(Tokens.ngrams(c, n))
+  /** Distinct word-shingle column (3-grams joined by space) over an
+    * ALREADY-tokenized array column; one array per doc. Shares
+    * [[Tokens.ngramsOf]] so every module's n-grams match the oracle
+    * spelling. Taking the token ARRAY is deliberate: passing the text
+    * would inline the split() into the n-gram lambda, which re-evaluates
+    * it per shingle — O(tokens²) splits per document (measured 12× on
+    * q89's identical shape). */
+  private def shinglesOf(w: Column, n: Int = 3): Column =
+    array_distinct(Tokens.ngramsOf(w, n))
 
   /** Per-doc MinHash signature: explode shingles once, take the min of
     * a permuted hash per permutation — 32 associative mins, partially
@@ -184,7 +188,8 @@ object Dedup {
     // parquet split, and shingling is the CPU-bound stage
     val docs = Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(shinglesOf(col("w"))).as("sh"))
       .select(col("doc_id"), hash.h(col("sh")).as("h"))
     val aggs = (0 until MinhashPerms).map(i =>
       min(hash.perm(col("h"), i)).as(s"m$i"))
@@ -343,8 +348,9 @@ object Dedup {
     // (observed empirically: 12/14 unigram pairs had true Jaccard ≈ 0).
     val words = Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
-        explode(shingles(col("text"))).as("w"))
+        explode(shinglesOf(col("toks"))).as("w"))
       .withColumn("h", hash.h(col("w")))
     val bitSums = (0 until hash.bits).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1)

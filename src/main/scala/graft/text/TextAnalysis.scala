@@ -107,8 +107,9 @@ object TextAnalysis {
     import graft.dedup.Md5Prefix
     val grams = Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"),
-        explode(array_distinct(Tokens.ngrams(col("text"), n))).as("g"))
+        explode(array_distinct(Tokens.ngramsOf(col("w"), n))).as("g"))
       .select(col("doc_id"), Md5Prefix.h(col("g")).as("gh"))
     val bench = grams.where(col("doc_id") % 20 < 3)
       .select(col("gh")).distinct()
