@@ -403,42 +403,47 @@ object Dedup {
     var prevSum = Long.MaxValue
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 40) {
-      val nbrMin = edges.join(broadcast(labels), edges("src") === labels("id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
-      // persisted: the jump join reads `stepped` on BOTH sides — uncached,
-      // the broadcast build branch would recompute the whole round
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val jumpTo = stepped.select(col("id").as("jid"), col("label").as("jlabel"))
-      // localCheckpoint (eager), NOT persist: each round's plan nests
-      // every prior round's joins, and optimizer time on that chain
-      // grows super-linearly — round 3 took 65 s of pure planning before the
-      // lineage cut (execution itself was ~1 s). Checkpointing roots a
-      // fresh plan per round. (On a cluster with lossy executors use
-      // reliable checkpoint() instead — same shape.)
-      val next = stepped.join(broadcast(jumpTo),
-          stepped("label") === jumpTo("jid"))
-        .select(col("id"), col("jlabel").as("label"))
-        .localCheckpoint()
-      val sum = next.agg(org.apache.spark.sql.functions.sum(col("label")))
-        .head().getLong(0)
-      stepped.unpersist()
-      labels.unpersist()
-      labels = next
-      converged = sum == prevSum
-      prevSum = sum
-      rounds += 1
-    }
-    val out = labels
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
-    edges.unpersist()
-    out
+    try {
+      while (!converged && rounds < 40) {
+        val nbrMin = edges.join(broadcast(labels), edges("src") === labels("id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+        // persisted: the jump join reads `stepped` on BOTH sides — uncached,
+        // the broadcast build branch would recompute the whole round
+        val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")))
+              .as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val jumpTo = stepped.select(col("id").as("jid"),
+            col("label").as("jlabel"))
+          // localCheckpoint (eager), NOT persist: each round's plan nests
+          // every prior round's joins, and optimizer time on that chain
+          // grows super-linearly — round 3 took 65 s of pure planning
+          // before the lineage cut (execution itself was ~1 s).
+          // Checkpointing roots a fresh plan per round. (On a cluster
+          // with lossy executors use reliable checkpoint() instead —
+          // same shape.)
+          val next = stepped.join(broadcast(jumpTo),
+              stepped("label") === jumpTo("jid"))
+            .select(col("id"), col("jlabel").as("label"))
+            .localCheckpoint()
+          val sumRow = next
+            .agg(org.apache.spark.sql.functions.sum(col("label"))).head()
+          // null aggregate = empty corpus: converge immediately
+          val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+          labels.unpersist()
+          labels = next
+          converged = sum == prevSum
+          prevSum = sum
+          rounds += 1
+        } finally stepped.unpersist()
+      }
+      labels
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    } finally edges.unpersist()
   }
 
   /** q37/q38 run under [[Md5Prefix]] so the FULL LSH pipelines are

@@ -120,10 +120,20 @@ object EventOps {
     val p = new org.apache.hadoop.fs.Path(zone)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
+      // staging + rename: the existence gate must only ever see a FULLY
+      // written zone — a run killed mid-write would otherwise leave a
+      // partial directory that every later run silently trusts
+      val staging = new org.apache.hadoop.fs.Path(zone + ".staging")
+      fs.delete(staging, true)
       val ev = Tables.load(s, dir, "events")
         .withColumn("event_date", to_date(col("ts")))
       graft.pipeline.Pipeline.materializePartitioned(
-        s, ev, zone, Seq("event_date"))
+        s, ev, staging.toString, Seq("event_date"))
+      // a concurrent run may have published first — losing the race is
+      // fine, the content is identical
+      if (!fs.rename(staging, p) && !fs.exists(p))
+        sys.error(s"could not publish events zone at $zone")
+      fs.delete(staging, true)
     }
     s.read.parquet(zone)
       .where(col("event_date").between("2024-01-10", "2024-01-12"))

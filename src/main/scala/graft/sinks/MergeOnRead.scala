@@ -82,8 +82,12 @@ object MergeOnRead {
             keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     val base = spark.read.parquet(basePath(root))
+    // cast through the base schema: a caller-typed INT key against a
+    // BIGINT base would otherwise write an epoch dir whose parquet
+    // physical type conflicts and break every later read
     appendDelta(spark, root,
-      updates.select(base.columns.map(col).toIndexedSeq: _*)
+      updates.select(base.columns.map(c =>
+        col(c).cast(base.schema(c).dataType).as(c)).toIndexedSeq: _*)
         .withColumn(OpCol, lit("u")))
   }
 
@@ -93,7 +97,8 @@ object MergeOnRead {
              keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "delete requires at least one key column")
     val base = spark.read.parquet(basePath(root))
-    val tombstones = keys.select(keyCols.map(col): _*)
+    val tombstones = keys.select(keyCols.map(c =>
+      col(c).cast(base.schema(c).dataType).as(c)): _*)
     val widened = base.columns.foldLeft(tombstones) { (df, c) =>
       if (keyCols.contains(c)) df
       else df.withColumn(c, lit(null).cast(base.schema(c).dataType))

@@ -33,8 +33,10 @@ object KafkaShaped {
     StructField("timestamp", TimestampType),
     StructField("timestampType", IntegerType)))
 
-  /** Wire-metadata columns every decoded row carries. */
-  private val Meta = Seq("topic", "partition", "offset")
+  /** Wire-metadata columns every decoded row carries — including the
+    * record `key`, so keyed semantics (compaction, per-key dedup) and
+    * faithful dead-letter replay survive the decode. */
+  private val Meta = Seq("key", "topic", "partition", "offset")
 
   /** Decode JSON value bytes into `valueSchema` columns. Rows whose
     * value fails to parse keep `decode_error = true` and the raw value
@@ -46,6 +48,8 @@ object KafkaShaped {
     * field in practice — documents the same contract as
     * Streams.deadLetterStream. */
   def decode(wire: DataFrame, valueSchema: StructType): DataFrame = {
+    require(valueSchema.fields.nonEmpty,
+      "decode requires a non-empty value schema")
     val parsed = wire
       .withColumn("raw_value", col("value").cast("string"))
       .withColumn("v", from_json(col("raw_value"), valueSchema))

@@ -113,15 +113,17 @@ object TextAnalysis {
       .select(col("doc_id"), Md5Prefix.h(col("g")).as("gh"))
     val bench = grams.where(col("doc_id") % 20 < 3)
       .select(col("gh")).distinct()
-    val corpus = grams.where(col("doc_id") % 20 >= 3)
-    val hits = corpus.join(broadcast(bench), Seq("gh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)) / col("n_grams"))
-          .as("contamination"))
+    // ONE corpus-side pass: left join against the broadcast benchmark
+    // set (distinct ⇒ at most one match per gram) and count hits and
+    // totals in the same aggregation — a semi-join + separate totals
+    // aggregate would plan the gram pipeline once per branch (the
+    // multi-branch recompute trap; see Dedup.dedupClusters).
+    grams.where(col("doc_id") % 20 >= 3)
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit") / col("n_grams")).as("contamination"))
       .orderBy("doc_id")
   }
 

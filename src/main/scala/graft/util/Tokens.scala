@@ -14,19 +14,18 @@ import org.apache.spark.sql.functions.{split, trim}
 object Tokens {
   def whitespace(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Word n-grams (space-joined) over the whitespace tokens; documents
-    * shorter than `n` tokens collapse to ONE n-gram of the whole text.
-    * DuckDB spelling:
+  /** Word n-grams (space-joined) over an ALREADY-tokenized array
+    * column; arrays shorter than `n` collapse to ONE n-gram of the
+    * whole text. DuckDB spelling:
     * `CASE WHEN len(w) < n THEN [array_to_string(w, ' ')]
     *  ELSE [array_to_string(w[i+1:i+n], ' ') for i in range(0, len(w)-n+1)] END`.
     * Callers wanting distinct n-grams wrap in `array_distinct`
-    * (`list_distinct`). */
-  def ngrams(c: Column, n: Int): Column = ngramsOf(whitespace(c), n)
-
-  /** Same, over an ALREADY-tokenized array column — callers that need
-    * the token array for other expressions too should tokenize once
-    * into a column and pass it here (the text variant inlines the
-    * split into every consumer). */
+    * (`list_distinct`).
+    *
+    * Deliberately NO text-column convenience overload: tokenize once
+    * into a column and pass that. Passing `whitespace(text)` directly
+    * inlines the split into the per-element lambda — O(tokens²) splits
+    * per document (measured 12× on q89). */
   def ngramsOf(w: Column, n: Int): Column = {
     import org.apache.spark.sql.functions._
     when(size(w) < n, array(concat_ws(" ", w)))

@@ -61,6 +61,10 @@ class KafkaShapedSpec extends SparkSpec {
     val b = badRows.head
     assert(b.getString(0) == "ev" && b.getInt(1) == 1 && b.getLong(2) == 4L)
     assert(b.getString(3) == "{not json") // raw bytes preserved for replay
+    // the record key survives too — a dead-lettered record can be
+    // re-produced faithfully
+    assert(spark.table("kbad").selectExpr("cast(key AS string)")
+      .collect().head.getString(0) == "u4")
   }
 
   test("high-water marks report max offset and count per partition") {
