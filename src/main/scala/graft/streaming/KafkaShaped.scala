@@ -77,6 +77,47 @@ object KafkaShaped {
       .agg(max(col("offset")).as("hwm"), count(lit(1)).as("n"))
       .orderBy("topic", "partition")
 
+  /** Exactly-once batch sink: each micro-batch lands in
+    * `outDir/batch_id=N` (a directory rename publish) and its
+    * high-water marks in `offsetsDir/batch_id=N` — and a batch that is
+    * ALREADY published is skipped, so a replay after a crash between
+    * sink commit and checkpoint advance cannot double-write. This is
+    * the standard idempotent-foreachBatch contract: Structured
+    * Streaming guarantees a deterministic (batchId → input) mapping
+    * under one checkpoint; the sink's job is only to make the write
+    * idempotent per batchId. Downstream consumers read `outDir/` and
+    * see every record exactly once; `offsetsDir` records per-partition
+    * offsets for cross-system reconciliation. */
+  def exactlyOnceSink(decoded: DataFrame, outDir: String, offsetsDir: String,
+                      checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = decoded.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$batchId")
+        if (!fs.exists(out)) { // replayed batch: already published → skip
+          batch.persist()
+          try {
+            val staging =
+              new org.apache.hadoop.fs.Path(s"$outDir/.staging-$batchId")
+            fs.delete(staging, true)
+            batch.write.mode("overwrite").parquet(staging.toString)
+            highWaterMarks(batch).write.mode("overwrite")
+              .parquet(s"$offsetsDir/batch_id=$batchId")
+            if (!fs.rename(staging, out))
+              sys.error(s"exactlyOnceSink: could not publish batch $batchId")
+          } finally batch.unpersist()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** File-backed topic: stream JSON lines shaped
     * `{topic, partition, offset, ts_ms, key, value}` from `dir` and
     * emit [[WireSchema]] records. Used by tests/demos; a real

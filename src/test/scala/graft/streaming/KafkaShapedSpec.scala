@@ -67,6 +67,30 @@ class KafkaShapedSpec extends SparkSpec {
       .collect().head.getString(0) == "u4")
   }
 
+  test("exactly-once sink: replayed batches do not double-write") {
+    val base = Files.createTempDirectory("kafka_eos").toString
+    val in = s"$base/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    writeTopicFile(in)
+    val decoded = KafkaShaped.decode(
+      KafkaShaped.simulatedTopic(spark, in), valueSchema)
+    KafkaShaped.exactlyOnceSink(decoded, s"$base/out", s"$base/offs",
+      s"$base/ckpt1")
+    val out1 = spark.read.parquet(s"$base/out")
+    assert(out1.count() == 4)
+    // same input under a FRESH checkpoint: batch 0 replays from scratch
+    // — the already-published batch dir makes the write a no-op
+    KafkaShaped.exactlyOnceSink(decoded, s"$base/out", s"$base/offs",
+      s"$base/ckpt2")
+    assert(spark.read.parquet(s"$base/out").count() == 4,
+      "replay must not double-write")
+    // committed offsets match the batch's high-water marks
+    val hwm = spark.read.parquet(s"$base/offs")
+      .select("topic", "partition", "hwm", "n").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(hwm.toSeq == Seq(("ev", 0, 7L, 2L), ("ev", 1, 4L, 2L)))
+  }
+
   test("high-water marks report max offset and count per partition") {
     val dir = Files.createTempDirectory("kafka_hwm").toString
     writeTopicFile(dir)
