@@ -154,7 +154,29 @@ object Wave3 {
       .select(col("doc_id"), posexplode_outer(col("arr")).as(Seq("pos", "tok")))
       .orderBy("doc_id", "pos")
 
+  /** q99: fixed-width histogram — the data-profiling primitive (one
+    * scan, map-side bucket assignment, tiny shuffle of partial counts;
+    * out-of-range values clamp into the edge buckets). Integer bucket
+    * arithmetic from one double division+floor — IEEE-identical
+    * cross-engine. */
+  def histogram(s: SparkSession, dir: String, lo: Double = 0.0,
+                hi: Double = 120000.0, buckets: Int = 24): DataFrame = {
+    val width = (hi - lo) / buckets
+    val bucket = least(greatest(
+      floor((col("l_extendedprice") - lo) / width), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast("long")
+    Tables.load(s, dir, "lineitem")
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("lo_edge"),
+        (lit(lo) + (col("bucket") + 1) * width).as("hi_edge"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_histogram"     -> ((s: SparkSession, d: String) => histogram(s, d)),
     "q85_generators"    -> (generators _),
     "q84_approx_stats"  -> (approxStats _),
     "q82_misc_scalars"  -> (miscScalars _),
@@ -164,6 +186,15 @@ object Wave3 {
     "q81_value_funcs"   -> (valueFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "q99_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(GREATEST(
+        |    floor((l_extendedprice - 0.0) / 5000.0), 0.0), 23.0) AS BIGINT)
+        |    AS bucket
+        |  FROM lineitem)
+        |SELECT bucket, 0.0 + bucket * 5000.0 AS lo_edge,
+        |  0.0 + (bucket + 1) * 5000.0 AS hi_edge, count(*) AS n
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q85_generators" ->
       """WITH d AS (
         |  SELECT doc_id,
