@@ -175,7 +175,20 @@ object Wave3 {
       .orderBy("bucket")
   }
 
+  /** q100: the custom whole-operator Catalyst extension
+    * (graft.plans.TopK — LogicalPlan + Strategy + physical heap top-k)
+    * on the q15 shape, oracle-checked against the window spelling it
+    * replaces: same rows, O(n log k) and no sort spill instead of a
+    * full per-partition sort. */
+  def topkCustom(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.topKPerGroup(
+      Tables.load(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice")),
+      Seq("p_brand"), "p_retailprice", "p_partkey", k = 3)
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_topk_plan"    -> (topkCustom _),
     "q99_histogram"     -> ((s: SparkSession, d: String) => histogram(s, d)),
     "q85_generators"    -> (generators _),
     "q84_approx_stats"  -> (approxStats _),
@@ -186,6 +199,14 @@ object Wave3 {
     "q81_value_funcs"   -> (valueFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "q100_topk_plan" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t
+        |WHERE rn <= 3
+        |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin,
     "q99_histogram" ->
       """WITH b AS (
         |  SELECT CAST(LEAST(GREATEST(
