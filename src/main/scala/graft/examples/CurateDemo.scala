@@ -48,19 +48,22 @@ object CurateDemo {
     // 3. exact + near-dup survivors (connected components, min doc_id)
     val survivors = Dedup.dedupClusters(spark, sfDir).where(col("keep"))
 
-    val curated = docs
-      .join(lang.select("doc_id"), "doc_id")
-      .join(quality.select("doc_id"), "doc_id")
-      .join(lowRep.select("doc_id"), "doc_id")
-      .join(survivors.select("doc_id"), "doc_id")
-    curated.write.mode("overwrite").parquet(s"$out/documents")
+    try {
+      val curated = docs
+        .join(lang.select("doc_id"), "doc_id")
+        .join(quality.select("doc_id"), "doc_id")
+        .join(lowRep.select("doc_id"), "doc_id")
+        .join(survivors.select("doc_id"), "doc_id")
+      curated.write.mode("overwrite").parquet(s"$out/documents")
 
-    val kept = spark.read.parquet(s"$out/documents").count()
-    val toks = TextAnalysis.tokenStats(spark, sfDir)
-      .join(spark.read.parquet(s"$out/documents").select("doc_id"), "doc_id")
-      .agg(sum(col("n_tokens"))).head().getLong(0)
-    println(s"curated: kept $kept/$total docs, $toks tokens -> $out/documents")
-    require(kept > 0 && kept <= total, "curation must keep a nonempty subset")
-    spark.stop()
+      val kept = spark.read.parquet(s"$out/documents").count()
+      require(kept > 0 && kept <= total,
+        s"curation must keep a nonempty subset (kept $kept of $total)")
+      // safe only after the nonempty check: sum over zero rows is null
+      val toks = TextAnalysis.tokenStats(spark, sfDir)
+        .join(spark.read.parquet(s"$out/documents").select("doc_id"), "doc_id")
+        .agg(sum(col("n_tokens"))).head().getLong(0)
+      println(s"curated: kept $kept/$total docs, $toks tokens -> $out/documents")
+    } finally spark.stop()
   }
 }

@@ -19,9 +19,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * plan is `row_number() OVER (PARTITION BY g ORDER BY v)` + filter:
   * a full sort of EVERY group's rows (O(n log n) per partition, sort
   * buffers sized by the whole partition, spill when big). This
-  * operator keeps one bounded k-heap per group instead: O(n log k),
-  * memory k rows per group, no sort spill — at 100 TB the difference
-  * between sorting every row of every key and streaming past them.
+  * operator keeps one bounded k-heap per group instead: O(n log k)
+  * comparisons and k·|groups-per-partition| rows of memory — the same
+  * memory regime as hash aggregation, NOT unconditionally better than
+  * the window: when rows-per-group ≫ k it streams past data the sort
+  * would buffer, but it has no spill path, so for extreme group
+  * cardinality per partition (k·groups approaching partition size)
+  * the spilling window sort is the right plan and this operator is
+  * the wrong one. Pick it the way you'd pick hash agg over sort agg.
   * The shuffle is unchanged (the node DECLARES
   * `ClusteredDistribution(group)` and lets Spark plan the exchange —
   * distribution contracts, not hand-wired exchanges).
@@ -57,14 +62,20 @@ case class TopKPerGroupExec(k: Int, group: Seq[Expression],
       val rankOrd = RowOrdering.create(
         Seq(SortOrder(orderExpr, Descending), SortOrder(tieExpr, Ascending)),
         childOutput)
-      // max-heap under rankOrd ⇒ head is the WORST kept row
-      val heapOrd: Ordering[InternalRow] =
-        (a: InternalRow, b: InternalRow) => rankOrd.compare(a, b)
       val heaps =
         mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       rows.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](heapOrd))
+        // probe with the projection's REUSED row; copy the key only on
+        // first insertion — the hot path allocates nothing
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            // max-heap under rankOrd ⇒ head is the WORST kept row
+            val h = mutable.PriorityQueue.empty[InternalRow](rankOrd)
+            heaps.put(probe.copy(), h)
+            h
+        }
         if (heap.size < kk) heap.enqueue(row.copy())
         else if (rankOrd.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
@@ -108,6 +119,9 @@ object TopK {
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
                    tieCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(groupCols.nonEmpty,
+      "topKPerGroup requires at least one group column (for global " +
+        "top-k use orderBy(...).limit(k) — Spark plans TakeOrdered)")
     install(df.sparkSession)
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute = analyzed.output

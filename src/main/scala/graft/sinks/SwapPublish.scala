@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, LocatedFileStatus, Path}
   * the backup-then-swap atomic-ish publish and the recursive parquet
   * data-file listing. One implementation so a crash-safety fix cannot
   * silently miss one of the paths. */
-private[sinks] object SwapPublish {
+private[graft] object SwapPublish {
 
   /** Publish `staging` over `target`: move the existing target aside
     * to `backup`, swap staging in, drop the backup. On a failed swap

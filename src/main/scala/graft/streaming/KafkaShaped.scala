@@ -78,38 +78,61 @@ object KafkaShaped {
       .orderBy("topic", "partition")
 
   /** Exactly-once batch sink: each micro-batch lands in
-    * `outDir/batch_id=N` (a directory rename publish) and its
-    * high-water marks in `offsetsDir/batch_id=N` — and a batch that is
-    * ALREADY published is skipped, so a replay after a crash between
-    * sink commit and checkpoint advance cannot double-write. This is
-    * the standard idempotent-foreachBatch contract: Structured
-    * Streaming guarantees a deterministic (batchId → input) mapping
-    * under one checkpoint; the sink's job is only to make the write
-    * idempotent per batchId. Downstream consumers read `outDir/` and
-    * see every record exactly once; `offsetsDir` records per-partition
-    * offsets for cross-system reconciliation. */
+    * `outDir/batch_id=N` (a staging + rename publish via the shared
+    * [[graft.sinks.SwapPublish]]) and its high-water marks in
+    * `offsetsDir/batch_id=N` AFTER the data is live — so a crash at any
+    * point leaves either nothing, or published data awaiting its
+    * offsets (healed on replay), never offsets advertising unpublished
+    * data. A replayed batch id is VERIFIED, not blindly skipped: its
+    * high-water marks must match the committed ones, so pointing a
+    * fresh checkpoint with different data at an old outDir fails loudly
+    * instead of silently dropping the batch. This is the standard
+    * idempotent-foreachBatch contract: Structured Streaming guarantees
+    * a deterministic (batchId → input) mapping under ONE checkpoint;
+    * the sink makes the write idempotent per batchId and detects the
+    * cross-checkpoint misuse it cannot make safe. */
   def exactlyOnceSink(decoded: DataFrame, outDir: String, offsetsDir: String,
                       checkpointDir: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val q = decoded.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(outDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hconf = spark.sparkContext.hadoopConfiguration
         val out = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$batchId")
-        if (!fs.exists(out)) { // replayed batch: already published → skip
-          batch.persist()
-          try {
+        val offs =
+          new org.apache.hadoop.fs.Path(s"$offsetsDir/batch_id=$batchId")
+        val fs = out.getFileSystem(hconf)
+        batch.persist()
+        try {
+          val hwm = highWaterMarks(batch)
+          if (fs.exists(out)) {
+            if (fs.exists(offs)) {
+              // replay: the committed offsets must describe THIS batch
+              val committed = spark.read.parquet(offs.toString)
+                .collect().map(_.toSeq).toSet
+              val current = hwm.collect().map(_.toSeq).toSet
+              if (committed != current)
+                sys.error(s"exactlyOnceSink: batch $batchId already " +
+                  s"published with DIFFERENT offsets ($committed vs " +
+                  s"$current) — outDir is shared with another pipeline " +
+                  "or the checkpoint was reset over new data")
+            } else {
+              // crash landed between data publish and offsets write:
+              // heal the offsets, data is already exactly-once
+              hwm.write.mode("overwrite").parquet(offs.toString)
+            }
+          } else {
             val staging =
               new org.apache.hadoop.fs.Path(s"$outDir/.staging-$batchId")
-            fs.delete(staging, true)
-            batch.write.mode("overwrite").parquet(staging.toString)
-            highWaterMarks(batch).write.mode("overwrite")
-              .parquet(s"$offsetsDir/batch_id=$batchId")
-            if (!fs.rename(staging, out))
-              sys.error(s"exactlyOnceSink: could not publish batch $batchId")
-          } finally batch.unpersist()
-        }
+            try {
+              batch.write.mode("overwrite").parquet(staging.toString)
+              graft.sinks.SwapPublish.publish(fs, staging, out,
+                new org.apache.hadoop.fs.Path(s"$outDir/.old-$batchId"),
+                targetExists = false)
+            } finally fs.delete(staging, true)
+            hwm.write.mode("overwrite").parquet(offs.toString)
+          }
+        } finally batch.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -91,6 +91,30 @@ class KafkaShapedSpec extends SparkSpec {
     assert(hwm.toSeq == Seq(("ev", 0, 7L, 2L), ("ev", 1, 4L, 2L)))
   }
 
+  test("exactly-once sink refuses a batch-id collision carrying different data") {
+    val base = Files.createTempDirectory("kafka_eos2").toString
+    val in1 = s"$base/in1"; Files.createDirectories(java.nio.file.Paths.get(in1))
+    writeTopicFile(in1)
+    KafkaShaped.exactlyOnceSink(
+      KafkaShaped.decode(KafkaShaped.simulatedTopic(spark, in1), valueSchema),
+      s"$base/out", s"$base/offs", s"$base/ckpt1")
+    // a different pipeline (new checkpoint, different offsets) pointed
+    // at the same outDir must fail loudly, not silently drop its batch
+    val in2 = s"$base/in2"; Files.createDirectories(java.nio.file.Paths.get(in2))
+    Files.write(java.nio.file.Paths.get(s"$in2/part-0.json"),
+      """{"topic":"ev","partition":0,"offset":99,"ts_ms":1700000009000,"key":"x","value":"{\"event_id\":9,\"user_id\":90,\"amount\":9.5}"}"""
+        .getBytes)
+    val e = intercept[Exception] {
+      KafkaShaped.exactlyOnceSink(
+        KafkaShaped.decode(KafkaShaped.simulatedTopic(spark, in2), valueSchema),
+        s"$base/out", s"$base/offs", s"$base/ckpt2")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("DIFFERENT offsets")), e.toString)
+  }
+
   test("high-water marks report max offset and count per partition") {
     val dir = Files.createTempDirectory("kafka_hwm").toString
     writeTopicFile(dir)
