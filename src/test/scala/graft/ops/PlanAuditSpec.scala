@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins the plan properties the 100 TB design depends on — a Spark
+  * upgrade or refactor that silently loses pushdown, pruning, or a
+  * broadcast should fail here, not in a production plan audit.
+  * (Complements HintsSpec/BucketingSpec/DedupSpec's plan assertions.) */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf())
+      .queryExecution.executedPlan.toString
+
+  test("q02: filters reach the parquet scan and columns are pruned") {
+    val plan = planOf("q02_cleaned_transform")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*IsNotNull.*"),
+      "expected at least one pushed filter:\n" + plan)
+    // the 18-column transform needs 7 of lineitem's 11 columns — a scan
+    // reading all of them means pruning broke
+    assert(!plan.contains("l_comment"),
+      "unprojected column read from the scan:\n" + plan)
+  }
+
+  test("q11: the dimension side is broadcast, not shuffled") {
+    val plan = planOf("q11_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q86: the partitioned-zone scan prunes at the directory level") {
+    val plan = planOf("q86_partition_prune")
+    assert(plan.matches(
+      "(?s).*PartitionFilters: \\[[^\\]]*event_date[^\\]]*\\].*"),
+      "expected PartitionFilters on event_date:\n" + plan)
+  }
+
+  test("q37: the signature pipeline plans exactly one documents scan") {
+    val plan = planOf("q37_minhash_lsh")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"expected ONE corpus scan in the bucket-shape plan, got $scans:\n$plan")
+  }
+}
