@@ -22,7 +22,8 @@ object SparkEntry {
       text.TextAnalysis.queries ++ dedup.Dedup.queries ++
       sim.Similarity.queries ++ ops.EventOps.queries ++
       multimodal.Multimodal.queries ++ ops.SqlSurface.queries ++
-      ops.Advanced.queries ++ ops.Wave2.queries ++ ops.Wave3.queries
+      ops.Advanced.queries ++ ops.Wave2.queries ++ ops.Wave3.queries ++
+      ops.SkewJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       text.TextAnalysis.oracle ++ dedup.Dedup.oracle ++
       sim.Similarity.oracle ++ ops.EventOps.oracle ++
       multimodal.Multimodal.oracle ++ ops.SqlSurface.oracle ++
-      ops.Advanced.oracle ++ ops.Wave2.oracle ++ ops.Wave3.oracle
+      ops.Advanced.oracle ++ ops.Wave2.oracle ++ ops.Wave3.oracle ++
+      ops.SkewJoin.oracle
 }

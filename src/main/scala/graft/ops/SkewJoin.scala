@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Exact
+
+/** Salted equi-join — the manual skew dial for hot join keys.
+  *
+  * A shuffle join sends EVERY row of a key to one reducer; a hot key
+  * (the celebrity customer, the null-ish default id) turns that
+  * reducer into the job's critical path, and when the key's rows
+  * exceed one executor's memory the job dies rather than finishes
+  * slowly. Salting fans each left-side key out over `salt` sub-keys
+  * and replicates the right side once per sub-key: the hot key's rows
+  * spread over `salt` reducers, and the answer is IDENTICAL to the
+  * plain join — salting changes the shuffle layout, never the result
+  * (the q101 oracle is the plain join).
+  *
+  * When to reach for it: AQE's skew-join split handles most
+  * post-shuffle skew automatically, but it can only split what it can
+  * re-plan — a build side too big to broadcast joining a fact with one
+  * pathological key still needs the explicit salt. Cost model: the
+  * right side inflates ×`salt`, so salt the FACT side and keep the
+  * replicated side the smaller one.
+  */
+object SkewJoin {
+
+  /** Equi-join `left` ⋈ `right` on `keys`, left side salted into
+    * `salt` sub-keys. Inner and left_outer semantics supported (the
+    * replicated side must be the non-preserved side for outer joins —
+    * a right-side-preserved join would count replicated unmatched rows
+    * `salt` times). */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     salt: Int = 16,
+                     joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "salted join requires at least one key column")
+    require(salt > 1, "salt must exceed 1 to spread anything")
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      "replicated-right salting supports inner/left joins only " +
+        "(right-preserved joins would duplicate unmatched right rows)")
+    // per-row salt: any uniform spread works — the join result is
+    // salt-invariant by construction (each left row meets exactly the
+    // one replica of each matching right row that carries its salt)
+    val sl = left.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+    val sr = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    sl.join(sr, keys :+ "_salt", joinType).drop("_salt")
+  }
+
+  /** q101: salted fact-to-dim join under a per-brand revenue
+    * aggregate; the oracle is the PLAIN join+aggregate — identical
+    * answers is the entire contract of the technique. */
+  def saltedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val part = Tables.load(s, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    saltedEquiJoin(li, part, Seq("l_partkey"), salt = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_salted_join" -> (saltedJoinRevenue _))
+
+  val oracle: Map[String, String] = Map(
+    "q101_salted_join" ->
+      (s"""SELECT p_brand, count(*) AS n,
+        |  ${Exact.sqlDsumProd("l_extendedprice", "(1.0 - l_discount)")} AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+}
