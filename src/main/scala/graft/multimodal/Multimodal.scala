@@ -45,10 +45,12 @@ object Multimodal {
 
   val PpmMime = "image/x-portable-pixmap"
   val Y4mMime = "video/x-yuv4mpeg"
+  val BmpMime = "image/bmp"
 
-  /** Magic-byte MIME sniffing (real: PPM/Y4M/PNG/JPEG/RIFF). */
+  /** Magic-byte MIME sniffing (real: PPM/BMP/Y4M/PNG/JPEG/RIFF). */
   def sniffMime(bytes: Array[Byte]): String = {
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') PpmMime
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') BmpMime
     else if (bytes.length >= 9 &&
       new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2") Y4mMime
     else if (bytes.length >= 8 &&
@@ -69,6 +71,7 @@ object Multimodal {
     val content = col("content")
     val mime =
       when(hex(substring(content, 1, 2)) === "5036", PpmMime)
+        .when(hex(substring(content, 1, 2)) === "424D", BmpMime)
         .when(substring(content, 1, 9).cast("string") === "YUV4MPEG2", Y4mMime)
         .when(hex(substring(content, 1, 4)) === "89504E47", "image/png")
         .when(hex(substring(content, 1, 2)) === "FFD8", "image/jpeg")
@@ -122,10 +125,11 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** REAL image decode: PPM rows get actual header dimensions and
-    * pixel-derived features ([[Ppm.features]] — channel means +
-    * quadrant luminance); non-PPM rows get nulls. Same mapPartitions
-    * shape as [[extractFeatures]]: one decoder scope per partition,
+  /** REAL image decode: PPM and 24-bit BMP rows get actual header
+    * dimensions and pixel-derived features ([[Ppm.features]] — channel
+    * means + quadrant luminance; BMP decodes to the same RGB raster,
+    * [[Bmp.decode]]); other rows get nulls. Same mapPartitions shape
+    * as [[extractFeatures]]: one decoder scope per partition,
     * streaming, corrupt blobs → null columns (not exceptions). */
   def decodeImages(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -135,7 +139,8 @@ object Multimodal {
       StructField("img_features", ArrayType(FloatType))))
     val rdd = media.rdd.mapPartitions { it =>
       it.map { r =>
-        val decoded = Ppm.decode(r.getAs[Array[Byte]]("content"))
+        val bytes = r.getAs[Array[Byte]]("content")
+        val decoded = Ppm.decode(bytes).orElse(Bmp.decode(bytes))
         Row.fromSeq(r.toSeq ++ (decoded match {
           case Some(img) =>
             Seq(img.width, img.height, Ppm.features(img).toSeq)
