@@ -10,15 +10,17 @@ package graft.multimodal
   */
 object Bmp {
 
-  private def u16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def u32(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-  private def s32(b: Array[Byte], i: Int): Int = u32(b, i).toInt
+  import LE.{s32, u16, u32}
 
   /** Row stride: width×3 padded up to a 4-byte multiple. */
   private def stride(w: Int): Long = (w.toLong * 3 + 3) / 4 * 4
+
+  /** Dimension ceiling: keeps every size product (stride·h, w·h·3)
+    * comfortably inside Long arithmetic — a guard that multiplies two
+    * unchecked 2³¹-scale values can itself wrap (found in review:
+    * width AND height both 0x7FFFFFFF slipped past the old per-product
+    * checks and crashed instead of returning None). */
+  private val MaxDim = 1 << 20
 
   /** Encode an RGB raster as bottom-up 24-bit BMP. */
   def encode(img: Ppm.Image): Array[Byte] = {
@@ -73,7 +75,7 @@ object Bmp {
       return None
     val topDown = rawH < 0
     val h = math.abs(rawH.toLong)
-    if (w <= 0 || h <= 0 || h > Int.MaxValue) return None
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) return None
     val rowBytes = stride(w)
     val need = rowBytes * h
     if (dataOffset < 54 || dataOffset > bytes.length.toLong ||

@@ -14,12 +14,8 @@ object Wav {
       else samples.length.toLong * 1000L / (sampleRate.toLong * channels)
   }
 
-  private def le16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-
-  private def le32(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
-      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], i: Int): Int = LE.u16(b, i)
+  private def le32(b: Array[Byte], i: Int): Int = LE.s32(b, i)
 
   /** Build a 16-bit PCM WAV blob. */
   def encode(a: Audio): Array[Byte] = {

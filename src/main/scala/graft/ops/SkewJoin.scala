@@ -37,9 +37,16 @@ object SkewJoin {
                      joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "salted join requires at least one key column")
     require(salt > 1, "salt must exceed 1 to spread anything")
-    require(Set("inner", "left", "left_outer").contains(joinType),
-      "replicated-right salting supports inner/left joins only " +
-        "(right-preserved joins would duplicate unmatched right rows)")
+    // normalize like Spark's own JoinType parsing so every spelling of
+    // a SUPPORTED type ("LEFT", "leftouter", "left outer") is accepted
+    val jt = joinType.toLowerCase(java.util.Locale.ROOT)
+      .replace("_", "").replace(" ", "")
+    require(Set("inner", "left", "leftouter").contains(jt),
+      s"replicated-right salting supports inner/left joins only, got " +
+        s"'$joinType' (right-preserved joins would duplicate unmatched " +
+        "right rows)")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "inputs already carry a '_salt' column — rename it before salting")
     // per-row salt: any uniform spread works — the join result is
     // salt-invariant by construction (each left row meets exactly the
     // one replica of each matching right row that carries its salt)

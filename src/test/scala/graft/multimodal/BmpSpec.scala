@@ -61,6 +61,15 @@ class BmpSpec extends AnyFunSuite {
     // hostile dimensions that would overflow Int arithmetic
     assert(Bmp.decode(mut(18, Seq(0xff, 0xff, 0xff, 0x7f))).isEmpty)
     assert(Bmp.decode(mut(22, Seq(0xff, 0xff, 0xff, 0x7f))).isEmpty)
+    // BOTH dims huge: the size products themselves wrap Long — the
+    // case the per-product guards missed (review finding)
+    val bothHuge = {
+      val b = good.clone()
+      Seq(18, 22).foreach(o => (0 until 4).foreach(k =>
+        b(o + k) = (if (k == 3) 0x7f else 0xff).toByte))
+      b
+    }
+    assert(Bmp.decode(bothHuge).isEmpty)
     // data offset pointing past the file
     assert(Bmp.decode(mut(10, Seq(0xff, 0xff, 0, 0))).isEmpty)
   }
