@@ -110,12 +110,17 @@ object MergeOnRead {
 
   /** The reconciled current view: ONE shuffle on the key (row_number
     * over epoch-desc), tombstones filtered after the argmax so a
-    * delete hides base rows AND earlier upserts. */
-  def read(spark: SparkSession, root: String,
-           keyCols: Seq[String]): DataFrame = {
+    * delete hides base rows AND earlier upserts.
+    *
+    * `asOf` = time travel: reconcile only deltas with epoch ≤ `asOf`
+    * (0 = the base alone) — the epoch directory layout IS the history,
+    * so every past table state stays queryable until `compact` folds
+    * the chain. */
+  def read(spark: SparkSession, root: String, keyCols: Seq[String],
+           asOf: Long = Long.MaxValue): DataFrame = {
     val base = spark.read.parquet(basePath(root))
       .withColumn(OpCol, lit("u")).withColumn(EpochCol, lit(0L))
-    val es = epochs(spark, root)
+    val es = epochs(spark, root).filter(_ <= asOf)
     val all =
       if (es.isEmpty) base
       else {
