@@ -230,6 +230,29 @@ object Similarity {
       .orderBy("id1", "id2")
   }
 
+  /** Scalar int8 quantization of the embedding column: per-vector
+    * symmetric scale (max |x| → 127), 4× smaller than float32 — the
+    * storage/bandwidth lever for a 100 TB vector corpus, where the
+    * re-rank reads quantized vectors and only the final scoring (or
+    * nothing, for recall-tolerant paths) touches float32. Column
+    * expressions only (stays in codegen); per-component reconstruction
+    * error is bounded by scale/254 (half a quantization step),
+    * asserted in SimilaritySpec alongside top-k recall vs the exact
+    * float path. */
+  def quantize(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb
+      .withColumn("q_scale",
+        expr(s"aggregate($vecCol, CAST(0.0 AS FLOAT), " +
+          "(m, x) -> greatest(m, abs(x)))"))
+      .withColumn("q_vec",
+        expr(s"transform($vecCol, x -> CAST(round(x / q_scale * 127.0) " +
+          "AS TINYINT))"))
+
+  /** Reconstruct float vectors from int8 (for re-rank or audit). */
+  def dequantize(df: DataFrame): DataFrame =
+    df.withColumn("dq_vec",
+      expr("transform(q_vec, b -> CAST(b * q_scale / 127.0 AS FLOAT))"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "q51_knn_lsh"   -> ((s: SparkSession, d: String) => knnLsh(s, d)),

@@ -30,6 +30,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall")
   }
 
+  test("int8 quantization: bounded reconstruction error, high top-k recall") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dq = Similarity.dequantize(Similarity.quantize(emb))
+    // per-component |x - dq| ≤ scale/254 (half a quantization step),
+    // with a float-arithmetic epsilon
+    val worst = dq.select(max(expr(
+      "aggregate(zip_with(embedding, dq_vec, (a, b) -> abs(a - b)), " +
+        "CAST(0.0 AS FLOAT), (m, x) -> greatest(m, x)) " +
+        "- q_scale / 254.0"))).head().getDouble(0)
+    assert(worst <= 1e-6, s"reconstruction error exceeds half-step: $worst")
+    // top-k over dequantized vectors preserves the exact ranking almost
+    // everywhere (random unit vectors, int8 noise ≪ cosine gaps)
+    val exact = Similarity.knnBrute(spark, sf(), k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    graft.functions.GraftFunctions.register(spark)
+    val qemb = dq.select(col("vec_id"), col("dq_vec").as("embedding"))
+    val q = qemb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val approx = qemb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("float_dot", col("embedding"), col("qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized top-k recall $recall")
+  }
+
   test("near-dup pairs: every emitted pair is above threshold, ordered") {
     val rows = Similarity.nearDupPairs(spark, sf(), threshold = 0.4).collect()
     assert(rows.forall(_.getAs[Double]("cosine") >= 0.4))
