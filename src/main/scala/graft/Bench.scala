@@ -23,6 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // set at startup, not lazily on the first events read: every query
+    // then runs under one consistent conf regardless of execution order
+    // (Tables.loadEvents re-sets it idempotently)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Warmup: JVM/codegen/parquet-footer costs land here, not on the
     // alphabetically-first query (observed ~4 s inflation without it).
     // Runs the flagship shape against the BENCH dataset (entry()
