@@ -392,55 +392,70 @@ object Dedup {
         struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Iterate ONLY over edge-participating nodes: isolated docs (the
+    // overwhelming majority of a near-dup corpus) can never change
+    // label, so they stay out of every round and rejoin at the end.
+    // Seed labels with the first edge step already folded in —
+    // min(self, neighbors) — which alone converges pair-shaped
+    // components (the common case); the loop then only has chains and
+    // stars left to collapse. Edges are symmetric, so the dst column
+    // enumerates every edge node exactly once per incident edge.
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(least(min(col("src")), col("dst")).as("label"))
+      .localCheckpoint()
     // The label table is broadcast in both per-round joins: labels are
-    // (id, label) pairs — KB here, and still only 16 bytes/node at
+    // (id, label) pairs — KB here, and still only 16 bytes/edge-node at
     // 10⁹-node scale (~16 GB: past broadcast range). At that scale drop
     // the hints and pre-partition `edges` by src once: every round's
     // joins then co-locate on id with a single exchange for the
     // groupBy — same algorithm, same round count.
-    var prevSum = Long.MaxValue
+    var prevSum = {
+      val r = labels.agg(org.apache.spark.sql.functions.sum(col("label"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var converged = false
     var rounds = 0
     try {
       while (!converged && rounds < 40) {
-        val nbrMin = edges.join(broadcast(labels), edges("src") === labels("id"))
-          .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
-        // persisted: the jump join reads `stepped` on BOTH sides — uncached,
-        // the broadcast build branch would recompute the whole round
-        val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbr_label"), col("label")))
-              .as("label"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val jumpTo = stepped.select(col("id").as("jid"),
-            col("label").as("jlabel"))
-          // localCheckpoint (eager), NOT persist: each round's plan nests
-          // every prior round's joins, and optimizer time on that chain
-          // grows super-linearly — round 3 took 65 s of pure planning
-          // before the lineage cut (execution itself was ~1 s).
-          // Checkpointing roots a fresh plan per round. (On a cluster
-          // with lossy executors use reliable checkpoint() instead —
-          // same shape.)
-          val next = stepped.join(broadcast(jumpTo),
-              stepped("label") === jumpTo("jid"))
-            .select(col("id"), col("jlabel").as("label"))
-            .localCheckpoint()
-          val sumRow = next
-            .agg(org.apache.spark.sql.functions.sum(col("label"))).head()
-          // null aggregate = empty corpus: converge immediately
-          val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-          labels.unpersist()
-          labels = next
-          converged = sum == prevSum
-          prevSum = sum
-          rounds += 1
-        } finally stepped.unpersist()
+        // Edge step and pointer jump FUSED into one join + one groupBy:
+        // the jump term label(label(id)) is expressed as a synthetic
+        // edge label(id) → id unioned with the real edges, so each
+        // round is a single broadcast join and ONE shuffle (the
+        // groupBy) — half the per-round cost of sequential
+        // edge-then-jump, at the price of jumping through the previous
+        // round's labels (same fixpoint, occasionally one extra
+        // round). Monotonicity: label(x) ≤ x always, so the jump term
+        // alone is ≤ the node's own label and the min never increases.
+        val refs = edges.union(
+          labels.select(col("label").as("src"), col("id").as("dst")))
+        // localCheckpoint (eager), NOT persist: each round's plan nests
+        // every prior round's joins, and optimizer time on that chain
+        // grows super-linearly — round 3 took 65 s of pure planning
+        // before the lineage cut (execution itself was ~1 s).
+        // Checkpointing roots a fresh plan per round. (On a cluster
+        // with lossy executors use reliable checkpoint() instead —
+        // same shape.) Every src is a node id present in `labels`
+        // (labels only ever hold node ids), so the join is inner
+        // without row loss, and every id appears as the dst of its own
+        // synthetic jump edge.
+        val next = refs.join(broadcast(labels), refs("src") === labels("id"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        val sumRow = next
+          .agg(org.apache.spark.sql.functions.sum(col("label"))).head()
+        // null aggregate = empty corpus: converge immediately
+        val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+        labels = next
+        converged = sum == prevSum
+        prevSum = sum
+        rounds += 1
+        if (sys.env.contains("GRAFT_DEBUG")) println(s"[cc] round=$rounds sum=$sum")
       }
-      labels
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      // Isolated docs rejoin as their own singleton cluster.
+      docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
         .withColumn("keep", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")
     } finally edges.unpersist()
