@@ -19,9 +19,16 @@ import graft.Tables
   *    against the full corpus.
   *
   * All projections are deterministic (hash-derived ±1 matrices), so
-  * results are reproducible across runs/cluster layouts; no oracle SQL
-  * because DuckDB lacks an equivalent of the fold semantics with
-  * identical float behavior — gate is rows+tests instead.
+  * results are reproducible across runs/cluster layouts — and the
+  * float arithmetic is cross-engine replicable: [[graft.functions.FloatDot]]
+  * multiplies in float and accumulates sequentially in double, which
+  * DuckDB reproduces bit-exactly as
+  * `list_reduce(list_prepend(0.0D, [a[i]*b[i] for i ...]), +)` (float
+  * products widened per addition, same order). That makes the FULL
+  * brute-force, SRP-LSH, and near-dup pipelines oracle-checkable —
+  * signatures included, via the projection matrix spliced into the SQL
+  * as a VALUES relation. Only IVF (q53) stays rows-only: its k-means
+  * quantizer has no DuckDB equivalent.
   */
 object Similarity {
 
@@ -260,5 +267,90 @@ object Similarity {
     "q52_embedding_neardup" ->
       ((s: SparkSession, d: String) => nearDupPairs(s, d)))
 
-  val oracle: Map[String, String] = Map.empty
+  /** The ±1 projection matrix as a DuckDB VALUES relation `proj(b, p)`
+    * — generated from [[projections]] itself so the oracle can never
+    * drift from the Spark-side constants. */
+  private def projSqlValues: String =
+    projections.zipWithIndex.map { case (row, b) =>
+      s"($b, CAST([${row.map(_.toInt).mkString(", ")}] AS FLOAT[]))"
+    }.mkString(", ")
+
+  /** FloatDot's exact semantics in DuckDB: float products, widened and
+    * summed sequentially into a double seed. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"[$a[i] * $b[i] for i in range(1, ${Dim + 1})]), (acc, x) -> acc + x)"
+
+  /** Shared signature/banding CTE prefix for the q51/q52 oracles. */
+  private def sigCtes: String =
+    s"""WITH proj(b, p) AS (VALUES $projSqlValues),
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN
+       |      ${dotSql("embedding", "p")} > 0
+       |    THEN (1 << b) ELSE 0 END) AS INTEGER) AS sig
+       |  FROM emb CROSS JOIN proj GROUP BY vec_id
+       |),
+       |banded AS (
+       |  SELECT vec_id, t.b AS band, (sig >> (t.b * $BandBits)) & ${(1 << BandBits) - 1} AS bandVal
+       |  FROM sigs CROSS JOIN range($Bands) t(b)
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q50_knn_brute" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("c.embedding", "q.embedding")} AS cosine
+         |  FROM embeddings c JOIN embeddings q
+         |    ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q51_knn_lsh" ->
+      (sigCtes +
+        s""",
+         |qb AS (SELECT vec_id AS query_id, band, bandVal
+         |       FROM banded WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         |  FROM banded c JOIN qb q
+         |    ON c.band = q.band AND c.bandVal = q.bandVal
+         |      AND c.vec_id != q.query_id
+         |),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${dotSql("e2.embedding", "e1.embedding")} AS cosine
+         |  FROM cand JOIN emb e1 ON e1.vec_id = query_id
+         |            JOIN emb e2 ON e2.vec_id = neighbor_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "q52_embedding_neardup" ->
+      (sigCtes +
+        s""",
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+         |  FROM banded a JOIN banded c
+         |    ON a.band = c.band AND a.bandVal = c.bandVal
+         |      AND a.vec_id < c.vec_id
+         |),
+         |scored AS (
+         |  SELECT id1, id2,
+         |    ${dotSql("e1.embedding", "e2.embedding")} AS cosine
+         |  FROM cand JOIN emb e1 ON e1.vec_id = id1
+         |            JOIN emb e2 ON e2.vec_id = id2
+         |)
+         |SELECT id1, id2, cosine FROM scored
+         |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin))
 }
