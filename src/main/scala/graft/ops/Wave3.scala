@@ -97,16 +97,18 @@ object Wave3 {
       .orderBy("p_partkey")
 
   /** q84: the sketch-based scale path — approx_count_distinct (HLL++)
-    * and approx_percentile per group. No oracle BY DESIGN: sketches are
-    * implementation-defined. Instead the result itself CARRIES the
-    * error witness: exact values (fine at gate scale, impossible at
-    * 100 TB) ride alongside the sketches with relative-error columns
-    * and in-bound flags — the row gate sees the bound hold, not just
-    * that rows came back. Bounds asserted: HLL++ within 3·rsd = 15%
-    * (observed ≪); approx_percentile(…, 10000) rank error ≤ 1/10000,
-    * witnessed as value-relative error ≤ 5% on this distribution.
-    * This is what q29/q54 become at 100 TB, where exact
-    * distinct/percentile shuffles don't fit. */
+    * and approx_percentile per group. Sketch ESTIMATES are
+    * implementation-defined, so the output carries only cross-engine
+    * columns: the exact values (fine at gate scale, impossible at
+    * 100 TB) plus boolean IN-BOUND flags computed from the sketches.
+    * The oracle emits literal TRUE for each flag — if a Spark sketch
+    * ever violates its bound the flag flips and the hash gate fails,
+    * so the error bound itself is what's differential-tested. Bounds
+    * asserted: HLL++ within 3·rsd = 15% (observed ≪);
+    * approx_percentile(…, 10000) rank error ≤ 1/10000, witnessed as
+    * value-relative error ≤ 5% on this distribution. This is what
+    * q29/q54 become at 100 TB, where exact distinct/percentile
+    * shuffles don't fit. */
   def approxStats(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     // The exact distinct count runs as its OWN aggregation, joined back
@@ -126,18 +128,20 @@ object Wave3 {
           .as("exact_p50_p90"),
         count(lit(1)).as("n"))
       .join(broadcast(exact), "l_returnflag")
-      .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"),
-        (abs(col("approx_orders") - col("exact_orders")) /
-          col("exact_orders")).as("cd_rel_err"),
+      .select(col("l_returnflag"), col("exact_orders"),
+        col("approx_orders"),
         col("approx_p50_p90").getItem(0).as("ap50"),
         col("exact_p50_p90").getItem(0).as("ep50"),
         col("approx_p50_p90").getItem(1).as("ap90"),
         col("exact_p50_p90").getItem(1).as("ep90"), col("n"))
-      .withColumn("cd_in_bound", col("cd_rel_err") <= 0.15)
-      .withColumn("p50_in_bound",
-        abs(col("ap50") - col("ep50")) / col("ep50") <= 0.05)
-      .withColumn("p90_in_bound",
-        abs(col("ap90") - col("ep90")) / col("ep90") <= 0.05)
+      .select(col("l_returnflag"), col("exact_orders"), col("n"),
+        col("ep50"), col("ep90"),
+        (abs(col("approx_orders") - col("exact_orders")) /
+          col("exact_orders") <= 0.15).as("cd_in_bound"),
+        (abs(col("ap50") - col("ep50")) / col("ep50") <= 0.05)
+          .as("p50_in_bound"),
+        (abs(col("ap90") - col("ep90")) / col("ep90") <= 0.05)
+          .as("p90_in_bound"))
       .orderBy("l_returnflag")
   }
 
@@ -199,6 +203,16 @@ object Wave3 {
     "q81_value_funcs"   -> (valueFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "q84_approx_stats" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(*) AS n,
+        |  quantile_cont(l_extendedprice, 0.5) AS ep50,
+        |  quantile_cont(l_extendedprice, 0.9) AS ep90,
+        |  TRUE AS cd_in_bound,
+        |  TRUE AS p50_in_bound,
+        |  TRUE AS p90_in_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q100_topk_plan" ->
       """SELECT p_brand, p_partkey, p_retailprice FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
