@@ -275,15 +275,61 @@ object Multimodal {
       .select(col("media_id"), col("meta.mime").as("mime"),
         col("meta.size_bytes").as("size_bytes"),
         col("img_width"), col("img_height"),
-        round(aggregate(col("img_features").cast("array<double>"),
-          lit(0.0d), (acc, x) => acc + x), 3).as("feature_sum"))
+        aggregate(col("img_features").cast("array<double>"),
+          lit(0.0d), (acc, x) => acc + x).as("feature_sum"))
       .orderBy("media_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_multimodal_features" -> (mediaFeatures _))
 
-  /** Feature extraction has no SQL equivalent — rows-only gate;
-    * semantics covered by MultimodalSpec. */
-  val oracle: Map[String, String] = Map.empty
+  /** The q70 pipeline IS SQL-expressible after all: the raster is a
+    * deterministic byte expansion of the document text, [[Ppm.features]]
+    * is integer sums with one float division per output (float division
+    * via double is exactly rounded — 53 ≥ 2·24+2), and the final sum is
+    * a sequential double fold. DuckDB regenerates the raster with
+    * `encode()`+`hex()` and replays the whole decode, so the magic
+    * sniff, header parse, and pixel-feature math are all hash-checked.
+    * The quadrant populations are constant (8×8 → 16 per quadrant). */
+  val oracle: Map[String, String] = Map(
+    "q70_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+        |    octet_length(encode(coalesce(text, ''))) AS n
+        |  FROM documents
+        |), raster AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n = 0 THEN [0 for i in range(0, 192)]
+        |         ELSE [('0x' || substr(h, 2 * (i % n) + 1, 2))::INT
+        |               for i in range(0, 192)]
+        |    END AS px
+        |  FROM b
+        |), sums AS (
+        |  SELECT doc_id,
+        |    list_sum([px[3*p + 1] for p in range(0, 64)]) AS r,
+        |    list_sum([px[3*p + 2] for p in range(0, 64)]) AS g,
+        |    list_sum([px[3*p + 3] for p in range(0, 64)]) AS bb,
+        |    [list_sum([
+        |       CASE WHEN (CASE WHEN (p // 8) * 2 >= 8 THEN 2 ELSE 0 END +
+        |                  CASE WHEN (p % 8) * 2 >= 8 THEN 1 ELSE 0 END) = q
+        |            THEN (299 * px[3*p + 1] + 587 * px[3*p + 2]
+        |                  + 114 * px[3*p + 3]) // 1000
+        |            ELSE 0 END
+        |     for p in range(0, 64)]) for q in range(0, 4)] AS quads
+        |  FROM raster
+        |), feats AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(r AS FLOAT) / CAST(64 AS FLOAT) AS FLOAT) AS f0,
+        |    CAST(CAST(g AS FLOAT) / CAST(64 AS FLOAT) AS FLOAT) AS f1,
+        |    CAST(CAST(bb AS FLOAT) / CAST(64 AS FLOAT) AS FLOAT) AS f2,
+        |    CAST(CAST(quads[1] AS FLOAT) / CAST(16 AS FLOAT) AS FLOAT) AS f3,
+        |    CAST(CAST(quads[2] AS FLOAT) / CAST(16 AS FLOAT) AS FLOAT) AS f4,
+        |    CAST(CAST(quads[3] AS FLOAT) / CAST(16 AS FLOAT) AS FLOAT) AS f5,
+        |    CAST(CAST(quads[4] AS FLOAT) / CAST(16 AS FLOAT) AS FLOAT) AS f6
+        |  FROM sums
+        |)
+        |SELECT doc_id AS media_id, 'image/x-portable-pixmap' AS mime,
+        |  CAST(203 AS BIGINT) AS size_bytes, 8 AS img_width, 8 AS img_height,
+        |  CAST(f0 AS DOUBLE) + f1 + f2 + f3 + f4 + f5 + f6 AS feature_sum
+        |FROM feats ORDER BY media_id""".stripMargin)
 }
