@@ -23,7 +23,8 @@ object SparkEntry {
       sim.Similarity.queries ++ ops.EventOps.queries ++
       multimodal.Multimodal.queries ++ ops.SqlSurface.queries ++
       ops.Advanced.queries ++ ops.Wave2.queries ++ ops.Wave3.queries ++
-      ops.SkewJoin.queries
+      ops.SkewJoin.queries ++ ops.Sampling.queries ++
+      text.CorpusStats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       sim.Similarity.oracle ++ ops.EventOps.oracle ++
       multimodal.Multimodal.oracle ++ ops.SqlSurface.oracle ++
       ops.Advanced.oracle ++ ops.Wave2.oracle ++ ops.Wave3.oracle ++
-      ops.SkewJoin.oracle
+      ops.SkewJoin.oracle ++ ops.Sampling.oracle ++
+      text.CorpusStats.oracle
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic sampling/splitting operators — the corpus-assembly
+  * primitives of a training-data pipeline: reproducible train/val/test
+  * splits and per-source quota capping (data mixing). Both are keyed
+  * on a content-independent hash of stable ids, so assignment is
+  * identical across runs, partitionings, and engines — which is also
+  * what makes them oracle-checkable (the md5-prefix arithmetic is
+  * reproduced verbatim in DuckDB).
+  *
+  * Scale shape: the split is pure map-side column math (scan speed, no
+  * shuffle — at 100 TB it runs inside whatever scan already happens);
+  * the quota cap is one window shuffle on the stratum key. A corpus
+  * with a mega-source (web crawl = 90% of rows) makes that window
+  * skew-bound — the [[graft.plans.TopK]] heap operator is the drop-in
+  * replacement there (same (stratum, hash-order) contract, bounded
+  * memory per group).
+  */
+object Sampling {
+
+  /** 60-bit md5 prefix of a column's string form, as a non-negative
+    * BIGINT — same cross-engine hash family as
+    * [[graft.dedup.Md5Prefix]] (DuckDB:
+    * `('0x'||substr(md5(x),1,15))::BIGINT`). */
+  private def md5Prefix(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** q102: reproducible train/val/test split — 90/5/5 by hash bucket
+    * of doc_id. A doc's split NEVER changes when the corpus grows
+    * (assignment depends only on its own id), which is the property
+    * rand()-based splits lack and exactly why eval sets stay stable
+    * across pipeline re-runs. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (md5Prefix(col("doc_id")) % 1000).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** q103: per-source quota sampling — cap every source at `cap` docs,
+    * chosen by hash order (NOT arrival order: hash order is stable
+    * under any reshuffle of the input and biases toward nothing). This
+    * is the mixing lever that stops one dominant source from swamping
+    * a training mix. The hash salts doc_id with the source so the kept
+    * set of a source is independent of the split assignment above. */
+  def quotaSample(s: SparkSession, dir: String, cap: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5Prefix(concat(col("source"), lit(":"),
+          col("doc_id").cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap)
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_hash_split"   -> (hashSplit _),
+    "q103_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "q102_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 900 THEN 'train'
+        |       WHEN bucket < 950 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q103_quota_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |  FROM h)
+        |SELECT source, doc_id, rn FROM r
+        |WHERE rn <= 100 ORDER BY source, rn""".stripMargin)
+}

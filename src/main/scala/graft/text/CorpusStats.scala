@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Tokens
+
+/** Corpus-relative document statistics — operators whose score for one
+  * document depends on aggregates over the WHOLE corpus (unlike the
+  * per-doc map-side stats in [[TextAnalysis]]): characteristic-term
+  * extraction and bigram-novelty scoring.
+  *
+  * Both gates are deliberately FLOAT-FREE: ranking keys and outputs
+  * are integer counts or a single int/int division (one IEEE op,
+  * bit-identical cross-engine). A classic tf·idf = tf·ln(N/df) ranking
+  * would hang the hash gate on libm's ln agreeing to the last ulp
+  * between engines; ranking by (tf DESC, df ASC) is order-equivalent
+  * for fixed tf and needs no transcendentals. Consumers wanting the
+  * float score compute it from the emitted (tf, df) pair.
+  */
+object CorpusStats {
+
+  /** q104: top-k characteristic terms per document — highest in-doc
+    * frequency, then rarest in the corpus (df ASC), then term. The
+    * tf table is built once per branch from one explode + count; df
+    * re-aggregates the tf relation (distinct doc-term pairs), NOT the
+    * token stream, so the second pass is over the much smaller
+    * postings relation. Shuffles: tokens→(doc,term) agg, join on term,
+    * window on doc — all key-partitioned, nothing quadratic. At 100 TB
+    * the tf relation is checkpointed once instead of recomputed per
+    * branch. */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Tokens.whitespace(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** q105: bigram novelty — per-doc mean corpus frequency of its
+    * bigrams (high = boilerplate) and hapax-bigram ratio (high =
+    * gibberish/unique), the two cheap LM-free proxies for the
+    * perplexity filters a curation pipeline runs. Corpus bigram counts
+    * are one explode + partial-aggregated count; the join back is
+    * key-partitioned on the bigram. Ratios are a single int/int
+    * division — exact cross-engine. */
+  def bigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    // token arrays materialize into a column FIRST: inlining the split
+    // into the n-gram lambda re-evaluates it per element (O(tokens²))
+    val bigrams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Tokens.whitespace(lower(col("text"))).as("w"))
+      .select(col("doc_id"), explode(Tokens.ngramsOf(col("w"), 2)).as("bg"))
+    val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    bigrams.join(counts, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c")).as("sum_freq"),
+        sum(when(col("c") <= 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+        col("n_hapax"),
+        (col("sum_freq") / col("n_bigrams")).as("avg_freq"),
+        (col("n_hapax") / col("n_bigrams")).as("hapax_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_tfidf_terms"    -> ((s: SparkSession, d: String) =>
+      tfidfTopTerms(s, d)),
+    "q105_bigram_novelty" -> (bigramNovelty _))
+
+  val oracle: Map[String, String] = Map(
+    "q104_tfidf_terms" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, rn FROM r
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q105_bigram_novelty" ->
+      raw"""WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i+1:i+2], ' ')
+        |               for i in range(0, len(w) - 1)] END) AS bg
+        |  FROM w),
+        |c AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1)
+        |SELECT b.doc_id,
+        |  count(*) AS n_bigrams,
+        |  CAST(sum(c.c) AS BIGINT) AS sum_freq,
+        |  CAST(sum(CASE WHEN c.c <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(sum(c.c) AS BIGINT) / count(*) AS avg_freq,
+        |  CAST(sum(CASE WHEN c.c <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / count(*) AS hapax_ratio
+        |FROM bg b JOIN c USING (bg)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
+}

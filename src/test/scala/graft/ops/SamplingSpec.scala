@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.CorpusStats
+
+/** Semantic properties of the sampling/splitting and corpus-stats
+  * operators (the oracle gate checks cross-engine equality; these
+  * check the CONTRACTS). */
+class SamplingSpec extends SparkSpec {
+
+  test("q102: split is a partition of the corpus and is id-stable") {
+    val split = Sampling.hashSplit(spark, sf()).cache()
+    val total = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(split.count() == total) // every doc assigned exactly once
+    assert(split.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // growing the corpus must not move existing docs: assignment on a
+    // half-corpus agrees with assignment on the full corpus
+    val half = Sampling.hashSplit(spark, sf())
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("split").as("split2"))
+    val moved = split.join(half, "doc_id")
+      .where(col("split") =!= col("split2")).count()
+    assert(moved == 0)
+    // rough proportions: train should dominate (90/5/5 nominal)
+    val train = split.where(col("split") === "train").count()
+    assert(train > total * 8 / 10 && train < total * 97 / 100)
+    split.unpersist()
+  }
+
+  test("q103: no source exceeds the quota; small sources kept whole") {
+    val cap = 100
+    val out = Sampling.quotaSample(spark, sf(), cap).cache()
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= cap))
+    val origSizes = spark.read.parquet(s"${sf()}/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outSizes = perSource.map(r => r.getString(0) -> r.getLong(1)).toMap
+    origSizes.foreach { case (src, n) =>
+      assert(outSizes.getOrElse(src, 0L) == math.min(n, cap.toLong),
+        s"source $src: ${outSizes.get(src)} of $n kept")
+    }
+    out.unpersist()
+  }
+
+  test("q104: exactly k rows per doc with enough terms, ranked by tf") {
+    val out = CorpusStats.tfidfTopTerms(spark, sf(), k = 3).cache()
+    // rank key is (tf desc, df asc, term asc): within a doc, tf is
+    // non-increasing by rn
+    val bad = out.groupBy("doc_id")
+      .agg(min(when(col("rn") === 1, col("tf"))).as("tf1"),
+        max(when(col("rn") === 3, col("tf"))).as("tf3"))
+      .where(col("tf3") > col("tf1")).count()
+    assert(bad == 0)
+    assert(out.groupBy("doc_id").count().where(col("count") > 3).count() == 0)
+    out.unpersist()
+  }
+
+  test("q105: ratios in [0,1], hapax consistency, every doc scored") {
+    val out = CorpusStats.bigramNovelty(spark, sf()).cache()
+    val total = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(out.count() == total)
+    assert(out.where(col("hapax_ratio") < 0 || col("hapax_ratio") > 1)
+      .count() == 0)
+    // every bigram occurs at least once corpus-wide, so the mean
+    // corpus frequency is >= 1; hapax bigrams contribute exactly 1
+    assert(out.where(col("avg_freq") < 1.0).count() == 0)
+    assert(out.where(col("n_hapax") > col("n_bigrams")).count() == 0)
+    out.unpersist()
+  }
+}
