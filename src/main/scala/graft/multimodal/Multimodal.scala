@@ -44,12 +44,14 @@ object Multimodal {
     StructField("duration_ms", LongType)))
 
   val PpmMime = "image/x-portable-pixmap"
+  val PgmMime = "image/x-portable-graymap"
   val Y4mMime = "video/x-yuv4mpeg"
   val BmpMime = "image/bmp"
 
-  /** Magic-byte MIME sniffing (real: PPM/BMP/Y4M/PNG/JPEG/RIFF). */
+  /** Magic-byte MIME sniffing (real: PPM/PGM/BMP/Y4M/PNG/JPEG/RIFF). */
   def sniffMime(bytes: Array[Byte]): String = {
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') PpmMime
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5') PgmMime
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') BmpMime
     else if (bytes.length >= 9 &&
       new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2") Y4mMime
@@ -71,6 +73,7 @@ object Multimodal {
     val content = col("content")
     val mime =
       when(hex(substring(content, 1, 2)) === "5036", PpmMime)
+        .when(hex(substring(content, 1, 2)) === "5035", PgmMime)
         .when(hex(substring(content, 1, 2)) === "424D", BmpMime)
         .when(substring(content, 1, 9).cast("string") === "YUV4MPEG2", Y4mMime)
         .when(hex(substring(content, 1, 4)) === "89504E47", "image/png")
@@ -125,12 +128,13 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** REAL image decode: PPM and 24-bit BMP rows get actual header
-    * dimensions and pixel-derived features ([[Ppm.features]] — channel
-    * means + quadrant luminance; BMP decodes to the same RGB raster,
-    * [[Bmp.decode]]); other rows get nulls. Same mapPartitions shape
-    * as [[extractFeatures]]: one decoder scope per partition,
-    * streaming, corrupt blobs → null columns (not exceptions). */
+  /** REAL image decode: PPM, PGM, and 24-bit BMP rows get actual
+    * header dimensions and pixel-derived features ([[Ppm.features]] —
+    * channel means + quadrant luminance; BMP and grayscale PGM decode
+    * to the same RGB raster, [[Bmp.decode]]/[[Pgm.decode]]); other
+    * rows get nulls. Same mapPartitions shape as [[extractFeatures]]:
+    * one decoder scope per partition, streaming, corrupt blobs → null
+    * columns (not exceptions). */
   def decodeImages(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(media.schema.fields.toSeq ++ Seq(
@@ -141,6 +145,7 @@ object Multimodal {
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
         val decoded = Ppm.decode(bytes).orElse(Bmp.decode(bytes))
+          .orElse(Pgm.decode(bytes))
         Row.fromSeq(r.toSeq ++ (decoded match {
           case Some(img) =>
             Seq(img.width, img.height, Ppm.features(img).toSeq)
