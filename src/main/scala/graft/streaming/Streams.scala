@@ -196,4 +196,47 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Rate-limited file ingest — the BACKPRESSURE dial. Identical to
+    * [[fileStream]] but with the per-trigger admission bounds exposed:
+    * `maxFilesPerTrigger` caps how many files one micro-batch admits
+    * (and, under `Trigger.AvailableNow`, a backlog drains as a SERIES
+    * of bounded batches instead of one giant one). This is what keeps
+    * a replay-from-zero or a burst of late files from flooding the
+    * state stores and sinks: state memory and shuffle size per batch
+    * stay proportional to the dial, not to the backlog. At cluster
+    * scale the same contract is `maxOffsetsPerTrigger` (Kafka) /
+    * `maxBytesPerTrigger` (file size–based) — same admission-control
+    * semantics, different unit. */
+  def rateLimitedStream(spark: SparkSession, inDir: String,
+                        schema: StructType, maxFilesPerTrigger: Int,
+                        format: String = "json"): DataFrame = {
+    require(maxFilesPerTrigger > 0, "maxFilesPerTrigger must be positive")
+    spark.readStream
+      .format(format)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(inDir)
+  }
+
+  /** Drain a stream with `Trigger.AvailableNow`, returning per-batch
+    * row counts — the observability half of backpressure: asserting
+    * (in tests) and monitoring (in production) that no micro-batch
+    * exceeded the admitted size. Row counts come from the batch itself
+    * inside `foreachBatch`, so they are exact, not sampled. */
+  def drainWithBatchStats(df: DataFrame,
+                          checkpointDir: String): Seq[(Long, Long)] = {
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // single-threaded per query: micro-batches run sequentially
+        stats += batchId -> batch.count()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stats.toSeq
+  }
 }

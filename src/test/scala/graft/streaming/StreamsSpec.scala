@@ -182,4 +182,22 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
     assert(sessions.toSet == Set((7L, 2L), (7L, 1L)))
   }
+  test("rate limit: backlog drains as bounded micro-batches") {
+    val in = Files.createTempDirectory("rate_in").toString
+    val ckpt = Files.createTempDirectory("rate_ckpt").toString
+    // 6 files x 2 rows; cap at 2 files/trigger -> >= 3 batches,
+    // each at most 4 rows
+    (1 to 6).foreach { i =>
+      writeBatch(in, s"f$i.json",
+        s"""{"event_id":${i * 2},"ts":"2024-01-01T00:0$i:00Z","user_id":$i,"event_type":"click","value":1.0}""",
+        s"""{"event_id":${i * 2 + 1},"ts":"2024-01-01T00:0$i:30Z","user_id":$i,"event_type":"view","value":2.0}""")
+    }
+    val stream = Streams.rateLimitedStream(spark, in, schema,
+      maxFilesPerTrigger = 2)
+    val stats = Streams.drainWithBatchStats(stream, ckpt)
+    assert(stats.map(_._2).sum == 12, s"all rows processed: $stats")
+    assert(stats.count(_._2 > 0) >= 3, s"expected >= 3 data batches: $stats")
+    assert(stats.forall(_._2 <= 4), s"batch exceeded admission bound: $stats")
+  }
+
 }
