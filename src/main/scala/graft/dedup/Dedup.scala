@@ -78,9 +78,15 @@ case object Md5Prefix extends DedupHash(60) {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
-  val PermA: IndexedSeq[Long] =
+  // lazy: Md5Prefix and Dedup reference each other during class init
+  // (Dedup's oracle map splices permsSqlValues; the perms need
+  // Dedup.MinhashPerms). Eager vals NPE when Md5Prefix's initializer
+  // runs FIRST — which happens the moment a module other than Dedup
+  // (e.g. CorpusStats.cdcChunks) touches the hash before any dedup
+  // query has. Lazy evaluation breaks the cycle in both entry orders.
+  lazy val PermA: IndexedSeq[Long] =
     (0 until Dedup.MinhashPerms).map(i => (mix(2L * i) >>> 3) % (P31 - 1) + 1)
-  val PermB: IndexedSeq[Long] =
+  lazy val PermB: IndexedSeq[Long] =
     (0 until Dedup.MinhashPerms).map(i => (mix(2L * i + 1) >>> 3) % P31)
 
   def h(c: Column): Column =

@@ -73,10 +73,54 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q106: content-defined chunking + shared-chunk detection — the
+    * sub-document dedup primitive (what whole-doc dedup can't see:
+    * templated pages sharing paragraphs). Token-level gear hash: a
+    * chunk boundary falls BEFORE token i wherever
+    * hash(token[i-1], token[i]) ≡ 0 (mod 8) — boundaries depend only
+    * on local content, so an insertion early in a doc shifts token
+    * positions but not later boundaries (the property fixed-width
+    * chunking lacks). Chunk fingerprints are md5 of the span; a chunk
+    * is "shared" if it occurs in more than one doc corpus-wide.
+    *
+    * Scale shape: posexplode → lag/running-sum windows keyed by doc →
+    * (doc, chunk) agg → fingerprint count → join back. Every shuffle
+    * is key-partitioned (doc_id or chunk hash); the cross-engine hash
+    * is [[graft.dedup.Md5Prefix]] so DuckDB replays boundary
+    * placement exactly. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(Tokens.whitespace(col("text"))).as(Seq("pos", "tok")))
+    val chunked = toks
+      .withColumn("prev", lag(col("tok"), 1).over(wOrd))
+      .withColumn("b",
+        when(col("prev").isNotNull &&
+          Md5Prefix.h(concat(col("prev"), lit(" "), col("tok"))) % 8 === 0,
+          1L).otherwise(0L))
+      .withColumn("chunk_idx", sum(col("b")).over(wOrd))
+    val chunks = chunked.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")))).as("chunk_hash"))
+    val shared = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    chunks.join(shared, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        (col("n_shared") / col("n_chunks")).as("shared_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_tfidf_terms"    -> ((s: SparkSession, d: String) =>
       tfidfTopTerms(s, d)),
-    "q105_bigram_novelty" -> (bigramNovelty _))
+    "q105_bigram_novelty" -> (bigramNovelty _),
+    "q106_cdc_chunks"     -> (cdcChunks _))
 
   val oracle: Map[String, String] = Map(
     "q104_tfidf_terms" ->
@@ -115,5 +159,40 @@ object CorpusStats {
         |  CAST(sum(CASE WHEN c.c <= 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    / count(*) AS hapax_ratio
         |FROM bg b JOIN c USING (bg)
-        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "q106_cdc_chunks" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT d.doc_id, u.pos, u.tok
+        |  FROM d JOIN LATERAL (
+        |    SELECT unnest(arr) AS tok,
+        |      generate_subscripts(arr, 1) - 1 AS pos) u ON true),
+        |f AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN lag(tok) OVER w IS NOT NULL AND
+        |      ('0x' || substr(md5(lag(tok) OVER w || ' ' || tok), 1, 15))
+        |        ::BIGINT % 8 = 0
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |c AS (
+        |  SELECT doc_id, pos, tok,
+        |    CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+        |      AS chunk_idx
+        |  FROM f),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    md5(array_to_string(list(tok ORDER BY pos), ' ')) AS chunk_hash
+        |  FROM c GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT chunk_hash, count(DISTINCT doc_id) AS ndocs
+        |  FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN sh.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  CAST(sum(CASE WHEN sh.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / count(*) AS shared_ratio
+        |FROM ch JOIN sh USING (chunk_hash)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin)
 }

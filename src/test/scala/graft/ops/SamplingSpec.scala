@@ -59,6 +59,24 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q106: every doc chunked, shared counts bounded, dups fully shared") {
+    val out = CorpusStats.cdcChunks(spark, sf()).cache()
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").cache()
+    assert(out.count() == docs.count())
+    assert(out.where(col("n_chunks") < 1).count() == 0)
+    assert(out.where(col("n_shared") > col("n_chunks")).count() == 0)
+    // exact-duplicate texts chunk identically, so every chunk of a
+    // duplicated doc is shared by construction
+    val dupIds = docs.groupBy("text")
+      .agg(count(lit(1)).as("n"), collect_list("doc_id").as("ids"))
+      .where(col("n") > 1)
+      .select(explode(col("ids")).as("doc_id"))
+    val notFullyShared = out.join(dupIds, "doc_id")
+      .where(col("n_shared") =!= col("n_chunks")).count()
+    assert(notFullyShared == 0)
+    docs.unpersist(); out.unpersist()
+  }
+
   test("q105: ratios in [0,1], hapax consistency, every doc scored") {
     val out = CorpusStats.bigramNovelty(spark, sf()).cache()
     val total = spark.read.parquet(s"${sf()}/documents.parquet").count()
