@@ -370,101 +370,103 @@ object Dedup {
     perDoc.select(col("doc_id"), col("source"), simhash.as("simhash"))
   }
 
+  /** Connected components over an undirected edge list (`a`, `b`
+    * columns, any orientation) via alternating LARGE-STAR/SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — O(log n) rounds REGARDLESS of topology.
+    * An earlier min-label-propagation + pointer-jump spelling here
+    * was Θ(diameter) on adversarial inputs (labels don't point along
+    * the graph, so jumping compresses nothing — measured ~n/2 rounds
+    * on a shuffled n-node path; star contraction measures 7-13 rounds
+    * up to n = 50k).
+    *
+    *  - large-star(u): every neighbor v > u re-hooks to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star(u) on the (big → smalls) orientation: all smalls
+    *    plus u re-hook to m = min(Γ(u) ∪ u).
+    *
+    * Both are one window-min + one projection — per-round cost is a
+    * handful of key-partitioned shuffles of bounded (a, b) pairs,
+    * never the payloads. The fixpoint is a star forest rooted at each
+    * component's minimum id. Convergence = edge-set fixpoint, checked
+    * EXACTLY (count + anti-join), not by a hashed signature; a 60-round
+    * cap (≫ log₂ of any real corpus) fails LOUDLY rather than ever
+    * returning partial labels. Returns (id, label) for every
+    * edge-endpoint node; isolated nodes are absent (callers coalesce).
+    */
+  def connectedComponents(edges0: DataFrame): DataFrame = {
+    val canonical = edges0
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    // localCheckpoint (eager), NOT persist: each round's plan would
+    // otherwise nest every prior round's windows and optimizer time on
+    // the chain grows super-linearly (measured 65 s of pure planning
+    // by round 3 of the old loop). Checkpointing roots a fresh plan
+    // per round. On a cluster with lossy executors use reliable
+    // checkpoint() — same shape.
+    var edges = canonical.localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      if (rounds > 60)
+        sys.error("connectedComponents: star contraction did not " +
+          "converge in 60 rounds — this exceeds log2 of any physical " +
+          "edge count and indicates a bug, not a big input")
+      val wU = Window.partitionBy(col("u"))
+      // large-star over both orientations of each edge
+      val both = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val large = both
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .where(col("v") > col("u"))
+        // m <= u < v, so (m, v) is canonical and never a self-loop
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+      // small-star on the big→smalls orientation (v < u by canon)
+      val oriented = large.select(col("b").as("u"), col("a").as("v"))
+      val withM = oriented.withColumn("m", min(col("v")).over(wU))
+      val small = withM.where(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(withM.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+      val next = small.localCheckpoint()
+      // exact fixpoint test: same cardinality and no new edges
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      val old = edges
+      edges = next
+      old.unpersist(blocking = false) // drop the previous round's blocks
+      if (sys.env.contains("GRAFT_DEBUG"))
+        println(s"[cc] round=$rounds edges=${edges.count()}")
+    }
+    // star forest: every non-root appears exactly once as b, rooted at a
+    edges.select(col("b").as("id"), col("a").as("label"))
+      .union(edges.select(col("a").as("id"), col("a").as("label")).distinct())
+  }
+
   /** q98: near-dup CLUSTERS and survivor choice — what a dedup pipeline
     * actually ships: pair lists (q36-q38) folded into connected
-    * components, one representative (min doc_id) kept per component.
-    *
-    * Components via min-label propagation WITH pointer jumping: each
-    * round every node takes the min label over itself and its
-    * neighbors (edge step), then chases its label's label (jump step) —
-    * the jump halves chain lengths, so rounds are O(log diameter)
-    * instead of O(diameter); this is the same regime as the
-    * large-star/small-star map-reduce CC algorithm. Each round is two
-    * shuffle joins on bounded-size (id, label) pairs — never the text,
-    * never the pair list squared. Convergence is detected by the label
-    * SUM reaching a fixpoint (labels only decrease; one tiny aggregate
-    * per round crosses the driver). The fixpoint — min component id per
+    * components ([[connectedComponents]]), one representative (min
+    * doc_id) kept per component. The fixpoint — min component id per
     * node — is iteration-order independent, which is what makes an
     * engine-independent oracle possible (recursive CTE in DuckDB). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-    // BOTH edge directions from one pass over the pair pipeline: a
-    // union of two selects would re-plan the whole jaccard derivation
-    // per branch (the multi-branch recompute trap — measured 2×).
-    val edges = jaccardPairs(s, dir)
-      .select(explode(array(
-        struct(col("id1").as("src"), col("id2").as("dst")),
-        struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Iterate ONLY over edge-participating nodes: isolated docs (the
-    // overwhelming majority of a near-dup corpus) can never change
-    // label, so they stay out of every round and rejoin at the end.
-    // Seed labels with the first edge step already folded in —
-    // min(self, neighbors) — which alone converges pair-shaped
-    // components (the common case); the loop then only has chains and
-    // stars left to collapse. Edges are symmetric, so the dst column
-    // enumerates every edge node exactly once per incident edge.
-    var labels = edges.groupBy(col("dst").as("id"))
-      .agg(least(min(col("src")), col("dst")).as("label"))
-      .localCheckpoint()
-    // The label table is broadcast in both per-round joins: labels are
-    // (id, label) pairs — KB here, and still only 16 bytes/edge-node at
-    // 10⁹-node scale (~16 GB: past broadcast range). At that scale drop
-    // the hints and pre-partition `edges` by src once: every round's
-    // joins then co-locate on id with a single exchange for the
-    // groupBy — same algorithm, same round count.
-    var prevSum = {
-      val r = labels.agg(org.apache.spark.sql.functions.sum(col("label"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    var converged = false
-    var rounds = 0
-    try {
-      while (!converged && rounds < 40) {
-        // Edge step and pointer jump FUSED into one join + one groupBy:
-        // the jump term label(label(id)) is expressed as a synthetic
-        // edge label(id) → id unioned with the real edges, so each
-        // round is a single broadcast join and ONE shuffle (the
-        // groupBy) — half the per-round cost of sequential
-        // edge-then-jump, at the price of jumping through the previous
-        // round's labels (same fixpoint, occasionally one extra
-        // round). Monotonicity: label(x) ≤ x always, so the jump term
-        // alone is ≤ the node's own label and the min never increases.
-        val refs = edges.union(
-          labels.select(col("label").as("src"), col("id").as("dst")))
-        // localCheckpoint (eager), NOT persist: each round's plan nests
-        // every prior round's joins, and optimizer time on that chain
-        // grows super-linearly — round 3 took 65 s of pure planning
-        // before the lineage cut (execution itself was ~1 s).
-        // Checkpointing roots a fresh plan per round. (On a cluster
-        // with lossy executors use reliable checkpoint() instead —
-        // same shape.) Every src is a node id present in `labels`
-        // (labels only ever hold node ids), so the join is inner
-        // without row loss, and every id appears as the dst of its own
-        // synthetic jump edge.
-        val next = refs.join(broadcast(labels), refs("src") === labels("id"))
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        val sumRow = next
-          .agg(org.apache.spark.sql.functions.sum(col("label"))).head()
-        // null aggregate = empty corpus: converge immediately
-        val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-        labels = next
-        converged = sum == prevSum
-        prevSum = sum
-        rounds += 1
-        if (sys.env.contains("GRAFT_DEBUG")) println(s"[cc] round=$rounds sum=$sum")
-      }
-      // Isolated docs rejoin as their own singleton cluster.
-      docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster_id"))
-        .withColumn("keep", col("doc_id") === col("cluster_id"))
-        .orderBy("doc_id")
-    } finally edges.unpersist()
+    val pairs = jaccardPairs(s, dir)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val labels = connectedComponents(pairs)
+    // The label table is broadcast here: (id, label) pairs over only
+    // the edge-participating nodes — KB at gate scale. At 10⁹ nodes
+    // it outgrows broadcast range: drop the hint and this becomes a
+    // shuffle join on doc_id — still linear, still one pass.
+    docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** q37/q38 run under [[Md5Prefix]] so the FULL LSH pipelines are

@@ -22,37 +22,17 @@ object Ppm {
   }
 
   /** Parse a P6 image; None on anything malformed (never throws —
-    * corrupt blobs are data, not errors). Handles comments (#...) and
-    * arbitrary whitespace in the header, per the PPM spec. */
-  def decode(bytes: Array[Byte]): Option[Image] = {
-    if (bytes == null || bytes.length < 2 ||
-      bytes(0) != 'P' || bytes(1) != '6') return None
-    var i = 2
-    def skipWs(): Unit = {
-      var go = true
-      while (go && i < bytes.length) {
-        if (bytes(i) == '#') {
-          while (i < bytes.length && bytes(i) != '\n') i += 1
-        } else if (Character.isWhitespace(bytes(i))) i += 1
-        else go = false
-      }
+    * corrupt blobs are data, not errors). Header grammar — comments
+    * (#...), arbitrary whitespace, overflow-safe numbers — is the
+    * shared [[Pnm.parseHeader]]. */
+  def decode(bytes: Array[Byte]): Option[Image] =
+    Pnm.parseHeader(bytes, '6').flatMap { hd =>
+      val i = hd.rasterStart
+      val need = hd.width.toLong * hd.height.toLong * 3L
+      if (need > Int.MaxValue || bytes.length - i < need) None
+      else Some(Image(hd.width, hd.height,
+        java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
     }
-    def readInt(): Int = {
-      skipWs()
-      var v = -1
-      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-        v = math.max(v, 0) * 10 + (bytes(i) - '0'); i += 1
-      }
-      v
-    }
-    val w = readInt(); val h = readInt(); val maxv = readInt()
-    i += 1 // exactly one whitespace byte separates maxval from raster
-    val need = w.toLong * h.toLong * 3L
-    if (w <= 0 || h <= 0 || maxv != 255 || need > Int.MaxValue ||
-      bytes.length - i < need) None
-    else Some(Image(w, h,
-      java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
-  }
 
   /** Nearest-neighbor resample — the real resize kernel. */
   def resizeNearest(img: Image, w2: Int, h2: Int): Image = {

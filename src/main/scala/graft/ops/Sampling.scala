@@ -24,12 +24,13 @@ import graft.Tables
   */
 object Sampling {
 
-  /** 60-bit md5 prefix of a column's string form, as a non-negative
-    * BIGINT — same cross-engine hash family as
-    * [[graft.dedup.Md5Prefix]] (DuckDB:
-    * `('0x'||substr(md5(x),1,15))::BIGINT`). */
+  /** 60-bit md5 prefix of a column's string form — the ONE cross-engine
+    * hash definition, [[graft.dedup.Md5Prefix]] (DuckDB:
+    * `('0x'||substr(md5(x),1,15))::BIGINT`); only the string cast is
+    * added here. A local copy of the arithmetic would silently break
+    * q102/q103's oracle equality the day the shared family changes. */
   private def md5Prefix(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.dedup.Md5Prefix.h(c.cast("string"))
 
   /** q102: reproducible train/val/test split — 90/5/5 by hash bucket
     * of doc_id. A doc's split NEVER changes when the corpus grows

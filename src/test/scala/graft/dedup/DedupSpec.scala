@@ -162,4 +162,41 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(truth - e) <= 0.15, s"pair ($a,$b): est $e true $truth")
     }
   }
+  test("connectedComponents: shuffled path (worst case for label prop)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((0L until 200L).toVector)
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200)
+    assert(labels.values.forall(_ == 0L), "one component rooted at min id")
+  }
+
+  test("connectedComponents: random graphs match union-find ground truth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 300
+    val pairs = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(p => p._1 != p._2)
+    // driver-side union-find truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val compMin = (0 until n).groupBy(find).flatMap { case (_, members) =>
+      val m = members.min; members.map(_ -> m)
+    }
+    val got = Dedup.connectedComponents(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+    // every edge-connected node must carry its component minimum
+    val touched = pairs.flatMap(p => Seq(p._1.toInt, p._2.toInt)).toSet
+    touched.foreach { x =>
+      assert(got.get(x).contains(compMin(x)), s"node $x: ${got.get(x)} vs ${compMin(x)}")
+    }
+    assert(got.keySet == touched, "labels exactly the edge-endpoint set")
+  }
+
 }

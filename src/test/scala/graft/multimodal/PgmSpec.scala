@@ -60,6 +60,14 @@ class PgmSpec extends AnyFunSuite {
       "P5\n46341 46341\n255\n".getBytes("US-ASCII")).isEmpty)
     assert(Pgm.decode(
       "P5\n2000000000 2000000000\n255\n".getBytes("US-ASCII")).isEmpty)
+    // header value that WRAPS 32-bit accumulation: 2^32+1 must not
+    // parse as width 1 (review finding: Int digit accumulation)
+    assert(Pgm.decode(
+      ("P5\n4294967297 1\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](7, 7, 7)).toArray).isEmpty)
+    assert(Ppm.decode(
+      ("P6\n4294967297 1\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](7, 7, 7)).toArray).isEmpty)
   }
 
   test("sniff + decodeImages chain picks up PGM rows") {

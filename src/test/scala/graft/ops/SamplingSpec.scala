@@ -16,11 +16,17 @@ class SamplingSpec extends SparkSpec {
     assert(split.count() == total) // every doc assigned exactly once
     assert(split.select("split").distinct().collect()
       .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
-    // growing the corpus must not move existing docs: assignment on a
-    // half-corpus agrees with assignment on the full corpus
-    val half = Sampling.hashSplit(spark, sf())
+    // growing the corpus must not move existing docs: run the SPLIT on
+    // a physically smaller corpus (half the docs written to a temp
+    // zone) and require assignments to agree with the full-corpus run —
+    // a corpus-dependent split (ntile, rand) fails this
+    val tmp = java.nio.file.Files.createTempDirectory("split_half").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
       .where(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val half = Sampling.hashSplit(spark, tmp)
       .select(col("doc_id"), col("split").as("split2"))
+    assert(half.count() > 0)
     val moved = split.join(half, "doc_id")
       .where(col("split") =!= col("split2")).count()
     assert(moved == 0)
