@@ -66,9 +66,40 @@ object Sampling {
       .orderBy("source", "rn")
   }
 
+  /** q108: the END-TO-END corpus curation pipeline as ONE declarative
+    * query — what every piece above exists for, composed: exact-dedup
+    * survivor (keep-first per content digest) → quality floor (token
+    * count) → train split (hash bucket) → per-source quota in hash
+    * order. Each stage is the same operator the standalone queries
+    * gate (q35/q31/q102/q103), so the composition is oracle-checkable
+    * end to end. One scan, two window shuffles (digest, source), all
+    * other stages map-side — the whole curation decision runs at scan
+    * speed plus two key-partitioned exchanges at any corpus size. */
+  def curatedCorpus(s: SparkSession, dir: String, minTokens: Int = 20,
+                    cap: Int = 100): DataFrame = {
+    val wDigest = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val wQuota = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("rn", row_number().over(wDigest))
+      .where(col("rn") === 1)
+      .withColumn("n_tokens",
+        size(graft.util.Tokens.whitespace(col("text"))))
+      .where(col("n_tokens") >= minTokens)
+      .where(md5Prefix(col("doc_id")) % 1000 < 900)
+      .withColumn("h", md5Prefix(concat(col("source"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("qrn", row_number().over(wQuota))
+      .where(col("qrn") <= cap)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_hash_split"   -> (hashSplit _),
-    "q103_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)))
+    "q103_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
+    "q108_curated_corpus" -> ((s: SparkSession, d: String) =>
+      curatedCorpus(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q102_hash_split" ->
@@ -93,5 +124,28 @@ object Sampling {
         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
         |  FROM h)
         |SELECT source, doc_id, rn FROM r
-        |WHERE rn <= 100 ORDER BY source, rn""".stripMargin)
+        |WHERE rn <= 100 ORDER BY source, rn""".stripMargin,
+    "q108_curated_corpus" ->
+      raw"""WITH survivors AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |quality AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM survivors
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 20),
+        |train AS (
+        |  SELECT * FROM quality
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 1000 < 900),
+        |quota AS (
+        |  SELECT doc_id, source, n_tokens, row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5(source || ':' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS qrn
+        |  FROM train)
+        |SELECT doc_id, source, n_tokens FROM quota
+        |WHERE qrn <= 100 ORDER BY doc_id""".stripMargin)
 }

@@ -260,12 +260,31 @@ object Similarity {
     df.withColumn("dq_vec",
       expr("transform(q_vec, b -> CAST(b * q_scale / 127.0 AS FLOAT))"))
 
+  /** q107: embedding near-dup CLUSTERS — the q52 pair graph folded
+    * into connected components with a survivor per cluster: the
+    * semantic-dedup mirror of q98 (same
+    * [[graft.dedup.Dedup.connectedComponents]] star-contraction
+    * operator, different edge relation). Oracle replays the q52
+    * pipeline and closes it with a recursive CTE. */
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val vecs = corpus(s, dir).select(col("vec_id"))
+    val pairs = nearDupPairs(s, dir)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val labels = graft.dedup.Dedup.connectedComponents(pairs)
+    vecs.join(broadcast(labels), vecs("vec_id") === labels("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "q51_knn_lsh"   -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "q53_knn_ivf"   -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "q52_embedding_neardup" ->
-      ((s: SparkSession, d: String) => nearDupPairs(s, d)))
+      ((s: SparkSession, d: String) => nearDupPairs(s, d)),
+    "q107_embedding_clusters" -> (embeddingClusters _))
 
   /** The ±1 projection matrix as a DuckDB VALUES relation `proj(b, p)`
     * — generated from [[projections]] itself so the oracle can never
@@ -352,5 +371,33 @@ object Similarity {
          |            JOIN emb e2 ON e2.vec_id = id2
          |)
          |SELECT id1, id2, cosine FROM scored
-         |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin))
+         |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin),
+    "q107_embedding_clusters" ->
+      (sigCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        s""",
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+         |  FROM banded a JOIN banded c
+         |    ON a.band = c.band AND a.bandVal = c.bandVal
+         |      AND a.vec_id < c.vec_id
+         |),
+         |p AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT id1, id2,
+         |      ${dotSql("e1.embedding", "e2.embedding")} AS cosine
+         |    FROM cand JOIN emb e1 ON e1.vec_id = id1
+         |              JOIN emb e2 ON e2.vec_id = id2)
+         |  WHERE cosine >= 0.45
+         |),
+         |e(src, dst) AS (
+         |  SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p
+         |),
+         |reach(id, label) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+         |)
+         |SELECT id AS vec_id, min(label) AS cluster_id,
+         |  (id = min(label)) AS keep
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin))
 }

@@ -65,6 +65,39 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q107: near-dup pair endpoints share a cluster; keep is the min") {
+    val clusters = graft.sim.Similarity.embeddingClusters(spark, sf()).cache()
+    val pairs = graft.sim.Similarity.nearDupPairs(spark, sf())
+    val c1 = clusters.select(col("vec_id").as("id1"), col("cluster_id").as("c1"))
+    val c2 = clusters.select(col("vec_id").as("id2"), col("cluster_id").as("c2"))
+    assert(pairs.join(c1, "id1").join(c2, "id2")
+      .where(col("c1") =!= col("c2")).count() == 0)
+    // exactly one survivor per cluster, and it is the min member
+    val badKeep = clusters.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("nkeep"),
+        min(col("vec_id")).as("minid"))
+      .where(col("nkeep") =!= 1 || col("minid") =!= col("cluster_id"))
+    assert(badKeep.count() == 0)
+    clusters.unpersist()
+  }
+
+  test("q108: curation composes its stages (survivor ∧ quality ∧ train ∧ quota)") {
+    val curated = Sampling.curatedCorpus(spark, sf()).cache()
+    assert(curated.where(col("n_tokens") < 20).count() == 0)
+    assert(curated.groupBy("source").count()
+      .where(col("count") > 100).count() == 0)
+    // curated ⊆ train split
+    val split = Sampling.hashSplit(spark, sf())
+      .select(col("doc_id"), col("split"))
+    assert(curated.join(split, "doc_id")
+      .where(col("split") =!= "train").count() == 0)
+    // curated ⊆ exact-dedup survivors
+    val survivors = graft.dedup.Dedup.keepFirst(spark, sf())
+      .select(col("doc_id"))
+    assert(curated.join(survivors, Seq("doc_id"), "left_anti").count() == 0)
+    curated.unpersist()
+  }
+
   test("q106: every doc chunked, shared counts bounded, dups fully shared") {
     val out = CorpusStats.cdcChunks(spark, sf()).cache()
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").cache()
