@@ -438,7 +438,10 @@ object Dedup {
         next.exceptAll(edges).isEmpty
       val old = edges
       edges = next
-      old.unpersist(blocking = false) // drop the previous round's blocks
+      // Dataset.unpersist is a NO-OP for localCheckpoint blocks (they
+      // are RDD-level persisted, never registered with the
+      // CacheManager — review finding); free them via the bridge.
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(old)
       if (sys.env.contains("GRAFT_DEBUG"))
         println(s"[cc] round=$rounds edges=${edges.count()}")
     }

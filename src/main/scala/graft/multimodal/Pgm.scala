@@ -26,9 +26,11 @@ object Pgm {
   def decode(bytes: Array[Byte]): Option[Ppm.Image] =
     Pnm.parseHeader(bytes, '5').flatMap { hd =>
       val i = hd.rasterStart
-      // Long arithmetic: w*h (and ×3 for the RGB expansion) can wrap Int
+      // w·h ≤ 2^62 can't wrap Long; compare against Int.MaxValue/3
+      // BEFORE the ×3 RGB expansion (w·h·3 could wrap — same hazard
+      // as Ppm.decode's review finding)
       val need = hd.width.toLong * hd.height.toLong
-      if (need * 3L > Int.MaxValue || bytes.length - i < need) None
+      if (need > Int.MaxValue / 3 || bytes.length - i < need) None
       else {
         val rgb = new Array[Byte]((need * 3L).toInt)
         var p = 0

@@ -28,10 +28,13 @@ object Ppm {
   def decode(bytes: Array[Byte]): Option[Image] =
     Pnm.parseHeader(bytes, '6').flatMap { hd =>
       val i = hd.rasterStart
-      val need = hd.width.toLong * hd.height.toLong * 3L
-      if (need > Int.MaxValue || bytes.length - i < need) None
+      // Guard BEFORE multiplying by 3: w·h ≤ 2^62 can't wrap, but
+      // w·h·3 can (w = h = Int.MaxValue wraps Long negative and slips
+      // past both checks — review finding).
+      val wh = hd.width.toLong * hd.height.toLong
+      if (wh > Int.MaxValue / 3 || bytes.length - i < wh * 3L) None
       else Some(Image(hd.width, hd.height,
-        java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
+        java.util.Arrays.copyOfRange(bytes, i, i + (wh * 3L).toInt)))
     }
 
   /** Nearest-neighbor resample — the real resize kernel. */

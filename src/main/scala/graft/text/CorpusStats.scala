@@ -83,11 +83,13 @@ object CorpusStats {
     * chunking lacks). Chunk fingerprints are md5 of the span; a chunk
     * is "shared" if it occurs in more than one doc corpus-wide.
     *
-    * Scale shape: posexplode → lag/running-sum windows keyed by doc →
-    * (doc, chunk) agg → fingerprint count → join back. Every shuffle
-    * is key-partitioned (doc_id or chunk hash); the cross-engine hash
-    * is [[graft.dedup.Md5Prefix]] so DuckDB replays boundary
-    * placement exactly. */
+    * Scale shape: the per-doc chunking is pure map-side array math
+    * (boundary indices via `filter` over positions, fingerprints via
+    * `slice` per boundary window), so the first shuffle in the plan is
+    * already the corpus-wide (chunk_hash → ndocs) count, followed by
+    * one key-partitioned join back. The cross-engine hash is
+    * [[graft.dedup.Md5Prefix]] so DuckDB replays boundary placement
+    * exactly. */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     // The whole per-doc chunking runs MAP-SIDE on the token array —
     // boundary indices via `filter` over positions, chunk fingerprints
@@ -95,23 +97,35 @@ object CorpusStats {
     // plan is already the (chunk_hash → ndocs) count. An earlier
     // explode + lag/running-sum-window spelling shuffled the full
     // token stream twice before producing a single chunk (measured
-    // 2.3 s → this shape 1.2 s at sf0.1). All lambda captures are
-    // plain attributes; per-element work is O(1) array indexing (the
+    // 2.3 s → 1.9 s at sf0.1). All lambda captures are plain
+    // attributes; per-element work is O(1) array indexing (the
     // O(tokens²) HOF trap is re-evaluating a SPLIT per element, which
-    // materializing `w` first avoids).
-    val hashMod8 = "CAST(conv(substring(md5(concat(" +
-      "element_at(w, CAST(i AS INT)), ' ', " +
-      "element_at(w, CAST(i AS INT) + 1))), 1, 15), 16, 10) AS BIGINT) % 8"
+    // materializing `w` first avoids). The boundary predicate is the
+    // shared Md5Prefix.h via Column lambdas — a string-expr copy of
+    // the hash arithmetic here would silently detach q106's oracle
+    // from the family. CASE guard: size(w) < 2 must yield NO
+    // boundaries — `sequence(1, size-1)` DESCENDS when size = 1
+    // (sequence(1,0) = [1,0]) and the lambda would index out of
+    // bounds (review finding; the testdata never triggers it, a
+    // single-token doc does).
+    import graft.dedup.Md5Prefix
+    val w = col("w")
+    val boundary = (i: org.apache.spark.sql.Column) =>
+      Md5Prefix.h(concat(
+        element_at(w, i.cast("int")), lit(" "),
+        element_at(w, i.cast("int") + 1))) % 8 === 0
     val chunks = Tables.load(s, dir, "documents")
       .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
       // boundary BEFORE token i (1-based array positions: boundary at
       // position i+1 when hash(w[i], w[i+1]) ≡ 0 mod 8)
       .withColumn("bounds",
-        expr(s"filter(sequence(1L, size(w) - 1L), i -> $hashMod8 = 0)"))
+        when(size(w) < 2, expr("CAST(array() AS ARRAY<BIGINT>)"))
+          .otherwise(filter(sequence(lit(1L), size(w).cast("long") - 1L),
+            boundary)))
       .withColumn("starts",
-        expr("concat(array(0L), bounds)"))
+        concat(array(lit(0L)), col("bounds")))
       .withColumn("ends",
-        expr("concat(bounds, array(CAST(size(w) AS LONG)))"))
+        concat(col("bounds"), array(size(w).cast("long"))))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(starts) - 1), j -> md5(concat_ws(' ', " +
           "slice(w, CAST(starts[j] AS INT) + 1, " +

@@ -11,4 +11,18 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Eagerly free the blocks behind a `localCheckpoint()`ed Dataset.
+    * `Dataset.unpersist` is a no-op for these — it goes through the
+    * CacheManager, but localCheckpoint persists at the RDD level and
+    * never registers there; without this, every iteration of a
+    * checkpointed loop leaves its blocks pinned until GC +
+    * ContextCleaner. Reaches the underlying RDD via the analyzed
+    * `LogicalRDD` node (why this file lives in `org.apache.spark.sql`). */
+  def unpersistLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

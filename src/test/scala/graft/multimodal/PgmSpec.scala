@@ -68,6 +68,11 @@ class PgmSpec extends AnyFunSuite {
     assert(Ppm.decode(
       ("P6\n4294967297 1\n255\n".getBytes("US-ASCII") ++
         Array[Byte](7, 7, 7)).toArray).isEmpty)
+    // both dims Int.MaxValue: w*h*3 wraps LONG negative and slipped
+    // the old guards (review finding)
+    assert(Ppm.decode(
+      ("P6\n2147483647 2147483647\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](7, 7, 7)).toArray).isEmpty)
   }
 
   test("sniff + decodeImages chain picks up PGM rows") {

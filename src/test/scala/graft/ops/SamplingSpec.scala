@@ -128,4 +128,16 @@ class SamplingSpec extends SparkSpec {
     assert(out.where(col("n_hapax") > col("n_bigrams")).count() == 0)
     out.unpersist()
   }
+  test("q106: degenerate docs (empty / single token) chunk without crashing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_deg").toString
+    Seq((1L, "", "s"), (2L, "one", "s"), (3L, "a b c d e f g h", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusStats.cdcChunks(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out.values.forall(_ >= 1), s"every doc gets >= 1 chunk: $out")
+  }
+
 }
