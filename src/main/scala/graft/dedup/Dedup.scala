@@ -433,9 +433,12 @@ object Dedup {
         .union(withM.select(col("m").as("a"), col("u").as("b")))
         .distinct()
       val next = small.localCheckpoint()
-      // exact fixpoint test: same cardinality and no new edges
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // exact fixpoint test in ONE job: both sets are distinct, so
+      // equality ⟺ empty symmetric difference (isEmpty short-circuits
+      // via limit 1; the two-count + one-sided-except spelling was
+      // three jobs per round)
+      converged = next.exceptAll(edges)
+        .union(edges.exceptAll(next)).isEmpty
       val old = edges
       edges = next
       // Dataset.unpersist is a NO-OP for localCheckpoint blocks (they
