@@ -42,4 +42,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1,
       s"expected ONE corpus scan in the bucket-shape plan, got $scans:\n$plan")
   }
+
+  test("q102: the split is map-side — one scan, only the output-sort exchange") {
+    val plan = planOf("q102_hash_split")
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    // the hash-bucket assignment itself must not shuffle; the single
+    // Exchange in the plan is the deterministic gate ordering
+    assert("(?<!Broadcast)Exchange".r.findAllIn(plan).length == 1,
+      "expected exactly one (sort) exchange:\n" + plan)
+    assert(!plan.contains("Window"), "split must not need a window:\n" + plan)
+  }
+
+  test("q106: chunking stays map-side — no window operator in the plan") {
+    val plan = planOf("q106_cdc_chunks")
+    // regression guard: the explode + lag/running-sum spelling planned
+    // two Window nodes over the exploded token stream
+    assert(!plan.contains("Window"),
+      "CDC chunking regressed to a window shuffle:\n" + plan)
+  }
 }
