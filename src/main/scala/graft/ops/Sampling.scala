@@ -52,19 +52,26 @@ object Sampling {
     * under any reshuffle of the input and biases toward nothing). This
     * is the mixing lever that stops one dominant source from swamping
     * a training mix. The hash salts doc_id with the source so the kept
-    * set of a source is independent of the split assignment above. */
-  def quotaSample(s: SparkSession, dir: String, cap: Int = 100): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("h"), col("doc_id"))
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        md5Prefix(concat(col("source"), lit(":"),
-          col("doc_id").cast("string"))).as("h"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= cap)
-      .select(col("source"), col("doc_id"), col("rn"))
-      .orderBy("source", "rn")
-  }
+    * set of a source is independent of the split assignment above.
+    *
+    * Runs ON the custom heap operator ([[graft.plans.TopK]], the q100
+    * physical node): a `row_number` window sorts EVERY source's full
+    * row set before discarding all but `cap` — on a mega-source (a web
+    * crawl at 90% of a 100 TB corpus) that is a giant spilling sort
+    * for a 100-row answer. The heap keeps `cap` rows per source in
+    * O(n log cap), which is exactly the skew-proof shape quota capping
+    * needs. TopK ranks descending, so the ascending hash order is
+    * passed negated. */
+  def quotaSample(s: SparkSession, dir: String, cap: Int = 100): DataFrame =
+    graft.plans.TopK.topKPerGroup(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (-md5Prefix(concat(col("source"), lit(":"),
+            col("doc_id").cast("string")))).as("neg_h")),
+      groupCols = Seq("source"), orderCol = "neg_h", tieCol = "doc_id",
+      k = cap)
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
 
   /** q108: the END-TO-END corpus curation pipeline as ONE declarative
     * query — what every piece above exists for, composed: exact-dedup
@@ -123,8 +130,8 @@ object Sampling {
         |  SELECT source, doc_id,
         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
         |  FROM h)
-        |SELECT source, doc_id, rn FROM r
-        |WHERE rn <= 100 ORDER BY source, rn""".stripMargin,
+        |SELECT source, doc_id FROM r
+        |WHERE rn <= 100 ORDER BY source, doc_id""".stripMargin,
     "q108_curated_corpus" ->
       raw"""WITH survivors AS (
         |  SELECT doc_id, source, text FROM (

@@ -53,6 +53,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), "split must not need a window:\n" + plan)
   }
 
+  test("q103: quota sampling runs on the custom heap operator, not a window") {
+    val plan = planOf("q103_quota_sample")
+    assert(plan.contains("TopKPerGroup"),
+      "expected the custom heap top-k node:\n" + plan)
+    assert(!plan.contains("Window"),
+      "quota must not fall back to a window sort:\n" + plan)
+  }
+
   test("q106: chunking stays map-side — no window operator in the plan") {
     val plan = planOf("q106_cdc_chunks")
     // regression guard: the explode + lag/running-sum spelling planned
