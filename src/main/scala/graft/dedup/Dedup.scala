@@ -389,7 +389,8 @@ object Dedup {
     * handful of key-partitioned shuffles of bounded (a, b) pairs,
     * never the payloads. The fixpoint is a star forest rooted at each
     * component's minimum id. Convergence = edge-set fixpoint, checked
-    * EXACTLY (count + anti-join), not by a hashed signature; a 60-round
+    * EXACTLY (empty symmetric difference — one short-circuiting job),
+    * not by a hashed signature; a 60-round
     * cap (≫ log₂ of any real corpus) fails LOUDLY rather than ever
     * returning partial labels. Returns (id, label) for every
     * edge-endpoint node; isolated nodes are absent (callers coalesce).

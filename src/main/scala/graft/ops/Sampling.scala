@@ -16,11 +16,12 @@ import graft.Tables
   *
   * Scale shape: the split is pure map-side column math (scan speed, no
   * shuffle — at 100 TB it runs inside whatever scan already happens);
-  * the quota cap is one window shuffle on the stratum key. A corpus
-  * with a mega-source (web crawl = 90% of rows) makes that window
-  * skew-bound — the [[graft.plans.TopK]] heap operator is the drop-in
-  * replacement there (same (stratum, hash-order) contract, bounded
-  * memory per group).
+  * the quota cap runs ON the [[graft.plans.TopK]] heap operator
+  * (q100's physical node) — `cap` rows of memory per stratum and
+  * O(n log cap) work, so a mega-source (web crawl = 90% of rows)
+  * never triggers the spilling per-source sort a `row_number` window
+  * would need. The window spelling survives as the DuckDB oracle,
+  * which is what proves the heap produces the identical keep-set.
   */
 object Sampling {
 
@@ -79,25 +80,26 @@ object Sampling {
     * count) → train split (hash bucket) → per-source quota in hash
     * order. Each stage is the same operator the standalone queries
     * gate (q35/q31/q102/q103), so the composition is oracle-checkable
-    * end to end. One scan, two window shuffles (digest, source), all
-    * other stages map-side — the whole curation decision runs at scan
-    * speed plus two key-partitioned exchanges at any corpus size. */
+    * end to end — including the quota stage running on the
+    * [[graft.plans.TopK]] heap (same skew-proof shape as q103; the
+    * oracle keeps the window spelling). One scan, one digest-window
+    * shuffle, one heap exchange on source, all other stages map-side. */
   def curatedCorpus(s: SparkSession, dir: String, minTokens: Int = 20,
                     cap: Int = 100): DataFrame = {
     val wDigest = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val wQuota = Window.partitionBy(col("source"))
-      .orderBy(col("h"), col("doc_id"))
-    Tables.load(s, dir, "documents")
+    val eligible = Tables.load(s, dir, "documents")
       .withColumn("rn", row_number().over(wDigest))
       .where(col("rn") === 1)
       .withColumn("n_tokens",
         size(graft.util.Tokens.whitespace(col("text"))))
       .where(col("n_tokens") >= minTokens)
       .where(md5Prefix(col("doc_id")) % 1000 < 900)
-      .withColumn("h", md5Prefix(concat(col("source"), lit(":"),
-        col("doc_id").cast("string"))))
-      .withColumn("qrn", row_number().over(wQuota))
-      .where(col("qrn") <= cap)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (-md5Prefix(concat(col("source"), lit(":"),
+          col("doc_id").cast("string")))).as("neg_h"))
+    graft.plans.TopK.topKPerGroup(eligible,
+      groupCols = Seq("source"), orderCol = "neg_h", tieCol = "doc_id",
+      k = cap)
       .select(col("doc_id"), col("source"), col("n_tokens"))
       .orderBy("doc_id")
   }
