@@ -389,8 +389,8 @@ object Dedup {
     * handful of key-partitioned shuffles of bounded (a, b) pairs,
     * never the payloads. The fixpoint is a star forest rooted at each
     * component's minimum id. Convergence = edge-set fixpoint, checked
-    * EXACTLY (empty symmetric difference — one short-circuiting job),
-    * not by a hashed signature; a 60-round
+    * EXACTLY (count short-circuit, then a one-sided anti-join on the
+    * confirming round), not by a hashed signature; a 60-round
     * cap (≫ log₂ of any real corpus) fails LOUDLY rather than ever
     * returning partial labels. Returns (id, label) for every
     * edge-endpoint node; isolated nodes are absent (callers coalesce).
@@ -434,12 +434,15 @@ object Dedup {
         .union(withM.select(col("m").as("a"), col("u").as("b")))
         .distinct()
       val next = small.localCheckpoint()
-      // exact fixpoint test in ONE job: both sets are distinct, so
-      // equality ⟺ empty symmetric difference (isEmpty short-circuits
-      // via limit 1; the two-count + one-sided-except spelling was
-      // three jobs per round)
-      converged = next.exceptAll(edges)
-        .union(edges.exceptAll(next)).isEmpty
+      // exact fixpoint test, count-first: counts over checkpointed
+      // RDDs are near-free and DIFFER on every non-final round (the
+      // edge set shrinks), so the shuffle-heavy except runs only on
+      // the confirming round. (A one-job symmetric-difference
+      // spelling pays a double anti-join every round — measured no
+      // better.) Equal counts + empty one-sided except ⟺ set equality
+      // for distinct sets.
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
       val old = edges
       edges = next
       // Dataset.unpersist is a NO-OP for localCheckpoint blocks (they
