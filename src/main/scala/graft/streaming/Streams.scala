@@ -139,6 +139,76 @@ object Streams {
       .toDF("user_id", "n", "sum", "closed")
   }
 
+  /** Streaming NEAR-dup detection — the cross-batch LSH filter a
+    * continuously-ingesting corpus needs: a doc arriving today that
+    * near-duplicates one ingested last week is flagged the moment it
+    * lands, which no batch dedup pass over the increment can do.
+    * Exact streaming dedup ([[dedupStream]]) only catches identical
+    * payloads; this catches edited ones.
+    *
+    * Map-side per doc: whitespace tokens → distinct 3-shingles →
+    * xxhash64 → 32 permuted minima (pure array HOFs — no explode-agg,
+    * so the signature needs NO stateful aggregation) → 8 bands of 4.
+    * State: one entry per LSH bucket (band, band-slice hash) holding
+    * up to `bucketCap` (doc_id, signature) members; each arriving doc
+    * emits a row per stored member whose signature agreement ≥
+    * `threshold`, then joins the bucket. At scale the state store is
+    * hash-partitioned by bucket key, and `bucketCap` bounds both
+    * memory and per-arrival compare work exactly like the batch
+    * star+chain cap — a boilerplate bucket degrades recall, never
+    * blows up. Emitted pairs are per-bucket candidates: downstream
+    * dedups (a doc matching in several bands repeats) — kept append-
+    * mode simple here rather than chaining a second stateful op. */
+  def nearDupStream(docs: DataFrame, threshold: Double = 0.5,
+                    bucketCap: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import graft.dedup.{Dedup, XxHash64}
+    import graft.util.Tokens
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perms = Dedup.MinhashPerms
+    val bands = 8
+    val rowsPerBand = perms / bands
+    val sigCols = array((0 until perms).map(i =>
+      array_min(transform(col("hs"), h => XxHash64.perm(h, i)))): _*)
+    val banded = docs
+      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
+      .select(col("doc_id"),
+        transform(array_distinct(Tokens.ngramsOf(col("w"), 3)),
+          s => xxhash64(s)).as("hs"))
+      .select(col("doc_id"), sigCols.as("sig"))
+      .select(col("doc_id"), col("sig"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+        .as(Seq("band", "bucket")))
+    banded.as[(Long, Seq[Long], Int, Long)]
+      .groupByKey { case (_, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[List[(Long, Seq[Long])],
+        (Long, Long, Double, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Seq[Long], Int, Long)],
+         state: GroupState[List[(Long, Seq[Long])]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Double, Int)]
+          rows.foreach { case (docId, sig, band, _) =>
+            members.foreach { case (prevId, prevSig) =>
+              if (prevId != docId) {
+                val agree = sig.iterator.zip(prevSig.iterator)
+                  .count { case (a, b) => a == b }
+                val estJ = agree.toDouble / sig.length
+                if (estJ >= threshold) out += ((docId, prevId, estJ, band))
+              }
+            }
+            if (members.size < bucketCap &&
+              !members.exists(_._1 == docId))
+              members = (docId, sig) :: members
+          }
+          state.update(members)
+          out.result().iterator
+      }
+      .toDF("doc_id", "dup_of", "est_jaccard", "band")
+  }
+
   /** Dead-letter ingest source: parse a file stream PERMISSIVEly,
     * carrying unparseable payloads in `corruptCol` instead of failing
     * the query — one malformed line in 100 TB of feed must quarantine,

@@ -200,4 +200,40 @@ class StreamsSpec extends SparkSpec {
     assert(stats.forall(_._2 <= 4), s"batch exceeded admission bound: $stats")
   }
 
+  test("streaming near-dup flags an edited doc from an EARLIER batch") {
+    val in = Files.createTempDirectory("neardup_in").toString
+    val ckpt = Files.createTempDirectory("neardup_ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val edited = base.replace("lazy", "sleepy") // near-dup, not exact
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def row(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    // batch 1: two distinct docs; batch 2: an edit of doc 1 + a fresh doc
+    writeBatch(in, "b1.json", row(1, base),
+      row(2, "completely different words about spark shuffles and joins " +
+        "with partitions and exchanges everywhere all the time"))
+    writeBatch(in, "b2.json", row(3, edited),
+      row(4, "yet another unrelated document mentioning parquet files " +
+        "and bloom filters and column pruning for good measure"))
+    // one file per trigger -> the match is genuinely CROSS-batch state
+    val stream = Streams.rateLimitedStream(spark, in, docSchema,
+      maxFilesPerTrigger = 1)
+    val pairs = Streams.nearDupStream(stream, threshold = 0.5)
+    val q = pairs.writeStream.format("memory").queryName("neardup")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val found = spark.table("neardup")
+      .select("doc_id", "dup_of").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((3L, 1L)), s"cross-batch near-dup missed: $found")
+    assert(found.forall(p => p == ((3L, 1L))),
+      s"false near-dup pairs: $found")
+  }
+
 }
