@@ -156,55 +156,85 @@ object Streams {
     * hash-partitioned by bucket key, and `bucketCap` bounds both
     * memory and per-arrival compare work exactly like the batch
     * star+chain cap — a boilerplate bucket degrades recall, never
-    * blows up. Emitted pairs are per-bucket candidates: downstream
+    * blows up. The cap bounds PER-BUCKET memory; total state grows
+    * with the number of distinct buckets (≈ bands × distinct band
+    * slices seen), so a continuous deployment sets `idleTimeout` to
+    * reap buckets no arrival has touched within the horizon —
+    * trading cross-batch recall beyond the horizon for bounded state,
+    * the same deal every watermarked operator makes. `None` (the
+    * AvailableNow/test drain mode — a processing-time timer would
+    * keep the drain alive) means no eviction. A re-arrival of an
+    * already-stored doc_id REFRESHES its stored signature (content
+    * may have changed) and emits pairs against the other members
+    * only. Emitted pairs are per-bucket candidates: downstream
     * dedups (a doc matching in several bands repeats) — kept append-
-    * mode simple here rather than chaining a second stateful op. */
+    * mode simple here rather than chaining a second stateful op.
+    * LSH geometry is [[graft.dedup.Dedup.LshBands]]/
+    * [[graft.dedup.Dedup.LshRows]] — the same constants as the batch
+    * q37 pipeline this mirrors, so the two can never drift. */
   def nearDupStream(docs: DataFrame, threshold: Double = 0.5,
-                    bucketCap: Int = 64): DataFrame = {
+                    bucketCap: Int = 64,
+                    idleTimeout: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import graft.dedup.{Dedup, XxHash64}
     import graft.util.Tokens
     val spark = docs.sparkSession
     import spark.implicits._
     val perms = Dedup.MinhashPerms
-    val bands = 8
-    val rowsPerBand = perms / bands
     val sigCols = array((0 until perms).map(i =>
       array_min(transform(col("hs"), h => XxHash64.perm(h, i)))): _*)
+    val bucketExpr = XxHash64.bandKeySql(
+      s"slice(sig, b * ${Dedup.LshRows} + 1, ${Dedup.LshRows})")
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val banded = docs
+      // nulls are data, not poison: a null doc_id/text would throw in
+      // the non-nullable tuple decode below and — being replayed from
+      // the checkpoint — kill the query permanently. Route such rows
+      // through the dead-letter pattern upstream; here they are
+      // dropped from the near-dup path.
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
       .select(col("doc_id"),
         transform(array_distinct(Tokens.ngramsOf(col("w"), 3)),
           s => xxhash64(s)).as("hs"))
       .select(col("doc_id"), sigCols.as("sig"))
       .select(col("doc_id"), col("sig"), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+        s"transform(sequence(0, ${Dedup.LshBands - 1}), b -> $bucketExpr)"))
         .as(Seq("band", "bucket")))
     banded.as[(Long, Seq[Long], Int, Long)]
       .groupByKey { case (_, _, band, bucket) => (band, bucket) }
       .flatMapGroupsWithState[List[(Long, Seq[Long])],
         (Long, Long, Double, Int)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: (Int, Long), rows: Iterator[(Long, Seq[Long], Int, Long)],
          state: GroupState[List[(Long, Seq[Long])]]) =>
-          var members = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[(Long, Long, Double, Int)]
-          rows.foreach { case (docId, sig, band, _) =>
-            members.foreach { case (prevId, prevSig) =>
-              if (prevId != docId) {
-                val agree = sig.iterator.zip(prevSig.iterator)
-                  .count { case (a, b) => a == b }
-                val estJ = agree.toDouble / sig.length
-                if (estJ >= threshold) out += ((docId, prevId, estJ, band))
+          if (state.hasTimedOut) {
+            state.remove() // idle bucket reaped; no output
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[(Long, Long, Double, Int)]
+            rows.foreach { case (docId, sig, band, _) =>
+              members.foreach { case (prevId, prevSig) =>
+                if (prevId != docId) {
+                  val agree = sig.iterator.zip(prevSig.iterator)
+                    .count { case (a, b) => a == b }
+                  val estJ = agree.toDouble / sig.length
+                  if (estJ >= threshold) out += ((docId, prevId, estJ, band))
+                }
               }
+              if (members.exists(_._1 == docId))
+                // same id re-ingested: refresh the stored signature
+                members = (docId, sig) :: members.filterNot(_._1 == docId)
+              else if (members.size < bucketCap)
+                members = (docId, sig) :: members
             }
-            if (members.size < bucketCap &&
-              !members.exists(_._1 == docId))
-              members = (docId, sig) :: members
+            state.update(members)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(members)
-          out.result().iterator
       }
       .toDF("doc_id", "dup_of", "est_jaccard", "band")
   }

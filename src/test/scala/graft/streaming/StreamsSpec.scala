@@ -228,12 +228,16 @@ class StreamsSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // orientation depends on file admission order (mtime ties break
+    // arbitrarily), so normalize pairs before asserting
     val found = spark.table("neardup")
       .select("doc_id", "dup_of").distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(found.contains((3L, 1L)), s"cross-batch near-dup missed: $found")
-    assert(found.forall(p => p == ((3L, 1L))),
-      s"false near-dup pairs: $found")
+      .map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    assert(found == Set((1L, 3L)),
+      s"expected exactly the planted near-dup pair, got: $found")
   }
 
 }
