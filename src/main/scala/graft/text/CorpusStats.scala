@@ -141,13 +141,45 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q110: per-source scorecard — the one-page summary a curation run
+    * reports per provenance: volume, exact-dup rate, and size stats.
+    * One scan, one aggregation (a single DISTINCT aggregate alongside
+    * plain ones is the two-phase plan, no Expand); ratios are exact
+    * int/int divisions. The decision artifact that drives the q103
+    * quota and q31-style quality thresholds. */
+  def sourceScorecard(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("source"), md5(col("text")).as("h"),
+        size(Tokens.whitespace(col("text"))).as("nt"),
+        length(col("text")).as("nc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("distinct_texts"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("nc")).as("total_chars"))
+      .select(col("source"), col("n_docs"), col("distinct_texts"),
+        ((col("n_docs") - col("distinct_texts")) / col("n_docs"))
+          .as("dup_ratio"),
+        (col("total_tokens") / col("n_docs")).as("avg_tokens"),
+        (col("total_chars") / col("n_docs")).as("avg_chars"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_tfidf_terms"    -> ((s: SparkSession, d: String) =>
       tfidfTopTerms(s, d)),
     "q105_bigram_novelty" -> (bigramNovelty _),
-    "q106_cdc_chunks"     -> (cdcChunks _))
+    "q106_cdc_chunks"     -> (cdcChunks _),
+    "q110_source_scorecard" -> (sourceScorecard _))
 
   val oracle: Map[String, String] = Map(
+    "q110_source_scorecard" ->
+      raw"""SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS distinct_texts,
+        |  (count(*) - count(DISTINCT md5(text))) / count(*) AS dup_ratio,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    / count(*) AS avg_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) / count(*) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q104_tfidf_terms" ->
       raw"""WITH tok AS (
         |  SELECT doc_id,

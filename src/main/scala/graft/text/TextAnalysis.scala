@@ -127,6 +127,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q109: contamination of the ACTUAL eval split — q87's n-gram
+    * overlap scan composed with q102's hash split: every val/test doc
+    * scored for 3-gram overlap against the train partition. This is
+    * the release gate a training pipeline runs after splitting: "did
+    * anything in my held-out set leak from (or into) train?".
+    *
+    * Scale shape differs from q87 deliberately: there the benchmark
+    * side is tiny (broadcast); here the reference set is TRAIN — 90%
+    * of the corpus — so the gram join is a key-partitioned shuffle
+    * join on the 8-byte gram hash, never a broadcast. The probe side
+    * (val/test grams) is the small one; counts partial-aggregate. */
+  def splitContamination(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val grams = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("is_train",
+        Md5Prefix.h(col("doc_id").cast("string")) % 1000 < 900)
+      .select(col("doc_id"), col("is_train"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("is_train"),
+        explode(array_distinct(Tokens.ngramsOf(col("w"), n))).as("g"))
+      .select(col("doc_id"), col("is_train"), Md5Prefix.h(col("g")).as("gh"))
+    val trainGrams = grams.where(col("is_train"))
+      .select(col("gh")).distinct()
+    grams.where(!col("is_train"))
+      .join(trainGrams.withColumn("hit", lit(1)), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit") / col("n_grams")).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   /** q88: PII detection + redaction — the scrub pass before text joins
     * a training corpus. Regex families are RE2-safe (no lookaround) so
     * Spark and DuckDB agree byte-for-byte. The synthetic tables carry
@@ -196,7 +228,9 @@ object TextAnalysis {
     "q33_fingerprint"   -> (fingerprint _),
     "q87_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q88_pii_redact"    -> (piiRedact _),
-    "q89_repetition"    -> (repetition _))
+    "q89_repetition"    -> (repetition _),
+    "q109_split_contamination" -> ((s: SparkSession, d: String) =>
+      splitContamination(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q95_token_freq" ->
@@ -238,6 +272,30 @@ object TextAnalysis {
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q109_split_contamination" ->
+      raw"""WITH words AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 < 900 AS is_train,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, is_train,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS gh
+        |  FROM (SELECT doc_id, is_train, unnest(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct([array_to_string(w[i+1:i+3], ' ')
+        |                             for i in range(0, len(w) - 2)]) END) AS s
+        |    FROM words)
+        |), train AS (
+        |  SELECT DISTINCT gh FROM g WHERE is_train
+        |)
+        |SELECT c.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    / count(*) AS contamination
+        |FROM (SELECT * FROM g WHERE NOT is_train) c
+        |LEFT JOIN train t USING (gh)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
     "q87_contamination" ->
       raw"""WITH words AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

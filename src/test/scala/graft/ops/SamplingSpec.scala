@@ -140,4 +140,27 @@ class SamplingSpec extends SparkSpec {
     assert(out.values.forall(_ >= 1), s"every doc gets >= 1 chunk: $out")
   }
 
+  test("q109: every non-train doc scored, hits bounded by grams") {
+    val out = graft.text.TextAnalysis.splitContamination(spark, sf()).cache()
+    val nonTrain = Sampling.hashSplit(spark, sf())
+      .where(col("split") =!= "train").count()
+    assert(out.count() == nonTrain)
+    assert(out.where(col("n_hit") > col("n_grams")).count() == 0)
+    assert(out.where(col("contamination") < 0 || col("contamination") > 1)
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("q110: one row per source with consistent ratios") {
+    val out = CorpusStats.sourceScorecard(spark, sf()).cache()
+    val nSources = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("source").distinct().count()
+    assert(out.count() == nSources)
+    assert(out.where(col("distinct_texts") > col("n_docs")).count() == 0)
+    assert(out.where(col("dup_ratio") < 0 || col("dup_ratio") >= 1)
+      .count() == 0)
+    assert(out.where(col("avg_tokens") <= 0).count() == 0)
+    out.unpersist()
+  }
+
 }
