@@ -164,14 +164,62 @@ object CorpusStats {
         (col("total_chars") / col("n_docs")).as("avg_chars"))
       .orderBy("source")
 
+  /** q111: vocabulary coverage — rank the corpus vocabulary by
+    * frequency (deterministic: freq DESC, token ASC), take the top
+    * `vocabSize` as the "tokenizer vocab", and score every document's
+    * out-of-vocabulary token rate. The coverage analysis run before
+    * committing to a tokenizer: a corpus slice with high OOV under
+    * the candidate vocab will fragment into byte-fallback tokens.
+    *
+    * Scale shape: vocab = one explode + count + global top-K (tiny
+    * result, broadcast); per-doc scoring = the token stream left-semi
+    * probed against the broadcast vocab, counted in one aggregation.
+    * The OOV ratio is one exact int/int division. */
+  def vocabCoverage(s: SparkSession, dir: String,
+                    vocabSize: Int = 1000): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Tokens.whitespace(lower(col("text")))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count(col("in_vocab"))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov") / col("n_tokens")).as("oov_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_tfidf_terms"    -> ((s: SparkSession, d: String) =>
       tfidfTopTerms(s, d)),
     "q105_bigram_novelty" -> (bigramNovelty _),
     "q106_cdc_chunks"     -> (cdcChunks _),
-    "q110_source_scorecard" -> (sourceScorecard _))
+    "q110_source_scorecard" -> (sourceScorecard _),
+    "q111_vocab_coverage" -> ((s: SparkSession, d: String) =>
+      vocabCoverage(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q111_vocab_coverage" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS freq FROM tok GROUP BY tok
+        |    ORDER BY freq DESC, tok LIMIT 1000)),
+        |scored AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov
+        |  FROM tok t LEFT JOIN vocab v USING (tok)
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_oov, n_oov / n_tokens AS oov_ratio
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "q110_source_scorecard" ->
       raw"""SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS distinct_texts,

@@ -163,4 +163,17 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q111: OOV bounded by tokens; common tokens are in-vocab") {
+    val out = CorpusStats.vocabCoverage(spark, sf()).cache()
+    val total = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(out.count() == total)
+    assert(out.where(col("n_oov") > col("n_tokens")).count() == 0)
+    assert(out.where(col("oov_ratio") < 0 || col("oov_ratio") > 1)
+      .count() == 0)
+    // the synthetic corpus has a tiny vocabulary (~60 distinct words at
+    // sf0.001), so a 1000-token vocab covers everything: OOV must be 0
+    assert(out.agg(max(col("n_oov"))).head().getLong(0) == 0L)
+    out.unpersist()
+  }
+
 }
