@@ -33,6 +33,18 @@ object Sampling {
   private def md5Prefix(c: Column): Column =
     graft.dedup.Md5Prefix.h(c.cast("string"))
 
+  /** Split thresholds in permille: bucket < TrainCut → train,
+    * < ValCut → val, else test. ONE definition — q109's contamination
+    * scan derives its train partition from [[isTrainDoc]], so a ratio
+    * change can never silently detach the eval-hygiene gate from the
+    * actual split. */
+  val TrainCut = 900
+  val ValCut = 950
+
+  /** The q102 train-membership predicate for a doc-id column. */
+  def isTrainDoc(docId: Column): Column =
+    md5Prefix(docId) % 1000 < TrainCut
+
   /** q102: reproducible train/val/test split — 90/5/5 by hash bucket
     * of doc_id. A doc's split NEVER changes when the corpus grows
     * (assignment depends only on its own id), which is the property
@@ -43,8 +55,8 @@ object Sampling {
       .select(col("doc_id"), col("source"),
         (md5Prefix(col("doc_id")) % 1000).as("bucket"))
       .withColumn("split",
-        when(col("bucket") < 900, "train")
-          .when(col("bucket") < 950, "val")
+        when(col("bucket") < TrainCut, "train")
+          .when(col("bucket") < ValCut, "val")
           .otherwise("test"))
       .orderBy("doc_id")
 
@@ -93,7 +105,7 @@ object Sampling {
       .withColumn("n_tokens",
         size(graft.util.Tokens.whitespace(col("text"))))
       .where(col("n_tokens") >= minTokens)
-      .where(md5Prefix(col("doc_id")) % 1000 < 900)
+      .where(isTrainDoc(col("doc_id")))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (-md5Prefix(concat(col("source"), lit(":"),
           col("doc_id").cast("string")))).as("neg_h"))

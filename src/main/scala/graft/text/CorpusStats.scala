@@ -171,23 +171,31 @@ object CorpusStats {
     * committing to a tokenizer: a corpus slice with high OOV under
     * the candidate vocab will fragment into byte-fallback tokens.
     *
-    * Scale shape: vocab = one explode + count + global top-K (tiny
-    * result, broadcast); per-doc scoring = the token stream left-semi
-    * probed against the broadcast vocab, counted in one aggregation.
-    * The OOV ratio is one exact int/int division. */
+    * Scale shape: everything downstream of the one explode runs on
+    * the (doc, token, tf) POSTINGS relation, not the token stream —
+    * vocab = postings re-aggregated by token + global top-K (tiny,
+    * broadcast); per-doc scoring = postings probed against the
+    * broadcast vocab with tf-weighted sums, so the probe shuffles
+    * distinct doc-token pairs instead of every occurrence (the q104
+    * pattern; at 100 TB the postings relation is checkpointed once
+    * instead of recomputed per branch). The OOV ratio is one exact
+    * int/int division. */
   def vocabCoverage(s: SparkSession, dir: String,
                     vocabSize: Int = 1000): DataFrame = {
-    val toks = Tables.load(s, dir, "documents")
+    val tf = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         explode(Tokens.whitespace(lower(col("text")))).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("freq"))
       .orderBy(col("freq").desc, col("tok"))
       .limit(vocabSize)
       .select(col("tok"), lit(1).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("tok"), "left")
+    tf.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        (count(lit(1)) - count(col("in_vocab"))).as("n_oov"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L))
+          .as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         (col("n_oov") / col("n_tokens")).as("oov_ratio"))
       .orderBy("doc_id")

@@ -134,16 +134,21 @@ object TextAnalysis {
     * anything in my held-out set leak from (or into) train?".
     *
     * Scale shape differs from q87 deliberately: there the benchmark
-    * side is tiny (broadcast); here the reference set is TRAIN — 90%
-    * of the corpus — so the gram join is a key-partitioned shuffle
-    * join on the 8-byte gram hash, never a broadcast. The probe side
-    * (val/test grams) is the small one; counts partial-aggregate. */
+    * side is tiny and broadcast-hinted; here the reference set is
+    * TRAIN — 90% of the corpus — so no broadcast hint is given and at
+    * real scale (train grams ≫ autoBroadcastJoinThreshold) the gram
+    * join is a key-partitioned shuffle join on the 8-byte gram hash.
+    * At gate scale the optimizer still broadcasts the small distinct
+    * set — that's the threshold doing its job, not the 100 TB shape.
+    * The probe side (val/test grams) is the small one; counts
+    * partial-aggregate. Train membership is
+    * [[graft.ops.Sampling.isTrainDoc]] — the same predicate as the
+    * q102 split, so the gate always scores the ACTUAL eval set. */
   def splitContamination(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     import graft.dedup.Md5Prefix
     val grams = Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("is_train",
-        Md5Prefix.h(col("doc_id").cast("string")) % 1000 < 900)
+      .withColumn("is_train", graft.ops.Sampling.isTrainDoc(col("doc_id")))
       .select(col("doc_id"), col("is_train"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("is_train"),
         explode(array_distinct(Tokens.ngramsOf(col("w"), n))).as("g"))
