@@ -89,8 +89,16 @@ case object Md5Prefix extends DedupHash(60) {
   lazy val PermB: IndexedSeq[Long] =
     (0 until Dedup.MinhashPerms).map(i => (mix(2L * i + 1) >>> 3) % P31)
 
+  /** Native codegen spelling of
+    * `conv(substring(md5(c), 1, 15), 16, 10)` — identical 60-bit
+    * values ([[graft.functions.Md5Prefix60]], bit-identity
+    * property-tested), no hex-string materialization or radix
+    * re-parse per value. Every oracle that replays this hash in
+    * DuckDB keeps gating the equivalence. */
   def h(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.Md5Prefix60(
+        org.apache.spark.sql.GraftBridge.expression(c)))
   def perm(hc: Column, i: Int): Column =
     (lit(PermA(i)) * (hc.bitwiseAND(lit(0x7FFFFFFFL)) % lit(P31)) +
       lit(PermB(i))) % lit(P31)

@@ -12,6 +12,16 @@ object GraftBridge {
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Wrap a catalyst Expression as a user-facing Column (and back) —
+    * lets library code build native-expression Columns
+    * ([[graft.functions.Md5Prefix60]]) without a FunctionRegistry
+    * round-trip, so callers need no session-level registration. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Eagerly free the blocks behind a `localCheckpoint()`ed Dataset.
     * `Dataset.unpersist` is a no-op for these — it goes through the
     * CacheManager, but localCheckpoint persists at the RDD level and
