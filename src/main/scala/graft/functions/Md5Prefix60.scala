@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native spelling of the cross-engine dedup hash
@@ -26,18 +26,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class Md5Prefix60(child: Expression) extends UnaryExpression {
 
+  // any-collation strings and raw binary, matching what md5()'s
+  // implicit cast accepted in the composed spelling this replaces
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _: StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"md5_prefix60 requires a string argument, got ${dt.simpleString}")
+      s"md5_prefix60 requires a string or binary argument, " +
+        s"got ${dt.simpleString}")
   }
 
   override def dataType: DataType = LongType
 
   override def prettyName: String = "md5_prefix60"
 
+  private def isBinary: Boolean = child.dataType == BinaryType
+
   override protected def nullSafeEval(input: Any): Any =
-    Md5Prefix60.hash(input.asInstanceOf[UTF8String])
+    if (isBinary) Md5Prefix60.hash(input.asInstanceOf[Array[Byte]])
+    else Md5Prefix60.hash(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
@@ -57,10 +63,12 @@ object Md5Prefix60 {
 
   /** Top 60 bits of md5(bytes of s), big-endian — exactly the value of
     * the first 15 hex characters parsed base-16 (always ≥ 0). */
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = hash(s.getBytes)
+
+  def hash(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    val d = md.digest(bytes)
     // bytes 0..6 in full (56 bits) then the high nibble of byte 7
     var v = 0L
     var i = 0

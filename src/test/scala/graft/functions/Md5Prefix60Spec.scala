@@ -42,6 +42,18 @@ class Md5Prefix60Spec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("binary input hashes its raw bytes (md5 implicit-cast parity)") {
+    import spark.implicits._
+    val df = Seq("abc", "").toDF("s")
+      .select(col("s"), encode(col("s"), "UTF-8").as("b"))
+    val bad = df.select(
+        graft.dedup.Md5Prefix.h(col("s")).as("hs"),
+        org.apache.spark.sql.GraftBridge.column(Md5Prefix60(
+          org.apache.spark.sql.GraftBridge.expression(col("b")))).as("hb"))
+      .where(col("hs") =!= col("hb")).count()
+    assert(bad == 0)
+  }
+
   test("null propagates; type check rejects non-strings") {
     import spark.implicits._
     val r = Seq[Option[String]](Some("x"), None).toDF("s")
