@@ -128,13 +128,13 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** REAL image decode: PPM, PGM, and 24-bit BMP rows get actual
-    * header dimensions and pixel-derived features ([[Ppm.features]] —
-    * channel means + quadrant luminance; BMP and grayscale PGM decode
-    * to the same RGB raster, [[Bmp.decode]]/[[Pgm.decode]]); other
-    * rows get nulls. Same mapPartitions shape as [[extractFeatures]]:
-    * one decoder scope per partition, streaming, corrupt blobs → null
-    * columns (not exceptions). */
+  /** REAL image decode: PPM, PGM, 24-bit BMP, and — via the JDK's
+    * ImageIO ([[ImageCodec]]) — JPEG/PNG/GIF rows get actual header
+    * dimensions and pixel-derived features ([[Ppm.features]] —
+    * channel means + quadrant luminance; every codec decodes to the
+    * same RGB raster); other rows get nulls. Same mapPartitions shape
+    * as [[extractFeatures]]: one decoder scope per partition,
+    * streaming, corrupt blobs → null columns (not exceptions). */
   def decodeImages(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(media.schema.fields.toSeq ++ Seq(
@@ -145,7 +145,7 @@ object Multimodal {
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
         val decoded = Ppm.decode(bytes).orElse(Bmp.decode(bytes))
-          .orElse(Pgm.decode(bytes))
+          .orElse(Pgm.decode(bytes)).orElse(ImageCodec.decode(bytes))
         Row.fromSeq(r.toSeq ++ (decoded match {
           case Some(img) =>
             Seq(img.width, img.height, Ppm.features(img).toSeq)
