@@ -60,6 +60,8 @@ object Multimodal {
       bytes(3) == 'G') "image/png"
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8) "image/jpeg"
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') "image/gif"
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F') "audio/wav"
     else "application/octet-stream"
@@ -78,6 +80,7 @@ object Multimodal {
         .when(substring(content, 1, 9).cast("string") === "YUV4MPEG2", Y4mMime)
         .when(hex(substring(content, 1, 4)) === "89504E47", "image/png")
         .when(hex(substring(content, 1, 2)) === "FFD8", "image/jpeg")
+        .when(substring(content, 1, 4).cast("string") === "GIF8", "image/gif")
         .when(hex(substring(content, 1, 4)) === "52494646", "audio/wav")
         .otherwise("application/octet-stream")
     // STUB: width/height/duration would come from the codec header;
