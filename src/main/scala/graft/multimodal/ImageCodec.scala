@@ -27,11 +27,25 @@ object ImageCodec {
       b(2) == 'N' && b(3) == 'G') ||
       (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
       (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
-        b(3) == '8')
+        b(3) == '8') ||
+      // BMP variants the hand parser declines (32-bit, palettized,
+      // RLE) — Bmp.decode runs first in the chain, so only its
+      // rejects reach ImageIO
+      (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
 
-  /** Decode JPEG/PNG/GIF bytes; None on unknown magic, corrupt
-    * content, or dimensions whose RGB raster would exceed the same
-    * Int.MaxValue/3 cap the PNM codecs enforce. */
+  /** Max pixels per INPUT byte: ties the decode allocation to the
+    * blob size the way the raw codecs' `bytes.length >= need` checks
+    * do. Real-world PNG/GIF tops out near 1000:1 even on uniform
+    * content; 2048 is generous for data and still caps a 100-byte
+    * bomb at ~200k pixels instead of the 625M the absolute cap alone
+    * would allow (a ~4.4 GB allocation whose OutOfMemoryError no
+    * catch below could save). */
+  private val MaxPixelsPerByte = 2048L
+
+  /** Decode JPEG/PNG/GIF (and hand-parser-rejected BMP variants);
+    * None on unknown magic, corrupt content, or dimensions exceeding
+    * either the PNM codecs' Int.MaxValue/3 cap or the
+    * input-proportional bomb bound. */
   def decode(bytes: Array[Byte]): Option[Ppm.Image] = {
     if (bytes == null || !magicKnown(bytes)) return None
     try {
@@ -46,7 +60,9 @@ object ImageCodec {
           val w = reader.getWidth(0)
           val h = reader.getHeight(0)
           if (w <= 0 || h <= 0 ||
-            w.toLong * h.toLong > Int.MaxValue / 3) return None
+            w.toLong * h.toLong > Int.MaxValue / 3 ||
+            w.toLong * h.toLong > bytes.length.toLong * MaxPixelsPerByte)
+            return None
           val img = reader.read(0)
           val rgb = new Array[Byte](w * h * 3)
           // bulk ARGB fetch row-by-row bounds the temp int buffer

@@ -10,16 +10,20 @@ import graft.Tables
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * Decode is REAL for every uncompressed format — pure byte parsing,
-  * no codec library needed: PPM images ([[Ppm]]: header dims,
-  * channel/quadrant features, nearest-neighbor resize — see
-  * [[decodeImages]] / [[resizePpm]]), PCM WAV audio ([[Wav]]:
-  * sample-rate/channels/duration, signal features — [[decodeAudio]]),
-  * and Y4M video ([[Y4m]]: demux, per-frame luma, frame extraction —
-  * [[sampleVideoFrames]]). Only compressed formats (JPEG/PNG) have no
-  * codec in this container, so their byte-level decode is a
-  * deterministic fake (clearly marked below) behind the same
-  * plumbing. That plumbing is the real 100 TB design:
+  * Decode is REAL for every format: hand-parsed pure byte parsing for
+  * the uncompressed ones — PPM/PGM images ([[Ppm]]/[[Pgm]]: header
+  * dims, channel/quadrant features, nearest-neighbor resize — see
+  * [[decodeImages]] / [[resizePpm]]), 24-bit BMP ([[Bmp]]), PCM WAV
+  * audio ([[Wav]]: sample-rate/channels/duration, signal features —
+  * [[decodeAudio]]), and Y4M video ([[Y4m]]: demux, per-frame luma,
+  * frame extraction — [[sampleVideoFrames]]) — and the JDK's headless
+  * ImageIO for the compressed ones ([[ImageCodec]]: JPEG/PNG/GIF,
+  * zero added dependencies). What remains deliberately fake is only
+  * the QUICK metadata in [[asMediaTable]] (hash-derived width/height/
+  * duration placeholders where no header parse has run — the decode
+  * operators supply the real values) and the generic
+  * [[extractFeatures]] stub decoder standing in for an expensive
+  * model. The plumbing is the real 100 TB design:
   *
   *  - media rows are `(id, content binary, meta struct)` — the schema
   *    a lakehouse media table uses; metadata is sniffed from magic

@@ -2,9 +2,8 @@ package graft.multimodal
 
 /** A REAL image codec, dependency-free: binary PPM (P6) — ASCII header
   * `P6 <width> <height> <maxval>` then a raw RGB raster. Pure byte
-  * parsing, so the multimodal decode path is genuinely real for this
-  * format even in a container with no image libraries; compressed
-  * formats (JPEG/PNG) stay behind the documented stub.
+  * parsing; compressed formats (JPEG/PNG/GIF) decode through the
+  * JDK's ImageIO instead ([[ImageCodec]]).
   */
 object Ppm {
 

@@ -31,7 +31,7 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(back.isDefined)
     val img = back.get
     assert(img.width == 5 && img.height == 4)
-    for (y <- 0 until 4; x <- 0 until 3) {
+    for (y <- 0 until 4; x <- 0 until 5) {
       val i = (y * 5 + x) * 3
       val p = src.getRGB(x, y)
       assert((img.rgb(i) & 0xff) == ((p >> 16) & 0xff))
@@ -87,10 +87,10 @@ class ImageCodecSpec extends AnyFunSuite {
       (0 until 4).foreach(k => bomb(at + k) = (v >>> (24 - 8 * k)).toByte)
     put(16, 1000000000); put(20, 1000000000) // IHDR width/height
     assert(ImageCodec.decode(bomb).isEmpty)
-    // jpeg truncated mid-scan
+    // jpeg truncated mid-scan: partial decode OR None are both
+    // acceptable; the contract is no-throw (the call itself is the
+    // assertion)
     val jpg = encode(buffered(16, 16)((x, y) => x * y * 999), "jpg")
-    assert(ImageCodec.decode(jpg.take(jpg.length / 2)).isEmpty ||
-      true) // partial JPEG may decode partially; the contract is no-throw
     ImageCodec.decode(jpg.take(jpg.length / 2))
   }
 
