@@ -27,8 +27,13 @@ import graft.Tables
   * products widened per addition, same order). That makes the FULL
   * brute-force, SRP-LSH, and near-dup pipelines oracle-checkable —
   * signatures included, via the projection matrix spliced into the SQL
-  * as a VALUES relation. Only IVF (q53) stays rows-only: its k-means
-  * quantizer has no DuckDB equivalent.
+  * as a VALUES relation. IVF's k-means quantizer has no DuckDB
+  * equivalent, so its gate entry (q53) runs in exact mode — `nProbe =
+  * nCells` probes every cell, making the candidate set the full corpus
+  * and the result bit-identical to q50's brute force — which exercises
+  * the whole IVF pipeline (fit, assignment, probe ranking, cell join,
+  * re-rank) under a hash-checkable oracle; the approximate nProbe <
+  * nCells path keeps its measured-recall test in SimilaritySpec.
   */
 object Similarity {
 
@@ -281,7 +286,10 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "q51_knn_lsh"   -> ((s: SparkSession, d: String) => knnLsh(s, d)),
-    "q53_knn_ivf"   -> ((s: SparkSession, d: String) => knnIvf(s, d)),
+    // Exact mode (probe all cells): the full IVF machinery runs, and
+    // the result ≡ brute force, so the k-means-free oracle applies.
+    "q53_knn_ivf"   -> ((s: SparkSession, d: String) =>
+      knnIvf(s, d, nProbe = 16)),
     "q52_embedding_neardup" ->
       ((s: SparkSession, d: String) => nearDupPairs(s, d)),
     "q107_embedding_clusters" -> (embeddingClusters _))
@@ -315,21 +323,28 @@ object Similarity {
        |  FROM sigs CROSS JOIN range($Bands) t(b)
        |)""".stripMargin
 
+  /** Exact top-k over the full corpus — the oracle for q50 (brute
+    * force) and for q53's exact-mode gate entry (probe-all IVF ≡ brute
+    * force; the quantizer only routes, it never changes the candidate
+    * set when every cell is probed). */
+  private def bruteTopkSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("c.embedding", "q.embedding")} AS cosine
+       |  FROM embeddings c JOIN embeddings q
+       |    ON q.vec_id < 10 AND c.vec_id != q.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q50_knn_brute" ->
-      s"""WITH scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${dotSql("c.embedding", "q.embedding")} AS cosine
-         |  FROM embeddings c JOIN embeddings q
-         |    ON q.vec_id < 10 AND c.vec_id != q.vec_id
-         |), ranked AS (
-         |  SELECT query_id, neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM scored
-         |)
-         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q50_knn_brute" -> bruteTopkSql,
+    "q53_knn_ivf" -> bruteTopkSql,
     "q51_knn_lsh" ->
       (sigCtes +
         s""",

@@ -91,30 +91,46 @@ object CorpusStats {
     * [[graft.dedup.Md5Prefix]] so DuckDB replays boundary placement
     * exactly. */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
-    // The whole per-doc chunking runs MAP-SIDE on the token array —
-    // boundary indices via `filter` over positions, chunk fingerprints
-    // via `slice` per boundary window — so the first shuffle in the
-    // plan is already the (chunk_hash → ndocs) count. An earlier
-    // explode + lag/running-sum-window spelling shuffled the full
-    // token stream twice before producing a single chunk (measured
-    // 2.3 s → 1.9 s at sf0.1). All lambda captures are plain
-    // attributes; per-element work is O(1) array indexing (the
-    // O(tokens²) HOF trap is re-evaluating a SPLIT per element, which
-    // materializing `w` first avoids). The boundary predicate is the
-    // shared Md5Prefix.h via Column lambdas — a string-expr copy of
-    // the hash arithmetic here would silently detach q106's oracle
-    // from the family. CASE guard: size(w) < 2 must yield NO
-    // boundaries — `sequence(1, size-1)` DESCENDS when size = 1
-    // (sequence(1,0) = [1,0]) and the lambda would index out of
-    // bounds (review finding; the testdata never triggers it, a
-    // single-token doc does).
+    val chunks = chunkSpans(s, dir).select(col("doc_id"), col("chunk_hash"))
+    val shared = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    chunks.join(shared, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        (col("n_shared") / col("n_chunks")).as("shared_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc CDC chunk relation: (doc_id, j, ctoks, ctext, chunk_hash),
+    * shared by q106 (scoring) and q113 (scrubbing).
+    *
+    * The whole per-doc chunking runs MAP-SIDE on the token array —
+    * boundary indices via `filter` over positions, chunk text via
+    * `slice` per boundary window — so the first shuffle in any
+    * consumer's plan is already a corpus-wide aggregate over chunk
+    * fingerprints. An earlier explode + lag/running-sum-window
+    * spelling shuffled the full token stream twice before producing a
+    * single chunk (measured 2.3 s → 1.9 s at sf0.1). All lambda
+    * captures are plain attributes; per-element work is O(1) array
+    * indexing (the O(tokens²) HOF trap is re-evaluating a SPLIT per
+    * element, which materializing `w` first avoids). The boundary
+    * predicate is the shared Md5Prefix.h via Column lambdas — a
+    * string-expr copy of the hash arithmetic here would silently
+    * detach the q106/q113 oracles from the family. CASE guard:
+    * size(w) < 2 must yield NO boundaries — `sequence(1, size-1)`
+    * DESCENDS when size = 1 (sequence(1,0) = [1,0]) and the lambda
+    * would index out of bounds (review finding; the testdata never
+    * triggers it, a single-token doc does). */
+  private def chunkSpans(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Md5Prefix
     val w = col("w")
     val boundary = (i: org.apache.spark.sql.Column) =>
       Md5Prefix.h(concat(
         element_at(w, i.cast("int")), lit(" "),
         element_at(w, i.cast("int") + 1))) % 8 === 0
-    val chunks = Tables.load(s, dir, "documents")
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
       // boundary BEFORE token i (1-based array positions: boundary at
       // position i+1 when hash(w[i], w[i+1]) ≡ 0 mod 8)
@@ -127,17 +143,96 @@ object CorpusStats {
       .withColumn("ends",
         concat(col("bounds"), array(size(w).cast("long"))))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(starts) - 1), j -> md5(concat_ws(' ', " +
-          "slice(w, CAST(starts[j] AS INT) + 1, " +
-          "CAST(ends[j] - starts[j] AS INT)))))")).as("chunk_hash"))
-    val shared = chunks.groupBy(col("chunk_hash"))
+        "transform(sequence(0, size(starts) - 1), j -> named_struct(" +
+          "'j', j, 'ctoks', ends[j] - starts[j], " +
+          "'ctext', concat_ws(' ', slice(w, CAST(starts[j] AS INT) + 1, " +
+          "CAST(ends[j] - starts[j] AS INT)))))")).as("c"))
+      .select(col("doc_id"), col("c.j").as("j"),
+        col("c.ctoks").as("ctoks"), col("c.ctext").as("ctext"),
+        md5(col("c.ctext")).as("chunk_hash"))
+  }
+
+  /** q113: shared-span SCRUB — the destructive rewrite q106 only
+    * scores: drop every chunk whose fingerprint occurs in more than
+    * one document corpus-wide, and reassemble each document's cleaned
+    * text from the surviving chunks in original order. This is the
+    * C4/RefinedWeb "remove duplicated lines across the corpus" step,
+    * done at CDC-chunk granularity (this corpus has no line
+    * structure). Emits the audit trail alongside the rewrite:
+    * chunk counts, dropped count, surviving token count.
+    *
+    * Scale shape: identical to q106 up to the join (map-side chunking,
+    * one fingerprint aggregate, one key-partitioned join back); the
+    * reassembly is collect_list of (j, text) per doc — bounded by
+    * document size, the same invariant every per-doc array op here
+    * relies on. At 100 TB the chunk relation is checkpointed once
+    * instead of recomputed for the count and the join (q104 note). */
+  def sharedSpanScrub(s: SparkSession, dir: String): DataFrame = {
+    val ch = chunkSpans(s, dir)
+    val shared = ch.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
-    chunks.join(shared, "chunk_hash")
+    ch.join(shared, "chunk_hash")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
-      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
-        (col("n_shared") / col("n_chunks")).as("shared_ratio"))
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("ndocs") === 1, col("ctoks")).otherwise(0L))
+          .as("n_tokens_kept"),
+        // collect_list skips the when()'s nulls; array_sort orders by
+        // j (unique per doc), so the reassembly is deterministic
+        array_join(transform(array_sort(collect_list(
+          when(col("ndocs") === 1, struct(col("j"), col("ctext"))))),
+          x => x.getField("ctext")), " ").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q112: sequence packing — the GPT-style pretraining layout:
+    * concatenate every document's tokens in a deterministic
+    * hash-shuffled order and cut the stream into fixed `seqLen`-token
+    * training sequences. Emits, per document, its global token offset
+    * and the range of sequence ids it lands in — the manifest a
+    * packing writer consumes.
+    *
+    * Scale shape: the global running offset is a DISTRIBUTED prefix
+    * sum, not one giant window — a single unpartitioned window would
+    * funnel the whole corpus through one task. The order key h (60-bit
+    * md5 of doc_id) is split into 128 range buckets by its HIGH bits
+    * (global h order ≡ (bucket, h) order): in-bucket running sums are
+    * key-partitioned windows; bucket totals (≤128 rows) take one tiny
+    * driver-side-scale window; the final offset is base + local — one
+    * broadcast join. DuckDB replays it as the single global window,
+    * which is the semantic spec the two-level plan must (and does)
+    * reproduce exactly. */
+  def sequencePack(s: SparkSession, dir: String,
+                   seqLen: Int = 512): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(Tokens.whitespace(col("text"))).cast("long").as("n_tokens"),
+        Md5Prefix.h(col("doc_id").cast("string")).as("h"))
+      // h ∈ [0, 2⁶⁰): the top 7 bits give 128 order-preserving buckets
+      .withColumn("bkt", shiftright(col("h"), 53))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
+    val local = docs.withColumn("cum", sum(col("n_tokens")).over(wIn))
+    // ≤128 rows: the one intentionally-unpartitioned window
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = docs.groupBy(col("bkt"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("base", coalesce(sum(col("tot")).over(wB), lit(0L)))
+      .select(col("bkt"), col("base"))
+    local.join(broadcast(prefix), "bkt")
+      .withColumn("start_off", col("base") + col("cum") - col("n_tokens"))
+      // integral DIV, not floor(float/): exact at any corpus size
+      .withColumn("seq_first", expr(s"start_off DIV $seqLen"))
+      .withColumn("seq_last",
+        when(col("n_tokens") > 0,
+          expr(s"(start_off + n_tokens - 1) DIV $seqLen"))
+          .otherwise(expr(s"start_off DIV $seqLen")))
+      .withColumn("n_seqs",
+        when(col("n_tokens") > 0,
+          col("seq_last") - col("seq_first") + 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
       .orderBy("doc_id")
   }
 
@@ -208,7 +303,35 @@ object CorpusStats {
     "q106_cdc_chunks"     -> (cdcChunks _),
     "q110_source_scorecard" -> (sourceScorecard _),
     "q111_vocab_coverage" -> ((s: SparkSession, d: String) =>
-      vocabCoverage(s, d)))
+      vocabCoverage(s, d)),
+    "q112_sequence_pack"  -> ((s: SparkSession, d: String) =>
+      sequencePack(s, d)),
+    "q113_span_scrub"     -> (sharedSpanScrub _))
+
+  /** Shared CDC-chunking CTE prefix (documents → per-token chunk_idx)
+    * for the q106/q113 oracles — one spelling of boundary placement so
+    * the two can never drift. */
+  private val cdcCtes: String =
+    raw"""WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+      |  FROM documents),
+      |tok AS (
+      |  SELECT d.doc_id, u.pos, u.tok
+      |  FROM d JOIN LATERAL (
+      |    SELECT unnest(arr) AS tok,
+      |      generate_subscripts(arr, 1) - 1 AS pos) u ON true),
+      |f AS (
+      |  SELECT doc_id, pos, tok,
+      |    CASE WHEN lag(tok) OVER w IS NOT NULL AND
+      |      ('0x' || substr(md5(lag(tok) OVER w || ' ' || tok), 1, 15))
+      |        ::BIGINT % 8 = 0
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |c AS (
+      |  SELECT doc_id, pos, tok,
+      |    CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+      |      AS chunk_idx
+      |  FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q111_vocab_coverage" ->
@@ -274,26 +397,8 @@ object CorpusStats {
         |FROM bg b JOIN c USING (bg)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "q106_cdc_chunks" ->
-      raw"""WITH d AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
-        |  FROM documents),
-        |tok AS (
-        |  SELECT d.doc_id, u.pos, u.tok
-        |  FROM d JOIN LATERAL (
-        |    SELECT unnest(arr) AS tok,
-        |      generate_subscripts(arr, 1) - 1 AS pos) u ON true),
-        |f AS (
-        |  SELECT doc_id, pos, tok,
-        |    CASE WHEN lag(tok) OVER w IS NOT NULL AND
-        |      ('0x' || substr(md5(lag(tok) OVER w || ' ' || tok), 1, 15))
-        |        ::BIGINT % 8 = 0
-        |    THEN 1 ELSE 0 END AS b
-        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |c AS (
-        |  SELECT doc_id, pos, tok,
-        |    CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
-        |      AS chunk_idx
-        |  FROM f),
+      (cdcCtes +
+        raw""",
         |ch AS (
         |  SELECT doc_id, chunk_idx,
         |    md5(array_to_string(list(tok ORDER BY pos), ' ')) AS chunk_hash
@@ -307,5 +412,49 @@ object CorpusStats {
         |  CAST(sum(CASE WHEN sh.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    / count(*) AS shared_ratio
         |FROM ch JOIN sh USING (chunk_hash)
-        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin),
+    "q113_span_scrub" ->
+      (cdcCtes +
+        raw""",
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(list(tok ORDER BY pos), ' ') AS ctext,
+        |    md5(array_to_string(list(tok ORDER BY pos), ' '))
+        |      AS chunk_hash,
+        |    CAST(count(*) AS BIGINT) AS ctoks
+        |  FROM c GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT chunk_hash, count(DISTINCT doc_id) AS ndocs
+        |  FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN sh.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(coalesce(sum(CASE WHEN sh.ndocs = 1 THEN ctoks END), 0)
+        |    AS BIGINT) AS n_tokens_kept,
+        |  coalesce(array_to_string(list(ctext ORDER BY chunk_idx)
+        |    FILTER (WHERE sh.ndocs = 1), ' '), '') AS cleaned_text
+        |FROM ch JOIN sh USING (chunk_hash)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin),
+    "q112_sequence_pack" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_off
+        |  FROM d)
+        |SELECT doc_id, n_tokens, start_off,
+        |  start_off // 512 AS seq_first,
+        |  CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 512
+        |       ELSE start_off // 512 END AS seq_last,
+        |  CASE WHEN n_tokens > 0
+        |    THEN (start_off + n_tokens - 1) // 512 - start_off // 512 + 1
+        |    ELSE CAST(0 AS BIGINT) END AS n_seqs
+        |FROM o ORDER BY doc_id""".stripMargin)
 }

@@ -176,4 +176,51 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q112: packing is a contiguous gap-free layout of the token stream") {
+    val out = CorpusStats.sequencePack(spark, sf()).cache()
+    val total = spark.read.parquet(s"${sf()}/documents.parquet")
+      .agg(sum(size(split(trim(col("text")), "\\s+")))).head().getLong(0)
+    // token conservation, then contiguity: sorted by offset, every
+    // doc starts exactly where the previous one ended — the property
+    // the two-level distributed prefix sum must not break
+    val rows = out
+      .select("start_off", "n_tokens", "seq_first", "seq_last", "n_seqs")
+      .collect().sortBy(_.getLong(0))
+    var off = 0L
+    rows.foreach { r =>
+      assert(r.getLong(0) == off, s"gap/overlap at offset ${r.getLong(0)}")
+      off += r.getLong(1)
+      assert(r.getLong(2) == r.getLong(0) / 512)
+      assert(r.getLong(3) == (r.getLong(0) + r.getLong(1) - 1) / 512)
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2) + 1)
+    }
+    assert(off == total)
+    out.unpersist()
+  }
+
+  test("q113: scrub drops exactly the shared chunks, reassembly is exact") {
+    val out = CorpusStats.sharedSpanScrub(spark, sf()).cache()
+    // consistency with the q106 scorer: dropped == shared, per doc
+    val scored = CorpusStats.cdcChunks(spark, sf())
+      .select(col("doc_id"), col("n_shared"))
+    assert(out.join(scored, "doc_id")
+      .where(col("n_dropped") =!= col("n_shared")).count() == 0)
+    // the cleaned text really contains n_tokens_kept tokens
+    assert(out.where(col("n_tokens_kept") > 0)
+      .where(size(split(trim(col("cleaned_text")), "\\s+"))
+        =!= col("n_tokens_kept")).count() == 0)
+    assert(out.where(col("n_tokens_kept") === 0)
+      .where(col("cleaned_text") =!= "").count() == 0)
+    // verbatim-duplicated docs: every chunk is shared → nothing survives
+    val tmp = java.nio.file.Files.createTempDirectory("scrub_dup").toString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(5)
+    docs.union(docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dup = CorpusStats.sharedSpanScrub(spark, tmp)
+    assert(dup.count() == 10)
+    assert(dup.where(col("n_tokens_kept") =!= 0L ||
+      col("cleaned_text") =!= "").count() == 0)
+    out.unpersist()
+  }
+
 }

@@ -87,6 +87,15 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("knn ivf exact mode (probe-all) is bit-identical to brute force") {
+    // The q53 gate contract: nProbe = nCells makes the candidate set
+    // the full corpus, so the result must match q50 exactly — rank,
+    // cosine bits and all, not just the id set.
+    val brute = Similarity.knnBrute(spark, sf(), k = 5).collect()
+    val exact = Similarity.knnIvf(spark, sf(), k = 5, nProbe = 16).collect()
+    assert(exact.sameElements(brute))
+  }
+
   test("signatures are deterministic across sessions") {
     import org.apache.spark.sql.functions.col
     val a = Similarity.knnLsh(spark, sf(), k = 3).collect()
