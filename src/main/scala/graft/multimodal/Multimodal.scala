@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,12 +18,13 @@ import graft.Tables
   * [[decodeAudio]]), and Y4M video ([[Y4m]]: demux, per-frame luma,
   * frame extraction — [[sampleVideoFrames]]) — and the JDK's headless
   * ImageIO for the compressed ones ([[ImageCodec]]: JPEG/PNG/GIF,
-  * zero added dependencies). What remains deliberately fake is only
-  * the QUICK metadata in [[asMediaTable]] (hash-derived width/height/
-  * duration placeholders where no header parse has run — the decode
-  * operators supply the real values) and the generic
-  * [[extractFeatures]] stub decoder standing in for an expensive
-  * model. The plumbing is the real 100 TB design:
+  * zero added dependencies). The QUICK metadata in [[asMediaTable]] is
+  * a real header parse too — fixed-offset / regex column expressions
+  * over the first bytes, nulls where a header genuinely can't say
+  * (JPEG dims need a marker walk, Y4M duration needs a frame scan —
+  * the decode operators supply those). The only remaining fake is the
+  * generic [[extractFeatures]] stub decoder standing in for an
+  * expensive model. The plumbing is the real 100 TB design:
   *
   *  - media rows are `(id, content binary, meta struct)` — the schema
   *    a lakehouse media table uses; metadata is sniffed from magic
@@ -71,10 +72,32 @@ object Multimodal {
     else "application/octet-stream"
   }
 
+  /** Little-endian unsigned integer read from a binary column slice
+    * (1-based `pos`, `len` ≤ 7 bytes): per-byte hex→long, shifted. */
+  private def leLong(c: Column, pos: Int, len: Int): Column =
+    (0 until len).map(i =>
+      conv(hex(substring(c, pos + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * i))).reduce(_ + _)
+
+  /** Big-endian unsigned integer read (1-based `pos`). */
+  private def beLong(c: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(c, pos, len)), 16, 10).cast("long")
+
+  /** Reinterpret an unsigned 32-bit read as two's-complement signed. */
+  private def signed32(v: Column): Column =
+    when(v >= lit(1L << 31), v - lit(1L << 32)).otherwise(v)
+
   /** Wrap a binary column into the media schema with sniffed metadata.
     * Pure column expressions (no UDF → stays inside whole-stage
-    * codegen); dimensions/duration are STUB-derived (deterministic from
-    * the content hash) where a real codec would parse headers. */
+    * codegen). Dimensions/duration are REAL header parses, header-only
+    * by design — fixed-offset reads (BMP/PNG/GIF/WAV) and a bounded
+    * 128-byte regex (PNM/Y4M), never a scan of the blob body, so the
+    * metadata pass stays cheap on GB-size media. Nulls where the
+    * header genuinely can't say: JPEG dims (marker walk —
+    * [[decodeImages]]/[[ImageCodec]] supply them), Y4M duration (frame
+    * scan — [[Y4m.decode]]), audio dims, image duration. The PNM
+    * regex covers comment-free headers (what [[Ppm.encode]] writes);
+    * the full grammar incl. `#` comments lives in the codecs. */
   def asMediaTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val content = col("content")
     val mime =
@@ -87,16 +110,57 @@ object Multimodal {
         .when(substring(content, 1, 4).cast("string") === "GIF8", "image/gif")
         .when(hex(substring(content, 1, 4)) === "52494646", "audio/wav")
         .otherwise("application/octet-stream")
-    // STUB: width/height/duration would come from the codec header;
-    // here they are deterministic functions of the content hash.
-    val h = abs(xxhash64(content))
+    val n = length(content)
+    // ASCII headers (PNM "P6\n<w> <h>\n...", Y4M "YUV4MPEG2 W<w> H<h>
+    // F<n>:<d>"): bounded prefix cast — header bytes are ASCII, so the
+    // lossy UTF-8 cast of trailing binary can't corrupt the match
+    val hdr = substring(content, 1, 128).cast("string")
+    val pnmW = regexp_extract(hdr, "^P[56]\\s+(\\d+)\\s+(\\d+)", 1).cast("int")
+    val pnmH = regexp_extract(hdr, "^P[56]\\s+(\\d+)\\s+(\\d+)", 2).cast("int")
+    val y4mW = regexp_extract(hdr, " W(\\d+)", 1).cast("int")
+    val y4mH = regexp_extract(hdr, " H(\\d+)", 1).cast("int")
+    // fixed-offset binary headers (1-based substring offsets):
+    // BMP BITMAPINFOHEADER int32 LE at 19/23 (height < 0 = top-down);
+    // PNG IHDR int32 BE at 17/21; GIF screen descriptor uint16 LE at 7/9
+    val bmpW = signed32(leLong(content, 19, 4)).cast("int")
+    val bmpH = abs(signed32(leLong(content, 23, 4))).cast("int")
+    val pngW = beLong(content, 17, 4).cast("int")
+    val pngH = beLong(content, 21, 4).cast("int")
+    val gifW = leLong(content, 7, 2).cast("int")
+    val gifH = leLong(content, 9, 2).cast("int")
+    val width =
+      when(mime === PpmMime || mime === PgmMime, pnmW)
+        .when(mime === BmpMime && n >= 26, bmpW)
+        .when(mime === "image/png" && n >= 24, pngW)
+        .when(mime === "image/gif" && n >= 10, gifW)
+        .when(mime === Y4mMime, y4mW)
+        .otherwise(lit(null).cast("int"))
+    val height =
+      when(mime === PpmMime || mime === PgmMime, pnmH)
+        .when(mime === BmpMime && n >= 26, bmpH)
+        .when(mime === "image/png" && n >= 24, pngH)
+        .when(mime === "image/gif" && n >= 10, gifH)
+        .when(mime === Y4mMime, y4mH)
+        .otherwise(lit(null).cast("int"))
+    // canonical PCM WAV (what Wav.encode writes): byte rate LE32 at
+    // 29, "data" tag at 37, data length LE32 at 41. Non-canonical
+    // chunk layouts (LIST/fact before data) → null; Wav.decode walks
+    // the full chunk list for those.
+    val byteRate = leLong(content, 29, 4)
+    val dataLen = leLong(content, 41, 4)
+    val durationMs =
+      when(mime === "audio/wav" && n >= 44 &&
+        substring(content, 37, 4).cast("string") === "data" &&
+        byteRate > 0,
+        (dataLen * lit(1000L) / byteRate).cast("long"))
+        .otherwise(lit(null).cast("long"))
     df.select(col(idCol).as("media_id"), col(binCol).as("content"))
       .withColumn("meta", struct(
         mime.as("mime"),
         length(content).cast("long").as("size_bytes"),
-        (pmod(h, lit(1920)) + 1).cast("int").as("width"),
-        (pmod(h, lit(1080)) + 1).cast("int").as("height"),
-        pmod(h, lit(600000L)).as("duration_ms")))
+        width.as("width"),
+        height.as("height"),
+        durationMs.as("duration_ms")))
   }
 
   /** A decoder handle with expensive init — real impl would load a

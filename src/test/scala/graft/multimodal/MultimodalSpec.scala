@@ -192,6 +192,35 @@ class MultimodalSpec extends SparkSpec {
       Seq(0L, 10000L, 20000L))
   }
 
+  test("quick metadata is a real header parse per format") {
+    val bmp = Bmp.encode(Ppm.Image(3, 2, new Array[Byte](3 * 2 * 3)))
+    val realWav = Wav.encode(Wav.Audio(8000, 1, Array.fill[Short](1000)(7)))
+    val df = Seq(
+      (1L, gradientPpm), (2L, bmp), (3L, tinyY4m), (4L, realWav),
+      (5L, png), (6L, jpg)).toDF("id", "bin")
+    val meta = Multimodal.asMediaTable(df, "id", "bin")
+      .select(col("media_id"), col("meta.*")).orderBy("media_id").collect()
+    // PPM: "P6\n4 2\n255" header
+    assert(meta(0).getAs[Int]("width") == 4 &&
+      meta(0).getAs[Int]("height") == 2)
+    // BMP: LE32 dims from BITMAPINFOHEADER
+    assert(meta(1).getAs[Int]("width") == 3 &&
+      meta(1).getAs[Int]("height") == 2)
+    // Y4M: "W2 H2" header tokens; duration needs a frame scan → null
+    assert(meta(2).getAs[Int]("width") == 2 &&
+      meta(2).getAs[Int]("height") == 2)
+    assert(meta(2).isNullAt(meta(2).fieldIndex("duration_ms")))
+    // WAV: 2000 data bytes at 16000 B/s = 125 ms; dims are null
+    assert(meta(3).getAs[Long]("duration_ms") == 125L)
+    assert(meta(3).isNullAt(meta(3).fieldIndex("width")))
+    // truncated magic-byte stubs: mime sniffs, dims stay null (no
+    // hash-derived placeholders), never an error
+    assert(meta(4).getAs[String]("mime") == "image/png")
+    assert(meta(4).isNullAt(meta(4).fieldIndex("width")))
+    assert(meta(5).getAs[String]("mime") == "image/jpeg")
+    assert(meta(5).isNullAt(meta(5).fieldIndex("width")))
+  }
+
   test("resize rewrites dimensions only") {
     val df = Seq((1L, png)).toDF("id", "bin")
     val media = Multimodal.asMediaTable(df, "id", "bin")
