@@ -115,13 +115,24 @@ object Multimodal {
     // F<n>:<d>"): bounded prefix cast — header bytes are ASCII, so the
     // lossy UTF-8 cast of trailing binary can't corrupt the match
     val hdr = substring(content, 1, 128).cast("string")
-    val pnmW = regexp_extract(hdr, "^P[56]\\s+(\\d+)\\s+(\\d+)", 1).cast("int")
-    val pnmH = regexp_extract(hdr, "^P[56]\\s+(\\d+)\\s+(\\d+)", 2).cast("int")
-    val y4mW = regexp_extract(hdr, " W(\\d+)", 1).cast("int")
-    val y4mH = regexp_extract(hdr, " H(\\d+)", 1).cast("int")
+    // regexp_extract returns '' on no match and ANSI mode (Spark 4
+    // default) makes CAST('' AS INT) THROW — nullif turns the no-match
+    // case into the documented null. Digit runs are bounded to 8 so a
+    // matched value can never overflow the int cast either.
+    def rxInt(pattern: String, group: Int): Column =
+      nullif(regexp_extract(hdr, pattern, group), lit("")).cast("int")
+    val pnmRe = "^P[56]\\s+(\\d{1,8})\\s+(\\d{1,8})"
+    val pnmW = rxInt(pnmRe, 1)
+    val pnmH = rxInt(pnmRe, 2)
+    val y4mW = rxInt(" W(\\d{1,8})", 1)
+    val y4mH = rxInt(" H(\\d{1,8})", 1)
     // fixed-offset binary headers (1-based substring offsets):
-    // BMP BITMAPINFOHEADER int32 LE at 19/23 (height < 0 = top-down);
+    // BMP BITMAPINFOHEADER int32 LE at 19/23 (height < 0 = top-down;
+    // gated on the DIB header-size field ≥ 40 — an OS/2
+    // BITMAPCOREHEADER packs 16-bit dims at the same offsets and would
+    // read as garbage, so it gets null instead);
     // PNG IHDR int32 BE at 17/21; GIF screen descriptor uint16 LE at 7/9
+    val bmpInfo = leLong(content, 15, 4) >= 40
     val bmpW = signed32(leLong(content, 19, 4)).cast("int")
     val bmpH = abs(signed32(leLong(content, 23, 4))).cast("int")
     val pngW = beLong(content, 17, 4).cast("int")
@@ -130,14 +141,14 @@ object Multimodal {
     val gifH = leLong(content, 9, 2).cast("int")
     val width =
       when(mime === PpmMime || mime === PgmMime, pnmW)
-        .when(mime === BmpMime && n >= 26, bmpW)
+        .when(mime === BmpMime && n >= 26 && bmpInfo, bmpW)
         .when(mime === "image/png" && n >= 24, pngW)
         .when(mime === "image/gif" && n >= 10, gifW)
         .when(mime === Y4mMime, y4mW)
         .otherwise(lit(null).cast("int"))
     val height =
       when(mime === PpmMime || mime === PgmMime, pnmH)
-        .when(mime === BmpMime && n >= 26, bmpH)
+        .when(mime === BmpMime && n >= 26 && bmpInfo, bmpH)
         .when(mime === "image/png" && n >= 24, pngH)
         .when(mime === "image/gif" && n >= 10, gifH)
         .when(mime === Y4mMime, y4mH)

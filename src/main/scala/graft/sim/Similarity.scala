@@ -41,6 +41,9 @@ object Similarity {
   val SigBits = 16
   val Bands = 4
   val BandBits: Int = SigBits / Bands
+  /** IVF cell count — the q53 gate's oracle contract (probe-all ≡
+    * brute force) needs nProbe == nCells, so both come from HERE. */
+  val IvfCells = 16
 
   /** Deterministic ±1 projection matrix (xorshift-mixed), bits × dim. */
   private[sim] lazy val projections: Array[Array[Double]] =
@@ -151,7 +154,7 @@ object Similarity {
     * broadcast. Recall is tunable via nProbe; measured against q50 in
     * tests. */
   def knnIvf(s: SparkSession, dir: String, k: Int = 5,
-             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+             nCells: Int = IvfCells, nProbe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -289,7 +292,7 @@ object Similarity {
     // Exact mode (probe all cells): the full IVF machinery runs, and
     // the result ≡ brute force, so the k-means-free oracle applies.
     "q53_knn_ivf"   -> ((s: SparkSession, d: String) =>
-      knnIvf(s, d, nProbe = 16)),
+      knnIvf(s, d, nCells = IvfCells, nProbe = IvfCells)),
     "q52_embedding_neardup" ->
       ((s: SparkSession, d: String) => nearDupPairs(s, d)),
     "q107_embedding_clusters" -> (embeddingClusters _))

@@ -27,12 +27,18 @@ object ZOrder {
 
   /** Bit-interleaved Morton code of two dimensions, each already
     * normalized to an integral [0, 2^bits) range: bit i of `a` lands
-    * at position 2i, bit i of `b` at 2i+1. */
-  def interleave(a: Column, b: Column, bits: Int = 16): Column =
+    * at position 2i, bit i of `b` at 2i+1. Inputs OUTSIDE the
+    * normalized range have their high bits silently dropped (the curve
+    * stops being monotone) — [[writeZOrdered]] always normalizes;
+    * direct callers must too. bits ≤ 31 keeps every shifted term
+    * positive in the long result. */
+  def interleave(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     (0 until bits).map { i =>
       shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
+  }
 
   /** Min/max-normalize a numeric column to [0, 2^bits − 1]. Only
     * monotonicity matters for the curve, so double rounding is fine. */
@@ -49,10 +55,18 @@ object ZOrder {
     * skipping for every later box scan. */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
                     files: Int, bits: Int = 16): Unit = {
+    require(!df.columns.contains("__zv"),
+      "input already has a __zv column — rename it before z-ordering")
     // bounded driver traffic: 4 scalars
     val r = df.agg(
       min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input or an all-null cluster column: nothing to cluster
+      // on — write as-is rather than NPE on the missing min/max
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val zv = interleave(
       normalize(col(c1), r.getDouble(0), r.getDouble(1), bits),
       normalize(col(c2), r.getDouble(2), r.getDouble(3), bits), bits)

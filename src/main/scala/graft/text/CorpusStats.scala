@@ -206,8 +206,11 @@ object CorpusStats {
                    seqLen: Int = 512): DataFrame = {
     import graft.dedup.Md5Prefix
     val docs = Tables.load(s, dir, "documents")
+      // null text packs as 0 tokens — without the coalesce a null
+      // n_tokens nulls the whole running offset downstream of it
       .select(col("doc_id"),
-        size(Tokens.whitespace(col("text"))).cast("long").as("n_tokens"),
+        coalesce(size(Tokens.whitespace(col("text"))).cast("long"),
+          lit(0L)).as("n_tokens"),
         Md5Prefix.h(col("doc_id").cast("string")).as("h"))
       // h ∈ [0, 2⁶⁰): the top 7 bits give 128 order-preserving buckets
       .withColumn("bkt", shiftright(col("h"), 53))
@@ -438,8 +441,8 @@ object CorpusStats {
     "q112_sequence_pack" ->
       raw"""WITH d AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens,
+        |    CAST(coalesce(len(string_split_regex(trim(text), '\s+')), 0)
+        |      AS BIGINT) AS n_tokens,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      AS h
         |  FROM documents),

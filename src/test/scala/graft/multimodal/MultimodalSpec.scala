@@ -221,6 +221,26 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(5).isNullAt(meta(5).fieldIndex("width")))
   }
 
+  test("hostile headers yield null metadata, never an ANSI cast crash") {
+    // commented PNM header (codec grammar, not the quick regex),
+    // bare 2-byte magic, truncated Y4M tag, OS/2 BITMAPCOREHEADER
+    // (16-bit dims at the INFOHEADER offsets — must not misread)
+    val coreBmp = "BM".getBytes("ISO-8859-1") ++ new Array[Byte](12) ++
+      Array[Byte](12, 0, 0, 0, 3, 0, 2, 0, 1, 0, 24, 0) ++
+      new Array[Byte](16)
+    val df = Seq(
+      (1L, "P6\n# comment\n4 2\n255\n".getBytes ++ new Array[Byte](24)),
+      (2L, "P6".getBytes),
+      (3L, "YUV4MPEG2".getBytes),
+      (4L, coreBmp)).toDF("id", "bin")
+    val meta = Multimodal.asMediaTable(df, "id", "bin")
+      .select(col("media_id"), col("meta.*")).orderBy("media_id").collect()
+    meta.foreach { m =>
+      assert(m.isNullAt(m.fieldIndex("width")), s"row $m")
+      assert(m.isNullAt(m.fieldIndex("height")), s"row $m")
+    }
+  }
+
   test("resize rewrites dimensions only") {
     val df = Seq((1L, png)).toDF("id", "bin")
     val media = Multimodal.asMediaTable(df, "id", "bin")

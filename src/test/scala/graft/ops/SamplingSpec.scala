@@ -213,7 +213,10 @@ class SamplingSpec extends SparkSpec {
       .where(col("cleaned_text") =!= "").count() == 0)
     // verbatim-duplicated docs: every chunk is shared → nothing survives
     val tmp = java.nio.file.Files.createTempDirectory("scrub_dup").toString
-    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(5)
+    // ordered before limit: an un-ordered LIMIT is evaluated once per
+    // union branch and need not pick the same 5 docs
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .orderBy("doc_id").limit(5)
     docs.union(docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val dup = CorpusStats.sharedSpanScrub(spark, tmp)

@@ -92,7 +92,8 @@ class SimilaritySpec extends SparkSpec {
     // the full corpus, so the result must match q50 exactly — rank,
     // cosine bits and all, not just the id set.
     val brute = Similarity.knnBrute(spark, sf(), k = 5).collect()
-    val exact = Similarity.knnIvf(spark, sf(), k = 5, nProbe = 16).collect()
+    val exact = Similarity.knnIvf(spark, sf(), k = 5,
+      nProbe = Similarity.IvfCells).collect()
     assert(exact.sameElements(brute))
   }
 
