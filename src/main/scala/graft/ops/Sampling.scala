@@ -116,11 +116,70 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Default per-source mixing weights (q114): a spread of
+    * downsample / keep / upsample rates keyed off the source index so
+    * every regime is exercised. Real pipelines pass their own map. */
+  val DefaultMixWeights: Map[String, Double] =
+    (0 until 20).map(i =>
+      s"src$i" -> Seq(0.25, 1.0, 1.75, 2.5)(i % 4)).toMap
+
+  /** Weight → (whole copies, fractional-copy hash threshold). The
+    * threshold is precomputed driver-side and spliced into BOTH
+    * engines' plans, so the float multiply happens exactly once. */
+  private def mixRow(src: String, w: Double): (String, Long, Long) = {
+    require(w >= 0 && w < 1000, s"weight out of range for $src: $w")
+    val base = math.floor(w).toLong
+    val thresh = ((w - base) * (1L << 60).toDouble).toLong
+    (src, base, thresh)
+  }
+
+  /** q114: source mixing — per-source sampling/replication weights,
+    * the "epochs per source" step of assembling a pretraining mix
+    * (downsample a crawl at 0.25×, repeat a high-quality source
+    * 2.5×). Weight w emits floor(w) copies of every doc plus one more
+    * for the deterministic hash fraction frac(w) of docs — so the
+    * EXPECTED copy count is exactly w, assignment is id-stable under
+    * corpus growth (same property as q102), and a rerun emits the
+    * identical multiset. Unlisted sources default to weight 1.
+    *
+    * Scale shape: one scan, hash + broadcast-joined thresholds +
+    * explode — entirely map-side (the orderBy is presentation only);
+    * the hash is salted differently from q103's quota so mixing and
+    * quota keep-sets stay independent. */
+  def sourceMix(s: SparkSession, dir: String,
+                weights: Map[String, Double] = DefaultMixWeights): DataFrame = {
+    val wdf = s.createDataFrame(
+      weights.toSeq.sortBy(_._1).map { case (src, w) => mixRow(src, w) })
+      .toDF("source", "base", "thresh")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5Prefix(concat(lit("mix:"), col("source"), lit(":"),
+          col("doc_id").cast("string"))).as("h"))
+      .join(broadcast(wdf), Seq("source"), "left")
+      .withColumn("n_copies",
+        coalesce(col("base"), lit(1L)) +
+          when(col("h") < coalesce(col("thresh"), lit(0L)), 1L)
+            .otherwise(0L))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_no"))
+      .orderBy("doc_id", "copy_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_hash_split"   -> (hashSplit _),
     "q103_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
     "q108_curated_corpus" -> ((s: SparkSession, d: String) =>
-      curatedCorpus(s, d)))
+      curatedCorpus(s, d)),
+    "q114_source_mix"   -> ((s: SparkSession, d: String) => sourceMix(s, d)))
+
+  /** The default weight table as a DuckDB VALUES relation — generated
+    * from [[DefaultMixWeights]] itself so the oracle can never drift. */
+  private def mixSqlValues: String =
+    DefaultMixWeights.toSeq.sortBy(_._1).map { case (src, w) =>
+      val (_, base, thresh) = mixRow(src, w)
+      s"('$src', CAST($base AS BIGINT), CAST($thresh AS BIGINT))"
+    }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
     "q102_hash_split" ->
@@ -168,5 +227,22 @@ object Sampling {
         |        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS qrn
         |  FROM train)
         |SELECT doc_id, source, n_tokens FROM quota
-        |WHERE qrn <= 100 ORDER BY doc_id""".stripMargin)
+        |WHERE qrn <= 100 ORDER BY doc_id""".stripMargin,
+    "q114_source_mix" ->
+      s"""WITH w(source, base, thresh) AS (VALUES $mixSqlValues),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    ('0x' || substr(md5('mix:' || source || ':' ||
+         |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, d.source,
+         |    coalesce(base, 1) + CASE WHEN h < coalesce(thresh, 0)
+         |      THEN 1 ELSE 0 END AS n_copies
+         |  FROM d LEFT JOIN w USING (source))
+         |SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy_no
+         |FROM n JOIN LATERAL (
+         |  SELECT unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS c) u
+         |  ON true
+         |ORDER BY doc_id, copy_no""".stripMargin)
 }

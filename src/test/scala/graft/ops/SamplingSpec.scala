@@ -176,6 +176,35 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q114: mix emits floor(w) copies plus a hash fraction, id-stable") {
+    val out = Sampling.sourceMix(spark, sf()).cache()
+    // copy numbering is dense 1..n per doc
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("copy_no").as("mx"),
+        min("copy_no").as("mn"))
+    assert(perDoc.where(col("n") =!= col("mx") || col("mn") =!= 1).count() == 0)
+    // every doc of a weight >= 1 source survives with at least
+    // floor(w) copies; a 0.25-weight source keeps a strict subset
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = out.groupBy("source").agg(
+      countDistinct("doc_id").as("nd"), count(lit(1)).as("nc")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Sampling.DefaultMixWeights.foreach { case (src, w) =>
+      val n = docs(src)
+      val (nd, nc) = bySource.getOrElse(src, (0L, 0L))
+      val base = math.floor(w).toLong
+      if (base >= 1) assert(nd == n && nc >= base * n && nc <= (base + 1) * n,
+        s"$src w=$w docs=$n kept=$nd copies=$nc")
+      else assert(nd <= n, s"$src w=$w docs=$n kept=$nd")
+    }
+    // rerun is the identical multiset
+    val again = Sampling.sourceMix(spark, sf())
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
   test("q112: packing is a contiguous gap-free layout of the token stream") {
     val out = CorpusStats.sequencePack(spark, sf()).cache()
     val total = spark.read.parquet(s"${sf()}/documents.parquet")

@@ -39,6 +39,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if "--present-only" in sys.argv:  # subset Verify runs: skip undumped
+        import os
+        oracle = {n: s for n, s in oracle.items()
+                  if os.path.exists(f"{out_dir}/{n}")}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
