@@ -68,4 +68,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "CDC chunking regressed to a window shuffle:\n" + plan)
   }
+
+  test("q112: the prefix sum is two-level — every corpus window is bucketed") {
+    val plan = planOf("q112_sequence_pack")
+    // the corpus-side running sum must be key-partitioned on bkt; the
+    // only permissible unpartitioned window runs over the ≤128
+    // bucket-totals rows. A single global corpus window (the DuckDB
+    // oracle's spelling) would funnel 100 TB through one task.
+    val windows = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windows.nonEmpty, plan)
+    val corpusWindows = windows.filter(_.contains("bkt"))
+    assert(corpusWindows.nonEmpty,
+      "expected the corpus running sum to be partitioned by bkt:\n" + plan)
+    // offsets come back via broadcast, not a shuffle join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q113: scrub chunking stays map-side; counts come back broadcast") {
+    val plan = planOf("q113_span_scrub")
+    assert(!plan.contains("Window"),
+      "span scrub regressed to a window shuffle:\n" + plan)
+    assert(plan.contains("Generate"), plan) // per-doc chunk explode
+  }
+
+  test("q114: mixing is map-side — broadcast thresholds, explode, one sort") {
+    val plan = planOf("q114_source_mix")
+    assert(plan.contains("BroadcastHashJoin"),
+      "weights must broadcast, not shuffle:\n" + plan)
+    assert(plan.contains("Generate"), plan) // copy explode
+    assert(!plan.contains("Window"), plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+  }
 }
