@@ -282,6 +282,54 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** q115: DELTA near-dedup — check only a batch of NEW documents
+    * (the delta) against the existing corpus, the incremental-ingest
+    * path where a full q37 re-run would re-pay the whole corpus every
+    * batch. Delta membership here is `doc_id % 10 >= 8` (a stable,
+    * scale-invariant 20% slice standing in for "the new batch").
+    *
+    * Shape: signatures and band rows are computed in ONE pass over the
+    * table, then each (band, bandHash) bucket is split into its corpus
+    * members and delta members and only corpus × delta pairs expand —
+    * intra-corpus pairs (the quadratic bulk q37 pays) are never
+    * generated. At production scale the corpus half of the bucket
+    * table is PRECOMPUTED and stored sorted/bucketed by band key
+    * ([[graft.sinks.Bucketing]] layout), so a batch pays only its own
+    * signatures plus a co-located join: cost tracks the delta, not the
+    * corpus. */
+  def minhashDeltaPairs(s: SparkSession, dir: String,
+                        hash: DedupHash = XxHash64): DataFrame = {
+    val sig = minhashSignatures(s, dir, hash)
+      .withColumn("sig",
+        array((0 until MinhashPerms).map(i => col(s"m$i")): _*))
+      .select("doc_id", "sig")
+    val banded = sig.select(
+      struct(col("doc_id"), col("sig")).as("d"),
+      posexplode(expr(
+        s"transform(sequence(0, ${LshBands - 1}), " +
+          s"b -> ${hash.bandKeySql(s"slice(sig, b * $LshRows + 1, $LshRows)")})"))
+        .as(Seq("band", "bandHash")))
+    // collect_list skips the when()'s nulls → per-bucket corpus and
+    // delta member arrays in one aggregation
+    val buckets = banded.groupBy(col("band"), col("bandHash"))
+      .agg(
+        collect_list(when(pmod(col("d.doc_id"), lit(10)) < 8, col("d")))
+          .as("cs"),
+        collect_list(when(pmod(col("d.doc_id"), lit(10)) >= 8, col("d")))
+          .as("deltas"))
+      .where(size(col("cs")) > 0 && size(col("deltas")) > 0)
+    buckets
+      .select(col("cs"), explode(col("deltas")).as("y"))
+      .select(col("y"), explode(col("cs")).as("x"))
+      .select(col("x.doc_id").as("corpus_id"),
+        col("y.doc_id").as("delta_id"),
+        (size(expr("filter(zip_with(x.sig, y.sig, (a, b) -> a = b), v -> v)")) /
+          lit(MinhashPerms.toDouble)).as("est_jaccard"))
+      .where(col("est_jaccard") >= 0.5)
+      .distinct() // same pair can surface from several bands
+      .orderBy("delta_id", "corpus_id")
+  }
+
   // ---------------- SimHash (q38) ----------------
 
   /** q38: 64-bit SimHash per document + near-dup pairs at Hamming
@@ -498,6 +546,8 @@ object Dedup {
       minhashLshPairs(s, d, hash = Md5Prefix)),
     "q38_simhash"       -> ((s: SparkSession, d: String) =>
       simhashPairs(s, d, hash = Md5Prefix)),
+    "q115_delta_neardup" -> ((s: SparkSession, d: String) =>
+      minhashDeltaPairs(s, d, hash = Md5Prefix)),
     "q98_dedup_clusters" -> (dedupClusters _))
 
   /** The q36 pair derivation as a bare SQL body — shared by the q36
@@ -518,6 +568,36 @@ object Dedup {
       |ON a.source = b.source AND a.id1 < b.id2
       |WHERE len(list_intersect(a.t1, b.t2)) /
       |    (len(a.t1) + len(b.t2) - len(list_intersect(a.t1, b.t2))) >= 0.8""".stripMargin
+
+  /** The MinHash pipeline (shingles → md5-prefix features → universal-
+    * hash permutation mins → 32-slot signature → 8 bands) as a DuckDB
+    * CTE prefix ending in `banded` — ONE spelling shared by the q37
+    * and q115 oracles so the two can never drift. */
+  private lazy val MinhashBandedCtes: String =
+    raw"""WITH words AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), shingled AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_distinct([array_to_string(w[i+1:i+3], ' ')
+      |                             for i in range(0, len(w) - 2)])
+      |    END AS sh FROM words
+      |), feat AS (
+      |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+      |), perms(i, a, b) AS (VALUES """.stripMargin + Md5Prefix.permsSqlValues +
+    raw"""
+      |), minh AS (
+      |  SELECT doc_id, i,
+      |    min((a::BIGINT * ((h & 2147483647) % 2147483647) + b) % 2147483647) AS m
+      |  FROM feat CROSS JOIN perms
+      |  GROUP BY doc_id, i
+      |), sig AS (
+      |  SELECT doc_id, list(m ORDER BY i) AS sig FROM minh GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, sig, b, sig[b*4 + 1 : b*4 + 4] AS band
+      |  FROM sig CROSS JOIN range(8) t(b)
+      |)""".stripMargin
 
   /** The q37/q38 oracles replay the ENTIRE pipeline in DuckDB SQL —
     * shingling, md5-prefix hashing, signatures, banding, candidate
@@ -548,30 +628,8 @@ object Dedup {
         |  (id = min(label)) AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     "q37_minhash_lsh" ->
-      (raw"""WITH words AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), shingled AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |         ELSE list_distinct([array_to_string(w[i+1:i+3], ' ')
-        |                             for i in range(0, len(w) - 2)])
-        |    END AS sh FROM words
-        |), feat AS (
-        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
-        |), perms(i, a, b) AS (VALUES """.stripMargin + Md5Prefix.permsSqlValues +
-      raw"""
-        |), minh AS (
-        |  SELECT doc_id, i,
-        |    min((a::BIGINT * ((h & 2147483647) % 2147483647) + b) % 2147483647) AS m
-        |  FROM feat CROSS JOIN perms
-        |  GROUP BY doc_id, i
-        |), sig AS (
-        |  SELECT doc_id, list(m ORDER BY i) AS sig FROM minh GROUP BY doc_id
-        |), banded AS (
-        |  SELECT doc_id, sig, b, sig[b*4 + 1 : b*4 + 4] AS band
-        |  FROM sig CROSS JOIN range(8) t(b)
-        |), pairs AS (
+      (MinhashBandedCtes +
+      raw""", pairs AS (
         |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.sig AS s1, c.sig AS s2
         |  FROM banded a JOIN banded c
         |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id
@@ -581,6 +639,20 @@ object Dedup {
         |FROM pairs
         |WHERE len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 >= 0.5
         |ORDER BY id1, id2""".stripMargin),
+    "q115_delta_neardup" ->
+      (MinhashBandedCtes +
+      raw""", pairs AS (
+        |  SELECT DISTINCT a.doc_id AS corpus_id, c.doc_id AS delta_id,
+        |    a.sig AS s1, c.sig AS s2
+        |  FROM banded a JOIN banded c
+        |    ON a.b = c.b AND a.band = c.band
+        |      AND a.doc_id % 10 < 8 AND c.doc_id % 10 >= 8
+        |)
+        |SELECT corpus_id, delta_id,
+        |  len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 AS est_jaccard
+        |FROM pairs
+        |WHERE len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 >= 0.5
+        |ORDER BY delta_id, corpus_id""".stripMargin),
     "q38_simhash" ->
       raw"""WITH words AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

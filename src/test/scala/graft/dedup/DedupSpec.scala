@@ -199,4 +199,22 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet == touched, "labels exactly the edge-endpoint set")
   }
 
+  test("q115: delta pairs are exactly the mixed-membership LSH pairs") {
+    // ground truth: the FULL q37 pair set, restricted to pairs that
+    // cross the corpus/delta boundary, oriented (corpus, delta)
+    val full = Dedup.minhashLshPairs(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mixed = full
+      .filter { case (a, b) => (a % 10 >= 8) != (b % 10 >= 8) }
+      .map { case (a, b) => if (a % 10 < 8) (a, b) else (b, a) }
+    val delta = Dedup.minhashDeltaPairs(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta == mixed,
+      s"delta-only=${delta -- mixed} missing=${mixed -- delta}")
+    // and never an intra-corpus or intra-delta pair
+    delta.foreach { case (c, d) =>
+      assert(c % 10 < 8 && d % 10 >= 8, s"pair ($c, $d) orientation")
+    }
+  }
+
 }
