@@ -34,6 +34,29 @@ class ZOrderSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 2L, 8L, 10L))
   }
 
+  test("N-dim interleave places bit i of dim d at position i*n + d") {
+    val rows = spark.range(2).select(
+      ZOrder.interleave(Seq(col("id"), lit(0L), lit(0L)), bits = 2).as("z0"),
+      ZOrder.interleave(Seq(lit(0L), lit(0L), col("id")), bits = 2).as("z2"))
+      .collect()
+    // dim 0 bit 0 → position 0; dim 2 bit 0 → position 2
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 4L))
+    intercept[IllegalArgumentException] {
+      ZOrder.interleave(Seq(col("id"), col("id")), bits = 32)
+    }
+  }
+
+  test("3-dim z-order write clusters and preserves content") {
+    val tmp = java.nio.file.Files.createTempDirectory("zorder3").toString
+    val d3 = data.withColumn("c",
+      pmod(xxhash64(col("id"), lit(2)), lit(1000000L)))
+    ZOrder.writeZOrdered(d3, s"$tmp/z3", Seq("a", "b", "c"), files = 8)
+    val back = spark.read.parquet(s"$tmp/z3")
+    assert(back.count() == 200000L)
+    assert(back.columns.toSet == Set("id", "a", "b", "c"))
+  }
+
   test("z-order layout skips row groups a random layout must read") {
     val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
     data.repartition(16).write.mode("overwrite").parquet(s"$tmp/rand")
