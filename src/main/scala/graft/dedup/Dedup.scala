@@ -230,25 +230,31 @@ object Dedup {
     * loss replaces the quadratic blowup. */
   val MaxLshBucket = 1000
 
+  /** Band rows (d = (doc_id, sig), band, bandHash) — the shared
+    * candidate-generation prefix of q37 and q115. Single-pass bucket
+    * design: a band self-JOIN would plan the signature pipeline
+    * (scan → shingle explode → 32-min aggregate) once per join
+    * branch — .explain showed FOUR full copies, since broadcast sides
+    * cannot reuse a shuffle exchange. Instead band rows group into
+    * buckets and pairs expand inside each bucket: the expensive
+    * pipeline runs exactly once, and the only extra shuffle volume is
+    * the signature riding along 8× (once per band). */
+  private def bandedRows(s: SparkSession, dir: String,
+                         hash: DedupHash): DataFrame =
+    minhashSignatures(s, dir, hash)
+      .withColumn("sig", array((0 until MinhashPerms).map(i => col(s"m$i")): _*))
+      .select("doc_id", "sig")
+      .select(
+        struct(col("doc_id"), col("sig")).as("d"),
+        posexplode(expr(
+          s"transform(sequence(0, ${LshBands - 1}), " +
+            s"b -> ${hash.bandKeySql(s"slice(sig, b * $LshRows + 1, $LshRows)")})"))
+          .as(Seq("band", "bandHash")))
+
   def minhashLshPairs(s: SparkSession, dir: String,
                       maxBucket: Int = MaxLshBucket,
                       hash: DedupHash = XxHash64): DataFrame = {
-    val sig = minhashSignatures(s, dir, hash)
-      .withColumn("sig", array((0 until MinhashPerms).map(i => col(s"m$i")): _*))
-      .select("doc_id", "sig")
-    // Single-pass bucket design: a band self-JOIN would plan the
-    // signature pipeline (scan → shingle explode → 32-min aggregate)
-    // once per join branch — .explain showed FOUR full copies, since
-    // broadcast sides cannot reuse a shuffle exchange. Instead group
-    // band rows into buckets and expand i<j pairs inside each bucket:
-    // the expensive pipeline runs exactly once, and the only extra
-    // shuffle volume is the signature riding along 8× (once per band).
-    val banded = sig.select(
-      struct(col("doc_id"), col("sig")).as("d"),
-      posexplode(expr(
-        s"transform(sequence(0, ${LshBands - 1}), " +
-          s"b -> ${hash.bandKeySql(s"slice(sig, b * $LshRows + 1, $LshRows)")})"))
-        .as(Seq("band", "bandHash")))
+    val banded = bandedRows(s, dir, hash)
     // Buckets sort SIGNATURE-major (any total order preserves
     // lower-triangle completeness; signature order additionally makes
     // identical-signature runs contiguous, which the oversized-bucket
@@ -297,25 +303,34 @@ object Dedup {
     * ([[graft.sinks.Bucketing]] layout), so a batch pays only its own
     * signatures plus a co-located join: cost tracks the delta, not the
     * corpus. */
+  /** Delta membership for q115 — ONE definition, negative-id-safe
+    * (`pmod` ≡ floorMod; the oracle spells it `((x % 10) + 10) % 10`
+    * and DedupSpec uses `Math.floorMod`, so all three agree on any
+    * id). */
+  def isDeltaDoc(docId: Column): Column = pmod(docId, lit(10)) >= 8
+
   def minhashDeltaPairs(s: SparkSession, dir: String,
+                        maxBucket: Int = MaxLshBucket,
                         hash: DedupHash = XxHash64): DataFrame = {
-    val sig = minhashSignatures(s, dir, hash)
-      .withColumn("sig",
-        array((0 until MinhashPerms).map(i => col(s"m$i")): _*))
-      .select("doc_id", "sig")
-    val banded = sig.select(
-      struct(col("doc_id"), col("sig")).as("d"),
-      posexplode(expr(
-        s"transform(sequence(0, ${LshBands - 1}), " +
-          s"b -> ${hash.bandKeySql(s"slice(sig, b * $LshRows + 1, $LshRows)")})"))
-        .as(Seq("band", "bandHash")))
+    val banded = bandedRows(s, dir, hash)
     // collect_list skips the when()'s nulls → per-bucket corpus and
-    // delta member arrays in one aggregation
+    // delta member arrays in one aggregation. The CORPUS side of an
+    // oversized bucket is capped at maxBucket members in signature
+    // order (q37's MaxLshBucket reasoning): a bucket that large is a
+    // mass-duplicate cluster, and the downstream question per delta
+    // doc — "is this a near-dup of the corpus?" — is answered by ANY
+    // hit, so pairing each delta doc against the capped representative
+    // set keeps the decision while bounding per-bucket work at
+    // O(maxBucket · |delta|) instead of O(|corpus| · |delta|). The
+    // delta side is never capped — every new doc must be scored.
     val buckets = banded.groupBy(col("band"), col("bandHash"))
       .agg(
-        collect_list(when(pmod(col("d.doc_id"), lit(10)) < 8, col("d")))
-          .as("cs"),
-        collect_list(when(pmod(col("d.doc_id"), lit(10)) >= 8, col("d")))
+        slice(array_sort(transform(
+          collect_list(when(!isDeltaDoc(col("d.doc_id")), col("d"))),
+          e => struct(e.getField("sig").as("sig"),
+            e.getField("doc_id").as("doc_id")))),
+          1, maxBucket).as("cs"),
+        collect_list(when(isDeltaDoc(col("d.doc_id")), col("d")))
           .as("deltas"))
       .where(size(col("cs")) > 0 && size(col("deltas")) > 0)
     buckets
@@ -646,7 +661,8 @@ object Dedup {
         |    a.sig AS s1, c.sig AS s2
         |  FROM banded a JOIN banded c
         |    ON a.b = c.b AND a.band = c.band
-        |      AND a.doc_id % 10 < 8 AND c.doc_id % 10 >= 8
+        |      AND ((a.doc_id % 10) + 10) % 10 < 8
+        |      AND ((c.doc_id % 10) + 10) % 10 >= 8
         |)
         |SELECT corpus_id, delta_id,
         |  len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 AS est_jaccard

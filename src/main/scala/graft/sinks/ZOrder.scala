@@ -71,6 +71,7 @@ object ZOrder {
                     files: Int, bits: Int = 0): Unit = {
     val n = clusterCols.length
     require(n >= 1, "need at least one cluster column")
+    require(bits >= 0, s"bits must be 0 (auto) or positive, got $bits")
     val b = if (bits > 0) bits else math.min(16, 63 / n)
     require(!df.columns.contains("__zv"),
       "input already has a __zv column — rename it before z-ordering")

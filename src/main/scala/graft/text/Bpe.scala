@@ -120,7 +120,9 @@ object Bpe {
           var syms: Seq[String] = word.split("").toSeq
           ordered.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
           nTokens += syms.length
-          nChars += word.length
+          // code points, not UTF-16 units — split("") yields one
+          // symbol per code point, so this is the matching baseline
+          nChars += word.codePointCount(0, word.length)
         }
         (id, words.length.toLong, nChars, nTokens)
       }

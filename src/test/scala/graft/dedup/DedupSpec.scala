@@ -202,19 +202,41 @@ class DedupSpec extends SparkSpec {
   test("q115: delta pairs are exactly the mixed-membership LSH pairs") {
     // ground truth: the FULL q37 pair set, restricted to pairs that
     // cross the corpus/delta boundary, oriented (corpus, delta)
+    def isDelta(id: Long): Boolean = Math.floorMod(id, 10L) >= 8
     val full = Dedup.minhashLshPairs(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val mixed = full
-      .filter { case (a, b) => (a % 10 >= 8) != (b % 10 >= 8) }
-      .map { case (a, b) => if (a % 10 < 8) (a, b) else (b, a) }
+      .filter { case (a, b) => isDelta(a) != isDelta(b) }
+      .map { case (a, b) => if (!isDelta(a)) (a, b) else (b, a) }
     val delta = Dedup.minhashDeltaPairs(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(delta == mixed,
       s"delta-only=${delta -- mixed} missing=${mixed -- delta}")
     // and never an intra-corpus or intra-delta pair
     delta.foreach { case (c, d) =>
-      assert(c % 10 < 8 && d % 10 >= 8, s"pair ($c, $d) orientation")
+      assert(!isDelta(c) && isDelta(d), s"pair ($c, $d) orientation")
     }
+  }
+
+  test("q115: mass-duplicate corpus stays bounded via the corpus-side cap") {
+    // 4k corpus clones + 200 delta clones of one text land in ONE
+    // bucket per band; without the cap that is 4k × 200 pairs per
+    // band. With it, each delta doc pairs with ≤ maxBucket corpus
+    // reps — and every delta doc still gets its is-dup answer.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("delta_mass").toString
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    (0L until 4200L).map { i =>
+      val id = if (i < 4000) i * 10 else i * 10 + 8 // corpus / delta ids
+      (id, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.minhashDeltaPairs(spark, tmp, maxBucket = 100).cache()
+    val perDelta = out.groupBy("delta_id").count()
+    assert(perDelta.count() == 200, "every delta doc scored")
+    // pair volume bounded by cap, not corpus size
+    assert(out.count() <= 200L * 100L)
+    out.unpersist()
   }
 
 }

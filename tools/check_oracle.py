@@ -11,7 +11,7 @@ surface before a round ends:
 
 Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import json, math, sys
+import json, math, os, sys
 
 import duckdb
 import pandas as pd
@@ -40,7 +40,6 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if "--present-only" in sys.argv:  # subset Verify runs: skip undumped
-        import os
         oracle = {n: s for n, s in oracle.items()
                   if os.path.exists(f"{out_dir}/{n}")}
     failures = 0
@@ -74,7 +73,6 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"OK   {name}: {len(spark_df)} rows")
     # queries without an oracle: rows-only existence check
-    import os
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d)
         if os.path.isdir(p) and d not in oracle:
@@ -84,4 +82,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    paths = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(main(paths[0], paths[1]))
