@@ -239,6 +239,56 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q116: length-bucketed batch assignment — group documents of
+    * similar token length into fixed-size batches so per-batch padding
+    * (to the batch max) is small: the standard batching step before
+    * tokenized training/inference, where padding waste is compute
+    * waste. Docs land in `bucketWidth`-token length buckets; within a
+    * bucket they are ranked in deterministic hash order and cut into
+    * `batchSize`-doc batches; `pad` reports each doc's padding to its
+    * batch max — the waste metric the bucketing exists to minimize.
+    *
+    * Scale shape: a plain per-length-bucket rank would put one task
+    * per length bucket (there are only ~max_len/width of them — heavy
+    * skew at corpus scale), so the rank uses the q112 two-level
+    * pattern INSIDE each length bucket: hash high-bits split every
+    * length bucket into 128 order-preserving sub-buckets, in-sub
+    * window ranks run key-partitioned, sub-bucket counts (≤128 rows
+    * per length bucket) take a tiny per-bucket window, and the final
+    * rank is base + local after a broadcast join. The padding window
+    * partitions by (bucket, batch_no) — fine-grained, skew-free. */
+  def lengthBatches(s: SparkSession, dir: String, bucketWidth: Int = 32,
+                    batchSize: Int = 16): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        coalesce(size(Tokens.whitespace(col("text"))).cast("long"),
+          lit(0L)).as("n_tokens"),
+        Md5Prefix.h(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", expr(s"n_tokens DIV $bucketWidth"))
+      .withColumn("sub", shiftright(col("h"), 53))
+    val wIn = Window.partitionBy(col("bucket"), col("sub"))
+      .orderBy(col("h"), col("doc_id"))
+    val local = docs.withColumn("lrn",
+      row_number().over(wIn).cast("long"))
+    val wSub = Window.partitionBy(col("bucket")).orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = docs.groupBy(col("bucket"), col("sub"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("base", coalesce(sum(col("c")).over(wSub), lit(0L)))
+      .select(col("bucket"), col("sub"), col("base"))
+    val ranked = local.join(broadcast(prefix), Seq("bucket", "sub"))
+      .withColumn("rn", col("base") + col("lrn"))
+      .withColumn("batch_no", expr(s"(rn - 1) DIV $batchSize"))
+    val wBatch = Window.partitionBy(col("bucket"), col("batch_no"))
+    ranked
+      .withColumn("pad",
+        max(col("n_tokens")).over(wBatch) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        col("batch_no"), col("pad"))
+      .orderBy("doc_id")
+  }
+
   /** q110: per-source scorecard — the one-page summary a curation run
     * reports per provenance: volume, exact-dup rate, and size stats.
     * One scan, one aggregation (a single DISTINCT aggregate alongside
@@ -309,7 +359,9 @@ object CorpusStats {
       vocabCoverage(s, d)),
     "q112_sequence_pack"  -> ((s: SparkSession, d: String) =>
       sequencePack(s, d)),
-    "q113_span_scrub"     -> (sharedSpanScrub _))
+    "q113_span_scrub"     -> (sharedSpanScrub _),
+    "q116_length_batches" -> ((s: SparkSession, d: String) =>
+      lengthBatches(s, d)))
 
   /** Shared CDC-chunking CTE prefix (documents → per-token chunk_idx)
     * for the q106/q113 oracles — one spelling of boundary placement so
@@ -438,6 +490,27 @@ object CorpusStats {
         |    FILTER (WHERE sh.ndocs = 1), ' '), '') AS cleaned_text
         |FROM ch JOIN sh USING (chunk_hash)
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin),
+    "q116_length_batches" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(len(string_split_regex(trim(text), '\s+')), 0)
+        |      AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+        |    row_number() OVER (PARTITION BY n_tokens // 32
+        |      ORDER BY h, doc_id) AS rn
+        |  FROM d),
+        |b AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    CAST((rn - 1) // 16 AS BIGINT) AS batch_no
+        |  FROM r)
+        |SELECT doc_id, n_tokens, bucket, batch_no,
+        |  CAST(max(n_tokens) OVER (PARTITION BY bucket, batch_no)
+        |    - n_tokens AS BIGINT) AS pad
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q112_sequence_pack" ->
       raw"""WITH d AS (
         |  SELECT doc_id,

@@ -205,6 +205,20 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q116: batches are bucket-homogeneous, bounded pad, full except tail") {
+    val out = CorpusStats.lengthBatches(spark, sf()).cache()
+    // same batch ⇒ same 32-token length bucket ⇒ pad < 32
+    assert(out.where(col("pad") < 0 || col("pad") >= 32).count() == 0)
+    assert(out.where(expr("n_tokens DIV 32") =!= col("bucket")).count() == 0)
+    val sizes = out.groupBy("bucket", "batch_no").count()
+    assert(sizes.where(col("count") > 16).count() == 0)
+    // the two-level rank is dense: at most one non-full (tail) batch
+    // per bucket — a gap or duplicate rank would split batches
+    assert(sizes.where(col("count") < 16).groupBy("bucket").count()
+      .where(col("count") > 1).count() == 0)
+    out.unpersist()
+  }
+
   test("q112: packing is a contiguous gap-free layout of the token stream") {
     val out = CorpusStats.sequencePack(spark, sf()).cache()
     val total = spark.read.parquet(s"${sf()}/documents.parquet")
