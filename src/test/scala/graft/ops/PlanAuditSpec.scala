@@ -92,6 +92,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan) // per-doc chunk explode
   }
 
+  test("q116: every corpus-scale window is sub-bucketed; offsets broadcast") {
+    val plan = planOf("q116_length_batches")
+    val windows = "windowspecdefinition\\(([^)]*?) ASC".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    // the rank window must carry the sub split; the only windows
+    // without it are the per-bucket prefix totals (tiny) and the
+    // (bucket, batch_no) padding max (fine-grained)
+    assert(windows.exists(_.contains("sub")),
+      "expected the in-bucket rank to be sub-bucketed:\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q114: mixing is map-side — broadcast thresholds, explode, one sort") {
     val plan = planOf("q114_source_mix")
     assert(plan.contains("BroadcastHashJoin"),
