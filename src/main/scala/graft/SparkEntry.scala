@@ -24,7 +24,8 @@ object SparkEntry {
       multimodal.Multimodal.queries ++ ops.SqlSurface.queries ++
       ops.Advanced.queries ++ ops.Wave2.queries ++ ops.Wave3.queries ++
       ops.SkewJoin.queries ++ ops.Sampling.queries ++
-      text.CorpusStats.queries
+      text.CorpusStats.queries ++ text.Postings.queries ++
+      text.Normalize.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       multimodal.Multimodal.oracle ++ ops.SqlSurface.oracle ++
       ops.Advanced.oracle ++ ops.Wave2.oracle ++ ops.Wave3.oracle ++
       ops.SkewJoin.oracle ++ ops.Sampling.oracle ++
-      text.CorpusStats.oracle
+      text.CorpusStats.oracle ++ text.Postings.oracle ++
+      text.Normalize.oracle
 }

@@ -88,26 +88,37 @@ case class FloatDot(left: Expression, right: Expression)
 }
 
 /** Registration: `GraftFunctions.register(spark)` (idempotent), after
-  * which `float_dot(a, b)` is available to SQL and `expr(...)`. Also
-  * usable via `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * which `float_dot(a, b)` and `nfc_normalize(s)` are available to SQL
+  * and `expr(...)`. Also usable via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 object GraftFunctions {
   private val info = new ExpressionInfo(
     classOf[FloatDot].getName, "float_dot")
+  private val nfcInfo = new ExpressionInfo(
+    classOf[NfcNormalize].getName, "nfc_normalize")
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("float_dot"), info,
       (children: Seq[Expression]) => FloatDot(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nfc_normalize"), nfcInfo,
+      (children: Seq[Expression]) => NfcNormalize(children.head))
+  }
 }
 
 /** `SparkSessionExtensions` hook for config-based injection: the
-  * float_dot function plus the [[DotFusion]] optimizer rule. */
+  * float_dot / nfc_normalize functions plus the [[DotFusion]]
+  * optimizer rule. */
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectOptimizerRule(_ => DotFusion)
   }
 }

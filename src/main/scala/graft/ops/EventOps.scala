@@ -143,12 +143,41 @@ object EventOps {
       .orderBy("day", "event_type")
   }
 
+  /** q119: forward fill (last observation carried forward) — the
+    * time-series gap repair every sensor/metrics pipeline runs: null
+    * readings take the most recent non-null value for the same key.
+    * The nulls are carved deterministically out of `value`
+    * (event_id % 7 < 2) so both engines fill the same gaps; `n_obs`
+    * counts the non-null observations seen so far (0 ⇒ `v_filled` is
+    * a leading null with nothing to carry).
+    *
+    * One window, one shuffle on user_id; `last(_, ignoreNulls=true)`
+    * over a running ROWS frame is Spark's LOCF spelling (DuckDB:
+    * `last(v IGNORE NULLS)`). The filled double is carried verbatim
+    * from the source column — no arithmetic, so cross-engine equality
+    * is byte-exact. */
+  def forwardFill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("v",
+        when(col("event_id") % 7 < 2, lit(null).cast("double"))
+          .otherwise(col("value")))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+        count(col("v")).over(w).as("n_obs"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tumbling_hourly" -> (tumblingHourly _),
     "q61_sessionize"      -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_asof_join"       -> (asofLastClick _),
     "q63_range_join"      -> (rangeJoinClicks _),
-    "q86_partition_prune" -> (partitionPruned _))
+    "q86_partition_prune" -> (partitionPruned _),
+    "q119_forward_fill"   -> (forwardFill _))
 
   val oracle: Map[String, String] = Map(
     "q60_tumbling_hourly" ->
@@ -192,5 +221,17 @@ object EventOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE ts::DATE BETWEEN '2024-01-10' AND '2024-01-12'
-        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q119_forward_fill" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_id % 7 < 2 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, v,
+        |  last(v IGNORE NULLS) OVER w AS v_filled,
+        |  count(v) OVER w AS n_obs
+        |FROM v
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)
 }

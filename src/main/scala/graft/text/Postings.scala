@@ -1,0 +1,260 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Tokens
+
+/** Postings-relation operators: the EXACT set-similarity self-join
+  * (prefix filtering — the lossless counterpart to the MinHash/SimHash
+  * approximate family in [[graft.dedup.Dedup]]) and the sharded
+  * inverted index.
+  *
+  * Reference scope: the reference pipeline dedups at whole-row
+  * granularity only (`dags/taxi_transform_dag.py`'s DISTINCT-style
+  * cleaning); these are the corpus-scale extensions a training-data
+  * curation pipeline layers on top.
+  */
+object Postings {
+
+  /** q117: exact Jaccard similarity self-join via prefix filtering
+    * (AllPairs/PPJoin): every document pair whose 5-gram shingle sets
+    * have Jaccard ≥ τ = 3/5 — with NO all-pairs comparison and NO
+    * approximation. Where q37 (MinHash-LSH) trades recall for speed,
+    * prefix filtering is LOSSLESS: sort each document's shingles by a
+    * global rarest-first order; a pair with Jaccard ≥ τ must share a
+    * shingle within the first |S| − ⌈τ·|S|⌉ + 1 of each side (the
+    * ssjoin prefix lemma), so joining only those prefixes generates a
+    * candidate superset, and the exact Jaccard filter keeps precision
+    * at 1. The oracle is therefore the plain brute-force spelling —
+    * the optimization must be invisible in the result.
+    *
+    * Scale shape: candidates come from one self-equi-join of the
+    * PREFIX relation — (1−τ) of the postings, concentrated on RARE
+    * shingles (rarest-first order ⇒ a shingle shared by k docs
+    * contributes ≤ k·(k−1)/2 candidate rows, and frequent shingles
+    * almost never appear in a prefix). Verification is two
+    * key-partitioned joins pulling the pre-deduped shingle arrays,
+    * then a map-side `array_intersect` — per-pair cost bounded by
+    * document size. Threshold math is integer cross-multiplication
+    * (τ = 3/5 ⇒ `inter·5 ≥ union·3`): no float comparison can
+    * disagree between engines at the boundary.
+    */
+  def setSimJoin(s: SparkSession, dir: String, n: Int = 5,
+                 tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
+      // materialize w first — inlining the split into the n-gram
+      // lambda re-evaluates it per element (Tokens.ngramsOf scaladoc)
+      .select(col("doc_id"),
+        array_distinct(Tokens.ngramsOf(col("w"), n)).as("sh"))
+    val post = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+
+    // per-doc shingles in (df ASC, shingle ASC) order; prefix length
+    // p = sz − ⌈τ·sz⌉ + 1 via exact integer ceil-division
+    val prefix = post.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("os"),
+        count(lit(1)).as("sz"))
+      .withColumn("p",
+        col("sz") - expr(s"(sz * $tauNum + ${tauDen - 1}) DIV $tauDen")
+          + 1L)
+      .select(col("doc_id"), col("sz"),
+        explode(expr("slice(os, 1, CAST(p AS INT))")).as("e"))
+      .select(col("doc_id"), col("sz"), col("e.s").as("s"))
+
+    // candidate pairs: shared prefix shingle + the size filter
+    // (J ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|)) — pruning only, the
+    // exact filter below decides membership
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.sz") * tauNum <= col("b.sz") * tauDen &&
+        col("b.sz") * tauNum <= col("a.sz") * tauDen)
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .distinct()
+
+    val sets = docs.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"))
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      .where(col("inter") * tauDen >= col("union_sz") * tauNum)
+      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
+        (col("inter") / col("union_sz")).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** q121: exact containment self-join — the DIRECTED variant of
+    * q117: emit (a, b) when |Sa ∩ Sb| ≥ τ·|Sa|, i.e. document a is
+    * τ-contained in b regardless of b's size. This is what Jaccard
+    * structurally cannot see: a paragraph quoted inside a much larger
+    * page has tiny Jaccard but containment ≈ 1 — the
+    * quote/boilerplate/subset detector.
+    *
+    * Prefix filtering stays lossless but turns ASYMMETRIC: only the
+    * probe side a takes a prefix (|Sa| − ⌈τ·|Sa|⌉ + 1 rarest
+    * shingles; if prefix(A) ∩ B = ∅ then A∩B fits in A's suffix of
+    * ⌈τ·|Sa|⌉ − 1 < required elements), joined against the FULL
+    * postings of every candidate b — no size filter exists for
+    * containment, which is exactly why the probe prefix matters. The
+    * verification join and integer threshold math mirror q117.
+    */
+  def containmentJoin(s: SparkSession, dir: String, n: Int = 5,
+                      tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
+      .select(col("doc_id"),
+        array_distinct(Tokens.ngramsOf(col("w"), n)).as("sh"))
+    val post = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+
+    val prefix = post.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("os"),
+        count(lit(1)).as("sz"))
+      .withColumn("p",
+        col("sz") - expr(s"(sz * $tauNum + ${tauDen - 1}) DIV $tauDen")
+          + 1L)
+      .select(col("doc_id"),
+        explode(expr("slice(os, 1, CAST(p AS INT))")).as("e"))
+      .select(col("doc_id"), col("e.s").as("s"))
+
+    val cand = prefix.as("a").join(post.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .distinct()
+
+    val sets = docs.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"))
+      .where(col("inter") * tauDen >= col("sz_a") * tauNum)
+      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
+        (col("inter") / col("sz_a")).as("containment"))
+      .orderBy("a", "b")
+  }
+
+  /** q118: sharded inverted index — per (term, doc-block): document
+    * frequency, collection frequency, and the doc-sorted postings with
+    * aligned term frequencies. The text-retrieval primitive behind
+    * every keyword-search / BM25 / contamination-lookup path.
+    *
+    * Scale shape: the group key is (term, `doc_id DIV blockSize`) —
+    * doc-partitioned index sharding, so a stop-word's postings never
+    * concentrate in one task or one row: per-group state is bounded
+    * by blockSize regardless of term frequency, and block ranges are
+    * what a distributed query fans out over (each searcher owns a doc
+    * range). `collect_list` here is safe precisely because of that
+    * bound — the unsharded spelling (group by term alone) is the
+    * classic corpus-scale OOM. Postings are emitted as comma-joined
+    * strings: the manifest form a downstream searcher memory-maps,
+    * and exactly comparable across engines (the row-hash gate treats
+    * array columns engine-specifically, strings identically).
+    */
+  def invertedIndex(s: SparkSession, dir: String,
+                    blockSize: Int = 100): DataFrame = {
+    val tf = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Tokens.whitespace(lower(col("text")))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val joinStr = (a: Column, field: String) =>
+      concat_ws(",", transform(a, x => x.getField(field).cast("string")))
+    tf.withColumn("blk", expr(s"doc_id DIV $blockSize"))
+      .groupBy(col("term"), col("blk"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("pl"))
+      .select(col("term"), col("blk"), col("df"), col("cf"),
+        joinStr(col("pl"), "doc_id").as("postings"),
+        joinStr(col("pl"), "tf").as("tfs"))
+      .orderBy("term", "blk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_setsim_join" -> ((s: SparkSession, d: String) =>
+      setSimJoin(s, d)),
+    "q118_inverted_index" -> ((s: SparkSession, d: String) =>
+      invertedIndex(s, d)),
+    "q121_containment_join" -> ((s: SparkSession, d: String) =>
+      containmentJoin(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    // brute force on purpose: prefix filtering is lossless, so the
+    // result must equal the all-candidate spelling exactly
+    "q117_setsim_join" ->
+      raw"""WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i+1:i+5], ' ')
+        |               for i in range(0, len(w) - 4)] END)) AS s
+        |  FROM w),
+        |sz AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |  FROM sh GROUP BY 1),
+        |pair AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  p.inter / (sa.sz + sb.sz - p.inter) AS jaccard
+        |FROM pair p
+        |JOIN sz sa ON sa.doc_id = p.a
+        |JOIN sz sb ON sb.doc_id = p.b
+        |WHERE p.inter * 5 >= (sa.sz + sb.sz - p.inter) * 3
+        |ORDER BY a, b""".stripMargin,
+    "q118_inverted_index" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT term, doc_id // 100 AS blk, count(*) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS cf,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings,
+        |  array_to_string(list(tf ORDER BY doc_id), ',') AS tfs
+        |FROM tf GROUP BY 1, 2 ORDER BY term, blk""".stripMargin,
+    "q121_containment_join" ->
+      raw"""WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i+1:i+5], ' ')
+        |               for i in range(0, len(w) - 4)] END)) AS s
+        |  FROM w),
+        |sz AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |  FROM sh GROUP BY 1),
+        |pair AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  p.inter / sa.sz AS containment
+        |FROM pair p
+        |JOIN sz sa ON sa.doc_id = p.a
+        |JOIN sz sb ON sb.doc_id = p.b
+        |WHERE p.inter * 5 >= sa.sz * 4
+        |ORDER BY a, b""".stripMargin)
+}

@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.util.Tokens
+
+/** Ground truth for the prefix-filtered exact set-similarity join and
+  * the sharded inverted index. */
+class PostingsSpec extends SparkSpec {
+
+  test("q117 setsim join equals brute force (lossless prefix filter)") {
+    // brute force: all pairs, exact jaccard — the quadratic spelling
+    // the prefix filter must reproduce exactly
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
+      .select(col("doc_id"),
+        array_distinct(Tokens.ngramsOf(col("w"), 5)).as("sh"))
+    val brute = docs.as("x").crossJoin(docs.as("y"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        size(array_intersect(col("x.sh"), col("y.sh"))).cast("long")
+          .as("inter"),
+        size(col("x.sh")).cast("long").as("sz_a"),
+        size(col("y.sh")).cast("long").as("sz_b"))
+      .where(col("inter") * 5 >=
+        (col("sz_a") + col("sz_b") - col("inter")) * 3)
+      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"))
+      .collect().map(_.toSeq).toSet
+
+    val got = Postings.setSimJoin(spark, sf())
+      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"))
+      .collect().map(_.toSeq).toSet
+
+    assert(got == brute)
+    assert(got.nonEmpty, "sf0.001 corpus should contain near-dup pairs")
+  }
+
+  test("q117 identical docs join at jaccard 1.0; disjoint docs never") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // clone of 1
+      (3L, "one two three four five six seven"),   // disjoint
+      (4L, "alpha beta gamma delta epsilon eta")   // near-dup of 1
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("setsim").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Postings.setSimJoin(spark, dir)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows((1L, 2L)) == 1.0)
+    assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("q121 containment equals brute force; sees what Jaccard cannot") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
+      .select(col("doc_id"),
+        array_distinct(Tokens.ngramsOf(col("w"), 5)).as("sh"))
+    val brute = docs.as("x").crossJoin(docs.as("y"))
+      .where(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        size(array_intersect(col("x.sh"), col("y.sh"))).cast("long")
+          .as("inter"),
+        size(col("x.sh")).cast("long").as("sz_a"))
+      .where(col("inter") * 5 >= col("sz_a") * 4)
+      .select(col("a"), col("b")).collect().map(_.toSeq).toSet
+    val got = Postings.containmentJoin(spark, sf())
+      .select(col("a"), col("b")).collect().map(_.toSeq).toSet
+    assert(got == brute)
+
+    // the motivating asymmetry: a 6-token quote inside a 40-token page
+    // has containment 1.0 (quote → page) but Jaccard far below τ
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val page = s"intro words here $quote " +
+      (1 to 30).map(i => s"filler$i").mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("containment").toString
+    Seq((1L, quote), (2L, page)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val c = Postings.containmentJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("containment")).toMap
+    assert(c((1L, 2L)) == 1.0, "quote is fully contained in the page")
+    assert(!c.contains((2L, 1L)), "page is not contained in the quote")
+    val j = Postings.setSimJoin(spark, dir).collect()
+    assert(j.isEmpty, "Jaccard at tau=3/5 misses the quote/page pair")
+  }
+
+  test("q118 inverted index: df/cf consistent with its own postings") {
+    val idx = Postings.invertedIndex(spark, sf()).collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val cf = r.getAs[Long]("cf")
+      val postings = r.getAs[String]("postings").split(",").map(_.toLong)
+      val tfs = r.getAs[String]("tfs").split(",").map(_.toLong)
+      assert(postings.length == df)
+      assert(tfs.sum == cf)
+      // doc-sorted and unique within the block
+      assert(postings.sameElements(postings.distinct.sorted))
+      // block invariant: every posting falls inside this block's range
+      val blk = r.getAs[Long]("blk")
+      assert(postings.forall(d => d / 100 == blk))
+    }
+  }
+}
