@@ -18,6 +18,27 @@ import graft.util.Tokens
   */
 object Postings {
 
+  /** (doc_id, sh) distinct-shingle-set relation, materialized ONCE
+    * (eager localCheckpoint = one corpus scan + one tokenize/shingle
+    * pass). The similarity joins read this relation from up to six
+    * plan branches (postings, document frequencies, both self-join
+    * prefix sides, both verification sides); without materialization
+    * every branch re-scans parquet and re-shingles the corpus
+    * (measured: six `Scan parquet` nodes in the q117 plan). At 100 TB
+    * the same move writes the shingle/postings relation to a
+    * column-pruned parquet zone instead of executor memory — identical
+    * shape, durable blocks; ContextCleaner frees the local blocks once
+    * the query's RDDs are unreachable. */
+  private def shingleSets(s: SparkSession, dir: String,
+                          n: Int): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
+      // materialize w first — inlining the split into the n-gram
+      // lambda re-evaluates it per element (Tokens.ngramsOf scaladoc)
+      .select(col("doc_id"),
+        array_distinct(Tokens.ngramsOf(col("w"), n)).as("sh"))
+      .localCheckpoint()
+
   /** q117: exact Jaccard similarity self-join via prefix filtering
     * (AllPairs/PPJoin): every document pair whose 5-gram shingle sets
     * have Jaccard ≥ τ = 3/5 — with NO all-pairs comparison and NO
@@ -43,12 +64,7 @@ object Postings {
     */
   def setSimJoin(s: SparkSession, dir: String, n: Int = 5,
                  tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
-      // materialize w first — inlining the split into the n-gram
-      // lambda re-evaluates it per element (Tokens.ngramsOf scaladoc)
-      .select(col("doc_id"),
-        array_distinct(Tokens.ngramsOf(col("w"), n)).as("sh"))
+    val docs = shingleSets(s, dir, n)
     val post = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
 
@@ -108,10 +124,7 @@ object Postings {
     */
   def containmentJoin(s: SparkSession, dir: String, n: Int = 5,
                       tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
-      .select(col("doc_id"),
-        array_distinct(Tokens.ngramsOf(col("w"), n)).as("sh"))
+    val docs = shingleSets(s, dir, n)
     val post = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
 

@@ -112,4 +112,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("q117/q121: prefix-filtered joins plan NO product join anywhere") {
+    // the whole point of prefix filtering is that the only joins are
+    // equi-joins (shared shingle / candidate doc ids) — a cartesian or
+    // nested-loop node means the lossless pruning silently degraded to
+    // the all-pairs plan it exists to avoid. And every branch must
+    // read the materialized shingle relation, not re-scan parquet
+    // (six re-scans before the localCheckpoint was added).
+    for (q <- Seq("q117_setsim_join", "q121_containment_join")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      assert(!plan.contains("Scan parquet"),
+        s"$q re-scans the corpus instead of the shingle relation:\n$plan")
+    }
+  }
+
+  test("q119: one key-partitioned window, no global sort before it") {
+    val plan = planOf("q119_forward_fill")
+    val windows = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windows.nonEmpty, plan)
+    assert(windows.forall(_.contains("user_id")),
+      "LOCF window must be partitioned by user_id:\n" + plan)
+  }
+
+  test("q120: canonicalization is map-side and stays in codegen") {
+    val df = graft.SparkEntry.queries("q120_nfc_clean")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    // only the deterministic output sort may shuffle
+    assert("(?<!Broadcast)Exchange".r.findAllIn(plan).length == 1,
+      "expected exactly one (sort) exchange:\n" + plan)
+    // the native expression must not break whole-stage codegen — the
+    // `*(n)` stage markers only appear in the FINAL adaptive plan, so
+    // execute first; the Project evaluating nfc_normalize must carry
+    // one (a non-codegen expression would strand it outside any stage)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[doc_id".r
+      .findFirstIn(finalPlan).isDefined,
+      "nfc_normalize project fell out of whole-stage codegen:\n" +
+        finalPlan)
+  }
 }
