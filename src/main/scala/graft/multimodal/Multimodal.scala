@@ -344,9 +344,15 @@ object Multimodal {
     * magic-byte sniff → header decode → pixel-derived features via the
     * [[Ppm]] codec, all distributed, plus the stub-decoder leg for the
     * codec-less formats. */
-  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+  /** The synthetic media corpus: each document's UTF-8 bytes tiled
+    * into an 8×8 PPM raster (empty/null text → a black frame). Shared
+    * by q70 and the perceptual-hash q122 so their oracles replay ONE
+    * rendering spelling — a drifted copy in either would silently
+    * detach that query's DuckDB replay. */
+  private[multimodal] def renderedBlobs(s: SparkSession,
+                                        dir: String): DataFrame = {
     import s.implicits._
-    val blobs = Tables.load(s, dir, "documents")
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         // null/empty text is data, not an error: render a black frame
@@ -357,6 +363,10 @@ object Multimodal {
           else Array.tabulate(8 * 8 * 3)(i => bytes(i % bytes.length))
         (id, Ppm.encode(Ppm.Image(8, 8, raster)))
       }.toDF("doc_id", "blob")
+  }
+
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val blobs = renderedBlobs(s, dir)
     val media = asMediaTable(blobs, "doc_id", "blob")
     decodeImages(media)
       .select(col("media_id"), col("meta.mime").as("mime"),

@@ -1,0 +1,138 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Perceptual image hashing — dHash (difference hash): REAL image
+  * near-duplicate detection over decoded pixels, the visual analog of
+  * the text MinHash/SimHash family. Two renderings of the same image
+  * (recompressed, slightly filtered) keep almost identical adjacent-
+  * pixel luminance gradients, so their dHashes differ in few bits;
+  * Hamming distance over the hash is the visual-similarity metric.
+  *
+  * The candidate join reuses the banded-Hamming idea from SimHash
+  * ([[graft.dedup.Dedup]]): 8 bands × 7 bits — by pigeonhole, any
+  * pair within Hamming ≤ 7 agrees on at least one whole band, so the
+  * band-equality self-join is LOSSLESS for the ≤ 7 threshold and the
+  * oracle can be the brute-force all-pairs spelling.
+  */
+object Perceptual {
+
+  /** 56-bit dHash of a decoded image: integer luma
+    * (299·R + 587·G + 114·B)/1000 — the same luma as [[Ppm.features]]
+    * — then one bit per horizontally adjacent pixel pair, set when the
+    * left pixel is darker (bit index r·(w−1)+c from the MSB end).
+    * Deterministic integer math end to end, so DuckDB replays it
+    * bit-exactly. Requires bits = h·(w−1) ≤ 63. */
+  def dhash(img: Ppm.Image): Long = {
+    val w = img.width
+    val bits = img.height * (w - 1)
+    require(bits > 0 && bits <= 63, s"dhash needs h*(w-1) in [1,63], " +
+      s"got ${img.height}x$w")
+    def gray(p: Int): Int = {
+      val i = p * 3
+      (299 * (img.rgb(i) & 0xff) + 587 * (img.rgb(i + 1) & 0xff) +
+        114 * (img.rgb(i + 2) & 0xff)) / 1000
+    }
+    var h = 0L
+    var i = 0
+    while (i < bits) {
+      val r = i / (w - 1); val c = i % (w - 1)
+      if (gray(r * w + c) < gray(r * w + c + 1))
+        h |= 1L << (bits - 1 - i)
+      i += 1
+    }
+    h
+  }
+
+  /** (doc_id, dhash) over the rendered media corpus — the decode runs
+    * the real PPM codec per partition (same mapPartitions shape as
+    * [[Multimodal.decodeImages]]); undecodable blobs are dropped. */
+  def dhashes(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.renderedBlobs(s, dir)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        Ppm.decode(r.getAs[Array[Byte]]("blob"))
+          .map(img => Row(r.getLong(0), dhash(img)))
+      }
+    }
+    s.createDataFrame(rdd, outSchema)
+  }
+
+  /** q122: image near-dup pairs — every pair of rendered images within
+    * Hamming ≤ `maxHamming` of each other's dHash.
+    *
+    * Scale shape: candidates come from ONE band-equality self-join (8
+    * shuffle-partitioned bucket keys per image, id-only payload), the
+    * exact Hamming filter runs map-side on the candidate pairs via
+    * `bit_count(xor)`, and the banding is lossless for the threshold
+    * (8 bands, ≤ 7 differing bits ⇒ ≥ 1 band equal) — so the DuckDB
+    * oracle is the brute-force all-pairs spelling and the bucket
+    * optimization must be invisible in the result. A boilerplate
+    * corpus concentrating one band value inherits the SimHash
+    * star+chain cap discussion (Dedup.scala); at this threshold the
+    * exact filter keeps precision 1 regardless. */
+  def imageNearDup(s: SparkSession, dir: String,
+                   maxHamming: Int = 7): DataFrame = {
+    val dh = dhashes(s, dir)
+    val bands = dh.select(col("doc_id"), col("dhash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bval",
+        expr("shiftright(dhash, band * 7)").bitwiseAND(lit(0x7fL)))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("a.dhash").as("ha"),
+        col("b.doc_id").as("b"), col("b.dhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_image_neardup" -> ((s: SparkSession, d: String) =>
+      imageNearDup(s, d)))
+
+  /** Brute force on purpose (banding is lossless at the threshold);
+    * the raster/luma/bit math replays the REAL decode pipeline the
+    * Spark side runs on PPM bytes — same rendering spelling as q70. */
+  val oracle: Map[String, String] = Map(
+    "q122_image_neardup" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+        |    octet_length(encode(coalesce(text, ''))) AS n
+        |  FROM documents),
+        |raster AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n = 0 THEN [0 for i in range(0, 192)]
+        |         ELSE [('0x' || substr(h, 2 * (i % n) + 1, 2))::INT
+        |               for i in range(0, 192)] END AS px
+        |  FROM b),
+        |gray AS (
+        |  SELECT doc_id,
+        |    [(299 * px[3*p + 1] + 587 * px[3*p + 2]
+        |      + 114 * px[3*p + 3]) // 1000
+        |     for p in range(0, 64)] AS g
+        |  FROM raster),
+        |dh AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN g[(i // 7) * 8 + (i % 7) + 1]
+        |                        < g[(i // 7) * 8 + (i % 7) + 2]
+        |                   THEN (CAST(1 AS BIGINT) << (55 - i))
+        |                   ELSE 0 END
+        |                   for i in range(0, 56)]) AS BIGINT) AS dhash
+        |  FROM gray)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+        |ORDER BY a, b""".stripMargin)
+}

@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** dHash ground truth and the lossless-banding contract. */
+class PerceptualSpec extends SparkSpec {
+
+  private def gradient(shift: Int): Ppm.Image = {
+    // horizontally increasing luminance: every dHash bit is 1
+    val rgb = Array.tabulate(8 * 8 * 3) { i =>
+      val p = i / 3
+      ((p % 8) * 16 + shift).toByte
+    }
+    Ppm.Image(8, 8, rgb)
+  }
+
+  test("dhash: hand-computed values on constructed images") {
+    // strictly increasing rows: all 56 bits set
+    assert(Perceptual.dhash(gradient(0)) == (1L << 56) - 1)
+    // constant image: gray never increases, all bits 0
+    val flat = Ppm.Image(8, 8, Array.fill(8 * 8 * 3)(100.toByte))
+    assert(Perceptual.dhash(flat) == 0L)
+    // brightness shift leaves every gradient sign unchanged — the
+    // perceptual-invariance property the hash exists for
+    assert(Perceptual.dhash(gradient(40)) == Perceptual.dhash(gradient(0)))
+    // horizontal mirror flips every comparison
+    val mirror = Ppm.Image(8, 8, Array.tabulate(8 * 8 * 3) { i =>
+      val p = i / 3
+      ((7 - (p % 8)) * 16).toByte
+    })
+    assert(Perceptual.dhash(mirror) == 0L)
+    // one-pixel luma bump to max flips exactly one comparison: the
+    // (3,4)<(3,5) bit turns 0; the left neighbor comparison (3,3)<(3,4)
+    // stays 1 — locality is what makes Hamming distance meaningful
+    val base = gradient(0)
+    val bumped = base.rgb.clone()
+    bumped((3 * 8 + 4) * 3) = 255.toByte
+    bumped((3 * 8 + 4) * 3 + 1) = 255.toByte
+    bumped((3 * 8 + 4) * 3 + 2) = 255.toByte
+    val d = Perceptual.dhash(base) ^ Perceptual.dhash(Ppm.Image(8, 8, bumped))
+    assert(java.lang.Long.bitCount(d) == 1,
+      s"expected exactly one flipped bit: ${d.toBinaryString}")
+  }
+
+  test("q122 banded join equals brute force over all hash pairs") {
+    val dh = Perceptual.dhashes(spark, sf())
+    val brute = dh.as("x").crossJoin(dh.as("y"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.dhash ^ y.dhash)").cast("int").as("hamming"))
+      .where(col("hamming") <= 7)
+      .collect().map(_.toSeq).toSet
+    val got = Perceptual.imageNearDup(spark, sf())
+      .collect().map(_.toSeq).toSet
+    assert(got == brute)
+  }
+}
