@@ -196,13 +196,52 @@ object Postings {
       .orderBy("term", "blk")
   }
 
+  /** q123: keyword search — the retrieval CONSUMER of the postings
+    * family: top-k documents for a fixed conjunctive-ish query term
+    * set, ranked by a float-free tf·idf score (Σ tf·(N DIV df) — the
+    * q104 integer-ranking discipline: no `ln` to disagree in the last
+    * ulp between engines; BM25's monotone-in-tf shape without its
+    * transcendentals). Ties break on doc_id, so top-k is total-ordered.
+    *
+    * Scale shape: the term filter lands immediately after the explode,
+    * so only query-term occurrences (a vanishing fraction of the token
+    * stream) survive into the (doc, term, tf) aggregation; df
+    * re-aggregates that tiny relation; N rides in as a broadcast
+    * 1-row aggregate (no driver round-trip — the q23 lesson); the
+    * global top-k plans as TakeOrderedAndProject (no full sort). A
+    * production search serves this from the materialized q118 index
+    * zone instead of re-scanning the corpus — same relational shape,
+    * scan swapped for an index-block read. */
+  def keywordSearch(s: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("spark", "data", "vector"),
+                    k: Int = 10): DataFrame = {
+    val tf = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Tokens.whitespace(lower(col("text")))).as("term"))
+      .where(col("term").isInCollection(terms))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).as("n"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(col("tf") * expr("n DIV df")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_setsim_join" -> ((s: SparkSession, d: String) =>
       setSimJoin(s, d)),
     "q118_inverted_index" -> ((s: SparkSession, d: String) =>
       invertedIndex(s, d)),
     "q121_containment_join" -> ((s: SparkSession, d: String) =>
-      containmentJoin(s, d)))
+      containmentJoin(s, d)),
+    "q123_keyword_search" -> ((s: SparkSession, d: String) =>
+      keywordSearch(s, d)))
 
   val oracle: Map[String, String] = Map(
     // brute force on purpose: prefix filtering is lossless, so the
@@ -269,5 +308,22 @@ object Postings {
         |JOIN sz sa ON sa.doc_id = p.a
         |JOIN sz sb ON sb.doc_id = p.b
         |WHERE p.inter * 5 >= sa.sz * 4
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin,
+    "q123_keyword_search" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE term IN ('spark', 'data', 'vector')
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |  CAST(sum(tf.tf * (n.n // df.df)) AS BIGINT) AS score
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |GROUP BY 1
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
 }
