@@ -61,9 +61,16 @@ object IndexMaintain {
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
                  blockSize: Int = 100): Long = {
     val btf = tfOf(batch, blockSize)
+    // touched block ids come to the driver ON PURPOSE: the set is
+    // bounded by the batch's doc count (metadata-scale), and an `isin`
+    // PREDICATE pushes below the reconcile window (blk is one of its
+    // partition keys) all the way into the parquet scans — a
+    // broadcast-join spelling would sit ABOVE the window and silently
+    // reconcile the whole index per batch
     val touched = btf.select(col("blk")).distinct()
+      .collect().map(_.getLong(0)).toSeq
     val existing = MergeOnRead.read(spark, root, Seq("term", "blk"))
-      .join(broadcast(touched), "blk")
+      .where(col("blk").isInCollection(touched))
     // restore the tf-relation shape from the zipped arrays
     val exploded = existing.select(col("term"), col("blk"),
         explode(arrays_zip(col("postings"), col("tfs"))).as("z"))

@@ -46,4 +46,21 @@ class IndexMaintainSpec extends SparkSpec {
     assert(delta.count() < full / 2,
       s"delta ${delta.count()} rows vs index $full — not incremental")
   }
+
+  test("the touched-blocks predicate reaches the zone's parquet scans") {
+    // the O(touched) claim depends on the blk filter pushing BELOW the
+    // reconcile window (blk is a window partition key) into the scan —
+    // a join-shaped filter would reconcile the whole index per batch
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val root = freshRoot()
+    IndexMaintain.init(spark, root, docs.where(col("doc_id") < 40),
+      blockSize = 8)
+    val reconciled = MergeOnRead.read(spark, root, Seq("term", "blk"))
+      .where(col("blk").isInCollection(Seq(4L, 5L)))
+    val plan = reconciled.queryExecution.executedPlan.toString
+    // Catalyst may spell a small set as In(...) or fold it to EqualTo
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*(In|EqualTo)\\(blk[^\\]]*\\].*"),
+      "blk IN (...) did not reach the parquet scan:\n" + plan)
+  }
 }
