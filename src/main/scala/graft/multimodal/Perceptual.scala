@@ -77,8 +77,17 @@ object Perceptual {
     * star+chain cap discussion (Dedup.scala); at this threshold the
     * exact filter keeps precision 1 regardless. */
   def imageNearDup(s: SparkSession, dir: String,
-                   maxHamming: Int = 7): DataFrame = {
-    val dh = dhashes(s, dir)
+                   maxHamming: Int = 7): DataFrame =
+    bandedHammingPairs(dhashes(s, dir), maxHamming)
+
+  /** The shared candidate machinery for every 56-bit perceptual hash
+    * (image dHash, audio energy-contour hash): band-equality self-join
+    * over 8×7-bit bands, exact map-side `bit_count(xor)` filter —
+    * lossless for `maxHamming` ≤ 7 by pigeonhole. Input: (doc_id,
+    * dhash). */
+  def bandedHammingPairs(dh: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7,
+      "8 bands over 56 bits guarantee recall only for hamming <= 7")
     val bands = dh.select(col("doc_id"), col("dhash"),
         explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bval",
@@ -97,9 +106,78 @@ object Perceptual {
       .orderBy("a", "b")
   }
 
+  /** 56-bit audio energy-contour hash of decoded PCM samples: frame
+    * energies (64 frames × 4 samples, Σ s² as exact Long) and one bit
+    * per adjacent frame pair, set when energy rises. GAIN-INVARIANT:
+    * scaling every sample scales every frame energy by the same
+    * factor, so the comparisons — and the hash — are unchanged (the
+    * property a loudness-normalized re-encode of the same clip needs).
+    * Requires ≥ 256 samples; integer math end to end. */
+  def ahash(a: Wav.Audio): Long = {
+    require(a.samples.length >= 256, "ahash needs at least 256 samples")
+    val e = new Array[Long](64)
+    var f = 0
+    while (f < 64) {
+      var acc = 0L
+      var j = 0
+      while (j < 4) {
+        val s = a.samples(4 * f + j).toLong
+        acc += s * s
+        j += 1
+      }
+      e(f) = acc
+      f += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 56) {
+      if (e(i) < e(i + 1)) h |= 1L << (55 - i)
+      i += 1
+    }
+    h
+  }
+
+  /** (doc_id, dhash) audio hashes over a rendered WAV corpus: each
+    * document's bytes become 256 centered 16-bit PCM samples, encoded
+    * to a real RIFF blob and decoded back through the [[Wav]] codec —
+    * the audio leg of the same render→real-decode→hash pipeline as
+    * [[dhashes]]. */
+  def ahashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val samples = Array.tabulate[Short](256) { i =>
+          if (bytes.isEmpty) 0
+          else (((bytes(i % bytes.length) & 0xff) - 128) * 256).toShort
+        }
+        (id, Wav.encode(Wav.Audio(8000, 1, samples)))
+      }.toDF("doc_id", "blob")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val rdd = blobs.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        Wav.decode(r.getAs[Array[Byte]]("blob"))
+          .map(a => Row(r.getLong(0), ahash(a)))
+      }
+    }
+    s.createDataFrame(rdd, outSchema)
+  }
+
+  /** q124: audio near-dup pairs — same lossless banded-Hamming shape
+    * as q122, over the energy-contour hash of REAL decoded PCM. */
+  def audioNearDup(s: SparkSession, dir: String,
+                   maxHamming: Int = 7): DataFrame =
+    bandedHammingPairs(ahashes(s, dir), maxHamming)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_image_neardup" -> ((s: SparkSession, d: String) =>
-      imageNearDup(s, d)))
+      imageNearDup(s, d)),
+    "q124_audio_neardup" -> ((s: SparkSession, d: String) =>
+      audioNearDup(s, d)))
 
   /** Brute force on purpose (banding is lossless at the threshold);
     * the raster/luma/bit math replays the REAL decode pipeline the
@@ -133,6 +211,36 @@ object Perceptual {
         |SELECT a.doc_id AS a, b.doc_id AS b,
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
         |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+        |ORDER BY a, b""".stripMargin,
+    "q124_audio_neardup" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+        |    octet_length(encode(coalesce(text, ''))) AS n
+        |  FROM documents),
+        |samp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n = 0 THEN [0 for i in range(0, 256)]
+        |         ELSE [(('0x' || substr(h, 2 * (i % n) + 1, 2))::BIGINT
+        |                - 128) * 256
+        |               for i in range(0, 256)] END AS s
+        |  FROM b),
+        |energy AS (
+        |  SELECT doc_id,
+        |    [s[4*f + 1]*s[4*f + 1] + s[4*f + 2]*s[4*f + 2]
+        |     + s[4*f + 3]*s[4*f + 3] + s[4*f + 4]*s[4*f + 4]
+        |     for f in range(0, 64)] AS e
+        |  FROM samp),
+        |ah AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN e[f + 1] < e[f + 2]
+        |                   THEN (CAST(1 AS BIGINT) << (55 - f))
+        |                   ELSE 0 END
+        |                   for f in range(0, 56)]) AS BIGINT) AS dhash
+        |  FROM energy)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
         |ORDER BY a, b""".stripMargin)
 }

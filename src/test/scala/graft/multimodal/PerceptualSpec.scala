@@ -44,6 +44,41 @@ class PerceptualSpec extends SparkSpec {
       s"expected exactly one flipped bit: ${d.toBinaryString}")
   }
 
+  test("ahash: gain invariance and frame-order sensitivity") {
+    val rnd = new scala.util.Random(7)
+    val samples = Array.fill[Short](256)(
+      ((rnd.nextInt(256) - 128) * 256).toShort)
+    val a = Wav.Audio(8000, 1, samples)
+    // halving every sample (exact: all are multiples of 256) scales
+    // every frame energy by exactly 1/4 — hash unchanged
+    val half = Wav.Audio(8000, 1, samples.map(s => (s / 2).toShort))
+    assert(Perceptual.ahash(a) == Perceptual.ahash(half))
+    // swapping two frames' content flips their neighborhood bits
+    val swapped = samples.clone()
+    for (j <- 0 until 4) {
+      val t = swapped(40 + j)
+      swapped(40 + j) = swapped(44 + j); swapped(44 + j) = t
+    }
+    assert(Perceptual.ahash(a) !=
+      Perceptual.ahash(Wav.Audio(8000, 1, swapped)))
+    // encode → decode through the real RIFF codec is hash-transparent
+    val roundTrip = Wav.decode(Wav.encode(a)).get
+    assert(Perceptual.ahash(roundTrip) == Perceptual.ahash(a))
+  }
+
+  test("q124 banded join equals brute force over all audio hash pairs") {
+    val ah = Perceptual.ahashes(spark, sf())
+    val brute = ah.as("x").crossJoin(ah.as("y"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.dhash ^ y.dhash)").cast("int").as("hamming"))
+      .where(col("hamming") <= 7)
+      .collect().map(_.toSeq).toSet
+    val got = Perceptual.audioNearDup(spark, sf())
+      .collect().map(_.toSeq).toSet
+    assert(got == brute)
+  }
+
   test("q122 banded join equals brute force over all hash pairs") {
     val dh = Perceptual.dhashes(spark, sf())
     val brute = dh.as("x").crossJoin(dh.as("y"))
