@@ -173,11 +173,66 @@ object Perceptual {
                    maxHamming: Int = 7): DataFrame =
     bandedHammingPairs(ahashes(s, dir), maxHamming)
 
+  /** (doc_id, fhash) DISTINCT per-frame dHashes of a rendered 4-frame
+    * mono Y4M corpus: frame j's 8×8 luma plane tiles the document
+    * bytes starting at offset 16·j (frames overlap — consecutive
+    * frames of one "clip" share content, like real video); the blob
+    * round-trips the REAL [[Y4m]] codec and each frame converts via
+    * [[Y4m.frameAsPpm]] (luma replicated to RGB, so the integer gray
+    * (299+587+114)·y/1000 = y exactly and the frame dHash IS the luma
+    * dHash — DuckDB replays it without channel math). */
+  def fhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val frames = (0 until 4).map { j =>
+          if (bytes.isEmpty) new Array[Byte](64)
+          else Array.tabulate[Byte](64)(i =>
+            bytes((i + 16 * j) % bytes.length))
+        }
+        (id, Y4m.encode(Y4m.Video(8, 8, 25, 1, "mono", frames)))
+      }.toDF("doc_id", "blob")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fhash", LongType, nullable = false)))
+    val rdd = blobs.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        Y4m.decode(r.getAs[Array[Byte]]("blob")).toSeq.flatMap { v =>
+          (0 until v.frameCount).map(f =>
+            Row(r.getLong(0), dhash(Y4m.frameAsPpm(v, f))))
+        }
+      }
+    }
+    s.createDataFrame(rdd, outSchema).distinct()
+  }
+
+  /** q125: video near-dup — pairs of clips sharing at least
+    * `minShared` distinct per-frame fingerprints: the standard
+    * keyframe-fingerprint-set approach. The 64-bit frame-hash
+    * equality join IS the blocking (no banding, no approximation);
+    * the shared count per pair is one exact aggregate. */
+  def videoNearDup(s: SparkSession, dir: String,
+                   minShared: Int = 2): DataFrame = {
+    val fh = fhashes(s, dir)
+    fh.as("a").join(fh.as("b"),
+        col("a.fhash") === col("b.fhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_image_neardup" -> ((s: SparkSession, d: String) =>
       imageNearDup(s, d)),
     "q124_audio_neardup" -> ((s: SparkSession, d: String) =>
-      audioNearDup(s, d)))
+      audioNearDup(s, d)),
+    "q125_video_neardup" -> ((s: SparkSession, d: String) =>
+      videoNearDup(s, d)))
 
   /** Brute force on purpose (banding is lossless at the threshold);
     * the raster/luma/bit math replays the REAL decode pipeline the
@@ -242,5 +297,35 @@ object Perceptual {
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
         |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+        |ORDER BY a, b""".stripMargin,
+    "q125_video_neardup" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+        |    octet_length(encode(coalesce(text, ''))) AS n
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, h, n, unnest([0, 1, 2, 3]) AS j
+        |  FROM b),
+        |luma AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN n = 0 THEN [0 for i in range(0, 64)]
+        |         ELSE [('0x' || substr(h, 2 * ((i + 16 * j) % n) + 1,
+        |                2))::INT
+        |               for i in range(0, 64)] END AS g
+        |  FROM frames),
+        |fh AS (
+        |  SELECT doc_id, j,
+        |    CAST(list_sum([CASE WHEN g[(i // 7) * 8 + (i % 7) + 1]
+        |                        < g[(i // 7) * 8 + (i % 7) + 2]
+        |                   THEN (CAST(1 AS BIGINT) << (55 - i))
+        |                   ELSE 0 END
+        |                   for i in range(0, 56)]) AS BIGINT) AS fhash
+        |  FROM luma),
+        |df AS (SELECT DISTINCT doc_id, fhash FROM fh)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(count(*) AS BIGINT) AS shared_frames
+        |FROM df a JOIN df b
+        |  ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY a, b""".stripMargin)
 }

@@ -79,6 +79,28 @@ class PerceptualSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("q125: a 16-byte-rotated clip shares exactly 3 of 4 frames") {
+    import spark.implicits._
+    // frame j tiles bytes from offset 16j, so rotating the text left
+    // by 16 bytes turns frames {1,2,3} of the original into frames
+    // {0,1,2} of the rotation — the alignment robustness overlapping
+    // frames exist for
+    // length 80 on purpose: at length 64 the four 16-byte frame
+    // offsets cycle the whole text, so a 16-rotation reproduces the
+    // SAME frame set (shared = 4) instead of shifting it by one
+    val text = (1 to 80).map(i => ('a' + i % 26).toChar).mkString
+    require(text.length == 80)
+    val rotated = text.substring(16) + text.substring(0, 16)
+    val dir = java.nio.file.Files
+      .createTempDirectory("videodup").toString
+    Seq((1L, text), (2L, rotated)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Perceptual.videoNearDup(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L)
+    assert(rows(0).getAs[Long]("shared_frames") == 3L)
+  }
+
   test("q122 banded join equals brute force over all hash pairs") {
     val dh = Perceptual.dhashes(spark, sf())
     val brute = dh.as("x").crossJoin(dh.as("y"))
