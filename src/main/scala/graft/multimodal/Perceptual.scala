@@ -226,106 +226,160 @@ object Perceptual {
       .orderBy("a", "b")
   }
 
+  /** q126: multimodal duplicate clusters — the union of the image,
+    * audio, and video near-dup pair graphs folded into connected
+    * components with one survivor per cluster: the cross-modal
+    * mirror of q98/q107 (same
+    * [[graft.dedup.Dedup.connectedComponents]] star-contraction
+    * operator, a three-way edge union). A pair that only ONE modality
+    * catches still merges its documents — the reason a curation
+    * pipeline runs all the detectors and clusters the union. */
+  def multimodalClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = imageNearDup(s, dir).select(col("a"), col("b"))
+      .union(audioNearDup(s, dir).select(col("a"), col("b")))
+      .union(videoNearDup(s, dir).select(col("a"), col("b")))
+      .distinct()
+    val labels = graft.dedup.Dedup.connectedComponents(edges)
+    val docs = graft.Tables.load(s, dir, "documents").select(col("doc_id"))
+    docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_image_neardup" -> ((s: SparkSession, d: String) =>
       imageNearDup(s, d)),
     "q124_audio_neardup" -> ((s: SparkSession, d: String) =>
       audioNearDup(s, d)),
     "q125_video_neardup" -> ((s: SparkSession, d: String) =>
-      videoNearDup(s, d)))
+      videoNearDup(s, d)),
+    "q126_multimodal_clusters" -> (multimodalClusters _))
 
-  /** Brute force on purpose (banding is lossless at the threshold);
-    * the raster/luma/bit math replays the REAL decode pipeline the
-    * Spark side runs on PPM bytes — same rendering spelling as q70. */
+  // ---- oracle SQL, composed from ONE spelling of each hash chain ----
+  // (q122/q124/q125 select straight off their chain; q126 unions all
+  // three pair relations and closes them with a recursive CTE — a
+  // drifted copy of any chain would break BOTH its pair gate and the
+  // cluster gate, which is the point of the shared fragments)
+
+  private val hexCte: String =
+    """b AS (
+      |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+      |    octet_length(encode(coalesce(text, ''))) AS n
+      |  FROM documents)""".stripMargin
+
+  /** documents → 56-bit image dHash (`idh(doc_id, dhash)`). */
+  private val imgDhCtes: String =
+    """iraster AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n = 0 THEN [0 for i in range(0, 192)]
+      |         ELSE [('0x' || substr(h, 2 * (i % n) + 1, 2))::INT
+      |               for i in range(0, 192)] END AS px
+      |  FROM b),
+      |igray AS (
+      |  SELECT doc_id,
+      |    [(299 * px[3*p + 1] + 587 * px[3*p + 2]
+      |      + 114 * px[3*p + 3]) // 1000
+      |     for p in range(0, 64)] AS g
+      |  FROM iraster),
+      |idh AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([CASE WHEN g[(i // 7) * 8 + (i % 7) + 1]
+      |                        < g[(i // 7) * 8 + (i % 7) + 2]
+      |                   THEN (CAST(1 AS BIGINT) << (55 - i))
+      |                   ELSE 0 END
+      |                   for i in range(0, 56)]) AS BIGINT) AS dhash
+      |  FROM igray)""".stripMargin
+
+  /** documents → 56-bit audio energy hash (`aah(doc_id, dhash)`). */
+  private val audDhCtes: String =
+    """asamp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n = 0 THEN [0 for i in range(0, 256)]
+      |         ELSE [(('0x' || substr(h, 2 * (i % n) + 1, 2))::BIGINT
+      |                - 128) * 256
+      |               for i in range(0, 256)] END AS s
+      |  FROM b),
+      |aenergy AS (
+      |  SELECT doc_id,
+      |    [s[4*f + 1]*s[4*f + 1] + s[4*f + 2]*s[4*f + 2]
+      |     + s[4*f + 3]*s[4*f + 3] + s[4*f + 4]*s[4*f + 4]
+      |     for f in range(0, 64)] AS e
+      |  FROM asamp),
+      |aah AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([CASE WHEN e[f + 1] < e[f + 2]
+      |                   THEN (CAST(1 AS BIGINT) << (55 - f))
+      |                   ELSE 0 END
+      |                   for f in range(0, 56)]) AS BIGINT) AS dhash
+      |  FROM aenergy)""".stripMargin
+
+  /** documents → distinct per-frame hashes (`vdf(doc_id, fhash)`). */
+  private val vidFhCtes: String =
+    """vframes AS (
+      |  SELECT doc_id, h, n, unnest([0, 1, 2, 3]) AS j
+      |  FROM b),
+      |vluma AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN n = 0 THEN [0 for i in range(0, 64)]
+      |         ELSE [('0x' || substr(h, 2 * ((i + 16 * j) % n) + 1,
+      |                2))::INT
+      |               for i in range(0, 64)] END AS g
+      |  FROM vframes),
+      |vfh AS (
+      |  SELECT doc_id, j,
+      |    CAST(list_sum([CASE WHEN g[(i // 7) * 8 + (i % 7) + 1]
+      |                        < g[(i // 7) * 8 + (i % 7) + 2]
+      |                   THEN (CAST(1 AS BIGINT) << (55 - i))
+      |                   ELSE 0 END
+      |                   for i in range(0, 56)]) AS BIGINT) AS fhash
+      |  FROM vluma),
+      |vdf AS (SELECT DISTINCT doc_id, fhash FROM vfh)""".stripMargin
+
+  private def hammingPairsSql(hashCte: String): String =
+    s"""SELECT a.doc_id AS a, b2.doc_id AS b,
+       |  CAST(bit_count(xor(a.dhash, b2.dhash)) AS INT) AS hamming
+       |FROM $hashCte a JOIN $hashCte b2 ON a.doc_id < b2.doc_id
+       |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 7""".stripMargin
+
+  private val videoPairsSql: String =
+    """SELECT a.doc_id AS a, b2.doc_id AS b,
+      |  CAST(count(*) AS BIGINT) AS shared_frames
+      |FROM vdf a JOIN vdf b2
+      |  ON a.fhash = b2.fhash AND a.doc_id < b2.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // brute force on purpose (banding is lossless at the threshold);
+    // each chain replays the REAL decode pipeline in SQL
     "q122_image_neardup" ->
-      """WITH b AS (
-        |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
-        |    octet_length(encode(coalesce(text, ''))) AS n
-        |  FROM documents),
-        |raster AS (
-        |  SELECT doc_id,
-        |    CASE WHEN n = 0 THEN [0 for i in range(0, 192)]
-        |         ELSE [('0x' || substr(h, 2 * (i % n) + 1, 2))::INT
-        |               for i in range(0, 192)] END AS px
-        |  FROM b),
-        |gray AS (
-        |  SELECT doc_id,
-        |    [(299 * px[3*p + 1] + 587 * px[3*p + 2]
-        |      + 114 * px[3*p + 3]) // 1000
-        |     for p in range(0, 64)] AS g
-        |  FROM raster),
-        |dh AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum([CASE WHEN g[(i // 7) * 8 + (i % 7) + 1]
-        |                        < g[(i // 7) * 8 + (i % 7) + 2]
-        |                   THEN (CAST(1 AS BIGINT) << (55 - i))
-        |                   ELSE 0 END
-        |                   for i in range(0, 56)]) AS BIGINT) AS dhash
-        |  FROM gray)
-        |SELECT a.doc_id AS a, b.doc_id AS b,
-        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
-        |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
-        |ORDER BY a, b""".stripMargin,
+      (s"WITH $hexCte,\n$imgDhCtes\n" +
+        hammingPairsSql("idh") + "\nORDER BY a, b"),
     "q124_audio_neardup" ->
-      """WITH b AS (
-        |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
-        |    octet_length(encode(coalesce(text, ''))) AS n
-        |  FROM documents),
-        |samp AS (
-        |  SELECT doc_id,
-        |    CASE WHEN n = 0 THEN [0 for i in range(0, 256)]
-        |         ELSE [(('0x' || substr(h, 2 * (i % n) + 1, 2))::BIGINT
-        |                - 128) * 256
-        |               for i in range(0, 256)] END AS s
-        |  FROM b),
-        |energy AS (
-        |  SELECT doc_id,
-        |    [s[4*f + 1]*s[4*f + 1] + s[4*f + 2]*s[4*f + 2]
-        |     + s[4*f + 3]*s[4*f + 3] + s[4*f + 4]*s[4*f + 4]
-        |     for f in range(0, 64)] AS e
-        |  FROM samp),
-        |ah AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum([CASE WHEN e[f + 1] < e[f + 2]
-        |                   THEN (CAST(1 AS BIGINT) << (55 - f))
-        |                   ELSE 0 END
-        |                   for f in range(0, 56)]) AS BIGINT) AS dhash
-        |  FROM energy)
-        |SELECT a.doc_id AS a, b.doc_id AS b,
-        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
-        |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
-        |ORDER BY a, b""".stripMargin,
+      (s"WITH $hexCte,\n$audDhCtes\n" +
+        hammingPairsSql("aah") + "\nORDER BY a, b"),
     "q125_video_neardup" ->
-      """WITH b AS (
-        |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
-        |    octet_length(encode(coalesce(text, ''))) AS n
-        |  FROM documents),
-        |frames AS (
-        |  SELECT doc_id, h, n, unnest([0, 1, 2, 3]) AS j
-        |  FROM b),
-        |luma AS (
-        |  SELECT doc_id, j,
-        |    CASE WHEN n = 0 THEN [0 for i in range(0, 64)]
-        |         ELSE [('0x' || substr(h, 2 * ((i + 16 * j) % n) + 1,
-        |                2))::INT
-        |               for i in range(0, 64)] END AS g
-        |  FROM frames),
-        |fh AS (
-        |  SELECT doc_id, j,
-        |    CAST(list_sum([CASE WHEN g[(i // 7) * 8 + (i % 7) + 1]
-        |                        < g[(i // 7) * 8 + (i % 7) + 2]
-        |                   THEN (CAST(1 AS BIGINT) << (55 - i))
-        |                   ELSE 0 END
-        |                   for i in range(0, 56)]) AS BIGINT) AS fhash
-        |  FROM luma),
-        |df AS (SELECT DISTINCT doc_id, fhash FROM fh)
-        |SELECT a.doc_id AS a, b.doc_id AS b,
-        |  CAST(count(*) AS BIGINT) AS shared_frames
-        |FROM df a JOIN df b
-        |  ON a.fhash = b.fhash AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY a, b""".stripMargin)
+      (s"WITH $hexCte,\n$vidFhCtes\n" +
+        videoPairsSql + "\nORDER BY a, b"),
+    "q126_multimodal_clusters" ->
+      (s"WITH RECURSIVE $hexCte,\n$imgDhCtes,\n$audDhCtes,\n$vidFhCtes,\n" +
+        s"""ipairs AS (
+           |${hammingPairsSql("idh")}),
+           |apairs AS (
+           |${hammingPairsSql("aah")}),
+           |vpairs AS (
+           |$videoPairsSql),
+           |pairs AS (
+           |  SELECT a, b FROM ipairs UNION SELECT a, b FROM apairs
+           |  UNION SELECT a, b FROM vpairs),
+           |e(src, dst) AS (
+           |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |reach(id, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id)
+           |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
+           |  (id = min(label)) AS keep
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 }
