@@ -171,13 +171,76 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** q127: funnel analysis — how many users complete
+    * view → click → purchase, each stage within `winMs` of the
+    * previous one: the classic product-analytics sequence query. Two
+    * running-min windows over ONE (user, time) ordering resolve the
+    * stage dependency without self-joins: `v_ms` carries the user's
+    * first view so far; `c_ms` the first click that happened after a
+    * view and within the window; a purchase converts if an eligible
+    * click precedes it within the window. Order position (not raw
+    * timestamp comparison) supplies the "after", so simultaneous
+    * events resolve deterministically by event_id.
+    *
+    * Scale shape: both windows share the same partitioning and
+    * ordering — Spark plans ONE shuffle + sort on user_id feeding two
+    * stacked Window operators (c_ms depends on v_ms, so they cannot
+    * merge into one, but the second re-sorts nothing), the per-user
+    * aggregate reuses that partitioning with no further exchange, and
+    * only the final single-row roll-up exchanges again (plan-pinned).
+    * No joins, no per-stage scans. */
+  def funnel(s: SparkSession, dir: String,
+             winMs: Long = 86400000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("v_ms",
+        min(when(col("event_type") === "view", col("ms"))).over(w))
+    val clickOk = col("event_type") === "click" &&
+      col("v_ms").isNotNull && col("ms") <= col("v_ms") + winMs
+    val e2 = e.withColumn("c_ms", min(when(clickOk, col("ms"))).over(w))
+    val purchaseOk = col("event_type") === "purchase" &&
+      col("c_ms").isNotNull && col("ms") <= col("c_ms") + winMs
+    e2.groupBy(col("user_id"))
+      .agg(max(when(col("v_ms").isNotNull, 1).otherwise(0)).as("f_view"),
+        max(when(clickOk, 1).otherwise(0)).as("f_vc"),
+        max(when(purchaseOk, 1).otherwise(0)).as("f_full"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("f_view")).as("users_view"),
+        sum(col("f_vc")).as("users_view_click"),
+        sum(col("f_full")).as("users_full_funnel"))
+  }
+
+  /** q128: cohort retention — users grouped by first-activity day,
+    * counted on each later activity day offset: the retention matrix
+    * behind every "day-N retention" chart. One distinct (user, day)
+    * relation, one tiny per-user min, one key-partitioned join back,
+    * one aggregate — all exact integer/date math. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, "user_id")
+      .groupBy(col("cohort_day").cast("string").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tumbling_hourly" -> (tumblingHourly _),
     "q61_sessionize"      -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "q62_asof_join"       -> (asofLastClick _),
     "q63_range_join"      -> (rangeJoinClicks _),
     "q86_partition_prune" -> (partitionPruned _),
-    "q119_forward_fill"   -> (forwardFill _))
+    "q119_forward_fill"   -> (forwardFill _),
+    "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
+    "q128_retention"      -> (retention _))
 
   val oracle: Map[String, String] = Map(
     "q60_tumbling_hourly" ->
@@ -233,5 +296,43 @@ object EventOps {
         |FROM v
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q127_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_id, event_type, ms,
+        |    min(CASE WHEN event_type = 'view' THEN ms END) OVER w AS v_ms
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (
+        |  SELECT user_id, event_id, event_type, ms, v_ms,
+        |    min(CASE WHEN event_type = 'click' AND v_ms IS NOT NULL
+        |        AND ms <= v_ms + 86400000 THEN ms END) OVER w AS c_ms
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |flags AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN v_ms IS NOT NULL THEN 1 ELSE 0 END) AS f_view,
+        |    max(CASE WHEN event_type = 'click' AND v_ms IS NOT NULL
+        |        AND ms <= v_ms + 86400000 THEN 1 ELSE 0 END) AS f_vc,
+        |    max(CASE WHEN event_type = 'purchase' AND c_ms IS NOT NULL
+        |        AND ms <= c_ms + 86400000 THEN 1 ELSE 0 END) AS f_full
+        |  FROM s2 GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(f_view) AS BIGINT) AS users_view,
+        |  CAST(sum(f_vc) AS BIGINT) AS users_view_click,
+        |  CAST(sum(f_full) AS BIGINT) AS users_full_funnel
+        |FROM flags""".stripMargin,
+    "q128_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+        |  date_diff('day', c.cohort_day, a.day) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM act a JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

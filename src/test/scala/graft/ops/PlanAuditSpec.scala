@@ -138,6 +138,18 @@ class PlanAuditSpec extends SparkSpec {
       "LOCF window must be partitioned by user_id:\n" + plan)
   }
 
+  test("q127: one user shuffle feeds both funnel windows and the agg") {
+    val plan = planOf("q127_funnel")
+    // stage-dependency resolution must not multiply shuffles: one
+    // Exchange on user_id under both Window operators (the per-user
+    // aggregate reuses it), plus only the final 1-row rollup Exchange
+    assert("(?<!Broadcast)Exchange".r.findAllIn(plan).length == 2,
+      "expected exactly two exchanges (user shuffle + final rollup):\n" +
+        plan)
+    assert("Window".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("Join"), "funnel must not self-join:\n" + plan)
+  }
+
   test("q120: canonicalization is map-side and stays in codegen") {
     val df = graft.SparkEntry.queries("q120_nfc_clean")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
