@@ -97,13 +97,26 @@ object GraftFunctions {
   private val nfcInfo = new ExpressionInfo(
     classOf[NfcNormalize].getName, "nfc_normalize")
 
+  // arity-checked builders: without the match, extra SQL arguments
+  // would be SILENTLY DROPPED (children.head) — wrong results with no
+  // diagnostic — and zero arguments would throw a raw
+  // NoSuchElementException instead of an analysis error
+  private[functions] val buildFloatDot: Seq[Expression] => Expression = {
+    case Seq(a, b) => FloatDot(a, b)
+    case args => throw new IllegalArgumentException(
+      s"float_dot requires exactly 2 arguments, got ${args.length}")
+  }
+  private[functions] val buildNfc: Seq[Expression] => Expression = {
+    case Seq(c) => NfcNormalize(c)
+    case args => throw new IllegalArgumentException(
+      s"nfc_normalize requires exactly 1 argument, got ${args.length}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("float_dot"), info,
-      (children: Seq[Expression]) => FloatDot(children(0), children(1)))
+      FunctionIdentifier("float_dot"), info, buildFloatDot)
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("nfc_normalize"), nfcInfo,
-      (children: Seq[Expression]) => NfcNormalize(children.head))
+      FunctionIdentifier("nfc_normalize"), nfcInfo, buildNfc)
   }
 }
 
@@ -115,10 +128,10 @@ class GraftExtensions
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+      GraftFunctions.buildFloatDot))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (children: Seq[Expression]) => NfcNormalize(children.head)))
+      GraftFunctions.buildNfc))
     ext.injectOptimizerRule(_ => DotFusion)
   }
 }

@@ -47,12 +47,16 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalize {
-  /** NFC-normalize; identity (zero-copy) for all-ASCII input. */
+  /** NFC-normalize; identity (zero-copy) for all-ASCII input.
+    * The ASCII scan reads bytes in place via `getByte` — `getBytes`
+    * would COPY the backing array for every UnsafeRow-backed string
+    * (non-zero offset into the row buffer), turning the "allocates
+    * nothing" fast path into one heap allocation per row. */
   def nfc(s: UTF8String): UTF8String = {
-    val bytes = s.getBytes
+    val n = s.numBytes()
     var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) < 0) { // high bit set → non-ASCII somewhere
+    while (i < n) {
+      if (s.getByte(i) < 0) { // high bit set → non-ASCII somewhere
         val str = s.toString
         // isNormalized is a cheap scan; most non-ASCII text is
         // already composed, so skip the allocating normalize() call

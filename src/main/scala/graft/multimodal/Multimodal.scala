@@ -338,12 +338,6 @@ object Multimodal {
       struct(col("meta.mime"), col("meta.size_bytes"),
         lit(w).as("width"), lit(h).as("height"), col("meta.duration_ms")))
 
-  /** q70: end-to-end multimodal pipeline over testdata. No real media
-    * ships in the container, so each document's bytes are rendered
-    * into an 8×8 PPM raster — and from there the pipeline is REAL:
-    * magic-byte sniff → header decode → pixel-derived features via the
-    * [[Ppm]] codec, all distributed, plus the stub-decoder leg for the
-    * codec-less formats. */
   /** The synthetic media corpus: each document's UTF-8 bytes tiled
     * into an 8×8 PPM raster (empty/null text → a black frame). Shared
     * by q70 and the perceptual-hash q122 so their oracles replay ONE
@@ -365,6 +359,12 @@ object Multimodal {
       }.toDF("doc_id", "blob")
   }
 
+  /** q70: end-to-end multimodal pipeline over testdata. No real media
+    * ships in the container, so each document renders via
+    * [[renderedBlobs]] — and from there the pipeline is REAL:
+    * magic-byte sniff → header decode → pixel-derived features via the
+    * [[Ppm]] codec, all distributed, plus the stub-decoder leg for the
+    * codec-less formats. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val blobs = renderedBlobs(s, dir)
     val media = asMediaTable(blobs, "doc_id", "blob")

@@ -3,7 +3,7 @@ package graft.sinks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.util.Tokens
+import graft.text.Postings
 
 /** Incremental maintenance of the sharded inverted index
   * ([[graft.text.Postings.invertedIndex]]'s relational shape) over a
@@ -12,6 +12,11 @@ import graft.util.Tokens
   * documents rewrites ONLY the (term, block) groups whose doc-id
   * block the batch touches, in O(batch + touched blocks), never
   * O(corpus).
+  *
+  * The tokenize→tf→block and index-aggregation spellings are
+  * [[Postings.tfRelation]]/[[Postings.aggIndex]] — the SAME code the
+  * q118 query runs, so the maintained zone cannot drift from the
+  * index definition.
   *
   * This works because the index's group key already carries the
   * doc-block shard (`doc_id DIV blockSize`): a new document can only
@@ -28,45 +33,27 @@ import graft.util.Tokens
   */
 object IndexMaintain {
 
-  /** (term, doc_id, tf, blk) postings of one batch of documents. */
-  private def tfOf(batch: DataFrame, blockSize: Int): DataFrame =
-    batch.select(col("doc_id"),
-        explode(Tokens.whitespace(lower(col("text")))).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("blk", expr(s"doc_id DIV $blockSize"))
-
-  /** The index relation: per (term, blk) — df, cf, and doc-sorted
-    * postings/tfs arrays (the zone keeps arrays; the q118 query emits
-    * the comma-joined export form). */
-  private def aggIndex(tf: DataFrame): DataFrame =
-    tf.groupBy(col("term"), col("blk"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
-        array_sort(collect_list(struct(col("doc_id"), col("tf"))))
-          .as("pl"))
-      .select(col("term"), col("blk"), col("df"), col("cf"),
-        transform(col("pl"), x => x.getField("doc_id")).as("postings"),
-        transform(col("pl"), x => x.getField("tf")).as("tfs"))
-
   /** Create the index zone from an initial corpus (may be empty). */
   def init(spark: SparkSession, root: String, docs: DataFrame,
            blockSize: Int = 100): Unit =
-    MergeOnRead.init(spark, root, aggIndex(tfOf(docs, blockSize)))
+    MergeOnRead.init(spark, root,
+      Postings.aggIndex(Postings.tfRelation(docs, blockSize)))
 
-  /** Fold one batch of new documents into the zone. Only the blocks
-    * containing batch doc-ids are re-read (broadcast semi-join on the
-    * touched block set), re-aggregated together with the batch
-    * postings, and merged as one delta epoch — O(touched), and the
+  /** Fold one batch of new documents into the zone. The touched block
+    * ids come to the driver ON PURPOSE (the set is bounded by the
+    * batch's doc count — metadata-scale): an `isin` PREDICATE pushes
+    * below the reconcile window (blk is one of its partition keys)
+    * all the way into the zone's parquet scans, where a join-shaped
+    * filter would sit ABOVE the window and silently reconcile the
+    * whole index per batch (spec-pinned in PushedFilters). The
+    * touched blocks are re-aggregated together with the batch
+    * postings and merged as one delta epoch — O(touched), and the
     * epoch layout keeps every pre-batch index state time-travelable. */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
                  blockSize: Int = 100): Long = {
-    val btf = tfOf(batch, blockSize)
-    // touched block ids come to the driver ON PURPOSE: the set is
-    // bounded by the batch's doc count (metadata-scale), and an `isin`
-    // PREDICATE pushes below the reconcile window (blk is one of its
-    // partition keys) all the way into the parquet scans — a
-    // broadcast-join spelling would sit ABOVE the window and silently
-    // reconcile the whole index per batch
+    // materialized once: the driver collect below and the merge write
+    // would otherwise each re-run the batch tokenize/shuffle
+    val btf = Postings.tfRelation(batch, blockSize).localCheckpoint()
     val touched = btf.select(col("blk")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val existing = MergeOnRead.read(spark, root, Seq("term", "blk"))
@@ -76,7 +63,7 @@ object IndexMaintain {
         explode(arrays_zip(col("postings"), col("tfs"))).as("z"))
       .select(col("term"), col("blk"),
         col("z.postings").as("doc_id"), col("z.tfs").as("tf"))
-    val merged = aggIndex(exploded.unionByName(btf))
+    val merged = Postings.aggIndex(exploded.unionByName(btf))
     MergeOnRead.merge(spark, root, merged, Seq("term", "blk"))
   }
 
@@ -86,5 +73,5 @@ object IndexMaintain {
 
   /** The from-scratch spelling maintenance must match exactly. */
   def rebuild(docs: DataFrame, blockSize: Int = 100): DataFrame =
-    aggIndex(tfOf(docs, blockSize))
+    Postings.aggIndex(Postings.tfRelation(docs, blockSize))
 }

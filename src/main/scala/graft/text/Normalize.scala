@@ -15,12 +15,19 @@ import graft.Tables
 object Normalize {
 
   /** The canonical text: NFC → lower → collapse runs of whitespace →
-    * trim. NFC runs FIRST so case-folding sees composed code points. */
+    * trim. NFC runs FIRST so case-folding sees composed code points.
+    *
+    * The whitespace class is EXPLICIT on purpose: Java's `\s` includes
+    * U+000B (vertical tab) but DuckDB/RE2's does not, so the `\s+`
+    * spelling is a latent cross-engine divergence in exactly the
+    * byte-identity contract this operator exists for. The class below
+    * is the same five characters + space in both engines (the oracle
+    * spells it `[ \t\n\v\f\r]+`). */
   def canonical(c: Column): Column = {
     val nfc = org.apache.spark.sql.GraftBridge.column(
       graft.functions.NfcNormalize(
         org.apache.spark.sql.GraftBridge.expression(c)))
-    trim(regexp_replace(lower(nfc), "\\s+", " "))
+    trim(regexp_replace(lower(nfc), "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
   /** q120: canonicalization witness over the corpus. The corpus text
@@ -38,7 +45,7 @@ object Normalize {
     // decomposed on purpose: e+U+0301, U+212B, o+U+0308 — NFC must
     // compose all three (same bytes DuckDB builds via chr())
     val raw = concat(
-      lit("Cafe\u0301 \u212Bngstro\u0308m  "),
+      lit("Cafe\u0301 \u212Bngstro\u0308m \u000B "),
       substring(col("text"), 1, 40))
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), length(raw).as("raw_chars"),
@@ -57,12 +64,12 @@ object Normalize {
       raw"""WITH r AS (
         |  SELECT doc_id,
         |    'Cafe' || chr(769) || ' ' || chr(8491) || 'ngstro' ||
-        |      chr(776) || 'm  ' || substr(text, 1, 40) AS raw
+        |      chr(776) || 'm ' || chr(11) || ' ' || substr(text, 1, 40) AS raw
         |  FROM documents)
         |SELECT doc_id, length(raw) AS raw_chars,
-        |  trim(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g'))
-        |    AS clean,
-        |  length(trim(regexp_replace(lower(nfc_normalize(raw)), '\s+',
-        |    ' ', 'g'))) AS clean_chars
+        |  trim(regexp_replace(lower(nfc_normalize(raw)),
+        |    '[ \t\n\v\f\r]+', ' ', 'g')) AS clean,
+        |  length(trim(regexp_replace(lower(nfc_normalize(raw)),
+        |    '[ \t\n\v\f\r]+', ' ', 'g'))) AS clean_chars
         |FROM r ORDER BY doc_id""".stripMargin)
 }

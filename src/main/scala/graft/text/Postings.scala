@@ -62,15 +62,16 @@ object Postings {
     * (τ = 3/5 ⇒ `inter·5 ≥ union·3`): no float comparison can
     * disagree between engines at the boundary.
     */
-  def setSimJoin(s: SparkSession, dir: String, n: Int = 5,
-                 tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
-    val docs = shingleSets(s, dir, n)
-    val post = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
-
-    // per-doc shingles in (df ASC, shingle ASC) order; prefix length
-    // p = sz − ⌈τ·sz⌉ + 1 via exact integer ceil-division
-    val prefix = post.join(dfreq, "s")
+  /** Per-doc prefix relation (doc_id, sz, s): the first
+    * sz − ⌈τ·sz⌉ + 1 shingles in global (df ASC, shingle ASC)
+    * rarest-first order, prefix length via exact integer
+    * ceil-division. ONE spelling shared by the Jaccard and
+    * containment joins — the prefix-length math and ordering key are
+    * exactly what the lossless guarantees hang on, so a drifted copy
+    * in either operator would silently lose pairs. */
+  private def prefixRelation(post: DataFrame, dfreq: DataFrame,
+                             tauNum: Int, tauDen: Int): DataFrame =
+    post.join(dfreq, "s")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("os"),
         count(lit(1)).as("sz"))
@@ -80,6 +81,27 @@ object Postings {
       .select(col("doc_id"), col("sz"),
         explode(expr("slice(os, 1, CAST(p AS INT))")).as("e"))
       .select(col("doc_id"), col("sz"), col("e.s").as("s"))
+
+  /** Verification join shared by both exact joins: pull the
+    * pre-deduped shingle arrays for each candidate (a, b) pair and
+    * compute (inter, sz_a, sz_b) map-side. */
+  private def verifiedOverlap(cand: DataFrame,
+                              sets: DataFrame): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"))
+
+  def setSimJoin(s: SparkSession, dir: String, n: Int = 5,
+                 tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
+    val docs = shingleSets(s, dir, n)
+    val post = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = prefixRelation(post, dfreq, tauNum, tauDen)
 
     // candidate pairs: shared prefix shingle + the size filter
     // (J ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|)) — pruning only, the
@@ -91,15 +113,7 @@ object Postings {
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .distinct()
 
-    val sets = docs.select(col("doc_id"), col("sh"))
-    cand
-      .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
-      .select(col("a"), col("b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-          .as("inter"),
-        size(col("sh_a")).cast("long").as("sz_a"),
-        size(col("sh_b")).cast("long").as("sz_b"))
+    verifiedOverlap(cand, docs)
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
       .where(col("inter") * tauDen >= col("union_sz") * tauNum)
       .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
@@ -127,32 +141,16 @@ object Postings {
     val docs = shingleSets(s, dir, n)
     val post = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = prefixRelation(post, dfreq, tauNum, tauDen)
 
-    val prefix = post.join(dfreq, "s")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("os"),
-        count(lit(1)).as("sz"))
-      .withColumn("p",
-        col("sz") - expr(s"(sz * $tauNum + ${tauDen - 1}) DIV $tauDen")
-          + 1L)
-      .select(col("doc_id"),
-        explode(expr("slice(os, 1, CAST(p AS INT))")).as("e"))
-      .select(col("doc_id"), col("e.s").as("s"))
-
+    // asymmetric: probe-side prefix against FULL postings (no size
+    // filter exists for containment)
     val cand = prefix.as("a").join(post.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .distinct()
 
-    val sets = docs.select(col("doc_id"), col("sh"))
-    cand
-      .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
-      .select(col("a"), col("b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-          .as("inter"),
-        size(col("sh_a")).cast("long").as("sz_a"),
-        size(col("sh_b")).cast("long").as("sz_b"))
+    verifiedOverlap(cand, docs)
       .where(col("inter") * tauDen >= col("sz_a") * tauNum)
       .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
         (col("inter") / col("sz_a")).as("containment"))
@@ -176,23 +174,38 @@ object Postings {
     * and exactly comparable across engines (the row-hash gate treats
     * array columns engine-specifically, strings identically).
     */
-  def invertedIndex(s: SparkSession, dir: String,
-                    blockSize: Int = 100): DataFrame = {
-    val tf = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
+  /** (term, doc_id, tf, blk) postings of a documents relation — the
+    * ONE tokenize→tf→block spelling behind both the q118 index query
+    * and [[graft.sinks.IndexMaintain]]'s incremental zone, so the
+    * maintained index can never drift from the query's definition. */
+  private[graft] def tfRelation(docs: DataFrame,
+                                blockSize: Int): DataFrame =
+    docs.select(col("doc_id"),
         explode(Tokens.whitespace(lower(col("text")))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    val joinStr = (a: Column, field: String) =>
-      concat_ws(",", transform(a, x => x.getField(field).cast("string")))
-    tf.withColumn("blk", expr(s"doc_id DIV $blockSize"))
-      .groupBy(col("term"), col("blk"))
+      .withColumn("blk", expr(s"doc_id DIV $blockSize"))
+
+  /** The index relation over a tf relation: per (term, blk) — df, cf,
+    * doc-sorted postings/tfs ARRAYS. Shared with IndexMaintain (the
+    * zone keeps arrays; q118 projects the comma-joined export form). */
+  private[graft] def aggIndex(tf: DataFrame): DataFrame =
+    tf.groupBy(col("term"), col("blk"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
         array_sort(collect_list(struct(col("doc_id"), col("tf"))))
           .as("pl"))
       .select(col("term"), col("blk"), col("df"), col("cf"),
-        joinStr(col("pl"), "doc_id").as("postings"),
-        joinStr(col("pl"), "tf").as("tfs"))
+        transform(col("pl"), x => x.getField("doc_id")).as("postings"),
+        transform(col("pl"), x => x.getField("tf")).as("tfs"))
+
+  def invertedIndex(s: SparkSession, dir: String,
+                    blockSize: Int = 100): DataFrame = {
+    val joinStr = (a: Column) =>
+      concat_ws(",", transform(a, x => x.cast("string")))
+    aggIndex(tfRelation(Tables.load(s, dir, "documents"), blockSize))
+      .select(col("term"), col("blk"), col("df"), col("cf"),
+        joinStr(col("postings")).as("postings"),
+        joinStr(col("tfs")).as("tfs"))
       .orderBy("term", "blk")
   }
 

@@ -36,6 +36,22 @@ class NfcNormalizeSpec extends SparkSpec {
     assert(NfcNormalize.nfc(t) eq t)
   }
 
+  test("wrong arity is rejected, not silently truncated") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(("a", "b")).toDF("x", "y")
+    // extra argument must ERROR — children.head would silently compute
+    // nfc(x) and drop y
+    val e1 = intercept[Exception] {
+      df.select(expr("nfc_normalize(x, y)")).collect()
+    }
+    assert(e1.getMessage.contains("nfc_normalize"))
+    val e2 = intercept[Exception] {
+      df.select(expr("float_dot(array(1.0f))")).collect()
+    }
+    assert(e2.getMessage.contains("float_dot"))
+  }
+
   test("null propagates; non-string input rejected at analysis") {
     import spark.implicits._
     GraftFunctions.register(spark)
