@@ -232,6 +232,61 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q129: per-group outlier counts via the 3σ rule, with EXACT
+    * moment math (the q47 discipline): decimal power sums cast to
+    * double, so mean and variance are identical doubles in both
+    * engines, and the per-row (v−mean)² > 9·var comparison can never
+    * disagree at the boundary. The 5-row moment table broadcasts; one
+    * corpus scan per side, no window. A streaming deployment keeps
+    * the same moments as [[graft.sinks.IncrementalAgg]] mergeable
+    * state. */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    val D4 = org.apache.spark.sql.types.DecimalType(28, 4)
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("value"))
+    val m = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(D4)).cast("double")
+          .as("s2"))
+      .select(col("event_type"), (col("s1") / col("n")).as("mean"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - 1)).as("variance"))
+    ev.join(broadcast(m), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when((col("value") - col("mean")) *
+            (col("value") - col("mean")) > col("variance") * 9,
+          1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n_total"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** q130: time-weighted average — each reading holds until the next
+    * one, so its weight is the gap to the successor (the last reading
+    * carries no weight): the correct mean for irregularly sampled
+    * series, where the arithmetic mean over-weights bursts. The
+    * value×gap products are EXACT decimals (2-decimal value × integer
+    * ms), summed exactly and divided ONCE into a double — a plain
+    * double sum would be accumulation-order-dependent and
+    * hash-diverge between engines. One window + one aggregate on the
+    * same user_id partitioning: a single shuffle. */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+      .withColumn("gap", lead(unix_millis(col("ts")), 1).over(byUser)
+        - col("ms"))
+      .groupBy(col("user_id"))
+      .agg(count(col("gap")).as("n_gaps"),
+        sum(col("gap")).as("sum_gap_ms"),
+        (sum(col("value").cast(D) * col("gap")).cast("double") /
+          sum(col("gap"))).as("twa"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tumbling_hourly" -> (tumblingHourly _),
     "q61_sessionize"      -> ((s: SparkSession, d: String) => sessionize(s, d)),
@@ -240,7 +295,9 @@ object EventOps {
     "q86_partition_prune" -> (partitionPruned _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
-    "q128_retention"      -> (retention _))
+    "q128_retention"      -> (retention _),
+    "q129_outliers"       -> (outliers _),
+    "q130_time_weighted"  -> (timeWeightedAvg _))
 
   val oracle: Map[String, String] = Map(
     "q60_tumbling_hourly" ->
@@ -334,5 +391,33 @@ object EventOps {
         |  date_diff('day', c.cohort_day, a.day) AS day_offset,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM act a JOIN cohort c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q129_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) AS mean,
+        |    (CAST(SUM(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE)
+        |     - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |       * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |       / count(*))
+        |    / (count(*) - 1) AS variance
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN (e.value - m.mean) * (e.value - m.mean)
+        |      > 9 * m.variance THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q130_time_weighted" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, value,
+        |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_ms(ts) AS gap
+        |  FROM events)
+        |SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS sum_gap_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * gap) AS DOUBLE)
+        |    / CAST(sum(gap) AS BIGINT) AS twa
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin)
 }
