@@ -25,7 +25,8 @@ object SparkEntry {
       ops.Advanced.queries ++ ops.Wave2.queries ++ ops.Wave3.queries ++
       ops.SkewJoin.queries ++ ops.Sampling.queries ++
       text.CorpusStats.queries ++ text.Postings.queries ++
-      text.Normalize.queries ++ multimodal.Perceptual.queries
+      text.Normalize.queries ++ multimodal.Perceptual.queries ++
+      ops.Quality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       ops.Advanced.oracle ++ ops.Wave2.oracle ++ ops.Wave3.oracle ++
       ops.SkewJoin.oracle ++ ops.Sampling.oracle ++
       text.CorpusStats.oracle ++ text.Postings.oracle ++
-      text.Normalize.oracle ++ multimodal.Perceptual.oracle
+      text.Normalize.oracle ++ multimodal.Perceptual.oracle ++
+      ops.Quality.oracle
 }

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Declarative data-quality auditing — the engine-side generalization
+  * of the reference's empty-input quality gate
+  * (`dags/s3_elt_orchestrator.py`'s row-count check, re-expressed in
+  * [[graft.pipeline.Pipeline.qualityGate]]): rules are DATA (name +
+  * violation predicate), the audit is ONE scan with a conditional sum
+  * per rule, and referential integrity is a left-join orphan count
+  * per declared relationship. The per-rule report is what a pipeline
+  * gates on (fail the run / quarantine the batch when a count
+  * exceeds its budget).
+  */
+object Quality {
+
+  /** One scan → one row per rule (rule, n_violations, n_rows).
+    * Violation predicates must be null-complete: a NULL predicate row
+    * counts as a violation only if the rule spells it so — the rules
+    * below all OR an explicit IS NULL arm where null is invalid. */
+  def ruleAudit(df: DataFrame,
+                rules: Seq[(String, Column)]): DataFrame = {
+    val agg = df.agg(count(lit(1)).as("n_rows"),
+      rules.map { case (name, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(name)
+      }: _*)
+    // one wide row → one output row per rule (final orderBy fixes
+    // the report order regardless of rule declaration order)
+    agg.select(explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(name).as("n_violations"))
+      }: _*)).as("r"), col("n_rows"))
+      .select(col("r.rule").as("rule"),
+        col("r.n_violations").as("n_violations"), col("n_rows"))
+      .orderBy("rule")
+  }
+
+  /** q131: the lineitem audit — three null/domain/range INTEGRITY
+    * rules plus two business-POLICY rules chosen to actually fire on
+    * this corpus (a report of all zeros only proves the plumbing;
+    * nonzero counts prove the counting). */
+  def dqRules(s: SparkSession, dir: String): DataFrame =
+    ruleAudit(Tables.load(s, dir, "lineitem"), Seq(
+      "qty_positive" ->
+        (col("l_quantity") <= 0 || col("l_quantity").isNull),
+      "price_nonneg" ->
+        (col("l_extendedprice") < 0 || col("l_extendedprice").isNull),
+      "discount_range" ->
+        (col("l_discount") < 0 || col("l_discount") > 1 ||
+          col("l_discount").isNull),
+      "flag_domain" ->
+        (!col("l_returnflag").isin("A", "N", "R") ||
+          col("l_returnflag").isNull),
+      "discount_le_5pct" -> (col("l_discount") > 0.05),
+      "qty_le_45" -> (col("l_quantity") > 45)))
+
+  /** q132: referential-integrity audit — orphan counts per declared
+    * FK relationship via left-join null counting (the anti-join count
+    * with the child total in the same pass). Scale shape: each
+    * relationship is one key-partitioned shuffle join; the parent
+    * side prunes to its key column at the scan. */
+  def fkOrphans(s: SparkSession, dir: String): DataFrame = {
+    def orphans(rel: String, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey)),
+          col(childKey) === col(parentKey), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col(parentKey).isNull, 1L).otherwise(0L))
+            .as("n_orphans"))
+        .select(lit(rel).as("relationship"), col("n_child"),
+          col("n_orphans"))
+    orphans("lineitem.l_orderkey->orders",
+        Tables.load(s, dir, "lineitem"), "l_orderkey",
+        Tables.load(s, dir, "orders"), "o_orderkey")
+      .unionByName(orphans("orders.o_custkey->customer",
+        Tables.load(s, dir, "orders"), "o_custkey",
+        Tables.load(s, dir, "customer"), "c_custkey"))
+      .orderBy("relationship")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_dq_rules"   -> (dqRules _),
+    "q132_fk_orphans" -> (fkOrphans _))
+
+  val oracle: Map[String, String] = Map(
+    "q131_dq_rules" ->
+      """WITH w AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS qty_positive,
+        |    CAST(sum(CASE WHEN l_extendedprice < 0
+        |      OR l_extendedprice IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS price_nonneg,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |      OR l_discount IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+        |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |      OR l_returnflag IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS flag_domain,
+        |    CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS discount_le_5pct,
+        |    CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qty_le_45
+        |  FROM lineitem)
+        |SELECT r.rule, r.n_violations, w.n_rows
+        |FROM w, LATERAL (VALUES
+        |  ('discount_le_5pct', w.discount_le_5pct),
+        |  ('discount_range', w.discount_range),
+        |  ('flag_domain', w.flag_domain),
+        |  ('price_nonneg', w.price_nonneg),
+        |  ('qty_le_45', w.qty_le_45),
+        |  ('qty_positive', w.qty_positive)) r(rule, n_violations)
+        |ORDER BY r.rule""".stripMargin,
+    "q132_fk_orphans" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem.l_orderkey->orders' AS relationship,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM lineitem l
+        |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders o2
+        |  LEFT JOIN customer c ON o2.o_custkey = c.c_custkey)
+        |ORDER BY relationship""".stripMargin)
+}
