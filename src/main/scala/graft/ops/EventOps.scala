@@ -241,7 +241,7 @@ object EventOps {
     * the same moments as [[graft.sinks.IncrementalAgg]] mergeable
     * state. */
   def outliers(s: SparkSession, dir: String): DataFrame = {
-    val D4 = org.apache.spark.sql.types.DecimalType(28, 4)
+    val D4 = DecimalType(28, 4)
     val ev = Tables.load(s, dir, "events")
       .select(col("event_type"), col("value"))
     val m = ev.groupBy(col("event_type"))

@@ -20,17 +20,23 @@ object Quality {
   /** One scan → one row per rule (rule, n_violations, n_rows).
     * Violation predicates must be null-complete: a NULL predicate row
     * counts as a violation only if the rule spells it so — the rules
-    * below all OR an explicit IS NULL arm where null is invalid. */
+    * below all OR an explicit IS NULL arm where null is invalid.
+    *
+    * Rule names are caller data, so they never become column names:
+    * the aggregates use positional internal names (`_r0`, `_r1`, …)
+    * and the display name rides only as a literal — a rule named
+    * "n_rows", a duplicate name, or a dotted name would otherwise
+    * break column resolution at runtime. */
   def ruleAudit(df: DataFrame,
                 rules: Seq[(String, Column)]): DataFrame = {
     val agg = df.agg(count(lit(1)).as("n_rows"),
-      rules.map { case (name, bad) =>
-        sum(when(bad, 1L).otherwise(0L)).as(name)
+      rules.zipWithIndex.map { case ((_, bad), i) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"_r$i")
       }: _*)
     // one wide row → one output row per rule (final orderBy fixes
     // the report order regardless of rule declaration order)
-    agg.select(explode(array(rules.map { case (name, _) =>
-        struct(lit(name).as("rule"), col(name).as("n_violations"))
+    agg.select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col(s"_r$i").as("n_violations"))
       }: _*)).as("r"), col("n_rows"))
       .select(col("r.rule").as("rule"),
         col("r.n_violations").as("n_violations"), col("n_rows"))
@@ -64,8 +70,12 @@ object Quality {
   def fkOrphans(s: SparkSession, dir: String): DataFrame = {
     def orphans(rel: String, child: DataFrame, childKey: String,
                 parent: DataFrame, parentKey: String): DataFrame =
+      // distinct parent keys: a corrupt parent with DUPLICATED keys is
+      // exactly what an integrity audit must survive — without it the
+      // left join fans out and inflates n_child precisely when the
+      // data is dirty (oracle spells the same DISTINCT)
       child.select(col(childKey))
-        .join(parent.select(col(parentKey)),
+        .join(parent.select(col(parentKey)).distinct(),
           col(childKey) === col(parentKey), "left")
         .agg(count(lit(1)).as("n_child"),
           sum(when(col(parentKey).isNull, 1L).otherwise(0L))
@@ -121,13 +131,15 @@ object Quality {
         |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_orphans
         |  FROM lineitem l
-        |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
         |  UNION ALL
         |  SELECT 'orders.o_custkey->customer',
         |    CAST(count(*) AS BIGINT),
         |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
         |      AS BIGINT)
         |  FROM orders o2
-        |  LEFT JOIN customer c ON o2.o_custkey = c.c_custkey)
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o2.o_custkey = c.c_custkey)
         |ORDER BY relationship""".stripMargin)
 }
