@@ -349,7 +349,36 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q133: frequent-items sketch with an in-result guarantee witness
+    * — completes the approx-sketch family (q84's HLL++ and quantile
+    * sketches): `stat.freqItems` is Spark's single-pass misra-gries
+    * style heavy-hitter sketch, whose CONTRACT is no false negatives
+    * (every item with frequency > support·n is returned; false
+    * positives allowed). The query emits exactly the provable part:
+    * one row per TRUE heavy hitter (exact count, from the same scan
+    * family) with `captured` = sketch-membership — which the oracle
+    * pins to literal TRUE, so a sketch that ever dropped a real heavy
+    * hitter fails the hash gate. The candidate LIST itself is
+    * partitioning-dependent (merge order) and deliberately not
+    * emitted. */
+  def freqItemsWitness(s: SparkSession, dir: String,
+                       supportDen: Int = 50): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(Tokens.whitespace(lower(col("text")))).as("t"))
+    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val cand = toks.stat.freqItems(Array("t"), 1.0 / supportDen)
+      .select(col("t_freqItems").as("cand"))
+    exact.crossJoin(broadcast(tot)).crossJoin(broadcast(cand))
+      .where(col("cnt") * supportDen > col("n"))
+      .select(col("t").as("token"), col("cnt"),
+        array_contains(col("cand"), col("t")).as("captured"))
+      .orderBy("token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_freq_items"     -> ((s: SparkSession, d: String) =>
+      freqItemsWitness(s, d)),
     "q104_tfidf_terms"    -> ((s: SparkSession, d: String) =>
       tfidfTopTerms(s, d)),
     "q105_bigram_novelty" -> (bigramNovelty _),
@@ -389,6 +418,16 @@ object CorpusStats {
       |  FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q133_freq_items" ->
+      raw"""WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS t
+        |  FROM documents),
+        |e AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+        |SELECT t AS token, cnt, TRUE AS captured
+        |FROM e, n WHERE cnt * 50 > n ORDER BY token""".stripMargin,
     "q111_vocab_coverage" ->
       raw"""WITH tok AS (
         |  SELECT doc_id,
