@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the quality module's review-pass contracts: hostile rule
+  * names, duplicate parent keys, and actual orphan detection. */
+class QualitySpec extends SparkSpec {
+
+  test("ruleAudit survives hostile rule names (collisions, dots)") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (-2, "b"), (3, null)).toDF("v", "s")
+    val out = Quality.ruleAudit(df, Seq(
+      "n_rows" -> (col("v") <= 0),            // collides with internal
+      "orders.qty" -> col("s").isNull,        // dotted
+      "rule" -> (col("v") > 100)))            // collides with output col
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("n_rows") == (1L, 3L))
+    assert(out("orders.qty") == (1L, 3L))
+    assert(out("rule") == (0L, 3L))
+  }
+
+  test("fkOrphans: duplicate parent keys don't inflate; orphans found") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fk").toString
+    // child 3 rows: two valid (42), one orphan (99)
+    Seq((1L, 42L), (2L, 42L), (3L, 99L)).toDF("id", "l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // corrupt parent: key 42 duplicated — the audit must not fan out
+    Seq((42L, 7L), (42L, 7L), (43L, 8L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((7L, "x")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val rows = Quality.fkOrphans(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("lineitem.l_orderkey->orders") == (3L, 1L),
+      "n_child must be the child row count even with dup parent keys")
+    assert(rows("orders.o_custkey->customer") == (3L, 1L),
+      "custkey 8 has no customer row")
+  }
+}
