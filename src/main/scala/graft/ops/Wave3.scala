@@ -15,6 +15,7 @@ import graft.Tables
 object Wave3 {
 
   private val D = DecimalType(18, 2)
+  private val D28 = DecimalType(28, 2)
 
   /** q78: map construction + extraction — build a map column, extract
     * present and missing keys (missing → NULL, not error), measure
@@ -191,7 +192,35 @@ object Wave3 {
       Seq("p_brand"), "p_retailprice", "p_partkey", k = 3)
       .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
 
+  /** q134: percent-of-total (ratio-to-report) — each nation's revenue
+    * as a share of its REGION's total: the classic reporting window.
+    * The share window runs AFTER aggregation over the 25-row nation
+    * relation (the q112 tiny-window discipline — never a window over
+    * raw fact rows); revenue sums are exact decimals on both engines,
+    * cast to double only for the final division, so the shares are
+    * bit-identical. Star join: fact shuffles once on custkey; the
+    * three dims broadcast. */
+  def pctOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "orders")
+      .join(broadcast(Tables.load(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice").cast(D28)).as("rev_d"))
+    val byRegion = Window.partitionBy(col("r_name"))
+    rev.select(col("r_name"), col("n_name"),
+        col("rev_d").cast("double").as("revenue"),
+        (col("rev_d").cast("double") /
+          sum(col("rev_d")).over(byRegion).cast("double"))
+          .as("region_share"))
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_pct_of_total" -> (pctOfTotal _),
     "q100_topk_plan"    -> (topkCustom _),
     "q99_histogram"     -> ((s: SparkSession, d: String) => histogram(s, d)),
     "q85_generators"    -> (generators _),
@@ -203,6 +232,20 @@ object Wave3 {
     "q81_value_funcs"   -> (valueFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "q134_pct_of_total" ->
+      """WITH rev AS (
+        |  SELECT r.r_name, n.n_name,
+        |    SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS rev_d
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, CAST(rev_d AS DOUBLE) AS revenue,
+        |  CAST(rev_d AS DOUBLE) /
+        |    CAST(SUM(rev_d) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    AS region_share
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
     "q84_approx_stats" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_orderkey) AS exact_orders,
