@@ -142,6 +142,42 @@ object MergeOnRead {
   /** Fold the deltas into a fresh base and clear them — bounds the
     * read-side chain. Backup-then-swap publish; the delta clear runs
     * only after the new base is live. */
+  /** DIFF between two as-of states — the CDC-out / audit face of the
+    * epoch layout: every key whose row changed between `fromEpoch` and
+    * `toEpoch`, classified insert / delete / update, with the full
+    * before and after rows as structs. Because every historical state
+    * is just an as-of read, the diff is one full-outer join of two
+    * reconciled views on the key — no log replay, no per-epoch walk;
+    * unchanged keys (the overwhelming majority) drop out map-side
+    * after the join via one null-safe struct comparison.
+    *
+    * Columns: keyCols…, op, before (struct of non-key cols, null for
+    * inserts), after (struct, null for deletes). */
+  def diff(spark: SparkSession, root: String, keyCols: Seq[String],
+           fromEpoch: Long, toEpoch: Long): DataFrame = {
+    require(fromEpoch <= toEpoch,
+      s"diff wants fromEpoch <= toEpoch, got $fromEpoch > $toEpoch")
+    val before = read(spark, root, keyCols, asOf = fromEpoch)
+    val after = read(spark, root, keyCols, asOf = toEpoch)
+    val dataCols = before.columns.filterNot(keyCols.contains).toSeq
+    def packed(df: DataFrame, side: String): DataFrame =
+      df.select(
+        keyCols.map(k => col(k).as(s"${side}_$k")) :+
+          struct(dataCols.map(col): _*).as(side): _*)
+    val joined = packed(before, "b").join(packed(after, "a"),
+      keyCols.map(k => col(s"b_$k") <=> col(s"a_$k"))
+        .reduce(_ && _), "full_outer")
+    joined
+      .withColumn("op",
+        when(col("b").isNull, lit("insert"))
+          .when(col("a").isNull, lit("delete"))
+          .when(!(col("b") <=> col("a")), lit("update")))
+      .where(col("op").isNotNull)
+      .select(keyCols.map(k =>
+          coalesce(col(s"b_$k"), col(s"a_$k")).as(k)) ++
+        Seq(col("op"), col("b").as("before"), col("a").as("after")): _*)
+  }
+
   def compact(spark: SparkSession, root: String,
               keyCols: Seq[String]): Long = {
     val f = fs(spark, root)

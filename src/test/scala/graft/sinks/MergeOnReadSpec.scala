@@ -87,6 +87,37 @@ class MergeOnReadSpec extends SparkSpec {
       viewBefore + ((6L, "f", 6.0)))
   }
 
+  test("diff classifies insert/delete/update between any two epochs") {
+    val root = newRoot()
+    MergeOnRead.init(spark, root,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("id", "name", "score"))
+    // epoch 1: update id=2, insert id=4
+    MergeOnRead.merge(spark, root,
+      Seq((2L, "b2", 2.5), (4L, "d", 4.0)).toDF("id", "name", "score"),
+      Seq("id"))
+    // epoch 2: delete id=3
+    MergeOnRead.delete(spark, root, Seq(3L).toDF("id"), Seq("id"))
+    // epoch 3: no-op re-assert of id=1 (same values) — must NOT diff
+    MergeOnRead.merge(spark, root,
+      Seq((1L, "a", 1.0)).toDF("id", "name", "score"), Seq("id"))
+
+    val d = MergeOnRead.diff(spark, root, Seq("id"), 0L, 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "update", 3L -> "delete", 4L -> "insert"),
+      s"got $d")
+    // before/after payloads carry the actual rows
+    val upd = MergeOnRead.diff(spark, root, Seq("id"), 0L, 3L)
+      .where($"op" === "update").collect()(0)
+    assert(upd.getStruct(2).getString(0) == "b" &&
+      upd.getStruct(3).getString(0) == "b2")
+    // identical states diff to nothing
+    assert(MergeOnRead.diff(spark, root, Seq("id"), 3L, 3L).isEmpty)
+    // a partial window sees only its own changes
+    val d23 = MergeOnRead.diff(spark, root, Seq("id"), 2L, 3L).collect()
+    assert(d23.isEmpty, "epoch 3 only re-asserted identical values")
+  }
+
   test("init refuses an existing table") {
     val root = newRoot()
     val df = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
