@@ -219,7 +219,32 @@ object Wave3 {
       .orderBy("r_name", "n_name")
   }
 
+  /** q135: period-over-period growth — monthly revenue with the MoM
+    * delta ratio: the other classic reporting window q134 doesn't
+    * cover (lag across ORDERED periods vs share within a partition).
+    * The lag window is unpartitioned BY DESIGN over the ~tens-of-rows
+    * aggregated month relation (the q112/q134 tiny-window
+    * discipline); the fact scan aggregates with exact decimal sums
+    * and the growth ratio divides identical doubles in both engines
+    * (first month's null lag propagates to a null growth, data not
+    * error). */
+  def momGrowth(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.load(s, dir, "orders")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+        "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D28)).as("rev_d"))
+    val w = Window.orderBy(col("month"))
+    m.select(col("month"), col("n_orders"),
+        col("rev_d").cast("double").as("revenue"),
+        lag(col("rev_d"), 1).over(w).cast("double").as("prev_revenue"))
+      .withColumn("mom_growth",
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_mom_growth"   -> (momGrowth _),
     "q134_pct_of_total" -> (pctOfTotal _),
     "q100_topk_plan"    -> (topkCustom _),
     "q99_histogram"     -> ((s: SparkSession, d: String) => histogram(s, d)),
@@ -232,6 +257,21 @@ object Wave3 {
     "q81_value_funcs"   -> (valueFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "q135_mom_growth" ->
+      """WITH m AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+        |    AS month,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS rev_d
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_orders, CAST(rev_d AS DOUBLE) AS revenue,
+        |  CAST(lag(rev_d) OVER (ORDER BY month) AS DOUBLE)
+        |    AS prev_revenue,
+        |  (CAST(rev_d AS DOUBLE)
+        |   - CAST(lag(rev_d) OVER (ORDER BY month) AS DOUBLE))
+        |    / CAST(lag(rev_d) OVER (ORDER BY month) AS DOUBLE)
+        |    AS mom_growth
+        |FROM m ORDER BY month""".stripMargin,
     "q134_pct_of_total" ->
       """WITH rev AS (
         |  SELECT r.r_name, n.n_name,
