@@ -139,17 +139,19 @@ object MergeOnRead {
       .drop("_rn", OpCol, EpochCol)
   }
 
-  /** Fold the deltas into a fresh base and clear them — bounds the
-    * read-side chain. Backup-then-swap publish; the delta clear runs
-    * only after the new base is live. */
   /** DIFF between two as-of states — the CDC-out / audit face of the
     * epoch layout: every key whose row changed between `fromEpoch` and
     * `toEpoch`, classified insert / delete / update, with the full
-    * before and after rows as structs. Because every historical state
-    * is just an as-of read, the diff is one full-outer join of two
-    * reconciled views on the key — no log replay, no per-epoch walk;
-    * unchanged keys (the overwhelming majority) drop out map-side
-    * after the join via one null-safe struct comparison.
+    * before and after rows as structs.
+    *
+    * O(DELTA), not O(table): the two as-of views can only differ on
+    * keys present in the delta epochs of (fromEpoch, toEpoch], so both
+    * views are first semi-joined down to that touched-key set (one
+    * key-column read over the delta dirs — tombstones carry their keys
+    * too) and only then full-outer joined with a null-safe struct
+    * compare. Diffing two adjacent epochs of a 100 TB table that
+    * changed one row reads the full views' METADATA but shuffles only
+    * the touched keys.
     *
     * Columns: keyCols…, op, before (struct of non-key cols, null for
     * inserts), after (struct, null for deletes). */
@@ -157,8 +159,19 @@ object MergeOnRead {
            fromEpoch: Long, toEpoch: Long): DataFrame = {
     require(fromEpoch <= toEpoch,
       s"diff wants fromEpoch <= toEpoch, got $fromEpoch > $toEpoch")
+    val es = epochs(spark, root).filter(e => e > fromEpoch && e <= toEpoch)
+    val touched =
+      if (es.isEmpty)
+        spark.read.parquet(basePath(root))
+          .select(keyCols.map(col): _*).limit(0)
+      else spark.read
+        .option("basePath", deltaRoot(root))
+        .parquet(es.map(e => s"${deltaRoot(root)}/epoch=$e"): _*)
+        .select(keyCols.map(col): _*).distinct()
     val before = read(spark, root, keyCols, asOf = fromEpoch)
+      .join(touched, keyCols, "left_semi")
     val after = read(spark, root, keyCols, asOf = toEpoch)
+      .join(touched, keyCols, "left_semi")
     val dataCols = before.columns.filterNot(keyCols.contains).toSeq
     def packed(df: DataFrame, side: String): DataFrame =
       df.select(
@@ -178,6 +191,9 @@ object MergeOnRead {
         Seq(col("op"), col("b").as("before"), col("a").as("after")): _*)
   }
 
+  /** Fold the deltas into a fresh base and clear them — bounds the
+    * read-side chain. Backup-then-swap publish; the delta clear runs
+    * only after the new base is live. */
   def compact(spark: SparkSession, root: String,
               keyCols: Seq[String]): Long = {
     val f = fs(spark, root)

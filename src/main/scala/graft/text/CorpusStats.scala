@@ -366,7 +366,13 @@ object CorpusStats {
     val toks = Tables.load(s, dir, "documents")
       .select(explode(Tokens.whitespace(lower(col("text")))).as("t"))
     val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    val tot = toks.agg(count(lit(1)).as("n"))
+    // n re-aggregates the tiny token-count relation — a toks.count()
+    // spelling would be a THIRD corpus tokenize-scan
+    val tot = exact.agg(sum(col("cnt")).as("n"))
+    // NOTE: stat.freqItems is EAGER (rdd.aggregate into a local
+    // relation) — constructing this DataFrame runs the sketch's
+    // corpus scan immediately, unlike every lazy query in the
+    // registry; that is a property of Spark's API, not this call site
     val cand = toks.stat.freqItems(Array("t"), 1.0 / supportDen)
       .select(col("t_freqItems").as("cand"))
     exact.crossJoin(broadcast(tot)).crossJoin(broadcast(cand))
