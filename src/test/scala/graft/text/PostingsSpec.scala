@@ -90,6 +90,27 @@ class PostingsSpec extends SparkSpec {
     assert(j.isEmpty, "Jaccard at tau=3/5 misses the quote/page pair")
   }
 
+  test("q123 keyword search: integer scoring and tie-break semantics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("kwsearch").toString
+    // 4 docs; terms: "spark" df=2, "data" df=4 (idf weight N DIV df:
+    // spark -> 2, data -> 1)
+    Seq(
+      (1L, "spark spark data"),   // 2*2 + 1*1 = 5
+      (2L, "data data data"),     // 3*1 = 3
+      (3L, "spark data x y"),     // 2 + 1 = 3  (ties doc 2, id wins)
+      (4L, "data z")              // 1
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Postings.keywordSearch(spark, dir,
+        terms = Seq("spark", "data"), k = 3)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 5L), (2L, 3L), (3L, 3L)),
+      s"expected rare-term weighting and doc_id tie-break, got $got")
+  }
+
   test("q118 inverted index: df/cf consistent with its own postings") {
     val idx = Postings.invertedIndex(spark, sf()).collect()
     assert(idx.nonEmpty)
