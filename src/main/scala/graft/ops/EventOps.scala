@@ -287,6 +287,46 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** q136: NEAREST-event join — for each error, the click of the same
+    * user with minimal |Δt| in EITHER direction: the sensor-fusion
+    * semantic q62's backward-only as-of can't express (a reading just
+    * AFTER the fault is often the relevant one). Ties at equal
+    * distance resolve to the earlier (backward) click — the oracle
+    * spells the same via `ORDER BY abs(Δ), ts`.
+    *
+    * Scale shape: the nearest click is either the last click ≤ t or
+    * the first click > t, so two running-`last` window passes over
+    * opposite orderings of ONE user-partitioned stream replace any
+    * inequality join; Spark plans one shuffle on user_id with two
+    * sorts. Same-timestamp clicks sort click-first in BOTH orderings
+    * so a Δ=0 click is visible to each pass. */
+  def nearestClick(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .where(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val clickFirst = when(col("event_type") === "click", 0).otherwise(1)
+    val wBack = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), clickFirst, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").desc, clickFirst, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickMs = when(col("event_type") === "click", col("ms"))
+    ev.withColumn("back_ms", last(clickMs, ignoreNulls = true).over(wBack))
+      .withColumn("fwd_ms", last(clickMs, ignoreNulls = true).over(wFwd))
+      .where(col("event_type") === "error")
+      .withColumn("nearest_click_ms",
+        when(col("back_ms").isNull, col("fwd_ms"))
+          .when(col("fwd_ms").isNull, col("back_ms"))
+          // <= : backward (earlier) wins equal-distance ties
+          .when(col("ms") - col("back_ms") <= col("fwd_ms") - col("ms"),
+            col("back_ms"))
+          .otherwise(col("fwd_ms")))
+      .select(col("event_id"), col("user_id"), col("nearest_click_ms"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_tumbling_hourly" -> (tumblingHourly _),
     "q61_sessionize"      -> ((s: SparkSession, d: String) => sessionize(s, d)),
@@ -297,7 +337,8 @@ object EventOps {
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
     "q129_outliers"       -> (outliers _),
-    "q130_time_weighted"  -> (timeWeightedAvg _))
+    "q130_time_weighted"  -> (timeWeightedAvg _),
+    "q136_nearest_event"  -> (nearestClick _))
 
   val oracle: Map[String, String] = Map(
     "q60_tumbling_hourly" ->
@@ -419,5 +460,13 @@ object EventOps {
         |  CAST(sum(gap) AS BIGINT) AS sum_gap_ms,
         |  CAST(sum(CAST(value AS DECIMAL(18,2)) * gap) AS DOUBLE)
         |    / CAST(sum(gap) AS BIGINT) AS twa
-        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin)
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q136_nearest_event" ->
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT epoch_ms(c.ts) FROM events c
+        |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |   ORDER BY abs(epoch_ms(c.ts) - epoch_ms(e.ts)), epoch_ms(c.ts)
+        |   LIMIT 1) AS nearest_click_ms
+        |FROM events e WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin)
 }
