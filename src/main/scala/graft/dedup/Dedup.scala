@@ -456,9 +456,10 @@ object Dedup {
     *  - small-star(u) on the (big → smalls) orientation: all smalls
     *    plus u re-hook to m = min(Γ(u) ∪ u).
     *
-    * Both are one window-min + one projection — per-round cost is a
-    * handful of key-partitioned shuffles of bounded (a, b) pairs,
-    * never the payloads. The fixpoint is a star forest rooted at each
+    * Both are one partial-aggregated groupBy-min joined back + one
+    * projection ([[starContractRound]]) — per-round cost is a handful
+    * of key-partitioned shuffles of bounded (a, b) pairs, never the
+    * payloads, and no per-key single-task gather. The fixpoint is a star forest rooted at each
     * component's minimum id. Convergence = edge-set fixpoint, checked
     * EXACTLY (count short-circuit, then a one-sided anti-join on the
     * confirming round), not by a hashed signature; a 60-round
@@ -466,6 +467,41 @@ object Dedup {
     * returning partial labels. Returns (id, label) for every
     * edge-endpoint node; isolated nodes are absent (callers coalesce).
     */
+  /** One large-star + small-star contraction round over a canonical
+    * (a < b, distinct) edge set. Exposed for plan pinning: the
+    * neighborhood min is groupBy + join-back, NOT
+    * `Window.partitionBy(u)` — WindowExec gathers a key's ENTIRE
+    * partition into one task, so a power-law hub (exactly what mass
+    * near-duplicates produce) would serialize its whole neighbor list
+    * through a single straggler every round. groupBy's min is
+    * partial-aggregated (map-side combine shrinks a hub's rows to one
+    * per input partition before the shuffle), and the join-back —
+    * while also keyed by u — is an equi-join AQE can skew-split; a
+    * window can never be split. Same semantics, skew-tolerant. */
+  private[dedup] def starContractRound(edges: DataFrame): DataFrame = {
+    // large-star over both orientations of each edge
+    val both = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    val largeMin = both.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    val large = both.where(col("v") > col("u"))
+      .join(largeMin, "u")
+      // m = min(Γ(u) ∪ u); m <= u < v, so (m, v) is canonical and
+      // never a self-loop
+      .select(least(col("mn"), col("u")).as("a"), col("v").as("b"))
+      .distinct()
+    // small-star on the big→smalls orientation (v < u by canon, so
+    // min(Γ(u)) < u already and no least(_, u) is needed)
+    val oriented = large.select(col("b").as("u"), col("a").as("v"))
+    val smallMin = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    oriented.join(smallMin, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("m").as("a"), col("v").as("b"))
+      // one (m, u) re-hook edge per node — smallMin already holds
+      // exactly one row per u, no distinct-from-fanout needed
+      .union(smallMin.select(col("m").as("a"), col("u").as("b")))
+      .distinct()
+  }
+
   def connectedComponents(edges0: DataFrame): DataFrame = {
     val canonical = edges0
       .select(least(col("a"), col("b")).as("a"),
@@ -487,24 +523,7 @@ object Dedup {
         sys.error("connectedComponents: star contraction did not " +
           "converge in 60 rounds — this exceeds log2 of any physical " +
           "edge count and indicates a bug, not a big input")
-      val wU = Window.partitionBy(col("u"))
-      // large-star over both orientations of each edge
-      val both = edges.select(col("a").as("u"), col("b").as("v"))
-        .union(edges.select(col("b").as("u"), col("a").as("v")))
-      val large = both
-        .withColumn("m", least(min(col("v")).over(wU), col("u")))
-        .where(col("v") > col("u"))
-        // m <= u < v, so (m, v) is canonical and never a self-loop
-        .select(col("m").as("a"), col("v").as("b"))
-        .distinct()
-      // small-star on the big→smalls orientation (v < u by canon)
-      val oriented = large.select(col("b").as("u"), col("a").as("v"))
-      val withM = oriented.withColumn("m", min(col("v")).over(wU))
-      val small = withM.where(col("v") =!= col("m"))
-        .select(col("m").as("a"), col("v").as("b"))
-        .union(withM.select(col("m").as("a"), col("u").as("b")))
-        .distinct()
-      val next = small.localCheckpoint()
+      val next = starContractRound(edges).localCheckpoint()
       // exact fixpoint test, count-first: counts over checkpointed
       // RDDs are near-free and DIFFER on every non-final round (the
       // edge set shrinks), so the shuffle-heavy except runs only on

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Ground-truth checks for the probabilistic dedup operators: a
   * driver-side brute-force over the sf0.001 corpus (500 docs, 125k
@@ -171,6 +172,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 200)
     assert(labels.values.forall(_ == 0L), "one component rooted at min id")
+  }
+
+  test("connectedComponents: 100k-spoke star — no window gather, hub converges") {
+    import spark.implicits._
+    // A power-law hub: the adversarial shape mass near-duplication
+    // produces. With the old Window.partitionBy(u) min, all 100k hub
+    // rows funneled through ONE task per round; the groupBy spelling
+    // partial-aggregates them map-side.
+    val n = 100000L
+    val edges = spark.range(1L, n + 1L)
+      .select(lit(5L).as("a"), (col("id") + 10L).as("b"))
+    // plan pin: a single contraction round must contain no WindowExec
+    // (the un-splittable per-key gather) — only partial-agg + joins
+    val round = Dedup.starContractRound(
+      edges.select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b")))
+    val physical = round.queryExecution.executedPlan.toString
+    assert(!physical.contains("Window"),
+      s"contraction round must not use WindowExec:\n$physical")
+    val labels = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n + 1, "hub + every spoke labeled")
+    assert(labels.values.forall(_ == 5L), "all rooted at the hub id (min)")
   }
 
   test("connectedComponents: random graphs match union-find ground truth") {
