@@ -441,32 +441,6 @@ object Dedup {
     perDoc.select(col("doc_id"), col("source"), simhash.as("simhash"))
   }
 
-  /** Connected components over an undirected edge list (`a`, `b`
-    * columns, any orientation) via alternating LARGE-STAR/SMALL-STAR
-    * contraction (Kiveris et al., "Connected Components in MapReduce
-    * and Beyond", SoCC'14) — O(log n) rounds REGARDLESS of topology.
-    * An earlier min-label-propagation + pointer-jump spelling here
-    * was Θ(diameter) on adversarial inputs (labels don't point along
-    * the graph, so jumping compresses nothing — measured ~n/2 rounds
-    * on a shuffled n-node path; star contraction measures 7-13 rounds
-    * up to n = 50k).
-    *
-    *  - large-star(u): every neighbor v > u re-hooks to
-    *    m = min(Γ(u) ∪ u);
-    *  - small-star(u) on the (big → smalls) orientation: all smalls
-    *    plus u re-hook to m = min(Γ(u) ∪ u).
-    *
-    * Both are one partial-aggregated groupBy-min joined back + one
-    * projection ([[starContractRound]]) — per-round cost is a handful
-    * of key-partitioned shuffles of bounded (a, b) pairs, never the
-    * payloads, and no per-key single-task gather. The fixpoint is a star forest rooted at each
-    * component's minimum id. Convergence = edge-set fixpoint, checked
-    * EXACTLY (count short-circuit, then a one-sided anti-join on the
-    * confirming round), not by a hashed signature; a 60-round
-    * cap (≫ log₂ of any real corpus) fails LOUDLY rather than ever
-    * returning partial labels. Returns (id, label) for every
-    * edge-endpoint node; isolated nodes are absent (callers coalesce).
-    */
   /** One large-star + small-star contraction round over a canonical
     * (a < b, distinct) edge set. Exposed for plan pinning: the
     * neighborhood min is groupBy + join-back, NOT
@@ -502,6 +476,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list (`a`, `b`
+    * columns, any orientation) via alternating LARGE-STAR/SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — O(log n) rounds REGARDLESS of topology.
+    * An earlier min-label-propagation + pointer-jump spelling here
+    * was Θ(diameter) on adversarial inputs (labels don't point along
+    * the graph, so jumping compresses nothing — measured ~n/2 rounds
+    * on a shuffled n-node path; star contraction measures 7-13 rounds
+    * up to n = 50k).
+    *
+    *  - large-star(u): every neighbor v > u re-hooks to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star(u) on the (big → smalls) orientation: all smalls
+    *    plus u re-hook to m = min(Γ(u) ∪ u).
+    *
+    * Both are one partial-aggregated groupBy-min joined back + one
+    * projection ([[starContractRound]]) — per-round cost is a handful
+    * of key-partitioned shuffles of bounded (a, b) pairs, never the
+    * payloads, and no per-key single-task gather. The fixpoint is a star forest rooted at each
+    * component's minimum id. Convergence = edge-set fixpoint, checked
+    * EXACTLY (count short-circuit, then a one-sided anti-join on the
+    * confirming round), not by a hashed signature; a 60-round
+    * cap (≫ log₂ of any real corpus) fails LOUDLY rather than ever
+    * returning partial labels. Returns (id, label) for every
+    * edge-endpoint node; isolated nodes are absent (callers coalesce).
+    */
   def connectedComponents(edges0: DataFrame): DataFrame = {
     val canonical = edges0
       .select(least(col("a"), col("b")).as("a"),
