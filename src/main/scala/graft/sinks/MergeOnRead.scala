@@ -117,7 +117,21 @@ object MergeOnRead {
     * so every past table state stays queryable until `compact` folds
     * the chain. */
   def read(spark: SparkSession, root: String, keyCols: Seq[String],
-           asOf: Long = Long.MaxValue): DataFrame = {
+           asOf: Long = Long.MaxValue): DataFrame =
+    readView(spark, root, keyCols, asOf, touched = None)
+
+  /** [[read]] with an optional key restriction applied BELOW the
+    * reconcile window. Restricting before `row_number` is valid
+    * because the window partitions by exactly `keyCols` — a semi-join
+    * on the same keys keeps or drops whole window partitions and
+    * cannot change the argmax within a kept one. [[diff]] depends on
+    * this placement for its O(delta) contract: a semi-join ABOVE the
+    * window would still shuffle the entire base ∪ deltas through the
+    * reconcile and only then discard untouched keys (the same
+    * join-above-window trap `IndexMaintain.applyBatch` documents). */
+  private def readView(spark: SparkSession, root: String,
+                       keyCols: Seq[String], asOf: Long,
+                       touched: Option[DataFrame]): DataFrame = {
     val base = spark.read.parquet(basePath(root))
       .withColumn(OpCol, lit("u")).withColumn(EpochCol, lit(0L))
     val es = epochs(spark, root).filter(_ <= asOf)
@@ -132,9 +146,10 @@ object MergeOnRead {
           .withColumn(EpochCol, col("epoch").cast("long")).drop("epoch")
         base.unionByName(deltas.select(base.columns.map(col).toIndexedSeq: _*))
       }
+    val restricted = touched.fold(all)(t => all.join(t, keyCols, "left_semi"))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(EpochCol).desc)
-    all.withColumn("_rn", row_number().over(w))
+    restricted.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1 && col(OpCol) === "u")
       .drop("_rn", OpCol, EpochCol)
   }
@@ -168,10 +183,13 @@ object MergeOnRead {
         .option("basePath", deltaRoot(root))
         .parquet(es.map(e => s"${deltaRoot(root)}/epoch=$e"): _*)
         .select(keyCols.map(col): _*).distinct()
-    val before = read(spark, root, keyCols, asOf = fromEpoch)
-      .join(touched, keyCols, "left_semi")
-    val after = read(spark, root, keyCols, asOf = toEpoch)
-      .join(touched, keyCols, "left_semi")
+    // the restriction rides BELOW read's reconcile window (see
+    // readView) — above it, the whole base ∪ deltas would shuffle
+    // through row_number before the untouched keys were discarded
+    val before = readView(spark, root, keyCols, asOf = fromEpoch,
+      touched = Some(touched))
+    val after = readView(spark, root, keyCols, asOf = toEpoch,
+      touched = Some(touched))
     val dataCols = before.columns.filterNot(keyCols.contains).toSeq
     def packed(df: DataFrame, side: String): DataFrame =
       df.select(

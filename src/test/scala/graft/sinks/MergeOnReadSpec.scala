@@ -118,6 +118,36 @@ class MergeOnReadSpec extends SparkSpec {
     assert(d23.isEmpty, "epoch 3 only re-asserted identical values")
   }
 
+  test("diff plan: touched-key semi-join sits BELOW the reconcile window") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val root = newRoot()
+    MergeOnRead.init(spark, root,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"))
+    MergeOnRead.merge(spark, root,
+      Seq((2L, "b2", 2.5)).toDF("id", "name", "score"), Seq("id"))
+    val lp = MergeOnRead.diff(spark, root, Seq("id"), 0L, 1L)
+      .queryExecution.optimizedPlan
+    // O(delta) contract: each as-of reconcile window must already be
+    // restricted to the touched keys — i.e. every Window has a
+    // LeftSemi join in its subtree, and no LeftSemi sits above a
+    // Window (the shuffle-the-whole-table shape this pin guards
+    // against)
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected reconcile windows in the diff plan")
+    windows.foreach { w =>
+      val semisBelow = w.collect { case j: Join if j.joinType == LeftSemi => j }
+      assert(semisBelow.nonEmpty,
+        s"reconcile window not restricted to touched keys:\n$lp")
+    }
+    val semiAboveWindow = lp.collect {
+      case j: Join if j.joinType == LeftSemi &&
+        j.collect { case w: LWindow => w }.nonEmpty => j
+    }
+    assert(semiAboveWindow.isEmpty,
+      s"touched-key semi-join must not sit above the window:\n$lp")
+  }
+
   test("init refuses an existing table") {
     val root = newRoot()
     val df = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
