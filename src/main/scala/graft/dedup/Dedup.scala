@@ -593,11 +593,11 @@ object Dedup {
       |    (len(a.t1) + len(b.t2) - len(list_intersect(a.t1, b.t2))) AS jaccard
       |FROM
       |  (SELECT doc_id AS id1, source,
-      |     list_distinct(string_split_regex(trim(text), '\s+')) AS t1
+      |     list_distinct(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS t1
       |   FROM documents) a
       |JOIN
       |  (SELECT doc_id AS id2, source,
-      |     list_distinct(string_split_regex(trim(text), '\s+')) AS t2
+      |     list_distinct(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS t2
       |   FROM documents) b
       |ON a.source = b.source AND a.id1 < b.id2
       |WHERE len(list_intersect(a.t1, b.t2)) /
@@ -609,7 +609,7 @@ object Dedup {
     * and q115 oracles so the two can never drift. */
   private lazy val MinhashBandedCtes: String =
     raw"""WITH words AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w FROM documents
       |), shingled AS (
       |  SELECT doc_id,
       |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -690,7 +690,7 @@ object Dedup {
         |ORDER BY delta_id, corpus_id""".stripMargin),
     "q38_simhash" ->
       raw"""WITH words AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w FROM documents
         |), shingled AS (
         |  SELECT doc_id,
         |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]

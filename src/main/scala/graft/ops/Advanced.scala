@@ -97,11 +97,11 @@ object Advanced {
         |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
     "q94_array_funcs" ->
       """SELECT doc_id,
-        |  string_split_regex(trim(text), '\s+')[1] AS first_tok,
-        |  string_split_regex(trim(text), '\s+')[-1] AS last_tok,
-        |  len(list_slice(string_split_regex(trim(text), '\s+'), 1, 3)) AS head3_n,
-        |  list_contains(string_split_regex(trim(text), '\s+'), 'spark') AS has_spark,
-        |  CAST(coalesce(list_position(string_split_regex(trim(text), '\s+'), 'data'), 0) AS BIGINT) AS data_pos,
-        |  list_sort(string_split_regex(trim(text), '\s+'))[1] AS min_tok
+        |  string_split_regex(trim(text), '[ \t\n\v\f\r]+')[1] AS first_tok,
+        |  string_split_regex(trim(text), '[ \t\n\v\f\r]+')[-1] AS last_tok,
+        |  len(list_slice(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), 1, 3)) AS head3_n,
+        |  list_contains(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), 'spark') AS has_spark,
+        |  CAST(coalesce(list_position(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), 'data'), 0) AS BIGINT) AS data_pos,
+        |  list_sort(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))[1] AS min_tok
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

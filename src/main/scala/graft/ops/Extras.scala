@@ -140,7 +140,10 @@ object Extras {
         .as("n_word_tokens"),
       size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
         .as("n_digit_tokens"),
-      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+      // explicit whitespace class, not \s: Java \s includes U+000B,
+      // RE2/DuckDB \s does not (the Tokens.whitespace discipline)
+      size(regexp_extract_all(col("text"),
+          lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
         .as("n_punct_tokens"))
       .orderBy("doc_id")
 
@@ -238,7 +241,7 @@ object Extras {
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_tokens,
         |  len(regexp_extract_all(text, '[0-9]+')) AS n_digit_tokens,
-        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct_tokens
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\v\f\r]')) AS n_punct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q49_salted_agg" ->
       """SELECT event_type, count(*) AS n,

@@ -25,10 +25,20 @@ object Quality {
     * Rule names are caller data, so they never become column names:
     * the aggregates use positional internal names (`_r0`, `_r1`, …)
     * and the display name rides only as a literal — a rule named
-    * "n_rows", a duplicate name, or a dotted name would otherwise
-    * break column resolution at runtime. */
+    * "n_rows" or a dotted name would otherwise break column
+    * resolution at runtime. Duplicate names are rejected (see
+    * below). */
   def ruleAudit(df: DataFrame,
                 rules: Seq[(String, Column)]): DataFrame = {
+    // duplicate names are rejected, not tolerated: two rules named the
+    // same would emit identically-named report rows whose relative
+    // order after orderBy("rule") is nondeterministic — flaky under
+    // any row-hash gate, and the reader can't tell which rule fired
+    val dup = rules.map(_._1).groupBy(identity).collect {
+      case (n, vs) if vs.sizeIs > 1 => n
+    }
+    require(dup.isEmpty,
+      s"ruleAudit: duplicate rule name(s): ${dup.mkString(", ")}")
     val agg = df.agg(count(lit(1)).as("n_rows"),
       rules.zipWithIndex.map { case ((_, bad), i) =>
         sum(when(bad, 1L).otherwise(0L)).as(s"_r$i")

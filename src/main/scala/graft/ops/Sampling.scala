@@ -213,9 +213,9 @@ object Sampling {
         |    FROM documents) WHERE rn = 1),
         |quality AS (
         |  SELECT doc_id, source,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |    len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS n_tokens
         |  FROM survivors
-        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 20),
+        |  WHERE len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) >= 20),
         |train AS (
         |  SELECT * FROM quality
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))

@@ -316,7 +316,7 @@ object Wave3 {
     "q85_generators" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |    list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'),
         |      t -> length(t) > 7)[1:3] AS arr
         |  FROM documents)
         |SELECT d.doc_id, u.pos, u.tok

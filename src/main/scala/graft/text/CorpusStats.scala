@@ -403,7 +403,7 @@ object CorpusStats {
     * the two can never drift. */
   private val cdcCtes: String =
     raw"""WITH d AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS arr
       |  FROM documents),
       |tok AS (
       |  SELECT d.doc_id, u.pos, u.tok
@@ -426,7 +426,7 @@ object CorpusStats {
   val oracle: Map[String, String] = Map(
     "q133_freq_items" ->
       raw"""WITH tok AS (
-        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+'))
         |    AS t
         |  FROM documents),
         |e AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
@@ -437,7 +437,7 @@ object CorpusStats {
     "q111_vocab_coverage" ->
       raw"""WITH tok AS (
         |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+')) AS tok
         |  FROM documents),
         |vocab AS (
         |  SELECT tok FROM (
@@ -455,14 +455,14 @@ object CorpusStats {
       raw"""SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS distinct_texts,
         |  (count(*) - count(DISTINCT md5(text))) / count(*) AS dup_ratio,
-        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |  CAST(sum(len(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))) AS BIGINT)
         |    / count(*) AS avg_tokens,
         |  CAST(sum(length(text)) AS BIGINT) / count(*) AS avg_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q104_tfidf_terms" ->
       raw"""WITH tok AS (
         |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+')) AS term
         |  FROM documents),
         |tf AS (
         |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -477,7 +477,7 @@ object CorpusStats {
     "q105_bigram_novelty" ->
       raw"""WITH w AS (
         |  SELECT doc_id,
-        |    string_split_regex(trim(lower(text)), '\s+') AS w
+        |    string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') AS w
         |  FROM documents),
         |bg AS (
         |  SELECT doc_id, unnest(
@@ -538,7 +538,7 @@ object CorpusStats {
     "q116_length_batches" ->
       raw"""WITH d AS (
         |  SELECT doc_id,
-        |    CAST(coalesce(len(string_split_regex(trim(text), '\s+')), 0)
+        |    CAST(coalesce(len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')), 0)
         |      AS BIGINT) AS n_tokens,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      AS h
@@ -559,7 +559,7 @@ object CorpusStats {
     "q112_sequence_pack" ->
       raw"""WITH d AS (
         |  SELECT doc_id,
-        |    CAST(coalesce(len(string_split_regex(trim(text), '\s+')), 0)
+        |    CAST(coalesce(len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')), 0)
         |      AS BIGINT) AS n_tokens,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      AS h

@@ -184,7 +184,14 @@ object Postings {
         explode(Tokens.whitespace(lower(col("text")))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("blk", expr(s"doc_id DIV $blockSize"))
+      // FLOOR division, spelled exactly: Spark's DIV truncates toward
+      // zero while the DuckDB oracle's `//` floors, so a negative
+      // doc_id would land in a different block per engine (and route
+      // IndexMaintain's touched-block maintenance differently).
+      // pmod >= 0 makes the numerator exactly divisible, so the DIV
+      // is an exact integer quotient == floor — no double arithmetic.
+      .withColumn("blk",
+        expr(s"(doc_id - pmod(doc_id, $blockSize)) DIV $blockSize"))
 
   /** The index relation over a tf relation: per (term, blk) — df, cf,
     * doc-sorted postings/tfs ARRAYS. Shared with IndexMaintain (the
@@ -261,7 +268,7 @@ object Postings {
     // result must equal the all-candidate spelling exactly
     "q117_setsim_join" ->
       raw"""WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(
@@ -287,7 +294,7 @@ object Postings {
     "q118_inverted_index" ->
       raw"""WITH tok AS (
         |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+')) AS term
         |  FROM documents),
         |tf AS (
         |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
@@ -299,7 +306,7 @@ object Postings {
         |FROM tf GROUP BY 1, 2 ORDER BY term, blk""".stripMargin,
     "q121_containment_join" ->
       raw"""WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(
@@ -325,7 +332,7 @@ object Postings {
     "q123_keyword_search" ->
       raw"""WITH tok AS (
         |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+')) AS term
         |  FROM documents),
         |tf AS (
         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

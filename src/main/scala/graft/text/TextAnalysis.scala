@@ -240,23 +240,23 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "q95_token_freq" ->
       """SELECT t.tok, count(*) AS n
-        |FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(tok)
+        |FROM documents, UNNEST(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS t(tok)
         |GROUP BY 1 ORDER BY n DESC, tok""".stripMargin,
     "q30_token_stats" ->
       """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-        |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_tokens,
+        |  len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS n_tokens,
+        |  len(list_distinct(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))) AS n_distinct_tokens,
         |  length(text) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q31_quality_score" ->
       """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-        |  (len(list_filter(string_split_regex(trim(text), '\s+'),
+        |  len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS n_tokens,
+        |  (len(list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'),
         |       w -> w IN ('the', 'a', 'of', 'and')))
-        |     / len(string_split_regex(trim(text), '\s+'))) * 0.3
-        |  + LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0) * 0.4
-        |  + (len(list_distinct(string_split_regex(trim(text), '\s+')))
-        |     / len(string_split_regex(trim(text), '\s+'))) * 0.3 AS quality
+        |     / len(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))) * 0.3
+        |  + LEAST(1.0, len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) / 100.0) * 0.4
+        |  + (len(list_distinct(string_split_regex(trim(text), '[ \t\n\v\f\r]+')))
+        |     / len(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))) * 0.3 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q32_langid" ->
       """SELECT doc_id,
@@ -275,14 +275,14 @@ object TextAnalysis {
     "q33_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
-        |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
+        |    string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+'))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q109_split_contamination" ->
       raw"""WITH words AS (
         |  SELECT doc_id,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      % 1000 < 900 AS is_train,
-        |    string_split_regex(trim(text), '\s+') AS w FROM documents
+        |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w FROM documents
         |), g AS (
         |  SELECT doc_id, is_train,
         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS gh
@@ -303,7 +303,7 @@ object TextAnalysis {
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
     "q87_contamination" ->
       raw"""WITH words AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w FROM documents
         |), g AS (
         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS gh
         |  FROM (SELECT doc_id, unnest(
@@ -341,11 +341,11 @@ object TextAnalysis {
         |FROM c ORDER BY c_custkey""".stripMargin,
     "q89_repetition" ->
       raw"""WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
-        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) < 2
-        |      THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
-        |      ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+2], ' ')
-        |            for i in range(0, len(string_split_regex(trim(text), '\s+')) - 1)]
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w,
+        |    CASE WHEN len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) < 2
+        |      THEN [array_to_string(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), ' ')]
+        |      ELSE [array_to_string(string_split_regex(trim(text), '[ \t\n\v\f\r]+')[i+1:i+2], ' ')
+        |            for i in range(0, len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) - 1)]
         |    END AS g2
         |  FROM documents)
         |SELECT doc_id, len(w) AS n_tokens,

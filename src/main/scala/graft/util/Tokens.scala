@@ -6,13 +6,21 @@ import org.apache.spark.sql.functions.{split, trim}
 /** Shared whitespace tokenizer for the text/dedup/array operators.
   *
   * One definition on purpose: every oracle-checked query's DuckDB side
-  * spells this as `string_split_regex(trim(text), '\s+')`, so the
+  * spells this as `string_split_regex(trim(text), '[ \t\n\v\f\r]+')`, so the
   * Spark side must tokenize identically everywhere — a drifted copy in
   * one module would silently break cross-engine comparison for just
   * that module's queries.
+  *
+  * The whitespace class is EXPLICIT on both sides (same discipline as
+  * [[graft.text.Normalize.canonical]]): Java's `\s` includes U+000B
+  * (vertical tab) but DuckDB/RE2's `\s` does not, so a `\s+` spelling
+  * would silently break the byte-identity gate on any document
+  * containing a VT. The class below IS Java's `\s` — behavior is
+  * unchanged on the Spark side; the oracle side gained VT.
   */
 object Tokens {
-  def whitespace(c: Column): Column = split(trim(c), "\\s+")
+  def whitespace(c: Column): Column =
+    split(trim(c), "[ \\t\\n\\x0B\\f\\r]+")
 
   /** Word n-grams (space-joined) over an ALREADY-tokenized array
     * column; arrays shorter than `n` collapse to ONE n-gram of the

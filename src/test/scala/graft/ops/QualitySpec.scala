@@ -22,6 +22,18 @@ class QualitySpec extends SparkSpec {
     assert(out("rule") == (0L, 3L))
   }
 
+  test("ruleAudit rejects duplicate rule names up front") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("v", "s")
+    val e = intercept[IllegalArgumentException] {
+      Quality.ruleAudit(df, Seq(
+        "qty" -> (col("v") <= 0),
+        "qty" -> (col("v") > 100)))
+    }
+    assert(e.getMessage.contains("qty"),
+      "error must name the offending rule")
+  }
+
   test("fkOrphans: duplicate parent keys don't inflate; orphans found") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fk").toString

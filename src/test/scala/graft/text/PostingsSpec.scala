@@ -111,6 +111,21 @@ class PostingsSpec extends SparkSpec {
       s"expected rare-term weighting and doc_id tie-break, got $got")
   }
 
+  test("tfRelation blocks use FLOOR division (negative doc ids route stably)") {
+    import spark.implicits._
+    // Spark's DIV truncates toward zero; DuckDB's // floors. The blk
+    // spelling must floor on both engines or a negative doc_id lands
+    // in different blocks per engine AND in a different block than
+    // IndexMaintain would touch.
+    val docs = Seq((-150L, "x"), (-100L, "x"), (-1L, "x"), (0L, "x"),
+      (99L, "x"), (100L, "x")).toDF("doc_id", "text")
+    val blk = Postings.tfRelation(docs, blockSize = 100)
+      .select("doc_id", "blk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blk == Map(-150L -> -2L, -100L -> -1L, -1L -> -1L,
+      0L -> 0L, 99L -> 0L, 100L -> 1L), s"got $blk")
+  }
+
   test("q118 inverted index: df/cf consistent with its own postings") {
     val idx = Postings.invertedIndex(spark, sf()).collect()
     assert(idx.nonEmpty)
