@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.util.Tokens
+import graft.util.{Checkpoints, Tokens}
 
 /** Deduplication operators over the `documents` table — the dedup
   * toolbox a large-scale training-data pipeline needs (exact, MinHash
@@ -508,13 +508,14 @@ object Dedup {
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-    // localCheckpoint (eager), NOT persist: each round's plan would
-    // otherwise nest every prior round's windows and optimizer time on
-    // the chain grows super-linearly (measured 65 s of pure planning
-    // by round 3 of the old loop). Checkpointing roots a fresh plan
-    // per round. On a cluster with lossy executors use reliable
-    // checkpoint() — same shape.
-    var edges = canonical.localCheckpoint()
+    // checkpoint (eager), NOT persist: each round's plan would
+    // otherwise nest every prior round's and optimizer time on the
+    // chain grows super-linearly (measured 65 s of pure planning by
+    // round 3 of the old loop). Checkpointing roots a fresh plan per
+    // round. Checkpoints.root is the durability dial: set
+    // graft.checkpoint.dir and the loop survives executor loss via
+    // reliable checkpoint(); unset, it uses localCheckpoint blocks.
+    var edges = Checkpoints.root(canonical)
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -523,7 +524,7 @@ object Dedup {
         sys.error("connectedComponents: star contraction did not " +
           "converge in 60 rounds — this exceeds log2 of any physical " +
           "edge count and indicates a bug, not a big input")
-      val next = starContractRound(edges).localCheckpoint()
+      val next = Checkpoints.root(starContractRound(edges))
       // exact fixpoint test, count-first: counts over checkpointed
       // RDDs are near-free and DIFFER on every non-final round (the
       // edge set shrinks), so the shuffle-heavy except runs only on
@@ -537,8 +538,9 @@ object Dedup {
       edges = next
       // Dataset.unpersist is a NO-OP for localCheckpoint blocks (they
       // are RDD-level persisted, never registered with the
-      // CacheManager — review finding); free them via the bridge.
-      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(old)
+      // CacheManager — review finding); free blocks AND any reliable
+      // checkpoint files of the superseded round via the bridge.
+      Checkpoints.free(old)
       if (sys.env.contains("GRAFT_DEBUG"))
         println(s"[cc] round=$rounds edges=${edges.count()}")
     }

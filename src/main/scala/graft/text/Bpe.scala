@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.util.Tokens
+import graft.util.{Checkpoints, Tokens}
 
 /** Byte-pair-encoding tokenizer TRAINING — the producer for the vocab
   * q111's coverage analysis consumes. Classic Sennrich-style BPE:
@@ -49,11 +49,12 @@ object Bpe {
                minFreq: Long = 1L): Seq[Merge] = {
     import s.implicits._
     // (symbol sequence, freq) per distinct word — the training state.
-    // localCheckpoint per round: same plan-growth reasoning as the CC
-    // loop (each round otherwise nests all prior rounds' plans).
-    var words = wordFreqs(s, dir, minFreq)
-      .select(split(col("word"), "").as("syms"), col("freq"))
-      .localCheckpoint()
+    // Checkpoint per round: same plan-growth reasoning as the CC loop
+    // (each round otherwise nests all prior rounds' plans).
+    // Checkpoints.root = the durability dial (graft.checkpoint.dir ⇒
+    // reliable checkpoint, survives executor loss; unset ⇒ local).
+    var words = Checkpoints.root(wordFreqs(s, dir, minFreq)
+      .select(split(col("word"), "").as("syms"), col("freq")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 0
     while (round < nMerges) {
@@ -77,13 +78,13 @@ object Bpe {
         val mergedWords = words.as[(Seq[String], Long)]
           .map { case (syms, freq) => (applyMerge(syms, l, r), freq) }
           .toDF("syms", "freq")
-        val next = mergedWords.localCheckpoint()
-        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(words)
+        val next = Checkpoints.root(mergedWords)
+        Checkpoints.free(words)
         words = next
         round += 1
       }
     }
-    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(words)
+    Checkpoints.free(words)
     merges.toSeq
   }
 

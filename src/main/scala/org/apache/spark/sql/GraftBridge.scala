@@ -35,4 +35,22 @@ object GraftBridge {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Free a superseded checkpoint in EITHER mode: unpersist the
+    * RDD-level blocks (local checkpoint), and delete the checkpoint
+    * files (reliable checkpoint) — Spark cleans those only via the
+    * ContextCleaner with `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true`, so a 40-round iterative loop would
+    * otherwise leave 40 full copies of its state on the checkpoint
+    * store. Callers free round N's state only after round N+1 is
+    * eagerly materialized, so nothing re-reads the deleted files. */
+  def freeCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        if (lr.rdd.getCheckpointFile.isDefined)
+          org.apache.spark.rdd.ReliableRDDCheckpointData
+            .cleanCheckpoint(lr.rdd.sparkContext, lr.rdd.id)
+      case _ => ()
+    }
 }
