@@ -22,9 +22,11 @@ import graft.Tables
   * a real header parse too — fixed-offset / regex column expressions
   * over the first bytes, nulls where a header genuinely can't say
   * (JPEG dims need a marker walk, Y4M duration needs a frame scan —
-  * the decode operators supply those). The only remaining fake is the
-  * generic [[extractFeatures]] stub decoder standing in for an
-  * expensive model. The plumbing is the real 100 TB design:
+  * the decode operators supply those). [[extractFeatures]] is real
+  * too: an L2-normalized mean-luma-grid embedding from decoded pixels
+  * ([[Ppm.lumaGrid]]) — a simple visual embedding, not a model, but
+  * every float comes from image content. The plumbing is the real
+  * 100 TB design:
   *
   *  - media rows are `(id, content binary, meta struct)` — the schema
   *    a lakehouse media table uses; metadata is sniffed from magic
@@ -174,37 +176,29 @@ object Multimodal {
         durationMs.as("duration_ms")))
   }
 
-  /** A decoder handle with expensive init — real impl would load a
-    * codec/model; the stub just carries a salt. One per partition. */
-  private final class StubDecoder {
-    // STUB: a real decoder would e.g. initialize libjpeg / an ONNX
-    // session here (hundreds of ms) — which is exactly why decode runs
-    // per-partition, not per-row.
-    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      var x = 0x9e3779b97f4a7c15L
-      bytes.foreach { b => x ^= (b & 0xffL); x *= 0x100000001b3L }
-      Array.tabulate(dim) { i =>
-        val v = x ^ (i.toLong * 0xff51afd7ed558ccdL)
-        val m = (v ^ (v >>> 33)) & 0xffffL
-        m.toFloat / 0xffff.toFloat
-      }
-    }
-  }
-
-  /** Feature extraction: binary content → `Array[Float]` embedding.
-    * mapPartitions streams rows through ONE decoder instance per
-    * partition; output schema is explicit. */
+  /** REAL feature extraction: binary content → L2-normalized √dim×√dim
+    * mean-luma grid embedding ([[Ppm.lumaGrid]]) decoded from actual
+    * pixels — PPM/PGM/BMP natively, JPEG/PNG/GIF via the JDK's
+    * ImageIO ([[ImageCodec]]). Non-image or corrupt rows get null
+    * features (no fabricated values). mapPartitions streams rows with
+    * one decode scope per partition — the expensive-init shape a
+    * heavier model decoder would need; output schema is explicit. */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val g = math.sqrt(dim.toDouble).toInt
+    require(g * g == dim,
+      s"dim must be a perfect square (g×g luma grid), got $dim")
     val spark = media.sparkSession
     val outSchema = StructType(
       media.schema.fields.toSeq :+ StructField("features",
         ArrayType(FloatType)))
     val rdd = media.rdd.mapPartitions { it =>
-      val decoder = new StubDecoder // once per partition
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
-        Row.fromSeq(r.toSeq :+
-          (if (bytes == null) null else decoder.features(bytes, dim).toSeq))
+        val img =
+          if (bytes == null) None
+          else Ppm.decode(bytes).orElse(Bmp.decode(bytes))
+            .orElse(Pgm.decode(bytes)).orElse(ImageCodec.decode(bytes))
+        Row.fromSeq(r.toSeq :+ img.map(Ppm.lumaGrid(_, g).toSeq).orNull)
       }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -377,8 +371,37 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** q137: the decode→embed→search pipeline REAL end-to-end: render
+    * blobs, sniff + decode them with the actual codec, embed via the
+    * pixel-derived [[Ppm.lumaGrid]] (L2-normalized 16-dim), then
+    * brute-force top-k cosine neighbors for the query media
+    * (media_id < 10) — the q50 shape: tiny query side broadcast, one
+    * corpus scan, exact [[graft.functions.FloatDot]] scoring. Every
+    * float the ranking consumes comes from image content, and DuckDB
+    * replays the whole chain (raster → luma grid → normalize → dot →
+    * rank), so the embedding math itself is hash-gated. */
+  def mediaEmbedKnn(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val media = asMediaTable(renderedBlobs(s, dir), "doc_id", "blob")
+    val emb = extractFeatures(media, dim = 16)
+      .select(col("media_id"), col("features"))
+    val q = emb.where(col("media_id") < 10)
+      .select(col("media_id").as("query_id"), col("features").as("qv"))
+    val scored = emb.join(broadcast(q), col("media_id") =!= col("query_id"))
+      .select(col("query_id"), col("media_id").as("neighbor_id"),
+        call_function("float_dot", col("features"), col("qv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q70_multimodal_features" -> (mediaFeatures _))
+    "q70_multimodal_features" -> (mediaFeatures _),
+    "q137_media_embed_knn" -> ((s: SparkSession, d: String) =>
+      mediaEmbedKnn(s, d)))
 
   /** The q70 pipeline IS SQL-expressible after all: the raster is a
     * deterministic byte expansion of the document text, [[Ppm.features]]
@@ -428,5 +451,63 @@ object Multimodal {
         |SELECT doc_id AS media_id, 'image/x-portable-pixmap' AS mime,
         |  CAST(203 AS BIGINT) AS size_bytes, 8 AS img_width, 8 AS img_height,
         |  CAST(f0 AS DOUBLE) + f1 + f2 + f3 + f4 + f5 + f6 AS feature_sum
-        |FROM feats ORDER BY media_id""".stripMargin)
+        |FROM feats ORDER BY media_id""".stripMargin,
+    // q137 replays the ENTIRE Spark chain: the q70 raster rendering,
+    // the 4×4 mean-luma grid (integer luma floored, float mean over
+    // the 4 pixels per cell), double sequential L2 norm, float
+    // normalized components, then FloatDot's exact semantics (float
+    // products, sequential double accumulation) and the rank window.
+    "q137_media_embed_knn" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+        |    octet_length(encode(coalesce(text, ''))) AS n
+        |  FROM documents
+        |), raster AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n = 0 THEN [0 for i in range(0, 192)]
+        |         ELSE [('0x' || substr(h, 2 * (i % n) + 1, 2))::INT
+        |               for i in range(0, 192)]
+        |    END AS px
+        |  FROM b
+        |), luma AS (
+        |  SELECT doc_id,
+        |    [(299 * px[3*p + 1] + 587 * px[3*p + 2] + 114 * px[3*p + 3]) // 1000
+        |     for p in range(0, 64)] AS lum
+        |  FROM raster
+        |), grid AS (
+        |  SELECT doc_id,
+        |    [CAST(CAST(list_sum([CASE WHEN ((p // 8) // 2) * 4 + ((p % 8) // 2) = c
+        |                              THEN lum[p + 1] ELSE 0 END
+        |                         for p in range(0, 64)]) AS FLOAT)
+        |          / CAST(4 AS FLOAT) AS FLOAT)
+        |     for c in range(0, 16)] AS f
+        |  FROM luma
+        |), normed AS (
+        |  SELECT doc_id, f,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [CAST(f[i] AS DOUBLE) * CAST(f[i] AS DOUBLE)
+        |       for i in range(1, 17)]), (acc, x) -> acc + x)) AS nrm
+        |  FROM grid
+        |), emb AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nrm = 0 THEN f
+        |         ELSE [CAST(CAST(f[i] AS DOUBLE) / nrm AS FLOAT)
+        |               for i in range(1, 17)]
+        |    END AS e
+        |  FROM normed
+        |), scored AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [q.e[i] * c.e[i] for i in range(1, 17)]),
+        |      (acc, x) -> acc + x) AS cosine
+        |  FROM emb q JOIN emb c ON c.doc_id <> q.doc_id
+        |  WHERE q.doc_id < 10
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cosine, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 }

@@ -57,6 +57,44 @@ object Ppm {
     Image(w2, h2, out)
   }
 
+  /** g×g mean-luma grid, L2-normalized — a real (if simple) visual
+    * embedding from actual pixels: pixel (x, y) belongs to grid cell
+    * (y·g/h, x·g/w); each cell's value is the float mean of its
+    * pixels' integer lumas ((299R + 587G + 114B) / 1000, floored);
+    * the g² vector is then L2-normalized so cosine ≡ dot product for
+    * the similarity operators. All-integer accumulation, one float
+    * division per cell, norm in double (sequential sum of squares) —
+    * every step exactly replayable in DuckDB, which is what lets the
+    * end-to-end decode→embed→knn pipeline be oracle-checked. A
+    * uniform frame (all pixels equal) normalizes to the same vector
+    * at every brightness — by design: the grid is a LAYOUT signature,
+    * scale-invariant like cosine itself. */
+  def lumaGrid(img: Image, g: Int): Array[Float] = {
+    require(g > 0, "grid must be positive")
+    val sums = new Array[Long](g * g)
+    val counts = new Array[Long](g * g)
+    val n = img.width * img.height
+    var p = 0
+    while (p < n) {
+      val x = p % img.width; val y = p / img.width
+      val c = (y * g / img.height) * g + (x * g / img.width)
+      val rr = img.rgb(p * 3) & 0xff
+      val gg = img.rgb(p * 3 + 1) & 0xff
+      val bb = img.rgb(p * 3 + 2) & 0xff
+      sums(c) += (299L * rr + 587L * gg + 114L * bb) / 1000L
+      counts(c) += 1L
+      p += 1
+    }
+    val f = Array.tabulate(g * g) { i =>
+      if (counts(i) == 0L) 0f else sums(i).toFloat / counts(i)
+    }
+    var ss = 0.0d
+    var i = 0
+    while (i < f.length) { ss += f(i).toDouble * f(i).toDouble; i += 1 }
+    val norm = math.sqrt(ss)
+    if (norm == 0.0d) f else f.map(v => (v.toDouble / norm).toFloat)
+  }
+
   /** Real content features: [meanR, meanG, meanB, then mean luminance
     * of each 2×2 spatial quadrant] — 7 floats, deterministic, feeds
     * straight into the similarity operators. */

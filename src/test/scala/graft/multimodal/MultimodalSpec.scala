@@ -20,26 +20,50 @@ class MultimodalSpec extends SparkSpec {
       "application/octet-stream")
   }
 
-  test("media table wrap + per-partition feature extraction") {
-    val df = Seq((1L, png), (2L, jpg), (3L, wav))
+  test("media table wrap + REAL per-partition feature extraction") {
+    // uniform gray-100 8×8 PPM: every 4×4 cell's mean luma is 100, so
+    // the L2-normalized embedding is exactly 0.25f in all 16 slots
+    // (norm = sqrt(16·100²) = 400); truncated png/wav bytes decode to
+    // nothing → null features, never fabricated ones
+    val uniform = Ppm.encode(Ppm.Image(8, 8, Array.fill(8 * 8 * 3)(100.toByte)))
+    val df = Seq((1L, uniform), (2L, png), (3L, wav))
       .toDF("id", "bin").repartition(2)
     val media = Multimodal.asMediaTable(df, "id", "bin")
     assert(media.schema.fieldNames.toSeq ==
       Seq("media_id", "content", "meta"))
-    val feats = Multimodal.extractFeatures(media, dim = 8)
-    val rows = feats.orderBy("media_id").collect()
+    val rows = Multimodal.extractFeatures(media, dim = 16)
+      .orderBy("media_id").collect()
     assert(rows.length == 3)
     val f1 = rows(0).getAs[scala.collection.Seq[Float]]("features").toSeq
-    assert(f1.length == 8)
-    assert(f1.forall(v => v >= 0f && v <= 1f))
-    // deterministic: same bytes → same features
-    val again = Multimodal.extractFeatures(media, dim = 8)
-      .orderBy("media_id").collect()(0)
-      .getAs[scala.collection.Seq[Float]]("features").toSeq
-    assert(f1 == again)
-    // different bytes → different features
-    val f2 = rows(1).getAs[scala.collection.Seq[Float]]("features").toSeq
-    assert(f1 != f2)
+    assert(f1 == Seq.fill(16)(0.25f), s"got $f1")
+    assert(rows(1).getAs[AnyRef]("features") == null)
+    assert(rows(2).getAs[AnyRef]("features") == null)
+    // non-square dim is a programming error, caught up front
+    intercept[IllegalArgumentException] {
+      Multimodal.extractFeatures(media, dim = 8)
+    }
+  }
+
+  test("lumaGrid: hand-computed cell means and L2 normalization") {
+    // 4×4 gray blocks (r=g=b=v → integer luma exactly v): 2×2 grid
+    // cells average to 10, 20, 30, 40; norm = sqrt(3000)
+    val vals = Array(10, 10, 20, 20, 10, 10, 20, 20,
+      30, 30, 40, 40, 30, 30, 40, 40)
+    val rgb = vals.flatMap(v => Array(v.toByte, v.toByte, v.toByte))
+    val got = Ppm.lumaGrid(Ppm.Image(4, 4, rgb), 2).toSeq
+    val norm = math.sqrt(100.0 + 400.0 + 900.0 + 1600.0)
+    assert(got == Seq(10f, 20f, 30f, 40f).map(v =>
+      (v.toDouble / norm).toFloat), s"got $got")
+    // non-square image, fractional cell mean: 4×2 gradient → cells
+    // (lumas 0,17 | 35,53 | 22,22 | 22,22) → means 8.5, 44, 22, 22
+    val grad = Ppm.decode(gradientPpm).get
+    val g2 = Ppm.lumaGrid(grad, 2).toSeq
+    val n2 = math.sqrt(8.5 * 8.5 + 44.0 * 44.0 + 484.0 + 484.0)
+    assert(g2 == Seq(8.5f, 44f, 22f, 22f).map(v =>
+      (v.toDouble / n2).toFloat), s"got $g2")
+    // all-black normalizes to the zero vector, not NaN
+    val black = Ppm.lumaGrid(Ppm.Image(2, 2, new Array[Byte](12)), 2).toSeq
+    assert(black == Seq(0f, 0f, 0f, 0f))
   }
 
   // A 4x2 P6 image with known pixels: top row red shades, bottom blue
