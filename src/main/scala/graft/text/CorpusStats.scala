@@ -91,7 +91,7 @@ object CorpusStats {
     * [[graft.dedup.Md5Prefix]] so DuckDB replays boundary placement
     * exactly. */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
-    val chunks = chunkSpans(s, dir).select(col("doc_id"), col("chunk_hash"))
+    val chunks = chunkZone(s, dir).select(col("doc_id"), col("chunk_hash"))
     val shared = chunks.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
     chunks.join(shared, "chunk_hash")
@@ -104,7 +104,12 @@ object CorpusStats {
   }
 
   /** Per-doc CDC chunk relation: (doc_id, j, ctoks, ctext, chunk_hash),
-    * shared by q106 (scoring) and q113 (scrubbing).
+    * shared by q106 (scoring) and q113 (scrubbing). Each consumer scans
+    * it twice (once into the corpus-wide fingerprint aggregate, once
+    * into the join back), so [[chunkZone]] below stores it to a
+    * parquet scratch zone and both branches read the stored copy — the
+    * chunk relation is a multiple of the corpus and must not be
+    * re-derived per branch or pinned in executor memory at 100 TB.
     *
     * The whole per-doc chunking runs MAP-SIDE on the token array —
     * boundary indices via `filter` over positions, chunk text via
@@ -152,6 +157,11 @@ object CorpusStats {
         md5(col("c.ctext")).as("chunk_hash"))
   }
 
+  /** The chunk relation materialized once ([[graft.util.Scratch]]);
+    * q106 and q113 consume the stored copy from both plan branches. */
+  private def chunkZone(s: SparkSession, dir: String): DataFrame =
+    graft.util.Scratch.store(chunkSpans(s, dir), "cdc-chunks")
+
   /** q113: shared-span SCRUB — the destructive rewrite q106 only
     * scores: drop every chunk whose fingerprint occurs in more than
     * one document corpus-wide, and reassemble each document's cleaned
@@ -165,10 +175,10 @@ object CorpusStats {
     * one fingerprint aggregate, one key-partitioned join back); the
     * reassembly is collect_list of (j, text) per doc — bounded by
     * document size, the same invariant every per-doc array op here
-    * relies on. At 100 TB the chunk relation is checkpointed once
-    * instead of recomputed for the count and the join (q104 note). */
+    * relies on. The chunk relation is stored once ([[chunkZone]]);
+    * the count and the join both scan the zone copy. */
   def sharedSpanScrub(s: SparkSession, dir: String): DataFrame = {
-    val ch = chunkSpans(s, dir)
+    val ch = chunkZone(s, dir)
     val shared = ch.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
     ch.join(shared, "chunk_hash")

@@ -18,26 +18,28 @@ import graft.util.Tokens
   */
 object Postings {
 
-  /** (doc_id, sh) distinct-shingle-set relation, materialized ONCE
-    * (eager localCheckpoint = one corpus scan + one tokenize/shingle
-    * pass). The similarity joins read this relation from up to six
-    * plan branches (postings, document frequencies, both self-join
-    * prefix sides, both verification sides); without materialization
-    * every branch re-scans parquet and re-shingles the corpus
-    * (measured: six `Scan parquet` nodes in the q117 plan). At 100 TB
-    * the same move writes the shingle/postings relation to a
-    * column-pruned parquet zone instead of executor memory — identical
-    * shape, durable blocks; ContextCleaner frees the local blocks once
-    * the query's RDDs are unreachable. */
+  /** (doc_id, sh) distinct-shingle-set relation, materialized ONCE to
+    * a parquet scratch zone ([[graft.util.Scratch]]) = one corpus scan
+    * + one tokenize/shingle pass, then every consumer branch scans the
+    * stored relation. The similarity joins read it from up to six plan
+    * branches (postings, document frequencies, both self-join prefix
+    * sides, both verification sides); without materialization every
+    * branch re-scans parquet and re-shingles the corpus (measured: six
+    * `Scan parquet` nodes in the q117 plan). The zone spelling — not
+    * `localCheckpoint` — is what holds at 100 TB: the shingle relation
+    * is a multiple of the corpus and cannot live in executor storage
+    * memory, and a branch that needs only `doc_id` column-prunes the
+    * stored copy (PostingsSpec pins zero corpus re-scans). */
   private def shingleSets(s: SparkSession, dir: String,
                           n: Int): DataFrame =
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
-      // materialize w first — inlining the split into the n-gram
-      // lambda re-evaluates it per element (Tokens.ngramsOf scaladoc)
-      .select(col("doc_id"),
-        array_distinct(Tokens.ngramsOf(col("w"), n)).as("sh"))
-      .localCheckpoint()
+    graft.util.Scratch.store(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
+        // materialize w first — inlining the split into the n-gram
+        // lambda re-evaluates it per element (Tokens.ngramsOf scaladoc)
+        .select(col("doc_id"),
+          array_distinct(Tokens.ngramsOf(col("w"), n)).as("sh")),
+      s"shingles-$n")
 
   /** q117: exact Jaccard similarity self-join via prefix filtering
     * (AllPairs/PPJoin): every document pair whose 5-gram shingle sets

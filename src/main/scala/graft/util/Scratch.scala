@@ -1,0 +1,71 @@
+package graft.util
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet scratch zone for shared intermediate relations: a relation
+  * consumed by several plan branches (the shingle sets feeding a
+  * similarity join's postings/df/prefix/verify branches, the CDC chunk
+  * relation scored AND joined back) is written ONCE as column-pruned
+  * parquet and every branch scans the stored copy.
+  *
+  * This is the 100 TB spelling of "materialize once". The alternative,
+  * `localCheckpoint()`, pins the relation as executor-memory/disk
+  * blocks: capacity is bounded by executor storage memory (a corpus'
+  * shingle relation is a multiple of the corpus itself), the blocks
+  * die with their executor, and every consumer stage must run in the
+  * same application. A parquet zone has none of those limits — it
+  * spills to the cluster store, survives preemption, column-prunes on
+  * read (a branch that needs only `(doc_id)` reads one column, which
+  * checkpoint blocks cannot do), and its lifecycle is visible (a path,
+  * not an RDD id).
+  *
+  * Placement dial: set the session conf [[Scratch.DirKey]]
+  * (`graft.scratch.dir`) to a shared durable path (HDFS/S3) on a real
+  * cluster; it falls back to [[Checkpoints.DirKey]] if that is set,
+  * else a driver-local temp root (correct in local mode, where every
+  * "executor" shares the filesystem). Each store gets a unique subdir
+  * — concurrent queries never collide — and the default temp root is
+  * deleted on JVM exit.
+  */
+object Scratch {
+
+  /** Session conf key: root directory for scratch relations. */
+  val DirKey = "graft.scratch.dir"
+
+  private val seq = new AtomicLong()
+
+  /** Write `df` to `<root>/<name>-<n>` as parquet and return a scan of
+    * the stored relation. Eager by design — same contract as the
+    * localCheckpoint it replaces: one source scan, then every consumer
+    * branch reads the zone. */
+  def store(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val path = s"${root(spark)}/$name-${seq.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  private def root(spark: SparkSession): String =
+    spark.conf.getOption(DirKey)
+      .orElse(spark.conf.getOption(Checkpoints.DirKey))
+      .getOrElse(defaultRoot(spark))
+
+  // one per JVM, keyed by app id so parallel test sessions don't share
+  private lazy val tmpRoot: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scratch-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(dir)))
+    dir.getAbsolutePath
+  }
+
+  private def defaultRoot(spark: SparkSession): String = tmpRoot
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

@@ -89,7 +89,9 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf("q113_span_scrub")
     assert(!plan.contains("Window"),
       "span scrub regressed to a window shuffle:\n" + plan)
-    assert(plan.contains("Generate"), plan) // per-doc chunk explode
+    // the per-doc chunk explode (Generate) runs once in the zone-
+    // production job; the consumer plan reads the stored chunks
+    assert(plan.contains("cdc-chunks-"), plan)
   }
 
   test("q116: every corpus-scale window is sub-bucketed; offsets broadcast") {
@@ -118,14 +120,14 @@ class PlanAuditSpec extends SparkSpec {
     // equi-joins (shared shingle / candidate doc ids) — a cartesian or
     // nested-loop node means the lossless pruning silently degraded to
     // the all-pairs plan it exists to avoid. And every branch must
-    // read the materialized shingle relation, not re-scan parquet
-    // (six re-scans before the localCheckpoint was added).
+    // read the materialized shingle zone, not re-scan the corpus
+    // (six re-scans before the shingle relation was materialized).
     for (q <- Seq("q117_setsim_join", "q121_containment_join")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
-      assert(!plan.contains("Scan parquet"),
-        s"$q re-scans the corpus instead of the shingle relation:\n$plan")
+      assert(!plan.contains("documents.parquet"),
+        s"$q re-scans the corpus instead of the shingle zone:\n$plan")
     }
   }
 
@@ -148,6 +150,19 @@ class PlanAuditSpec extends SparkSpec {
         plan)
     assert("Window".r.findAllIn(plan).length >= 2, plan)
     assert(!plan.contains("Join"), "funnel must not self-join:\n" + plan)
+  }
+
+  test("q106/q113: both chunk branches read the parquet chunk zone") {
+    // the CDC chunk relation is stored once (Scratch); the fingerprint
+    // aggregate and the join-back both scan the zone, never re-chunk
+    for (q <- Seq("q106_cdc_chunks", "q113_span_scrub")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf())
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        s"$q re-scanned the corpus instead of the chunk zone:\n" + plan)
+      assert(plan.contains("cdc-chunks-"),
+        s"$q: expected scans of the chunk scratch zone:\n" + plan)
+    }
   }
 
   test("q120: canonicalization is map-side and stays in codegen") {

@@ -36,6 +36,20 @@ class PostingsSpec extends SparkSpec {
     assert(got.nonEmpty, "sf0.001 corpus should contain near-dup pairs")
   }
 
+  test("q117/q121 read the shingle zone — zero corpus re-scans") {
+    // the shingle relation is stored ONCE to a parquet scratch zone;
+    // every downstream branch (postings, df, both prefix sides, both
+    // verify sides) must scan the zone, never re-shingle the corpus
+    for (df <- Seq(Postings.setSimJoin(spark, sf()),
+                   Postings.containmentJoin(spark, sf()))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        "a branch re-scanned the corpus instead of the zone:\n" + plan)
+      assert(plan.contains("shingles-"),
+        "expected scans of the shingle scratch zone:\n" + plan)
+    }
+  }
+
   test("q117 identical docs join at jaccard 1.0; disjoint docs never") {
     import spark.implicits._
     val df = Seq(

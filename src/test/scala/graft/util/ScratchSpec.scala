@@ -1,0 +1,34 @@
+package graft.util
+
+import graft.SparkSpec
+
+/** Pins the scratch-zone contract: the conf dial routes the parquet
+  * zone, the stored relation round-trips, and concurrent stores never
+  * collide. The per-query plan pins (PostingsSpec, PlanAuditSpec)
+  * prove consumers actually read the zone. */
+class ScratchSpec extends SparkSpec {
+
+  test("store round-trips and lands under graft.scratch.dir when set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("scratch-spec").toString
+    spark.conf.set(Scratch.DirKey, dir)
+    try {
+      val got = Scratch.store(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "unit")
+      assert(got.orderBy("id").collect().map(_.getString(1)).toSeq ==
+        Seq("a", "b"))
+      val stored = new java.io.File(dir).listFiles()
+      assert(stored != null && stored.exists(_.getName.startsWith("unit-")),
+        s"expected a unit-* zone under $dir")
+    } finally spark.conf.unset(Scratch.DirKey)
+  }
+
+  test("unique store paths: same name twice never collides") {
+    import spark.implicits._
+    val a = Scratch.store(Seq(1L).toDF("x"), "twice")
+    val b = Scratch.store(Seq(2L).toDF("x"), "twice")
+    assert(a.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(b.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}
