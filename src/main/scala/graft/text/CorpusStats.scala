@@ -361,30 +361,37 @@ object CorpusStats {
 
   /** q133: frequent-items sketch with an in-result guarantee witness
     * — completes the approx-sketch family (q84's HLL++ and quantile
-    * sketches): `stat.freqItems` is Spark's single-pass misra-gries
-    * style heavy-hitter sketch, whose CONTRACT is no false negatives
-    * (every item with frequency > support·n is returned; false
-    * positives allowed). The query emits exactly the provable part:
-    * one row per TRUE heavy hitter (exact count, from the same scan
-    * family) with `captured` = sketch-membership — which the oracle
-    * pins to literal TRUE, so a sketch that ever dropped a real heavy
-    * hitter fails the hash gate. The candidate LIST itself is
-    * partitioning-dependent (merge order) and deliberately not
-    * emitted. */
+    * sketches): [[graft.functions.MisraGries]] is a single-pass
+    * k-counter heavy-hitter sketch whose CONTRACT is no false
+    * negatives (every item with frequency > n/supportDen is in the
+    * summary; false positives allowed). The query emits exactly the
+    * provable part: one row per TRUE heavy hitter (exact count) with
+    * `captured` = sketch-membership — which the oracle pins to literal
+    * TRUE, so a sketch that ever dropped a real heavy hitter fails the
+    * hash gate. The candidate LIST itself is partitioning-dependent
+    * (merge order) and deliberately not emitted.
+    *
+    * One corpus scan, fully lazy: the sketch is a typed Aggregator
+    * riding partial aggregation (unlike `stat.freqItems`, which runs
+    * an eager driver-side `rdd.aggregate` at CALL time — the old
+    * spelling double-counted the scan before any action). Its weighted
+    * updates consume the exact (token, cnt) relation the witness needs
+    * anyway — a legal weighted stream with the same bound — so exact,
+    * total, and sketch all hang off ONE tokenize shuffle, which
+    * exchange reuse dedups (plan-pinned in PlanAuditSpec). */
   def freqItemsWitness(s: SparkSession, dir: String,
                        supportDen: Int = 50): DataFrame = {
     val toks = Tables.load(s, dir, "documents")
       .select(explode(Tokens.whitespace(lower(col("text")))).as("t"))
     val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
     // n re-aggregates the tiny token-count relation — a toks.count()
-    // spelling would be a THIRD corpus tokenize-scan
+    // spelling would be a second corpus tokenize-scan
     val tot = exact.agg(sum(col("cnt")).as("n"))
-    // NOTE: stat.freqItems is EAGER (rdd.aggregate into a local
-    // relation) — constructing this DataFrame runs the sketch's
-    // corpus scan immediately, unlike every lazy query in the
-    // registry; that is a property of Spark's API, not this call site
-    val cand = toks.stat.freqItems(Array("t"), 1.0 / supportDen)
-      .select(col("t_freqItems").as("cand"))
+    val mg = udaf(new graft.functions.MisraGries(supportDen),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val cand = exact.agg(mg(col("t"), col("cnt")).as("cand"))
     exact.crossJoin(broadcast(tot)).crossJoin(broadcast(cand))
       .where(col("cnt") * supportDen > col("n"))
       .select(col("t").as("token"), col("cnt"),

@@ -165,6 +165,47 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q133: sketch is lazy (no compute job at construction), one scan") {
+    // every registry query pays Tables.load's 1-task parquet footer
+    // metadata job ("parquet at Tables.scala") at construction; the
+    // eagerness under test is a COMPUTE job — the old stat.freqItems
+    // spelling ran a corpus aggregate synchronously at call time
+    @volatile var names = List.empty[String]
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        names ::= j.stageInfos.map(_.name).mkString("|")
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = graft.SparkEntry.queries("q133_freq_items")(spark, sf())
+      // barrier job: flushes the listener bus (an RDD action — a SQL
+      // count would itself spawn async AQE stage jobs)
+      spark.sparkContext.parallelize(Seq(1)).count()
+      var (seen, stableSince) = (names.size, System.currentTimeMillis)
+      while (System.currentTimeMillis - stableSince < 500) {
+        if (names.size != seen) { seen = names.size
+          stableSince = System.currentTimeMillis }
+        Thread.sleep(20)
+      }
+      val compute = names.filterNot(_.startsWith("parquet at"))
+      assert(compute.size == 1, // the barrier count() only
+        s"constructing q133 submitted eager compute job(s): $compute")
+      df.collect()
+      // count scans in the FINAL adaptive plan only — toString appends
+      // the pre-reuse "== Initial Plan ==" section after it
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans == 1,
+        s"expected ONE corpus scan (exchange reuse dedups the " +
+          s"tokenize shuffle), got $scans:\n$plan")
+      assert("ReusedExchange".r.findAllIn(plan).length >= 2,
+        "tot and sketch branches must reuse the tokenize shuffle:\n" +
+          plan)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("q120: canonicalization is map-side and stays in codegen") {
     val df = graft.SparkEntry.queries("q120_nfc_clean")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
