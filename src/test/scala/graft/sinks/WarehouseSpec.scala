@@ -78,6 +78,33 @@ class WarehouseSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("S3: JDBC scan pushes predicates and prunes columns (Derby)") {
+    import org.apache.spark.sql.functions.col
+    // the reference pushes whole transforms into the store
+    // (taxi_transform_dag.py:42-80); the engine's analog is making
+    // sure a JDBC-backed scan ships its filter and column list to the
+    // database instead of pulling the table and filtering in Spark
+    val url = s"jdbc:derby:memory:pd${System.nanoTime()};create=true"
+    val nation = graft.Tables.load(spark, sf(), "nation")
+    Warehouse.jdbcWriter(nation, url, "nation_pd", "app", "app")
+      .mode("append").save()
+    val scan = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "nation_pd").load()
+      .where(col("n_nationkey") < 5)
+      .select(col("n_name"))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*LessThan\\(n_nationkey,5\\).*"),
+      "filter not pushed into the JDBC scan:\n" + plan)
+    assert(plan.matches("(?s).*ReadSchema: struct<n_name[^>]*>.*"),
+      "expected a one-column ReadSchema (pruned to n_name):\n" + plan)
+    assert(!plan.toLowerCase.contains("n_regionkey"),
+      "unprojected column requested from the database:\n" + plan)
+    assert(scan.collect().map(_.getString(0)).toSet ==
+      nation.where(col("n_nationkey") < 5)
+        .select(col("n_name")).collect().map(_.getString(0)).toSet)
+  }
+
   test("tableStats reports files, bytes, rows, columns") {
     val dir = java.nio.file.Files.createTempDirectory("stats").toString + "/t"
     graft.Tables.load(spark, sf(), "nation").repartition(3)
