@@ -30,14 +30,17 @@ object CsvIngest {
   def ingest(spark: SparkSession, csvPath: String, tableName: String,
              zoneRoot: String,
              sampleRows: Int = SchemaInference.DefaultSampleRows,
-             dialect: TypeLattice.Dialect = TypeLattice.Postgres)
+             dialect: TypeLattice.Dialect = TypeLattice.Postgres,
+             ddlGen: graft.schema.DdlGenerator =
+               graft.schema.DdlGenerator.Deterministic)
       : IngestResult = {
     val table = SchemaEvolver.parseTableName(tableName)
     val target = targetPath(zoneRoot, table)
 
     val sampled = SchemaInference.inferCsvSample(spark, csvPath, sampleRows)
     val existing = readExistingSchema(spark, target)
-    val evo = SchemaEvolver.evolve(existing, sampled.schema, table, dialect)
+    val evo = SchemaEvolver.evolve(existing, sampled.schema, table, dialect,
+      ddlGen)
 
     // Full read: header-named all-string read, then cast BY NAME to the
     // merged types. An explicit schema on a CSV read is applied

@@ -40,10 +40,18 @@ object SchemaEvolver {
 
   /** Reconcile an inferred schema against the existing table schema
     * (None = table absent). Pure function: the caller applies `merged`
-    * (parquet rewrite / catalog ALTER) and may log `ddl`. */
+    * (parquet rewrite / catalog ALTER) and may log `ddl`.
+    *
+    * The reconciliation DECISION (merged schema, added columns,
+    * create-vs-alter) is always computed here — deterministic and
+    * non-negotiable; only the DDL TEXT is delegated to `gen`
+    * ([[DdlGenerator]]), mirroring the reference's LLM-or-fallback
+    * split where the fallback fixes the semantics. */
   def evolve(existing: Option[StructType], inferred: StructType,
              table: TableName = TableName(None, "t"),
-             dialect: Dialect = Postgres): EvolutionResult = {
+             dialect: Dialect = Postgres,
+             gen: DdlGenerator = DdlGenerator.Deterministic)
+      : EvolutionResult = {
     val sanitizedInferred = StructType(inferred.fields.map(f =>
       f.copy(name = TypeLattice.sanitize(f.name))).toSeq)
     existing match {
@@ -52,7 +60,7 @@ object SchemaEvolver {
           merged = sanitizedInferred,
           addedColumns = sanitizedInferred.fields.toSeq,
           createdTable = true,
-          ddl = createDdl(table, sanitizedInferred, dialect))
+          ddl = gen.createTable(table, sanitizedInferred, dialect))
       case Some(cur) =>
         val have = cur.fields.map(_.name.toLowerCase).toSet
         val added = sanitizedInferred.fields.toSeq
@@ -61,25 +69,8 @@ object SchemaEvolver {
           merged = StructType(cur.fields.toSeq ++ added),
           addedColumns = added,
           createdTable = false,
-          ddl = added.map(f =>
-            s"ALTER TABLE ${table.qualified} ADD COLUMN ${f.name} " +
-              TypeLattice.sqlType(f.dataType, dialect) + ";"))
+          ddl = gen.alterTable(table, added, dialect))
     }
-  }
-
-  private def createDdl(table: TableName, schema: StructType,
-                        dialect: Dialect): Seq[String] = {
-    val cols = schema.fields
-      .map(f => s"  ${f.name} ${TypeLattice.sqlType(f.dataType, dialect)}")
-      .mkString(",\n")
-    val createNs = table.schema.map { ns =>
-      dialect match {
-        case Postgres => s"CREATE SCHEMA IF NOT EXISTS $ns;"
-        case _        => s"CREATE DATABASE IF NOT EXISTS $ns;"
-      }
-    }
-    createNs.toSeq :+
-      s"CREATE TABLE IF NOT EXISTS ${table.qualified} (\n$cols\n);"
   }
 
   /** Multi-statement split on ';' dropping empties (reference

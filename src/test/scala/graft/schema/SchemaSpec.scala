@@ -103,6 +103,43 @@ class SchemaSpec extends AnyFunSuite {
     Gen.listOf(genField).map(fs =>
       StructType(fs.toMap.toSeq.map { case (n, t) => StructField(n, t) }))
 
+  test("DdlGenerator seam: a custom generator swaps the DDL text only") {
+    import org.apache.spark.sql.types._
+    // an LLM-backed generator would drop in exactly like this recorder:
+    // it authors text; it cannot touch the reconciliation decision
+    object Recorder extends DdlGenerator {
+      override def createTable(t: SchemaEvolver.TableName, s: StructType,
+                               d: TypeLattice.Dialect): Seq[String] =
+        Seq(s"-- custom create ${t.qualified} (${s.length} cols)")
+      override def alterTable(t: SchemaEvolver.TableName,
+                              a: Seq[StructField],
+                              d: TypeLattice.Dialect): Seq[String] =
+        a.map(f => s"-- custom add ${f.name}")
+    }
+    val inferred = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType)))
+    val existing = StructType(Seq(StructField("a", LongType)))
+    val created = SchemaEvolver.evolve(None, inferred,
+      SchemaEvolver.parseTableName("ns.t"), gen = Recorder)
+    assert(created.ddl == Seq("-- custom create ns.t (2 cols)"))
+    val altered = SchemaEvolver.evolve(Some(existing), inferred,
+      gen = Recorder)
+    assert(altered.ddl == Seq("-- custom add b"))
+    // decision identical to the deterministic default's
+    val default = SchemaEvolver.evolve(Some(existing), inferred)
+    assert(altered.merged == default.merged &&
+      altered.addedColumns == default.addedColumns)
+  }
+
+  test("default DDL is the reference fallback: executable, additive") {
+    import org.apache.spark.sql.types._
+    val evo = SchemaEvolver.evolve(None,
+      StructType(Seq(StructField("id", LongType))),
+      SchemaEvolver.parseTableName("ns.t"))
+    assert(evo.ddl.head == "CREATE SCHEMA IF NOT EXISTS ns;")
+    assert(evo.ddl.last.startsWith("CREATE TABLE IF NOT EXISTS ns.t"))
+  }
+
   test("property: evolve(existing, inferred) ⊇ existing, and is idempotent") {
     // Plain ScalaCheck sampling (scalatest-plus bridge isn't a declared
     // dependency): 200 deterministic cases.
