@@ -574,8 +574,43 @@ object Dedup {
   /** q37/q38 run under [[Md5Prefix]] so the FULL LSH pipelines are
     * oracle-checked (DuckDB reproduces the hash); library callers default
     * to the faster [[XxHash64]]. */
+  /** q138: LEAKAGE-SAFE train/val/test split — the q102 hash split
+    * made near-dup-aware: hash the CLUSTER label, not the doc id, so
+    * an entire near-duplicate component lands in one split and a
+    * training example can never leak an eval example's near-copy
+    * (the contamination mode q109 scans for, prevented structurally).
+    * Labels are [[connectedComponents]] over the exact q36 pairs with
+    * singletons keeping their own id — so on docs with no near-dup
+    * the assignment REDUCES EXACTLY to q102's (same md5-prefix
+    * bucket, same permille cuts; pinned in DedupSpec), which is what
+    * makes the split stable as clusters grow: adding a near-dup to a
+    * singleton moves only that cluster, never reshuffles the corpus.
+    *
+    * Scale shape: q36 pairs + O(log n) contraction (the operators
+    * already gated by q36/q98), one broadcast label join (shuffle
+    * join at 10⁹ nodes — see [[dedupClusters]]), then map-side
+    * hash/bucket math. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling.{TrainCut, ValCut}
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val pairs = jaccardPairs(s, dir)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val labels = connectedComponents(pairs)
+    docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("bucket",
+        Md5Prefix.h(col("cluster_id").cast("string")) % 1000)
+      .withColumn("split",
+        when(col("bucket") < TrainCut, "train")
+          .when(col("bucket") < ValCut, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_dedup_exact"   -> (exactGroups _),
+    "q138_leakage_split" -> (leakageSafeSplit _),
     "q35_dedup_keep_first" -> (keepFirst _),
     "q36_jaccard_pairs" -> (jaccardPairs _),
     "q37_minhash_lsh"   -> ((s: SparkSession, d: String) =>
@@ -663,6 +698,29 @@ object Dedup {
         |SELECT id AS doc_id, min(label) AS cluster_id,
         |  (id = min(label)) AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    // q98's recursive-CTE labels + q102's md5-prefix bucket math,
+    // applied to the LABEL — the whole leakage guarantee in one line
+    "q138_leakage_split" ->
+      ("WITH RECURSIVE p AS (\n" + JaccardPairsSql + "\n), " +
+        """e(src, dst) AS (
+        |  SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p
+        |), reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+        |), lab AS (
+        |  SELECT id AS doc_id, min(label) AS cluster_id
+        |  FROM reach GROUP BY id
+        |), b AS (
+        |  SELECT doc_id, cluster_id,
+        |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS bucket
+        |  FROM lab)
+        |SELECT doc_id, cluster_id, bucket,
+        |  CASE WHEN bucket < 900 THEN 'train'
+        |       WHEN bucket < 950 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin),
     "q37_minhash_lsh" ->
       (MinhashBandedCtes +
       raw""", pairs AS (

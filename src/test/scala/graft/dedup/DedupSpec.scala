@@ -50,6 +50,30 @@ class DedupSpec extends SparkSpec {
       s"missed pairs under Md5Prefix: ${(truePairs -- found).take(5)}")
   }
 
+  test("q138 leakage split: clusters never straddle; singletons = q102") {
+    val split = Dedup.leakageSafeSplit(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[String]("split")))
+    // the guarantee: every member of a cluster is in ONE split — a
+    // near-dup of a test doc can never be trained on
+    split.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $c straddles splits: ${members.take(5).toSeq}")
+    }
+    // on singleton clusters the assignment reduces exactly to q102's
+    // doc-id hash split — adding near-dups moves only their cluster
+    val q102 = graft.ops.Sampling.hashSplit(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val singles = split.filter { case (d, c, _) => d == c }
+    assert(singles.nonEmpty)
+    // members of multi-doc clusters whose label = own id are the
+    // cluster roots; restrict to TRUE singletons (cluster size 1)
+    val bySize = split.groupBy(_._2).view.mapValues(_.length).toMap
+    singles.filter(t => bySize(t._2) == 1).foreach { case (d, _, sp) =>
+      assert(sp == q102(d), s"singleton $d diverged from q102")
+    }
+  }
+
   test("simhash pair set agrees with brute-force truth") {
     val found = Dedup.simhashPairs(spark, sf()).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
