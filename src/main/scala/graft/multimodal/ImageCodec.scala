@@ -88,4 +88,32 @@ object ImageCodec {
       case _: Exception => None // corrupt blobs are data, not errors
     }
   }
+
+  /** REAL PNG encode via the JDK's built-in writer — the write-side
+    * counterpart to [[decode]]. PNG is lossless, so
+    * `decode(encodePng(img))` returns the exact pixels (round-trip
+    * pinned in ImageCodecSpec); with [[Multimodal.transcodePng]] this
+    * completes the read-AND-write transcode story for a compressed
+    * format (PNM/BMP/WAV/Y4M writers are hand-rolled; PNG's zlib +
+    * filter machinery is exactly what the JDK already ships). */
+  def encodePng(img: Ppm.Image): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](img.width)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val i = (y * img.width + x) * 3
+        row(x) = ((img.rgb(i) & 0xff) << 16) |
+          ((img.rgb(i + 1) & 0xff) << 8) | (img.rgb(i + 2) & 0xff)
+        x += 1
+      }
+      bi.setRGB(0, y, img.width, 1, row, 0, img.width)
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(bi, "png", out)
+    out.toByteArray
+  }
 }

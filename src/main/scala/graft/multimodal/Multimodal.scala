@@ -256,6 +256,36 @@ object Multimodal {
     spark.createDataFrame(rdd, media.schema)
   }
 
+  /** REAL PNG transcode: decode ANY supported image content (PPM/PGM/
+    * BMP natively, JPEG/PNG/GIF via ImageIO) and re-encode as PNG —
+    * the write-side compressed-format path ([[ImageCodec.encodePng]]).
+    * Non-image/corrupt content passes through unchanged; meta mime,
+    * size, and dims are rewritten only for transcoded rows. Same
+    * distributed binary→binary column shape as [[resizePpm]]. */
+  def transcodePng(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val idx = r.fieldIndex("content")
+        val bytes = r.getAs[Array[Byte]](idx)
+        val img =
+          if (bytes == null) None
+          else Ppm.decode(bytes).orElse(Bmp.decode(bytes))
+            .orElse(Pgm.decode(bytes)).orElse(ImageCodec.decode(bytes))
+        img match {
+          case Some(im) =>
+            val out = ImageCodec.encodePng(im)
+            val metaIdx = r.fieldIndex("meta")
+            val newMeta = Row("image/png", out.length.toLong,
+              im.width, im.height, r.getStruct(metaIdx).get(4))
+            Row.fromSeq(r.toSeq.updated(idx, out).updated(metaIdx, newMeta))
+          case None => r
+        }
+      }
+    }
+    spark.createDataFrame(rdd, media.schema)
+  }
+
   /** REAL audio decode: PCM-WAV rows get actual sample rate, channel
     * count, header-derived duration, and signal features (RMS,
     * zero-crossing rate, windowed energy — [[Wav.features]]); non-WAV

@@ -100,4 +100,14 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(Multimodal.sniffMime(encode(buffered(2, 2)((_, _) => 1), "jpg"))
       == "image/jpeg")
   }
+
+  test("encodePng: write-side round-trip is pixel-exact and sniffable") {
+    val rgb = Array.tabulate(4 * 3 * 3)(i => ((i * 37) % 256).toByte)
+    val img = Ppm.Image(4, 3, rgb)
+    val png = ImageCodec.encodePng(img)
+    assert(Multimodal.sniffMime(png) == "image/png")
+    val back = ImageCodec.decode(png).get
+    assert(back.width == 4 && back.height == 3)
+    assert(back.rgb.toSeq == rgb.toSeq, "PNG encode must be lossless")
+  }
 }

@@ -265,6 +265,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("transcodePng: lossless PPM→PNG rewrite, pass-through for non-images") {
+    val df = Seq((1L, gradientPpm), (2L, wav)).toDF("id", "bin")
+    val media = Multimodal.asMediaTable(df, "id", "bin")
+    val rows = Multimodal.transcodePng(media).orderBy("media_id").collect()
+    val png = rows(0).getAs[Array[Byte]]("content")
+    val meta = rows(0).getStruct(rows(0).fieldIndex("meta"))
+    assert(meta.getString(0) == "image/png")
+    assert(meta.getLong(1) == png.length.toLong)
+    assert(meta.getInt(2) == 4 && meta.getInt(3) == 2)
+    // lossless: the PNG decodes back to the original PPM pixels
+    assert(ImageCodec.decode(png).get.rgb.toSeq ==
+      Ppm.decode(gradientPpm).get.rgb.toSeq)
+    // non-image content and metadata pass through untouched
+    assert(rows(1).getAs[Array[Byte]]("content").toSeq == wav.toSeq)
+  }
+
   test("resize rewrites dimensions only") {
     val df = Seq((1L, png)).toDF("id", "bin")
     val media = Multimodal.asMediaTable(df, "id", "bin")
