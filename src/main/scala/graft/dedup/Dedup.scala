@@ -608,9 +608,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q139: cross-source near-dup overlap matrix — which sources
+    * duplicate each other (mirror crawls, re-scraped dumps): the q37
+    * MinHash-LSH pairs grouped by their (source, source) combination
+    * with the pair count and mean estimated Jaccard. The curation
+    * diagnostic behind source mixing decisions (q114): a source pair
+    * with heavy overlap means one of them is mostly redundant. The
+    * q36 exact family can't see this — its pair join is
+    * intentionally source-local; the LSH pipeline buckets corpus-wide.
+    *
+    * `avg(est_jaccard)` is cross-engine-safe BECAUSE est values are
+    * dyadic rationals (k/32): double sums of them are exact at any
+    * accumulation order, so Spark and DuckDB agree bit-for-bit —
+    * the same reasoning as the integer-ranking discipline, extended
+    * to the one division at the end. Source labels order-normalize
+    * (least/greatest) so (a,b) and (b,a) are one row. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(s, dir, hash = Md5Prefix)
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    // broadcast at gate scale; at 10⁹ docs these become doc-keyed
+    // shuffle joins (dedupClusters note) — still two linear joins
+    pairs
+      .join(broadcast(src.select(col("doc_id").as("id1"),
+        col("source").as("s1"))), "id1")
+      .join(broadcast(src.select(col("doc_id").as("id2"),
+        col("source").as("s2"))), "id2")
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"),
+        col("est_jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        avg(col("est_jaccard")).as("avg_est"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_dedup_exact"   -> (exactGroups _),
     "q138_leakage_split" -> (leakageSafeSplit _),
+    "q139_source_overlap" -> (sourceOverlap _),
     "q35_dedup_keep_first" -> (keepFirst _),
     "q36_jaccard_pairs" -> (jaccardPairs _),
     "q37_minhash_lsh"   -> ((s: SparkSession, d: String) =>
@@ -733,6 +769,29 @@ object Dedup {
         |FROM pairs
         |WHERE len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 >= 0.5
         |ORDER BY id1, id2""".stripMargin),
+    // the q37 pair derivation grouped by order-normalized source pair
+    "q139_source_overlap" ->
+      (MinhashBandedCtes +
+      raw""", pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.sig AS s1, c.sig AS s2
+        |  FROM banded a JOIN banded c
+        |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id
+        |), est AS (
+        |  SELECT id1, id2,
+        |    len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0
+        |      AS est_jaccard
+        |  FROM pairs
+        |  WHERE len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0
+        |    >= 0.5
+        |), lab AS (
+        |  SELECT least(da.source, db.source) AS src_a,
+        |    greatest(da.source, db.source) AS src_b, e.est_jaccard
+        |  FROM est e
+        |  JOIN documents da ON da.doc_id = e.id1
+        |  JOIN documents db ON db.doc_id = e.id2)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  avg(est_jaccard) AS avg_est
+        |FROM lab GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin),
     "q115_delta_neardup" ->
       (MinhashBandedCtes +
       raw""", pairs AS (

@@ -399,9 +399,40 @@ object CorpusStats {
       .orderBy("token")
   }
 
+  /** q140: duplicated n-gram fraction — the Gopher/RefinedWeb quality
+    * rule q89 does NOT cover: q89 scores repetition WITHIN a document;
+    * this scores each document by the fraction of its 5-gram
+    * occurrences that also appear in ANOTHER document (boilerplate,
+    * templated pages, licence headers). A gram repeated only inside
+    * one doc is not "duplicated" here (`countDistinct(doc_id) > 1`) —
+    * the two signals are deliberately orthogonal.
+    *
+    * Scale shape: one corpus scan → gram explode → one (gram →
+    * distinct-doc count) aggregate → one key-partitioned join back →
+    * per-doc aggregate; the single double division at the end (q106
+    * discipline). Hot grams (stop-phrase n-grams) spread across the
+    * gram-key shuffle; no per-doc state exceeds document size. */
+  def dupGramFraction(s: SparkSession, dir: String,
+                      n: Int = 5): DataFrame = {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
+      .select(col("doc_id"), explode(Tokens.ngramsOf(col("w"), n)).as("g"))
+    val shared = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    grams.join(shared, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup") / col("n_grams")).as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_freq_items"     -> ((s: SparkSession, d: String) =>
       freqItemsWitness(s, d)),
+    "q140_dup_grams"      -> ((s: SparkSession, d: String) =>
+      dupGramFraction(s, d)),
     "q104_tfidf_terms"    -> ((s: SparkSession, d: String) =>
       tfidfTopTerms(s, d)),
     "q105_bigram_novelty" -> (bigramNovelty _),
@@ -451,6 +482,27 @@ object CorpusStats {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
         |SELECT t AS token, cnt, TRUE AS captured
         |FROM e, n WHERE cnt * 50 > n ORDER BY token""".stripMargin,
+    // all 5-gram OCCURRENCES (not distinct — within-doc repeats each
+    // count), dup = gram appears in >1 distinct doc
+    "q140_dup_grams" ->
+      raw"""WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i+1:i+5], ' ')
+        |               for i in range(0, len(w) - 4)] END) AS g
+        |  FROM w),
+        |nd AS (
+        |  SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) /
+        |    CAST(count(*) AS BIGINT) AS dup_fraction
+        |FROM g JOIN nd USING (g)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q111_vocab_coverage" ->
       raw"""WITH tok AS (
         |  SELECT doc_id,
