@@ -164,6 +164,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q141: train-set DECONTAMINATION — the destructive counterpart of
+    * q109, in the direction decontamination actually runs: REMOVE from
+    * TRAIN every document that carries eval-split n-grams (you can
+    * regenerate a training set; a leaked eval set is burned). Every
+    * train doc is emitted with its gram counts and a `kept` verdict —
+    * hit fraction ≤ 5% by integer cross-multiplication (`n_hit·20 ≤
+    * n_grams`; no float compare at the boundary), the q113-style audit
+    * trail for a destructive rewrite.
+    *
+    * Scale shape mirrors q109 with the sides swapped: the EVAL gram
+    * set is the small distinct side (≤10% of the corpus) — broadcast
+    * at gate scale, gram-hash shuffle join beyond the threshold; the
+    * train side is one scan with counts partial-aggregated. */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val grams = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("is_train", graft.ops.Sampling.isTrainDoc(col("doc_id")))
+      .select(col("doc_id"), col("is_train"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("is_train"),
+        explode(array_distinct(Tokens.ngramsOf(col("w"), n))).as("g"))
+      .select(col("doc_id"), col("is_train"), Md5Prefix.h(col("g")).as("gh"))
+    val evalGrams = grams.where(!col("is_train"))
+      .select(col("gh")).distinct()
+    grams.where(col("is_train"))
+      .join(evalGrams.withColumn("hit", lit(1)), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit") * 20 <= col("n_grams")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** q88: PII detection + redaction — the scrub pass before text joins
     * a training corpus. Regex families are RE2-safe (no lookaround) so
     * Spark and DuckDB agree byte-for-byte. The synthetic tables carry
@@ -235,7 +268,9 @@ object TextAnalysis {
     "q88_pii_redact"    -> (piiRedact _),
     "q89_repetition"    -> (repetition _),
     "q109_split_contamination" -> ((s: SparkSession, d: String) =>
-      splitContamination(s, d)))
+      splitContamination(s, d)),
+    "q141_decontaminate" -> ((s: SparkSession, d: String) =>
+      decontaminate(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q95_token_freq" ->
@@ -300,6 +335,32 @@ object TextAnalysis {
         |    / count(*) AS contamination
         |FROM (SELECT * FROM g WHERE NOT is_train) c
         |LEFT JOIN train t USING (gh)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    // q109 with the sides swapped: train docs probed against the
+    // distinct EVAL gram set, integer-threshold kept verdict
+    "q141_decontaminate" ->
+      raw"""WITH words AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 < 900 AS is_train,
+        |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, is_train,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS gh
+        |  FROM (SELECT doc_id, is_train, unnest(
+        |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct([array_to_string(w[i+1:i+5], ' ')
+        |                             for i in range(0, len(w) - 4)]) END) AS s
+        |    FROM words)
+        |), ev AS (
+        |  SELECT DISTINCT gh FROM g WHERE NOT is_train
+        |)
+        |SELECT c.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 20 <= count(*) AS kept
+        |FROM (SELECT * FROM g WHERE is_train) c
+        |LEFT JOIN ev e USING (gh)
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
     "q87_contamination" ->
       raw"""WITH words AS (
