@@ -166,11 +166,63 @@ object Sampling {
       .orderBy("doc_id", "copy_no")
   }
 
+  /** q142: stratified PROPORTIONAL sample — draw exactly `target`
+    * docs total, allocated across sources in proportion to source
+    * size by the largest-remainder (Hamilton) method: base_i =
+    * ⌊target·nᵢ/N⌋, and the `target − Σ base` leftover seats go to
+    * the largest remainders (`(target·nᵢ) mod N` desc, source asc
+    * ties). All-integer allocation — no float quota can disagree
+    * between engines — and Σ allocᵢ = target EXACTLY, which
+    * round-half or ceil schemes do not guarantee. Members are chosen
+    * in the q103 hash order (stable under any reshuffle; the kept set
+    * of a source depends only on its own ids).
+    *
+    * Scale shape: sizes are one partial-agg; the allocation math runs
+    * on the ≤|sources| row relation (the q112 tiny-window rule — the
+    * only unpartitioned window is over sources); member selection is
+    * the [[graft.plans.TopK]] heap capped at `target` (alloc ≤ target
+    * always), so no per-source spilling sort; the final rank runs on
+    * the ≤|sources|·target heap survivors, not the corpus. */
+  def stratifiedSample(s: SparkSession, dir: String,
+                       target: Int = 200): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5Prefix(concat(col("source"), lit(":"),
+          col("doc_id").cast("string"))).as("h"))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = sizes.agg(sum(col("n")).as("nn"))
+    val quota = sizes.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($target * n) DIV nn"))
+      .withColumn("rem", expr(s"($target * n) % nn"))
+    // ≤ |sources| rows: the one intentionally-unpartitioned window
+    val rr = row_number().over(
+      Window.orderBy(col("rem").desc, col("source")))
+    val need = quota.agg((lit(target) - sum(col("base"))).as("extra"))
+    val alloc = quota.withColumn("rr", rr)
+      .crossJoin(broadcast(need))
+      .select(col("source"),
+        (col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+          .as("alloc"))
+    val capped = graft.plans.TopK.topKPerGroup(
+      docs.withColumn("neg_h", -col("h")),
+      groupCols = Seq("source"), orderCol = "neg_h", tieCol = "doc_id",
+      k = target)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    capped.withColumn("rk", row_number().over(w))
+      .join(broadcast(alloc), "source")
+      .where(col("rk") <= col("alloc"))
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_hash_split"   -> (hashSplit _),
     "q103_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
     "q108_curated_corpus" -> ((s: SparkSession, d: String) =>
       curatedCorpus(s, d)),
+    "q142_stratified_sample" -> ((s: SparkSession, d: String) =>
+      stratifiedSample(s, d)),
     "q114_source_mix"   -> ((s: SparkSession, d: String) => sourceMix(s, d)))
 
   /** The default weight table as a DuckDB VALUES relation — generated
@@ -205,6 +257,37 @@ object Sampling {
         |  FROM h)
         |SELECT source, doc_id FROM r
         |WHERE rn <= 100 ORDER BY source, doc_id""".stripMargin,
+    // largest-remainder allocation over the tiny source relation, then
+    // the q103 hash-order rank gated by each source's exact allocation
+    "q142_stratified_sample" ->
+      """WITH sz AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM sz),
+        |q AS (
+        |  SELECT source, (200 * n) // nn AS base, (200 * n) % nn AS rem
+        |  FROM sz, tot),
+        |r AS (
+        |  SELECT source, base,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM q),
+        |need AS (SELECT 200 - CAST(sum(base) AS BIGINT) AS extra FROM q),
+        |alloc AS (
+        |  SELECT source,
+        |    base + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS alloc
+        |  FROM r, need),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS h
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        |  FROM h)
+        |SELECT doc_id, source, rk
+        |FROM rk JOIN alloc USING (source)
+        |WHERE rk <= alloc ORDER BY source, rk""".stripMargin,
     "q108_curated_corpus" ->
       raw"""WITH survivors AS (
         |  SELECT doc_id, source, text FROM (

@@ -52,6 +52,28 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q142: exact total, proportional allocation, remainder seats") {
+    import spark.implicits._
+    // skewed strata where the remainders decide: sizes 7/5/3,
+    // target 10 → quotas 4.67/3.33/2 → bases 4/3/2 (sum 9), the one
+    // leftover seat goes to the largest remainder (sA at .67)
+    val dir = java.nio.file.Files.createTempDirectory("strat_docs").toString
+    val rows = (0 until 7).map(i => (100L + i, s"t$i", "sA")) ++
+      (0 until 5).map(i => (200L + i, s"t$i", "sB")) ++
+      (0 until 3).map(i => (300L + i, s"t$i", "sC"))
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Sampling.stratifiedSample(spark, dir, target = 10)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    assert(got.length == 10, "Hamilton allocation must hit the target exactly")
+    val bySrc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc == Map("sA" -> 5, "sB" -> 3, "sC" -> 2), bySrc.toString)
+    // id-stable: rerun picks the identical member set
+    val again = Sampling.stratifiedSample(spark, dir, target = 10)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("q104: exactly k rows per doc with enough terms, ranked by tf") {
     val out = CorpusStats.tfidfTopTerms(spark, sf(), k = 3).cache()
     // rank key is (tf desc, df asc, term asc): within a doc, tf is
