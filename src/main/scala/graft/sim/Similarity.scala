@@ -268,6 +268,44 @@ object Similarity {
     df.withColumn("dq_vec",
       expr("transform(q_vec, b -> CAST(b * q_scale / 127.0 AS FLOAT))"))
 
+  /** q143: top-k over the INT8-quantized corpus — the ANN memory/
+    * bandwidth lever made a first-class query: score with the exact
+    * INTEGER dot of the two int8 codes (≤ 64·127² ≪ 2⁶³ — no float
+    * accumulation order to disagree on, the deepest reason this query
+    * can be hash-gated while PQ-style ADC cannot), then de-scale to
+    * an approximate cosine with ONE fixed double expression
+    * (qdot·sₐ·s_q/127²). Per-query ranking needs the neighbor scale
+    * (s_q is constant within a query), so the rank key is the
+    * de-scaled value; ties break on neighbor_id as everywhere.
+    * Quantization error vs the float ranking is bounded by the
+    * half-step bound SimilaritySpec pins on [[quantize]] (top-k
+    * recall ≥ 0.9 vs q50).
+    *
+    * Scale shape = q50's: tiny query side broadcast, one corpus scan,
+    * 4× less vector bandwidth than float32 — the reason a 100 TB
+    * corpus quantizes its serving copy at all. */
+  def knnQuantized(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val all = quantize(corpus(s, dir))
+      .select(col("vec_id"), col("q_vec"), col("q_scale"))
+    val q = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q_vec").as("qq"),
+        col("q_scale").as("qs"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("aggregate(zip_with(q_vec, qq, " +
+          "(a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("qdot"),
+        col("q_scale"), col("qs"))
+      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+        (col("qdot").cast("double") * col("q_scale").cast("double") *
+          col("qs").cast("double") / lit(16129.0)).as("approx_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** q107: embedding near-dup CLUSTERS — the q52 pair graph folded
     * into connected components with a survivor per cluster: the
     * semantic-dedup mirror of q98 (same
@@ -295,6 +333,8 @@ object Similarity {
       knnIvf(s, d, nCells = IvfCells, nProbe = IvfCells)),
     "q52_embedding_neardup" ->
       ((s: SparkSession, d: String) => nearDupPairs(s, d)),
+    "q143_knn_quantized" ->
+      ((s: SparkSession, d: String) => knnQuantized(s, d)),
     "q107_embedding_clusters" -> (embeddingClusters _))
 
   /** The ±1 projection matrix as a DuckDB VALUES relation `proj(b, p)`
@@ -348,6 +388,41 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q50_knn_brute" -> bruteTopkSql,
     "q53_knn_ivf" -> bruteTopkSql,
+    // full int8 replay: float max-abs scale, double-divide round-half-
+    // away to TINYINT codes, exact BIGINT dot, one de-scale expression
+    "q143_knn_quantized" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS FLOAT),
+         |      [CAST(abs(x) AS FLOAT) for x in embedding]),
+         |      (m, x) -> greatest(m, x)) AS q_scale,
+         |    embedding
+         |  FROM embeddings
+         |), codes AS (
+         |  SELECT vec_id, q_scale,
+         |    [CAST(round(CAST(x AS DOUBLE) / CAST(q_scale AS DOUBLE)
+         |       * 127.0) AS TINYINT) for x in embedding] AS q_vec
+         |  FROM qz
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(c.q_vec[i] AS BIGINT) * CAST(q.q_vec[i] AS BIGINT)
+         |       for i in range(1, ${Dim + 1})]),
+         |      (acc, x) -> acc + x) AS qdot,
+         |    c.q_scale AS sa, q.q_scale AS sq
+         |  FROM codes c JOIN codes q
+         |    ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, qdot,
+         |    CAST(qdot AS DOUBLE) * CAST(sa AS DOUBLE) * CAST(sq AS DOUBLE)
+         |      / 16129.0 AS approx_cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(qdot AS DOUBLE) * CAST(sa AS DOUBLE)
+         |        * CAST(sq AS DOUBLE) / 16129.0 DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, qdot, approx_cos, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q51_knn_lsh" ->
       (sigCtes +
         s""",

@@ -87,6 +87,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("q143 quantized knn: high recall vs float ranking, exact k") {
+    val brute = Similarity.knnBrute(spark, sf(), k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val rows = Similarity.knnQuantized(spark, sf(), k = 5).collect()
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.size == 10 && perQuery.values.forall(_.length == 5))
+    val quant = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.9, s"quantized knn top-k recall $recall")
+  }
+
   test("knn ivf exact mode (probe-all) is bit-identical to brute force") {
     // The q53 gate contract: nProbe = nCells makes the candidate set
     // the full corpus, so the result must match q50 exactly — rank,
