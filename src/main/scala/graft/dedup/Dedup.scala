@@ -555,21 +555,28 @@ object Dedup {
     * doc_id) kept per component. The fixpoint — min component id per
     * node — is iteration-order independent, which is what makes an
     * engine-independent oracle possible (recursive CTE in DuckDB). */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, cluster_id) for EVERY doc over the exact q36 pair graph
+    * — singletons keep their own id. The ONE label-join spelling
+    * shared by q98 and q138 (a drifted copy would let the clusters
+    * the split protects diverge from the clusters dedup ships). The
+    * label table is broadcast: (id, label) pairs over only the
+    * edge-participating nodes — KB at gate scale. At 10⁹ nodes it
+    * outgrows broadcast range: drop the hint and this becomes a
+    * shuffle join on doc_id — still linear, still one pass. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
     val pairs = jaccardPairs(s, dir)
       .select(col("id1").as("a"), col("id2").as("b"))
     val labels = connectedComponents(pairs)
-    // The label table is broadcast here: (id, label) pairs over only
-    // the edge-participating nodes — KB at gate scale. At 10⁹ nodes
-    // it outgrows broadcast range: drop the hint and this becomes a
-    // shuffle join on doc_id — still linear, still one pass.
     docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
-  }
 
   /** q37/q38 run under [[Md5Prefix]] so the FULL LSH pipelines are
     * oracle-checked (DuckDB reproduces the hash); library callers default
@@ -590,23 +597,12 @@ object Dedup {
     * already gated by q36/q98), one broadcast label join (shuffle
     * join at 10⁹ nodes — see [[dedupClusters]]), then map-side
     * hash/bucket math. */
-  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Sampling.{TrainCut, ValCut}
-    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-    val pairs = jaccardPairs(s, dir)
-      .select(col("id1").as("a"), col("id2").as("b"))
-    val labels = connectedComponents(pairs)
-    docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
       .withColumn("bucket",
         Md5Prefix.h(col("cluster_id").cast("string")) % 1000)
-      .withColumn("split",
-        when(col("bucket") < TrainCut, "train")
-          .when(col("bucket") < ValCut, "val")
-          .otherwise("test"))
+      .withColumn("split", graft.ops.Sampling.splitOf(col("bucket")))
       .orderBy("doc_id")
-  }
 
   /** q139: cross-source near-dup overlap matrix — which sources
     * duplicate each other (mirror crawls, re-scraped dumps): the q37

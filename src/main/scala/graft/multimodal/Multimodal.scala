@@ -420,12 +420,8 @@ object Multimodal {
     val scored = emb.join(broadcast(q), col("media_id") =!= col("query_id"))
       .select(col("query_id"), col("media_id").as("neighbor_id"),
         call_function("float_dot", col("features"), col("qv")).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    // the one kNN rank/tie-break spelling (see Similarity.rankTopK)
+    graft.sim.Similarity.rankTopK(scored, k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

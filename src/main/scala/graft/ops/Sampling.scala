@@ -45,6 +45,14 @@ object Sampling {
   def isTrainDoc(docId: Column): Column =
     md5Prefix(docId) % 1000 < TrainCut
 
+  /** Permille bucket → split label: the ONE mapping shared by q102
+    * and q138 (leakage-safe split), so a ratio or stratum change can
+    * never move one and not the other. */
+  def splitOf(bucket: Column): Column =
+    when(bucket < TrainCut, "train")
+      .when(bucket < ValCut, "val")
+      .otherwise("test")
+
   /** q102: reproducible train/val/test split — 90/5/5 by hash bucket
     * of doc_id. A doc's split NEVER changes when the corpus grows
     * (assignment depends only on its own id), which is the property
@@ -54,10 +62,7 @@ object Sampling {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         (md5Prefix(col("doc_id")) % 1000).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainCut, "train")
-          .when(col("bucket") < ValCut, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("bucket")))
       .orderBy("doc_id")
 
   /** q103: per-source quota sampling — cap every source at `cap` docs,
@@ -172,8 +177,11 @@ object Sampling {
     * ⌊target·nᵢ/N⌋, and the `target − Σ base` leftover seats go to
     * the largest remainders (`(target·nᵢ) mod N` desc, source asc
     * ties). All-integer allocation — no float quota can disagree
-    * between engines — and Σ allocᵢ = target EXACTLY, which
-    * round-half or ceil schemes do not guarantee. Members are chosen
+    * between engines — and Σ allocᵢ = target EXACTLY whenever
+    * target ≤ corpus size, which round-half or ceil schemes do not
+    * guarantee. Oversubscribed (target > N), every source's
+    * allocation covers all its docs and the whole corpus comes back —
+    * a sample can't invent rows (spec-pinned). Members are chosen
     * in the q103 hash order (stable under any reshuffle; the kept set
     * of a source depends only on its own ids).
     *

@@ -84,10 +84,16 @@ object Similarity {
       .as(Seq("band", "bandVal"))
 
   /** Shared exact re-rank: top-k rows per query_id by descending
-    * cosine, neighbor_id as the deterministic tiebreak. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    * score (default `cosine`), neighbor_id as the deterministic
+    * tiebreak. ONE spelling for every kNN consumer (q50/q51/q53/q143
+    * here, q137's media kNN in [[graft.multimodal.Multimodal]]) — the
+    * tie-break contract is what every oracle's `ORDER BY ... DESC,
+    * neighbor_id` replays, so a drifted copy would silently detach a
+    * query from its oracle. */
+  private[graft] def rankTopK(scored: DataFrame, k: Int,
+                              scoreCol: String = "cosine"): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .orderBy("query_id", "rank")
@@ -299,11 +305,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("qdot"),
         (col("qdot").cast("double") * col("q_scale").cast("double") *
           col("qs").cast("double") / lit(16129.0)).as("approx_cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, k, scoreCol = "approx_cos")
   }
 
   /** q107: embedding near-dup CLUSTERS — the q52 pair graph folded

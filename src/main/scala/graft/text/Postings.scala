@@ -192,6 +192,11 @@ object Postings {
       // IndexMaintain's touched-block maintenance differently).
       // pmod >= 0 makes the numerator exactly divisible, so the DIV
       // is an exact integer quotient == floor — no double arithmetic.
+      // MIGRATION: an IndexMaintain zone persisted under the earlier
+      // truncate-toward-zero spelling keys negative-id postings under
+      // blk+1; such zones (negative doc ids only) must be rebuilt
+      // (IndexMaintain.rebuild) once, or stale rows are never
+      // reconciled by later batches.
       .withColumn("blk",
         expr(s"(doc_id - pmod(doc_id, $blockSize)) DIV $blockSize"))
 

@@ -34,8 +34,14 @@ object Checkpoints {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         // align the context's checkpoint dir with the conf (idempotent;
-        // re-pointing is legal and only affects NEW checkpoints)
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+        // re-pointing is legal and only affects NEW checkpoints).
+        // Exact prefix match on the normalized path — a substring test
+        // would silently ignore a re-point from /mnt/ckpt to /mnt/ck
+        val normalized = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        val current = sc.getCheckpointDir
+          .map(d => new org.apache.hadoop.fs.Path(d).toUri.getPath)
+        if (!current.exists(c => c == normalized ||
+            c.startsWith(normalized + "/")))
           sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()

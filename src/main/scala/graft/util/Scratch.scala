@@ -35,16 +35,39 @@ object Scratch {
   val DirKey = "graft.scratch.dir"
 
   private val seq = new AtomicLong()
+  private val stored =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Write `df` to `<root>/<name>-<n>` as parquet and return a scan of
-    * the stored relation. Eager by design — same contract as the
-    * localCheckpoint it replaces: one source scan, then every consumer
-    * branch reads the zone. */
+  /** Write `df` to `<root>/<appId>/<name>-<n>` as parquet and return a
+    * scan of the stored relation. Eager by design — same contract as
+    * the localCheckpoint it replaces: constructing the consumer
+    * DataFrame materializes the zone once, then every consumer branch
+    * reads it. Paths embed the Spark application id, so two
+    * applications sharing one configured root can never overwrite
+    * each other's zones; the per-JVM sequence keeps queries within an
+    * application apart. Zones accumulate for the life of the
+    * application (a stored relation must outlive every plan that
+    * scans it — there is no ContextCleaner for files); call
+    * [[clear]] at a batch boundary, or rely on the default temp
+    * root's exit cleanup. */
   def store(df: DataFrame, name: String): DataFrame = {
     val spark = df.sparkSession
-    val path = s"${root(spark)}/$name-${seq.incrementAndGet()}"
+    val path = s"${root(spark)}/${spark.sparkContext.applicationId}" +
+      s"/$name-${seq.incrementAndGet()}"
     df.write.mode("overwrite").parquet(path)
+    stored.add(path)
     spark.read.parquet(path)
+  }
+
+  /** Delete every zone this application stored. Only call when no
+    * live DataFrame still scans a zone (e.g. between batch runs). */
+  def clear(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    stored.forEach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).delete(path, true): Unit
+    }
+    stored.clear()
   }
 
   private def root(spark: SparkSession): String =

@@ -72,6 +72,9 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.stratifiedSample(spark, dir, target = 10)
       .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
     assert(got.toSeq == again.toSeq)
+    // oversubscribed: a sample can't invent rows — whole corpus back
+    val over = Sampling.stratifiedSample(spark, dir, target = 100)
+    assert(over.count() == 15)
   }
 
   test("q104: exactly k rows per doc with enough terms, ranked by tf") {

@@ -18,9 +18,12 @@ class ScratchSpec extends SparkSpec {
         Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "unit")
       assert(got.orderBy("id").collect().map(_.getString(1)).toSeq ==
         Seq("a", "b"))
-      val stored = new java.io.File(dir).listFiles()
+      // zones live under <root>/<appId>/<name>-<n>
+      val appDir = new java.io.File(dir).listFiles()
+      assert(appDir != null && appDir.length == 1, s"expected app dir in $dir")
+      val stored = appDir(0).listFiles()
       assert(stored != null && stored.exists(_.getName.startsWith("unit-")),
-        s"expected a unit-* zone under $dir")
+        s"expected a unit-* zone under ${appDir(0)}")
     } finally spark.conf.unset(Scratch.DirKey)
   }
 
