@@ -578,6 +578,76 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
 
+  /** INCREMENTAL cluster maintenance: fold a batch of NEW edges into
+    * an existing (id, label) table without recomputing the graph —
+    * the 100 TB ingest path, where clusters must absorb each
+    * arriving batch at batch cost, not corpus cost.
+    *
+    * The trick that makes it exact: a min-id label IS its cluster's
+    * minimum member id, so lifting each new edge to its endpoints'
+    * labels gives a CLUSTER-LEVEL graph (≤ 2·|batch| nodes) whose
+    * connected components — computed by the same
+    * [[connectedComponents]] operator — have as min-node exactly the
+    * min member id of every merged cluster. One contraction on the
+    * tiny meta graph relabels arbitrarily many corpus rows. Endpoints
+    * absent from `labels` (brand-new docs) enter as their own label.
+    *
+    * Cost: O(|batch|) for the meta graph + one pass over `labels`
+    * for the rewrite (the meta map rides in as a broadcast, so a
+    * mega-cluster's shared label is never a shuffle key — no skew).
+    * On a zone-backed label table only rows whose label appears in
+    * the meta map change; [[graft.sinks.MergeOnRead.merge]] applies
+    * exactly that delta instead of rewriting the table. Equivalence
+    * to full recompute at every batch boundary is pinned by
+    * DedupSpec (random graphs, random batch partitions) and by
+    * q144's oracle (≡ the q98 full-graph fixpoint). */
+  def applyEdgeBatch(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val lifted = edges
+      .join(labels.select(col("id").as("a"), col("label").as("la0")),
+        Seq("a"), "left")
+      .join(labels.select(col("id").as("b"), col("label").as("lb0")),
+        Seq("b"), "left")
+      .select(coalesce(col("la0"), col("a")).as("a"),
+        coalesce(col("lb0"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+    val meta = connectedComponents(lifted)
+    val newNodes = edges
+      .select(explode(array(col("a"), col("b"))).as("id")).distinct()
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.unionByName(newNodes)
+      .join(broadcast(meta.select(col("id").as("label"),
+        col("label").as("ml"))), Seq("label"), "left")
+      .select(col("id"), coalesce(col("ml"), col("label")).as("label"))
+  }
+
+  /** q144: the incremental path gated against the batch recompute —
+    * corpus clusters are built WITHOUT the delta docs' edges
+    * (q115's `doc_id pmod 10 >= 8` slice), then the delta-touching
+    * edges fold in via [[applyEdgeBatch]]. The oracle is q98's
+    * full-graph recursive-CTE fixpoint, so the incremental fold must
+    * land bit-for-bit where the from-scratch computation does. */
+  def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val pairs = jaccardPairs(s, dir)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val oldEdges = pairs
+      .where(!isDeltaDoc(col("a")) && !isDeltaDoc(col("b")))
+    val newEdges = pairs
+      .where(isDeltaDoc(col("a")) || isDeltaDoc(col("b")))
+    val base = connectedComponents(oldEdges)
+    val labels0 = docs.where(!isDeltaDoc(col("doc_id")))
+      .join(broadcast(base), docs("doc_id") === base("id"), "left")
+      .select(docs("doc_id").as("id"),
+        coalesce(col("label"), col("doc_id")).as("label"))
+    val updated = applyEdgeBatch(labels0, newEdges)
+    docs.join(broadcast(updated), docs("doc_id") === updated("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** q37/q38 run under [[Md5Prefix]] so the FULL LSH pipelines are
     * oracle-checked (DuckDB reproduces the hash); library callers default
     * to the faster [[XxHash64]]. */
@@ -643,6 +713,7 @@ object Dedup {
     "q34_dedup_exact"   -> (exactGroups _),
     "q138_leakage_split" -> (leakageSafeSplit _),
     "q139_source_overlap" -> (sourceOverlap _),
+    "q144_incremental_clusters" -> (incrementalClusters _),
     "q35_dedup_keep_first" -> (keepFirst _),
     "q36_jaccard_pairs" -> (jaccardPairs _),
     "q37_minhash_lsh"   -> ((s: SparkSession, d: String) =>
@@ -706,6 +777,22 @@ object Dedup {
     * shingling, md5-prefix hashing, signatures, banding, candidate
     * join, verification — list comprehensions standing in for Spark's
     * higher-order array functions. */
+  /** The q36-pairs → recursive-CTE min-label fixpoint — the ONE
+    * clustering oracle, shared by q98 (batch) and q144 (incremental):
+    * both Spark paths must produce this exact table. */
+  private lazy val ClustersOracleSql: String =
+    "WITH RECURSIVE p AS (\n" + JaccardPairsSql + "\n), " +
+      """e(src, dst) AS (
+      |  SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p
+      |), reach(id, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+      |)
+      |SELECT id AS doc_id, min(label) AS cluster_id,
+      |  (id = min(label)) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q34_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
@@ -718,18 +805,10 @@ object Dedup {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q36_jaccard_pairs" ->
       (JaccardPairsSql + "\nORDER BY id1, id2"),
-    "q98_dedup_clusters" ->
-      ("WITH RECURSIVE p AS (\n" + JaccardPairsSql + "\n), " +
-        """e(src, dst) AS (
-        |  SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p
-        |), reach(id, label) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
-        |)
-        |SELECT id AS doc_id, min(label) AS cluster_id,
-        |  (id = min(label)) AS keep
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    "q98_dedup_clusters" -> ClustersOracleSql,
+    // the incremental fold must land EXACTLY on the full-graph
+    // fixpoint — same oracle as q98, different Spark path
+    "q144_incremental_clusters" -> ClustersOracleSql,
     // q98's recursive-CTE labels + q102's md5-prefix bucket math,
     // applied to the LABEL — the whole leakage guarantee in one line
     "q138_leakage_split" ->

@@ -220,6 +220,35 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.forall(_ == 5L), "all rooted at the hub id (min)")
   }
 
+  test("applyEdgeBatch: sequential folds equal full recompute at every step") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 120
+    val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(p => p._1 != p._2)
+    // fold in 4 random batches over a label table seeded with all nodes
+    val batches = edges.zipWithIndex.groupMap(_._2 % 4)(_._1)
+      .toSeq.sortBy(_._1).map(_._2)
+    var labels = (0L until n.toLong).map(i => (i, i)).toDF("id", "label")
+    var seen = Seq.empty[(Long, Long)]
+    for (batch <- batches) {
+      labels = Dedup.applyEdgeBatch(labels, batch.toDF("a", "b"))
+        .localCheckpoint() // root each fold like a real ingest loop
+      seen ++= batch
+      // ground truth: full CC over every edge folded so far
+      val full = Dedup.connectedComponents(seen.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val touched = seen.flatMap(p => Seq(p._1, p._2)).toSet
+      touched.foreach { x =>
+        assert(got(x) == full(x),
+          s"node $x after ${seen.size} edges: ${got(x)} vs ${full(x)}")
+      }
+      // untouched nodes keep their own label
+      ((0L until n.toLong).toSet -- touched).foreach(x => assert(got(x) == x))
+    }
+  }
+
   test("connectedComponents: random graphs match union-find ground truth") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
