@@ -200,6 +200,32 @@ class StreamsSpec extends SparkSpec {
     assert(stats.forall(_._2 <= 4), s"batch exceeded admission bound: $stats")
   }
 
+  test("cluster-maint sink: epochs fold to full-CC labels; replay is safe") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("clusters_zone").toString
+    // three micro-batches whose union is {1,2,3,4}+{7,8} components;
+    // batch 2 BRIDGES the first two clusters via (2,3)
+    val batches = Seq(
+      Seq((1L, 2L), (3L, 4L)),
+      Seq((2L, 3L)),
+      Seq((7L, 8L)))
+    batches.zipWithIndex.foreach { case (edges, i) =>
+      ClusterMaint.foldBatch(edges.toDF("a", "b"), root, i.toLong)
+    }
+    def labels() = ClusterMaint.readLabels(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L)
+    assert(labels() == expected)
+    // crash/replay of batch 1: re-derives from epoch 0, idempotent
+    ClusterMaint.foldBatch(batches(1).toDF("a", "b"), root, 1L)
+    assert(labels() == expected, "replay must not double-fold")
+    // time travel: before the bridge, 3-4 was its own cluster
+    val e0 = ClusterMaint.readLabels(spark, root, beforeEpoch = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e0 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("streaming near-dup flags an edited doc from an EARLIER batch") {
     val in = Files.createTempDirectory("neardup_in").toString
     val ckpt = Files.createTempDirectory("neardup_ckpt").toString
