@@ -592,25 +592,56 @@ object Dedup {
     * tiny meta graph relabels arbitrarily many corpus rows. Endpoints
     * absent from `labels` (brand-new docs) enter as their own label.
     *
-    * Cost: O(|batch|) for the meta graph + one pass over `labels`
-    * for the rewrite (the meta map rides in as a broadcast, so a
-    * mega-cluster's shared label is never a shuffle key — no skew).
+    * Cost: O(|batch|) for the meta graph — union-find on the driver
+    * while it fits `maxDriverEdges` (the bounded-collect discipline
+    * of IndexMaintain's touched blocks; a distributed contraction on
+    * a metadata-scale graph would pay shuffle rounds for milliseconds
+    * of work), the [[connectedComponents]] loop beyond — plus one
+    * pass over `labels` for the rewrite (the meta map rides in as a
+    * broadcast, so a mega-cluster's shared label is never a shuffle
+    * key — no skew).
     * On a zone-backed label table only rows whose label appears in
     * the meta map change; [[graft.sinks.MergeOnRead.merge]] applies
     * exactly that delta instead of rewriting the table. Equivalence
     * to full recompute at every batch boundary is pinned by
     * DedupSpec (random graphs, random batch partitions) and by
     * q144's oracle (≡ the q98 full-graph fixpoint). */
-  def applyEdgeBatch(labels: DataFrame, edges: DataFrame): DataFrame = {
+  def applyEdgeBatch(labels: DataFrame, edges: DataFrame,
+                     maxDriverEdges: Int = 500000): DataFrame = {
+    val spark = labels.sparkSession
     val lifted = edges
       .join(labels.select(col("id").as("a"), col("label").as("la0")),
         Seq("a"), "left")
       .join(labels.select(col("id").as("b"), col("label").as("lb0")),
         Seq("b"), "left")
-      .select(coalesce(col("la0"), col("a")).as("a"),
-        coalesce(col("lb0"), col("b")).as("b"))
+      .select(least(coalesce(col("la0"), col("a")),
+          coalesce(col("lb0"), col("b"))).as("a"),
+        greatest(coalesce(col("la0"), col("a")),
+          coalesce(col("lb0"), col("b"))).as("b"))
       .where(col("a") =!= col("b"))
-    val meta = connectedComponents(lifted)
+      .distinct()
+    // The meta graph is batch-bounded BY CONTRACT (≤ 2·|batch| nodes)
+    // — metadata-scale, like IndexMaintain's touched-block set. A
+    // distributed contraction loop on a few thousand edges pays
+    // multiple shuffle rounds + checkpoints for milliseconds of
+    // union-find, so up to `maxDriverEdges` (8 MB at the default) the
+    // fold runs driver-side; a larger batch falls back to the
+    // distributed loop. take(n+1) bounds driver memory either way.
+    val head = lifted.take(maxDriverEdges + 1)
+    val meta: DataFrame =
+      if (head.length <= maxDriverEdges) {
+        import spark.implicits._
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        head.foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keys.toSeq.map(x => (x, find(x))).toDF("id", "label")
+      } else connectedComponents(lifted)
     val newNodes = edges
       .select(explode(array(col("a"), col("b"))).as("id")).distinct()
       .join(labels.select("id"), Seq("id"), "left_anti")

@@ -231,9 +231,14 @@ class DedupSpec extends SparkSpec {
       .toSeq.sortBy(_._1).map(_._2)
     var labels = (0L until n.toLong).map(i => (i, i)).toDF("id", "label")
     var seen = Seq.empty[(Long, Long)]
+    // alternate the driver union-find path and the distributed
+    // fallback (maxDriverEdges = 0) — both must land identically
+    var useDriver = true
     for (batch <- batches) {
-      labels = Dedup.applyEdgeBatch(labels, batch.toDF("a", "b"))
+      labels = Dedup.applyEdgeBatch(labels, batch.toDF("a", "b"),
+          maxDriverEdges = if (useDriver) 500000 else 0)
         .localCheckpoint() // root each fold like a real ingest loop
+      useDriver = !useDriver
       seen ++= batch
       // ground truth: full CC over every edge folded so far
       val full = Dedup.connectedComponents(seen.toDF("a", "b"))
