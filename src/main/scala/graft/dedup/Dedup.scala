@@ -627,14 +627,24 @@ object Dedup {
     // union-find, so up to `maxDriverEdges` (8 MB at the default) the
     // fold runs driver-side; a larger batch falls back to the
     // distributed loop. take(n+1) bounds driver memory either way.
+    // persist before take: the fallback's contraction loop would
+    // otherwise recompute the two label joins from scratch
+    lifted.persist()
     val head = lifted.take(maxDriverEdges + 1)
     val meta: DataFrame =
       if (head.length <= maxDriverEdges) {
         import spark.implicits._
         val parent = scala.collection.mutable.Map.empty[Long, Long]
+        // ITERATIVE find with path compression — a recursive spelling
+        // overflows the (~1 MB) worker-thread stack on a long lifted
+        // chain, and a streaming foreachBatch replaying the same batch
+        // would crash-loop on it
         def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
+          var r = x
+          while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
         }
         head.foreach { r =>
           val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
@@ -642,6 +652,9 @@ object Dedup {
         }
         parent.keys.toSeq.map(x => (x, find(x))).toDF("id", "label")
       } else connectedComponents(lifted)
+    // safe either way: the driver map is local, and the distributed
+    // loop eagerly checkpointed its first round before returning
+    lifted.unpersist()
     val newNodes = edges
       .select(explode(array(col("a"), col("b"))).as("id")).distinct()
       .join(labels.select("id"), Seq("id"), "left_anti")
@@ -672,7 +685,10 @@ object Dedup {
       .select(docs("doc_id").as("id"),
         coalesce(col("label"), col("doc_id")).as("label"))
     val updated = applyEdgeBatch(labels0, newEdges)
-    docs.join(broadcast(updated), docs("doc_id") === updated("id"), "left")
+    // NO broadcast hint: `updated` covers every non-delta doc — a
+    // corpus-sized relation (unlike clusterLabels' edge-participant
+    // table); this is a doc-keyed shuffle join at scale
+    docs.join(updated, docs("doc_id") === updated("id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
@@ -804,10 +820,6 @@ object Dedup {
       |  FROM sig CROSS JOIN range(8) t(b)
       |)""".stripMargin
 
-  /** The q37/q38 oracles replay the ENTIRE pipeline in DuckDB SQL —
-    * shingling, md5-prefix hashing, signatures, banding, candidate
-    * join, verification — list comprehensions standing in for Spark's
-    * higher-order array functions. */
   /** The q36-pairs → recursive-CTE min-label fixpoint — the ONE
     * clustering oracle, shared by q98 (batch) and q144 (incremental):
     * both Spark paths must produce this exact table. */
@@ -824,6 +836,10 @@ object Dedup {
       |  (id = min(label)) AS keep
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** The q37/q38 oracles replay the ENTIRE pipeline in DuckDB SQL —
+    * shingling, md5-prefix hashing, signatures, banding, candidate
+    * join, verification — list comprehensions standing in for Spark's
+    * higher-order array functions. */
   val oracle: Map[String, String] = Map(
     "q34_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n

@@ -12,12 +12,17 @@ import graft.text.TextAnalysis
 /** Runnable end-to-end training-data curation pipeline — the library
   * consumed the way a corpus team would chain it:
   *
-  *   raw documents → language filter → quality floor → exact dedup →
-  *   near-dup clustering → survivor selection → curated zone +
-  *   curation report (counts per drop reason, token totals).
+  *   raw documents → language filter → quality floor → repetition
+  *   ceiling → cross-doc boilerplate floor → near-dup survivor
+  *   selection → curated zone + curation report, then the release
+  *   side: leakage-safe split of the curated set and a stratified
+  *   proportional sample of its train partition.
   *
   * Every stage is one of the named, oracle-checked operators; this
-  * main only sequences them and writes the curated corpus.
+  * main only sequences them and writes the curated corpus. (The
+  * q141 decontamination gate is reported as an audit count — its
+  * train basis is the q102 doc-id split by contract, deliberately
+  * not re-based on the cluster split shown here.)
   *
   * Usage: runMain graft.examples.CurateDemo [sfDir] [outDir]
   */
@@ -45,7 +50,10 @@ object CurateDemo {
     // 2. repetition ceiling (degenerate-text filter)
     val lowRep = TextAnalysis.repetition(spark, sfDir)
       .where(col("dup_2gram_ratio") <= 0.5)
-    // 3. exact + near-dup survivors (connected components, min doc_id)
+    // 3. cross-doc boilerplate floor (duplicated 5-gram fraction)
+    val lowBoiler = graft.text.CorpusStats.dupGramFraction(spark, sfDir)
+      .where(col("dup_fraction") < 0.5)
+    // 4. exact + near-dup survivors (connected components, min doc_id)
     val survivors = Dedup.dedupClusters(spark, sfDir).where(col("keep"))
 
     try {
@@ -53,6 +61,7 @@ object CurateDemo {
         .join(lang.select("doc_id"), "doc_id")
         .join(quality.select("doc_id"), "doc_id")
         .join(lowRep.select("doc_id"), "doc_id")
+        .join(lowBoiler.select("doc_id"), "doc_id")
         .join(survivors.select("doc_id"), "doc_id")
       curated.write.mode("overwrite").parquet(s"$out/documents")
 
@@ -64,6 +73,24 @@ object CurateDemo {
         .join(spark.read.parquet(s"$out/documents").select("doc_id"), "doc_id")
         .agg(sum(col("n_tokens"))).head().getLong(0)
       println(s"curated: kept $kept/$total docs, $toks tokens -> $out/documents")
+
+      // release side — over the CURATED set, actually composed:
+      // leakage-safe split (cluster-hash; a near-dup component never
+      // straddles), then a stratified 10% sample of the train docs
+      val curatedDocs = spark.read.parquet(s"$out/documents")
+      val split = Dedup.leakageSafeSplit(spark, sfDir)
+        .join(curatedDocs.select("doc_id"), "doc_id")
+      split.groupBy("split").count().orderBy("split").show()
+      val trainDocs = curatedDocs
+        .join(split.where(col("split") === "train").select("doc_id"),
+          "doc_id")
+      val sample = graft.ops.Sampling.stratifiedSample(trainDocs,
+        target = math.max(1, (kept / 10).toInt))
+      println(s"stratified train sample: ${sample.count()} docs")
+      // decontamination audit (q102 doc-id train basis by contract)
+      val decon = TextAnalysis.decontaminate(spark, sfDir)
+      println(s"decontamination audit: ${decon.where(!col("kept")).count()}" +
+        " train docs carry eval 5-grams")
     } finally spark.stop()
   }
 }

@@ -192,8 +192,14 @@ object Sampling {
     * always), so no per-source spilling sort; the final rank runs on
     * the ≤|sources|·target heap survivors, not the corpus. */
   def stratifiedSample(s: SparkSession, dir: String,
-                       target: Int = 200): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+                       target: Int = 200): DataFrame =
+    stratifiedSample(Tables.load(s, dir, "documents"), target)
+
+  /** The same sampler over ANY (doc_id, source, ...) relation — the
+    * composition surface (sample a curated subset, not the raw
+    * table). */
+  def stratifiedSample(docs0: DataFrame, target: Int): DataFrame = {
+    val docs = docs0
       .select(col("doc_id"), col("source"),
         md5Prefix(concat(col("source"), lit(":"),
           col("doc_id").cast("string"))).as("h"))

@@ -7,7 +7,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.dedup.Dedup
 
 /** Streaming maintenance of a near-dup cluster zone: each micro-batch
-  * of candidate pairs (e.g. [[Streams.nearDupStream]]'s output) folds
+  * of candidate pairs — columns (`a`, `b`); e.g.
+  * [[Streams.nearDupStream]]'s output after
+  * `.select(col("doc_id").as("a"), col("dup_of").as("b"))` — folds
   * into a persistent (id, label) table via
   * [[graft.dedup.Dedup.applyEdgeBatch]] — O(batch + touched clusters)
   * per trigger, never a corpus recompute. The streaming half of the
@@ -38,8 +40,13 @@ object ClusterMaint {
       .start()
 
   /** One fold: read the newest epoch below `batchId`, apply the
-    * batch's edges, overwrite `epoch=<batchId>`. Exposed for tests
-    * and for batch-driven backfills. */
+    * batch's edges, publish `epoch=<batchId>`. Exposed for tests and
+    * for batch-driven backfills. The epoch is written to a staging
+    * dir and ATOMICALLY renamed into place
+    * ([[graft.sinks.SwapPublish]] — the exactlyOnceSink discipline):
+    * a crash mid-write leaves either no epoch=N or a complete one,
+    * so `readLabels`'s max-epoch read can never observe a
+    * half-written label table. */
   def foldBatch(batch: DataFrame, root: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val edges = batch.select(col("a"), col("b"))
@@ -49,8 +56,20 @@ object ClusterMaint {
     try {
       if (!edges.isEmpty) {
         val labels = readLabels(spark, root, beforeEpoch = Some(batchId))
-        Dedup.applyEdgeBatch(labels, edges)
-          .write.mode("overwrite").parquet(s"$root/epoch=$batchId")
+        val updated = Dedup.applyEdgeBatch(labels, edges)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val target =
+          new org.apache.hadoop.fs.Path(s"$root/epoch=$batchId")
+        val staging =
+          new org.apache.hadoop.fs.Path(s"$root/.staging-$batchId")
+        val backup =
+          new org.apache.hadoop.fs.Path(s"$root/.backup-$batchId")
+        val fs = target.getFileSystem(hconf)
+        try {
+          updated.write.mode("overwrite").parquet(staging.toString)
+          graft.sinks.SwapPublish.publish(fs, staging, target, backup,
+            targetExists = fs.exists(target))
+        } finally { fs.delete(staging, true); () }
       }
     } finally { edges.unpersist(); () }
   }
