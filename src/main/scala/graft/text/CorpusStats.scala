@@ -428,9 +428,69 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q145: EXACT duplicated-span scrub (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better") — remove every
+    * token whose position is covered by a k-gram that occurs verbatim
+    * in ANOTHER document, and reassemble the survivors. Sharper than
+    * q113's content-defined chunks (exact gram coverage, token
+    * resolution: a shared sentence disappears even when chunk
+    * boundaries straddle it) and destructive where q140 only scores.
+    * A token at position p is covered iff any of the k grams starting
+    * at p−k+1..p is cross-doc shared — spelled as coverage-interval
+    * explode here and replayed in DuckDB as the same expansion.
+    *
+    * Scale shape: grams hash to 8 bytes ([[graft.dedup.Md5Prefix]],
+    * the q87 discipline) before the corpus-wide (gram →
+    * distinct-doc-count) aggregate; shared-gram occurrences explode
+    * k coverage positions each (k× a vanishing fraction — only
+    * SHARED occurrences expand); survivors reassemble per doc via
+    * the bounded collect_list-sort (q113's invariant). One corpus
+    * scan feeds both the gram and token branches via exchange reuse. */
+  def exactSpanScrub(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
+    // sequence(0, size-k) DESCENDS when size < k (the q112 trap) —
+    // short docs have NO grams, never a reversed position range
+    val grams = docs
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), " +
+          s"i -> concat_ws(' ', slice(w, i + 1, $k)))"))
+        .as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"), Md5Prefix.h(col("g")).as("gh"))
+    val shared = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1)
+      .select(col("gh"))
+    val covered = grams.join(shared, "gh")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(k - 1))).as("pos"))
+      .distinct()
+    val tokens = docs
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+    val kept = tokens
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    docs.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      .join(kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(array_sort(collect_list(
+              struct(col("pos"), col("tok")))),
+              x => x.getField("tok")), " ").as("cleaned_text")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_scrubbed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_freq_items"     -> ((s: SparkSession, d: String) =>
       freqItemsWitness(s, d)),
+    "q145_exact_span_scrub" -> ((s: SparkSession, d: String) =>
+      exactSpanScrub(s, d)),
     "q140_dup_grams"      -> ((s: SparkSession, d: String) =>
       dupGramFraction(s, d)),
     "q104_tfidf_terms"    -> ((s: SparkSession, d: String) =>
@@ -482,6 +542,42 @@ object CorpusStats {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
         |SELECT t AS token, cnt, TRUE AS captured
         |FROM e, n WHERE cnt * 50 > n ORDER BY token""".stripMargin,
+    // coverage replay: token at pos is scrubbed iff a cross-doc
+    // shared 5-gram starts at any of pos-4..pos
+    "q145_exact_span_scrub" ->
+      raw"""WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([{'p': i,
+        |      'gh': ('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')),
+        |        1, 15))::BIGINT}
+        |    for i in range(0, len(w) - 4)], recursive := true)
+        |  FROM w WHERE len(w) >= 5),
+        |shared AS (
+        |  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.p + t.j AS pos, 1 AS hit
+        |  FROM g JOIN shared USING (gh) CROSS JOIN range(5) t(j)),
+        |tok AS (
+        |  SELECT w.doc_id, u.pos, u.tok
+        |  FROM w JOIN LATERAL (
+        |    SELECT unnest(w) AS tok,
+        |      generate_subscripts(w, 1) - 1 AS pos) u ON true),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tok
+        |  FROM tok LEFT JOIN cov USING (doc_id, pos)
+        |  WHERE cov.hit IS NULL),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(tok ORDER BY pos), ' ') AS cleaned_text
+        |  FROM kept GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  CAST(len(w.w) AS BIGINT) - coalesce(a.n_kept, 0) AS n_scrubbed,
+        |  coalesce(a.cleaned_text, '') AS cleaned_text
+        |FROM w LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // all 5-gram OCCURRENCES (not distinct — within-doc repeats each
     // count), dup = gram appears in >1 distinct doc
     "q140_dup_grams" ->

@@ -77,6 +77,29 @@ class SamplingSpec extends SparkSpec {
     assert(over.count() == 15)
   }
 
+  test("q145: exact span scrub covers precisely the shared-gram tokens") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("span_docs").toString
+    // docs 1 and 2 share exactly the 5-gram "v w x y z" (positions
+    // 2-6 in doc 1, 0-4 in doc 2); doc 3 is disjoint; doc 4 is too
+    // short for any gram
+    Seq(
+      (1L, "a b v w x y z c d", "s"),
+      (2L, "v w x y z q r s t", "s"),
+      (3L, "k1 k2 k3 k4 k5 k6 k7", "s"),
+      (4L, "tiny doc", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusStats.exactSpanScrub(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Number]("n_tokens").longValue(), r.getLong(2),
+          r.getString(4))).toMap
+    assert(got(1L) == ((9L, 4L, "a b c d")), got(1L).toString)
+    assert(got(2L) == ((9L, 4L, "q r s t")), got(2L).toString)
+    assert(got(3L) == ((7L, 7L, "k1 k2 k3 k4 k5 k6 k7")))
+    assert(got(4L) == ((2L, 2L, "tiny doc")), "short docs never scrubbed")
+  }
+
   test("q104: exactly k rows per doc with enough terms, ranked by tf") {
     val out = CorpusStats.tfidfTopTerms(spark, sf(), k = 3).cache()
     // rank key is (tf desc, df asc, term asc): within a doc, tf is
