@@ -77,6 +77,35 @@ class SamplingSpec extends SparkSpec {
     assert(over.count() == 15)
   }
 
+  test("q142 property: Hamilton allocation is exact-total and near-quota") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (case_ <- 0 until 8) {
+      val nSrc = 2 + rnd.nextInt(5)
+      val sizes = Seq.fill(nSrc)(1 + rnd.nextInt(40))
+      val n = sizes.sum
+      val target = 1 + rnd.nextInt(n)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ham$case_").toString
+      sizes.zipWithIndex.flatMap { case (sz, k) =>
+        (0 until sz).map(i => (k * 1000L + i, s"t$i", s"s$k"))
+      }.toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Sampling.stratifiedSample(spark, dir, target)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.values.sum == target,
+        s"case $case_: total ${got.values.sum} != $target")
+      // largest-remainder never strays more than 1 from the real quota
+      sizes.zipWithIndex.foreach { case (sz, k) =>
+        val quota = target.toDouble * sz / n
+        val alloc = got.getOrElse(s"s$k", 0L).toDouble
+        assert(math.abs(alloc - quota) < 1.0 + 1e-9,
+          s"case $case_ source s$k: alloc $alloc vs quota $quota")
+      }
+    }
+  }
+
   test("q145: exact span scrub covers precisely the shared-gram tokens") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("span_docs").toString
