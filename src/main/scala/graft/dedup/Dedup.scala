@@ -740,13 +740,16 @@ object Dedup {
     val pairs = minhashLshPairs(s, dir, hash = Md5Prefix)
     val src = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"))
-    // broadcast at gate scale; at 10⁹ docs these become doc-keyed
-    // shuffle joins (dedupClusters note) — still two linear joins
+    // NO broadcast hint: the doc→source map is CORPUS-sized — a hint
+    // would force a driver OOM at 10⁹ docs instead of degrading. The
+    // optimizer auto-broadcasts below the threshold (it does at gate
+    // scale); past it these are doc-keyed shuffle joins — two linear
+    // passes either way
     pairs
-      .join(broadcast(src.select(col("doc_id").as("id1"),
-        col("source").as("s1"))), "id1")
-      .join(broadcast(src.select(col("doc_id").as("id2"),
-        col("source").as("s2"))), "id2")
+      .join(src.select(col("doc_id").as("id1"),
+        col("source").as("s1")), "id1")
+      .join(src.select(col("doc_id").as("id2"),
+        col("source").as("s2")), "id2")
       .select(least(col("s1"), col("s2")).as("src_a"),
         greatest(col("s1"), col("s2")).as("src_b"),
         col("est_jaccard"))

@@ -142,11 +142,15 @@ object Similarity {
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    // NO broadcast hint on the corpus-sided vector lookups: a hint
+    // would force a driver OOM at 10⁹ vectors instead of degrading;
+    // the optimizer auto-broadcasts at gate scale, and past the
+    // threshold these are id-keyed shuffle joins
     val scored = cand
-      .join(broadcast(emb.select(col("vec_id").as("query_id"),
-        col("embedding").as("qv"))), "query_id")
-      .join(broadcast(emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("nv"))), "neighbor_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         dotCol(col("nv"), col("qv")).as("cosine"))
     rankTopK(scored, k)
@@ -241,11 +245,11 @@ object Similarity {
       .select(col("x").as("id1"),
         explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id2"))
       .distinct()
-    cand
-      .join(broadcast(emb.select(col("vec_id").as("id1"),
-        col("embedding").as("v1"))), "id1")
-      .join(broadcast(emb.select(col("vec_id").as("id2"),
-        col("embedding").as("v2"))), "id2")
+    cand // same no-hint rule as knnLsh for the corpus-sided lookups
+      .join(emb.select(col("vec_id").as("id1"),
+        col("embedding").as("v1")), "id1")
+      .join(emb.select(col("vec_id").as("id2"),
+        col("embedding").as("v2")), "id2")
       .select(col("id1"), col("id2"), dotCol(col("v1"), col("v2")).as("cosine"))
       .where(col("cosine") >= threshold)
       .orderBy("id1", "id2")
