@@ -223,10 +223,10 @@ object Similarity {
     // Band rows carry ONLY (vec_id, band, bandVal): the 64-float
     // vectors never ride through the explode/join/distinct (at sf0.1
     // that alone was ~4× the shuffle volume). Dedup candidate pairs on
-    // the id pair, then re-attach vectors with two broadcast joins
-    // (the embedding table is the small side by construction here; at
-    // true corpus scale the re-attach becomes a shuffle join on vec_id
-    // — still linear, never quadratic).
+    // the id pair, then re-attach vectors with two UNHINTED joins —
+    // auto-broadcast at gate scale, id-keyed shuffle joins at true
+    // corpus scale (still linear, never quadratic; a forced hint on
+    // the corpus-growing side would OOM the driver instead).
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
     // repartition: the corpus is one parquet split — without the
     // spread, signatures and the dot products run on 1 core. The

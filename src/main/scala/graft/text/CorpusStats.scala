@@ -439,25 +439,29 @@ object CorpusStats {
     * at p−k+1..p is cross-doc shared — spelled as coverage-interval
     * explode here and replayed in DuckDB as the same expansion.
     *
-    * Scale shape: grams hash to 8 bytes ([[graft.dedup.Md5Prefix]],
+    * Scale shape: the tokenized (doc_id, w) relation is stored ONCE
+    * to the parquet scratch zone ([[graft.util.Scratch]], the
+    * q117/q106 discipline) — the gram, token, and doc-length branches
+    * all scan the zone, never the corpus (plan-pinned in
+    * PlanAuditSpec). Grams hash to 8 bytes ([[graft.dedup.Md5Prefix]],
     * the q87 discipline) before the corpus-wide (gram →
     * distinct-doc-count) aggregate; shared-gram occurrences explode
     * k coverage positions each (k× a vanishing fraction — only
     * SHARED occurrences expand); survivors reassemble per doc via
-    * the bounded collect_list-sort (q113's invariant). One corpus
-    * scan feeds both the gram and token branches via exchange reuse. */
+    * the bounded collect_list-sort (q113's invariant). */
   def exactSpanScrub(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import graft.dedup.Md5Prefix
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
-    // sequence(0, size-k) DESCENDS when size < k (the q112 trap) —
-    // short docs have NO grams, never a reversed position range
+    val docs = graft.util.Scratch.store(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")),
+      "span-tokens")
+    // the size >= k guard keeps Tokens.ngramsOf in its sliding-window
+    // branch only — short docs have NO grams (its whole-doc fallback
+    // would fabricate one), matching the oracle's range() emptiness
     val grams = docs
       .where(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $k), " +
-          s"i -> concat_ws(' ', slice(w, i + 1, $k)))"))
-        .as(Seq("p", "g")))
+      .select(col("doc_id"),
+        posexplode(Tokens.ngramsOf(col("w"), k)).as(Seq("p", "g")))
       .select(col("doc_id"), col("p"), Md5Prefix.h(col("g")).as("gh"))
     val shared = grams.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))

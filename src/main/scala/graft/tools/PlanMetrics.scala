@@ -7,11 +7,12 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import graft.SparkEntry
 
 /** Measured-plan auditor — the "measure, don't guess" half of
-  * [[Explain]]: EXECUTES a query with a noop write, then walks the
-  * final adaptive plan printing each operator's actual runtime
-  * metrics (rows, shuffle bytes, spills, broadcast sizes). This is
-  * how the shuffle-volume claims in PLANS.md are checked against
-  * reality rather than read off the plan shape.
+  * [[Explain]]: EXECUTES a query (a collect — a write would run a
+  * separate QueryExecution whose metrics this plan never sees), then
+  * walks the final adaptive plan printing each operator's actual
+  * runtime metrics (rows, shuffle bytes, spills, broadcast sizes).
+  * This is how the shuffle-volume claims in PLANS.md are checked
+  * against reality rather than read off the plan shape.
   *
   * Usage: runMain graft.tools.PlanMetrics <queryName> [sfDir]
   */

@@ -207,6 +207,15 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("q145: every branch reads the token zone — zero corpus re-scans") {
+    val plan = planOf("q145_exact_span_scrub")
+    assert(!plan.contains("documents.parquet"),
+      "a branch re-scanned the corpus instead of the token zone:\n" +
+        plan)
+    assert(plan.contains("graft-scratch-"),
+      "expected scans of the token scratch zone:\n" + plan)
+  }
+
   test("q120: canonicalization is map-side and stays in codegen") {
     val df = graft.SparkEntry.queries("q120_nfc_clean")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
