@@ -38,6 +38,24 @@ class CheckpointsSpec extends SparkSpec {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("re-pointing the dir takes effect even when it is a substring") {
+    // regression: a substring containment test ignored a re-point
+    // from .../ckpt to .../ck (the new dir is a substring of the old)
+    val base = Files.createTempDirectory("graft-repoint")
+    val oldDir = base.resolve("ckpt"); val newDir = base.resolve("ck")
+    Files.createDirectories(oldDir); Files.createDirectories(newDir)
+    try {
+      spark.conf.set(Checkpoints.DirKey, oldDir.toString)
+      Checkpoints.free(Checkpoints.root(spark.range(5).toDF("a")))
+      spark.conf.set(Checkpoints.DirKey, newDir.toString)
+      val rooted = Checkpoints.root(spark.range(5).toDF("a"))
+      assert(rooted.count() == 5)
+      assert(rddDirs(newDir).nonEmpty,
+        "checkpoints must land in the re-pointed dir, not the old one")
+      Checkpoints.free(rooted)
+    } finally spark.conf.unset(Checkpoints.DirKey)
+  }
+
   test("root() stays executor-local when the dir is unset") {
     spark.conf.unset(Checkpoints.DirKey)
     val rooted = Checkpoints.root(spark.range(10).toDF("a"))
