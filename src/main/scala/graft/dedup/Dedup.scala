@@ -136,28 +136,92 @@ object Dedup {
   }
 
   /** q36: pairwise token-set Jaccard within a blocking key (source):
-    * near-dup pairs above threshold. Intersections are integer counts;
-    * the ratio is one double division — bit-identical cross-engine. */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        array_distinct(tokens(col("text"))).as("toks"))
-    val a = docs.select(col("doc_id").as("id1"), col("source"),
-      col("toks").as("t1"))
-    val b = docs.select(col("doc_id").as("id2"), col("source").as("source2"),
-      col("toks").as("t2"))
-    // Broadcast the right side: a shuffle join on ~20 source keys is
-    // skew-bound (20 keys << partitions). The probe side is
-    // repartitioned first — the whole table is one parquet split, and
-    // without the spread the O(pairs) intersect work runs on ONE core.
-    // The size-ratio conjunct is a necessary condition of J ≥ 0.8
-    // (J ≤ min/max of set sizes), so cheap integer comparisons prune
-    // pairs before any intersection is computed — semantics unchanged.
-    a.repartition(a.sparkSession.sparkContext.defaultParallelism)
-      .join(broadcast(b),
-        col("source") === col("source2") && col("id1") < col("id2") &&
-          size(col("t1")) * 5 >= size(col("t2")) * 4 &&
-          size(col("t2")) * 5 >= size(col("t1")) * 4)
+    * near-dup pairs above threshold (τ = 0.8 = 4/5). Intersections are
+    * integer counts; the ratio is one double division — bit-identical
+    * cross-engine.
+    *
+    * Scale shape: candidates come from PREFIX FILTERING (the
+    * [[graft.text.Postings.setSimJoin]] machinery, re-derived here for
+    * token sets + source blocking) — an earlier spelling broadcast the
+    * full tokenized corpus as the join's build side, which OOMs past
+    * the broadcast budget at 100× scale. Prefix filtering is LOSSLESS:
+    * J(A,B) ≥ τ ⟹ |A∩B| ≥ τ·max(|A|,|B|) (since |A∪B| ≥ max), so the
+    * FIRST common token in a global rarest-first order must sit within
+    * each side's first |S| − ⌈τ·|S|⌉ + 1 tokens (the suffix has only
+    * ⌈τ·|S|⌉ − 1 slots — too few for the whole intersection). Joining
+    * the prefix relations on (token, source) therefore generates a
+    * candidate SUPERSET and the exact Jaccard filter keeps precision
+    * at 1 — the oracle stays the brute-force all-pairs spelling, so
+    * the optimization is verified invisible. No broadcast hint
+    * anywhere: every join degrades to a key-partitioned shuffle past
+    * the auto-broadcast threshold (pinned in PlanAuditSpec).
+    *
+    * At τ = 4/5 the prefix is ~1/5 of each doc's tokens, concentrated
+    * on RARE tokens (a token shared by k docs contributes ≤ C(k,2)
+    * candidates, and frequent tokens almost never make a prefix) —
+    * candidate volume tracks the OUTPUT, not corpus² (measured bound
+    * in DedupScaleSpec: exactly prefix-length × true-pairs on a
+    * power-law clone corpus, zero cross-cluster noise). */
+  private[dedup] val JaccardTauNum = 4
+  private[dedup] val JaccardTauDen = 5
+
+  /** (doc_id, source, toks) distinct-token relation, materialized ONCE
+    * PER APPLICATION to the parquet scratch zone ([[graft.util
+    * .Scratch.memo]]): it feeds the postings explode, the
+    * document-frequency aggregate and both verification sides (4 plan
+    * branches — the ≥3-consumer materialize rule of PLANS.md), and
+    * every query of the exact-Jaccard family (q36/q98/q138/q144)
+    * consumes the same derivation — the reference's DAG semantics,
+    * where a task's output table is built once and read downstream. */
+  private[dedup] def jaccardTokenSets(s: SparkSession, dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "jaccard-toks", s"jaccard-toks:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_distinct(tokens(col("text"))).as("toks")))
+
+  /** Pre-`distinct` candidate relation (id1, id2) over a token-set
+    * relation — exposed for DedupScaleSpec's candidate-volume bound.
+    * Join keys are (prefix token, source); the size-ratio conjuncts
+    * (J ≥ τ ⟹ τ·max ≤ min) prune before any intersection exists. */
+  private[dedup] def jaccardCandidates(docs: DataFrame): DataFrame = {
+    val post = docs.select(col("doc_id"), col("source"),
+      explode(col("toks")).as("t"))
+    val dfreq = post.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // rarest-first global order (df asc, token asc — the one spelling
+    // the prefix lemma hangs on, mirroring Postings.prefixRelation);
+    // prefix length sz − ⌈τ·sz⌉ + 1 via exact integer ceil-division
+    val prefix = post.join(dfreq, "t")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(array_sort(collect_list(struct(col("df"), col("t")))).as("os"),
+        count(lit(1)).as("sz"))
+      .withColumn("p",
+        col("sz") - expr(
+          s"(sz * $JaccardTauNum + ${JaccardTauDen - 1}) DIV $JaccardTauDen")
+          + 1L)
+      .select(col("doc_id"), col("source"), col("sz"),
+        explode(expr("slice(os, 1, CAST(p AS INT))")).as("e"))
+      .select(col("doc_id"), col("source"), col("sz"), col("e.t").as("t"))
+    prefix.as("x").join(prefix.as("y"),
+        col("x.t") === col("y.t") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz") * JaccardTauDen >= col("y.sz") * JaccardTauNum &&
+          col("y.sz") * JaccardTauDen >= col("x.sz") * JaccardTauNum)
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+  }
+
+  /** The pair DERIVATION (no output sort): the pipeline that fills
+    * [[jaccardZone]] — every consumer reads the zone; only q36's own
+    * surface adds the deterministic sort. Plan-shape tests pin THIS
+    * plan (DedupSpec q36 guard, PlanAuditSpec no-hint/zone-scan). */
+  private[graft] def jaccardPairsUnordered(s: SparkSession,
+                                    dir: String): DataFrame = {
+    val docs = jaccardTokenSets(s, dir)
+    val cand = jaccardCandidates(docs).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id1"), col("toks").as("t1")),
+        "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("toks").as("t2")),
+        "id2")
       .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
       .select(col("id1"), col("id2"),
         (col("inter") /
@@ -165,14 +229,33 @@ object Dedup {
       // `+ rand() * 0` is exactly 0 but makes the WHOLE predicate
       // non-deterministic (a separate `AND rand() < 2` conjunct gets
       // split off and the deterministic half pushed anyway). Without
-      // the barrier Catalyst pushes this filter into the join
-      // condition, where it evaluates the intersection BEFORE the
-      // cheap size guards, 2-3× per candidate pair (observed in the
-      // plan). With it, intersection runs exactly once, only for
-      // size-compatible pairs.
+      // the barrier Catalyst substitutes the alias and pushes this
+      // filter into the verification join's condition, where the
+      // intersection is computed once per candidate in the condition
+      // AND again in the output projection for every survivor. With
+      // it, the intersection runs exactly once, in the projection,
+      // and the filter reads the projected column (pinned in
+      // DedupSpec's q36 guard).
       .where(col("jaccard") + rand() * 0.0 >= 0.8)
-      .orderBy("id1", "id2")
   }
+
+  /** The (id1, id2, jaccard) pair relation, materialized once per
+    * application: q36 itself, q98/q138's CC loop (every round), and
+    * q144's oldEdges/newEdges branches all read this zone — the
+    * ≥3-consumer materialize rule, memoized because the relation is a
+    * deterministic function of the input dir (the reference's DAG
+    * semantics: one task materializes the near-dup table, every
+    * downstream task reads it). Without the zone, the whole
+    * prefix-filter candidate/verify pipeline re-derived per consumer
+    * (measured: 2/3 of the q144 gate cost was repeated derivation).
+    * The derivation plan itself stays pinned via
+    * [[jaccardPairsUnordered]] (DedupSpec q36 guard, PlanAuditSpec). */
+  private def jaccardZone(s: SparkSession, dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "jaccard-pairs", s"jaccard-pairs:$dir")(
+      jaccardPairsUnordered(s, dir))
+
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardZone(s, dir).orderBy("id1", "id2")
 
   // ---------------- MinHash + LSH (q37) ----------------
 
@@ -563,10 +646,15 @@ object Dedup {
     * edge-participating nodes — KB at gate scale. At 10⁹ nodes it
     * outgrows broadcast range: drop the hint and this becomes a
     * shuffle join on doc_id — still linear, still one pass. */
+  /** The q36 pair zone as (a, b) edges — the clustering family's view;
+    * the zone scan column-prunes the jaccard value away. */
+  private def jaccardPairZone(s: SparkSession, dir: String): DataFrame =
+    jaccardZone(s, dir)
+      .select(col("id1").as("a"), col("id2").as("b"))
+
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-    val pairs = jaccardPairs(s, dir)
-      .select(col("id1").as("a"), col("id2").as("b"))
+    val pairs = jaccardPairZone(s, dir)
     val labels = connectedComponents(pairs)
     docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
       .select(col("doc_id"),
@@ -673,8 +761,7 @@ object Dedup {
     * land bit-for-bit where the from-scratch computation does. */
   def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-    val pairs = jaccardPairs(s, dir)
-      .select(col("id1").as("a"), col("id2").as("b"))
+    val pairs = jaccardPairZone(s, dir)
     val oldEdges = pairs
       .where(!isDeltaDoc(col("a")) && !isDeltaDoc(col("b")))
     val newEdges = pairs

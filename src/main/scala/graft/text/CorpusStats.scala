@@ -160,7 +160,10 @@ object CorpusStats {
   /** The chunk relation materialized once ([[graft.util.Scratch]]);
     * q106 and q113 consume the stored copy from both plan branches. */
   private def chunkZone(s: SparkSession, dir: String): DataFrame =
-    graft.util.Scratch.store(chunkSpans(s, dir), "cdc-chunks")
+    // memoized per application: q106 and q113 (and re-runs) share the
+    // same deterministic chunking of the same corpus
+    graft.util.Scratch.memo(s, "cdc-chunks", s"cdc-chunks:$dir")(
+      chunkSpans(s, dir))
 
   /** q113: shared-span SCRUB — the destructive rewrite q106 only
     * scores: drop every chunk whose fingerprint occurs in more than
@@ -451,10 +454,10 @@ object CorpusStats {
     * the bounded collect_list-sort (q113's invariant). */
   def exactSpanScrub(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import graft.dedup.Md5Prefix
-    val docs = graft.util.Scratch.store(
+    val docs = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")),
-      "span-tokens")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
     // the size >= k guard keeps Tokens.ngramsOf in its sliding-window
     // branch only — short docs have NO grams (its whole-doc fallback
     // would fabricate one), matching the oracle's range() emptiness

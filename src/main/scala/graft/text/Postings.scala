@@ -32,14 +32,15 @@ object Postings {
     * stored copy (PostingsSpec pins zero corpus re-scans). */
   private def shingleSets(s: SparkSession, dir: String,
                           n: Int): DataFrame =
-    graft.util.Scratch.store(
+    // memoized per application: q117 and q121 (and re-runs of either)
+    // consume the same deterministic (dir, n) derivation
+    graft.util.Scratch.memo(s, s"shingles-$n", s"shingles:$dir:$n")(
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
         // materialize w first — inlining the split into the n-gram
         // lambda re-evaluates it per element (Tokens.ngramsOf scaladoc)
         .select(col("doc_id"),
-          array_distinct(Tokens.ngramsOf(col("w"), n)).as("sh")),
-      s"shingles-$n")
+          array_distinct(Tokens.ngramsOf(col("w"), n)).as("sh")))
 
   /** q117: exact Jaccard similarity self-join via prefix filtering
     * (AllPairs/PPJoin): every document pair whose 5-gram shingle sets

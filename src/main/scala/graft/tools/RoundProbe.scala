@@ -1,15 +1,32 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+
+/** Dev probe: time named SparkEntry queries (noop write, 2 passes,
+  * min) at a given sf dir. Usage:
+  * runMain graft.tools.RoundProbe <sfDir> q144_incremental_clusters ...
+  */
 object RoundProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q36_jaccard_pairs", "q98_dedup_clusters",
+        "q144_incremental_clusters")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val t0 = System.nanoTime()
-    val n = graft.dedup.Dedup.dedupClusters(spark, dir).count()
-    println(f"[probe] rows=$n time=${(System.nanoTime()-t0)/1e9}%.2f")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (n <- names) {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $n min=${ts.min}%.2f passes=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
   }
 }

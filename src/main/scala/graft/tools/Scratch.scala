@@ -1,36 +1,32 @@
-package graft.tools
-
+package graft.dedup
 import org.apache.spark.sql.SparkSession
-
-/** Dev scratch main: times named SparkEntry queries (noop write, min of
-  * two interleaved passes) against a scale dir; not part of the API.
-  *
-  * Usage: runMain graft.tools.Scratch <sfDir> <q1,q2,...>
-  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = args.drop(1).headOption.map(_.split(',').toSeq)
-      .getOrElse(Seq("q37_minhash_lsh", "q38_simhash"))
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val qs = names.map(n => n -> graft.SparkEntry.queries(n))
-    def one(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
-    val p1 = qs.map { case (_, f) => one(f) }
-    val p2 = qs.map { case (_, f) => one(f) }
-    qs.zip(p1.zip(p2)).foreach { case ((n, _), (a, b)) =>
-      println(f"[scratch] $n: ${math.min(a, b)}%.2f s (passes $a%.2f / $b%.2f)")
-    }
+    // mirror Bench: noop write, repeated
+    for (i <- 1 to 3)
+      time(s"q36 noop pass$i")(
+        Dedup.jaccardPairs(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+    for (i <- 1 to 2)
+      time(s"q36 count pass$i")(Dedup.jaccardPairs(spark, dir).count())
+    for (i <- 1 to 2)
+      time(s"q36 unordered noop pass$i")(
+        Dedup.jaccardPairsUnordered(spark, dir)
+          .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -37,6 +37,8 @@ object Scratch {
   private val seq = new AtomicLong()
   private val stored =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val memoized =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write `df` to `<root>/<appId>/<name>-<n>` as parquet and return a
     * scan of the stored relation. Eager by design — same contract as
@@ -59,6 +61,45 @@ object Scratch {
     spark.read.parquet(path)
   }
 
+  /** [[store]] memoized per (key, application): the first call under a
+    * given key derives and stores the relation; every later call —
+    * same query re-run, or a DIFFERENT query consuming the same shared
+    * relation — returns a scan of the existing zone without
+    * re-deriving it. This is the DAG semantics of the reference
+    * pipeline (a task's output table is materialized once and every
+    * downstream task reads it) applied to intra-engine relations: the
+    * near-dup pair table feeds clustering, leakage splits, AND
+    * incremental maintenance, and deriving it three times because
+    * three queries asked is recomputation a warehouse would never do.
+    *
+    * ONLY for relations that are deterministic functions of the key —
+    * callers must fold every derivation input (the input dir, shingle
+    * width, threshold) into `key`. An evolving input (a streaming zone,
+    * a MergeOnRead table between epochs) must use [[store]]: memoizing
+    * it would serve stale data. `df` is by-name — never built on a
+    * memo hit. */
+  def memo(spark: SparkSession, name: String, key: String)
+          (df: => DataFrame): DataFrame = {
+    val full = s"$key@${spark.sparkContext.applicationId}"
+    // get/putIfAbsent instead of computeIfAbsent: a memoized derivation
+    // may itself memo a sub-relation (the pair zone derives through the
+    // token zone), and nested computeIfAbsent on one map is recursive
+    //-update territory. The race cost is a duplicate derivation whose
+    // zone is simply never read — correct, just wasted.
+    val existing = memoized.get(full)
+    val path =
+      if (existing != null) existing
+      else {
+        val p = s"${root(spark)}/${spark.sparkContext.applicationId}" +
+          s"/$name-${seq.incrementAndGet()}"
+        df.write.mode("overwrite").parquet(p)
+        stored.add(p)
+        val prev = memoized.putIfAbsent(full, p)
+        if (prev != null) prev else p
+      }
+    spark.read.parquet(path)
+  }
+
   /** Delete every zone this application stored. Only call when no
     * live DataFrame still scans a zone (e.g. between batch runs). */
   def clear(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -68,6 +109,7 @@ object Scratch {
       path.getFileSystem(conf).delete(path, true): Unit
     }
     stored.clear()
+    memoized.clear()
   }
 
   private def root(spark: SparkSession): String =

@@ -67,6 +67,29 @@ class DedupScaleSpec extends SparkSpec {
     }
   }
 
+  test("q36 shape: prefix-filter candidates track the output, zero cross-cluster noise") {
+    // Clones have 12 tokens each ⟹ prefix = 12 − ⌈0.8·12⌉ + 1 = 3.
+    // Within a cluster every clone is identical, so each prefix token
+    // pairs every clone pair: candidates = 3 × Σ C(sz,2) EXACTLY — a
+    // fixed small multiple of the TRUE pair count (which is itself
+    // quadratic per cluster only because every clone pair genuinely IS
+    // a duplicate). Cross-cluster token streams are disjoint and
+    // singleton streams unique, so not one wasted candidate crosses a
+    // cluster — where source-blocked all-pairs would generate
+    // C(6156,2) ≈ 18.9M intersections regardless of output size.
+    val truePairs = clusterSizes.values
+      .map(sz => sz.toLong * (sz - 1) / 2).sum
+    val cand = Dedup.jaccardCandidates(
+      Dedup.jaccardTokenSets(spark, dir))
+    val crossCluster = cand.where(
+      expr("id1 DIV 10000 <> id2 DIV 10000")).count()
+    assert(crossCluster == 0L,
+      s"$crossCluster candidates crossed disjoint-token clusters")
+    val n = cand.count()
+    assert(n == 3L * truePairs,
+      s"candidate volume $n != prefixLen(3) x truePairs($truePairs)")
+  }
+
   test("q115 shape: delta pairs track the batch, never intra-corpus") {
     val cap = 20
     val dp = Dedup.minhashDeltaPairs(spark, dir, maxBucket = cap)
@@ -86,6 +109,102 @@ class DedupScaleSpec extends SparkSpec {
         s"capped O(maxBucket x delta) bound")
     // within-cluster only
     assert(dp.forall { case (c, d) => cluster(c) == cluster(d) })
+  }
+
+  test("q140 shape: dup-gram scoring exact under mass duplication, no pair expansion") {
+    // clones: 12 tokens → 8 5-grams, all shared cluster-wide → exactly
+    // 1.0; singletons: 4 unique grams → exactly 0.0. The shape point:
+    // scoring is one gram aggregate + occurrence join-back — LINEAR in
+    // gram occurrences even when the head cluster alone would be ~2M
+    // pairs under any pairwise spelling.
+    val rows = graft.text.CorpusStats.dupGramFraction(spark, dir).collect()
+    assert(rows.length == totalClones + singletons)
+    rows.foreach { r =>
+      val (id, f) = (r.getAs[Long]("doc_id"), r.getAs[Double]("dup_fraction"))
+      if (id < 900000L) assert(f == 1.0, s"clone $id scored $f")
+      else assert(f == 0.0, s"singleton $id scored $f")
+    }
+  }
+
+  test("q141 shape: decontamination burns exactly the clusters with an eval member") {
+    import spark.implicits._
+    // ground-truth split from the operator's own hash (the mapping is
+    // the contract under test elsewhere; here it derives expectations)
+    val allIds = clusterSizes.toSeq.flatMap { case (k, sz) =>
+      (0 until sz).map(i => k * 10000L + i) } ++
+      (0 until singletons).map(i => 900000L + i)
+    val isTrain = allIds.toDF("doc_id")
+      .select(col("doc_id"),
+        graft.ops.Sampling.isTrainDoc(col("doc_id")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val evalTouched = clusterSizes.keySet.filter(k =>
+      (0 until clusterSizes(k)).exists(i => !isTrain(k * 10000L + i)))
+    val got = graft.text.TextAnalysis.decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(got.keySet == isTrain.filter(_._2).keySet,
+      "decontamination must emit exactly the train docs")
+    got.foreach { case (id, kept) =>
+      val expected =
+        if (id >= 900000L) true // unique grams — never contaminated
+        else !evalTouched(cluster(id).toInt) // any eval clone burns all
+      assert(kept == expected, s"doc $id kept=$kept expected=$expected")
+    }
+    assert(evalTouched.nonEmpty, "fixture should contaminate some cluster")
+  }
+
+  test("q145 shape: span scrub annihilates clone clusters, spares singletons") {
+    // every clone position is covered by a cluster-shared 5-gram →
+    // scrubbed to empty; singleton grams are unique → untouched. The
+    // coverage explode is k × SHARED occurrences (linear), deduped to
+    // at most the corpus token count — never a pair relation.
+    val rows = graft.text.CorpusStats.exactSpanScrub(spark, dir).collect()
+    assert(rows.length == totalClones + singletons)
+    var scrubbed = 0L
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id < 900000L) {
+        assert(r.getAs[Long]("n_kept") == 0L &&
+          r.getAs[String]("cleaned_text") == "", s"clone $id survived")
+        scrubbed += r.getAs[Long]("n_scrubbed")
+      } else assert(r.getAs[Long]("n_scrubbed") == 0L,
+        s"singleton $id was scrubbed")
+    }
+    assert(scrubbed == 12L * totalClones, "coverage must be exactly every clone token")
+  }
+
+  test("q116 shape: a 100%-skewed length bucket still batches exactly") {
+    // every doc lands in bucket 0 (8-12 tokens, width 32) — the
+    // one-task-per-bucket trap the sub-split exists for. Exact-fill
+    // and pad bounds must hold on the mega-bucket.
+    val rows = graft.text.CorpusStats.lengthBatches(spark, dir).collect()
+    val n = totalClones + singletons
+    assert(rows.length == n)
+    val byBatch = rows.groupBy(r =>
+      (r.getAs[Long]("bucket"), r.getAs[Long]("batch_no")))
+    assert(byBatch.values.forall(_.size <= 16))
+    assert(byBatch.values.count(_.size == 16) == n / 16,
+      "every batch except the tail must be exactly full")
+    assert(rows.forall(_.getAs[Long]("pad") <= 4L),
+      "pad bounded by the in-bucket length spread")
+  }
+
+  test("q142: Hamilton allocation exact under 1000:1 strata skew") {
+    import spark.implicits._
+    val docs = ((0 until 10000).map(i => (i.toLong, "big")) ++
+      (0 until 10).map(i => (100000L + i, "mid")) ++
+      (0 until 7).map(i => (200000L + i, "tiny")))
+      .toDF("doc_id", "source")
+    // target 100, N=10017: base=(99,0,0), remainders (8317,1000,700),
+    // 1 leftover seat → big. Proportionality at this skew honestly
+    // zeroes the minnows — and Σ is EXACTLY the target, no drift.
+    val a = graft.ops.Sampling.stratifiedSample(docs, 100).collect()
+    assert(a.length == 100 && a.forall(_.getAs[String]("source") == "big"))
+    // target 1000: base=(998,0,0), remainders (3034,10000,7000), 2
+    // seats → mid, tiny: minorities get their largest-remainder seat
+    val b = graft.ops.Sampling.stratifiedSample(docs, 1000).collect()
+    val bySrc = b.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length).toMap
+    assert(bySrc == Map("big" -> 998, "mid" -> 1, "tiny" -> 1), bySrc.toString)
   }
 
   test("connected components labels the power-law clusters at scale") {

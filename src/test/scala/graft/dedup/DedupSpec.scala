@@ -166,7 +166,10 @@ class DedupSpec extends SparkSpec {
     // that folds `rand() * 0` cannot silently reintroduce the
     // regression.
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
-    val lp = Dedup.jaccardPairs(spark, sf()).queryExecution.optimizedPlan
+    // pin the DERIVATION plan — the q36 query itself scans the
+    // memoized pair zone, so the pipeline shape lives here
+    val lp = Dedup.jaccardPairsUnordered(spark, sf())
+      .queryExecution.optimizedPlan
     val joinConds = lp.collect {
       case j: Join => j.condition.map(_.sql).getOrElse("") }
     assert(joinConds.nonEmpty, "expected a join in the q36 plan")

@@ -131,6 +131,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q36: no broadcast hint — every join may degrade to shuffle at scale") {
+    // The pre-round-6 spelling broadcast the full tokenized corpus as
+    // a join build side — an OOM past the broadcast budget at 100×.
+    // Candidates now come from prefix filtering; this pins that NO
+    // user strategy hint survives on any q36 join (an auto broadcast
+    // chosen by size at this scale is fine — it re-decides at 100 TB;
+    // a hint does not), that every branch reads the materialized
+    // token zone rather than re-scanning the corpus, and that the
+    // candidate join stayed an equi-join.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // the registered q36 scans the memoized pair zone; the pipeline
+    // whose shape matters at 100 TB is the DERIVATION that builds it
+    val qe = graft.dedup.Dedup.jaccardPairsUnordered(spark, sf())
+      .queryExecution
+    val hinted = qe.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined) => j.hint.toString
+    }
+    assert(hinted.isEmpty, s"strategy hints found on q36 joins: $hinted")
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("graft-scratch-"), plan)
+    assert(!plan.contains("documents.parquet"),
+      "corpus re-scan instead of the token zone:\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q119: one key-partitioned window, no global sort before it") {
     val plan = planOf("q119_forward_fill")
     val windows = "windowspecdefinition\\(([^,]*)".r

@@ -34,4 +34,24 @@ class ScratchSpec extends SparkSpec {
     assert(a.collect().map(_.getLong(0)).toSeq == Seq(1L))
     assert(b.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("memo: one derivation per key; the by-name relation never builds on a hit") {
+    import spark.implicits._
+    var builds = 0
+    def derive() = { builds += 1; Seq((1L, "x")).toDF("id", "v") }
+    val k = s"memo-spec-${System.identityHashCode(this)}"
+    val a = Scratch.memo(spark, "memo-unit", k)(derive())
+    val b = Scratch.memo(spark, "memo-unit", k)(derive())
+    assert(builds == 1, s"memo hit rebuilt the relation ($builds builds)")
+    assert(a.collect().toSeq == b.collect().toSeq)
+    // distinct keys stay distinct relations
+    val c = Scratch.memo(spark, "memo-unit", k + ":other")(
+      Seq((2L, "y")).toDF("id", "v"))
+    assert(c.head().getLong(0) == 2L && builds == 1)
+  }
 }
+// NOTE: Scratch.clear() is deliberately untested here — suites share
+// one JVM-wide session and run in parallel, and a global clear would
+// delete zones a concurrent suite is scanning. Its memo-map reset is
+// two lines audited by eye; calling it belongs to batch boundaries,
+// not to a shared-session test run.
