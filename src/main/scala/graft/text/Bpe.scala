@@ -74,10 +74,13 @@ object Bpe {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
         merges += Merge(merges.length, l, r)
         // map-side merge application over the word table: fuse every
-        // non-overlapping (l, r) left-to-right
-        val mergedWords = words.as[(Seq[String], Long)]
-          .map { case (syms, freq) => (applyMerge(syms, l, r), freq) }
-          .toDF("syms", "freq")
+        // non-overlapping (l, r) left-to-right — as a COLUMN fold
+        // (see applyMergeCol), so each round's plan is a plain
+        // Project over the checkpoint, with no
+        // DeserializeToObject/SerializeFromObject encoder round-trip
+        // per word (the previous typed `.map` spelling paid one)
+        val mergedWords = words.select(
+          applyMergeCol(col("syms"), l, r).as("syms"), col("freq"))
         val next = Checkpoints.root(mergedWords)
         Checkpoints.free(words)
         words = next
@@ -87,6 +90,26 @@ object Bpe {
     Checkpoints.free(words)
     merges.toSeq
   }
+
+  /** [[applyMerge]] as a column expression: a left fold (`aggregate`)
+    * that appends each symbol, fusing it with the accumulator's last
+    * element when that element is `l` and the symbol is `r`. This is
+    * exactly the imperative left-to-right non-overlapping semantics:
+    * a fused token equals `l + r`, which can never equal `l` (symbols
+    * are non-empty), so a token fused this round can never fuse again
+    * this round — the i += 2 skip, expressed as a fold invariant
+    * (property-tested against [[applyMerge]] in BpeSpec, overlap
+    * chains included). `try_element_at` keeps the empty-accumulator
+    * probe null-safe under ANSI mode. Arrays stay ArrayData end to
+    * end — no per-row encoder ser/de in the training loop. */
+  private[text] def applyMergeCol(syms: org.apache.spark.sql.Column,
+                                  l: String, r: String)
+      : org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
 
   /** Fuse every non-overlapping adjacent (l, r) in left-to-right
     * order — the standard BPE application step. */

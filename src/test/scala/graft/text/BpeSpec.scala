@@ -28,6 +28,44 @@ class BpeSpec extends SparkSpec {
     assert(enc.getAs[Long]("n_bpe_tokens") > enc.getAs[Long]("n_words"))
   }
 
+  test("column-fold merge application == imperative applyMerge, incl. overlap chains") {
+    // the fold's correctness hangs on "a fused token never re-fuses
+    // this round"; overlap chains (aaaa with (a,a)) are where a wrong
+    // fold diverges from the left-to-right i+=2 semantics
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("a", "b", "ab", "aa", "ba")
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a"),
+      (Seq("a", "a", "a", "a"), "a", "a"),
+      (Seq("a", "b", "a", "b"), "a", "b"),
+      (Seq("ab", "ab", "ab", "ab"), "ab", "ab"),
+      (Seq("aa", "a", "a"), "aa", "a"),
+      (Seq.empty[String], "a", "b"),
+      (Seq("x"), "a", "b")
+    ) ++ (1 to 60).map { _ =>
+      val syms = Seq.fill(rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.size)))
+      (syms, alphabet(rnd.nextInt(alphabet.size)),
+        alphabet(rnd.nextInt(alphabet.size)))
+    }
+    for ((syms, l, r) <- cases) {
+      val got = Seq(Tuple1(syms)).toDF("syms")
+        .select(Bpe.applyMergeCol(col("syms"), l, r).as("m"))
+        .head().getAs[scala.collection.Seq[String]]("m")
+      assert(got.toSeq == Bpe.applyMerge(syms, l, r),
+        s"fold diverged on syms=$syms merge=($l,$r)")
+    }
+  }
+
+  test("merge-application round plans a plain Project — no encoder ser/de") {
+    val df = Seq((Seq("l", "o", "w"), 5L)).toDF("syms", "freq")
+      .select(Bpe.applyMergeCol(col("syms"), "l", "o").as("syms"),
+        col("freq"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("SerializeFromObject"),
+      "training round left column space:\n" + plan)
+  }
+
   test("BPE on the testdata corpus: 16 merges, deterministic encode") {
     val merges = Bpe.learnBpe(spark, sf(), nMerges = 16)
     assert(merges.length == 16)
