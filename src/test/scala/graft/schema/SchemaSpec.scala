@@ -140,6 +140,45 @@ class SchemaSpec extends AnyFunSuite {
     assert(evo.ddl.last.startsWith("CREATE TABLE IF NOT EXISTS ns.t"))
   }
 
+  test("property: MySQL-dialect DDL matches the MySQL 8 statement grammar") {
+    // No MySQL-family engine resolves from the offline dependency
+    // cache (the embedded-Derby round-trip in WarehouseSpec proves the
+    // Postgres-family DDL EXECUTES), so the second dialect is gated at
+    // the grammar level: every statement the generator can emit must
+    // match an anchored production of the MySQL 8 reference grammar
+    // for that statement type — unquoted identifier charset
+    // [0-9a-zA-Z$_] (MySQL 8 §9.2), the five lattice types (all valid
+    // MySQL column types), and the exact IF NOT EXISTS / ADD COLUMN
+    // clause shapes. A generator change that emits Postgres-only
+    // syntax under the MySql dialect (e.g. CREATE SCHEMA) fails here.
+    import TypeLattice.MySql
+    val ident = "[0-9a-zA-Z$_]+"
+    val qualified = s"$ident(?:\\.$ident)?"
+    val colType = "(?:BOOLEAN|INT|FLOAT|TIMESTAMP|VARCHAR\\(255\\))"
+    val colDef = s"  $ident $colType"
+    val createDb = s"^CREATE DATABASE IF NOT EXISTS $ident;$$".r
+    val createTable =
+      s"^CREATE TABLE IF NOT EXISTS $qualified \\(\n$colDef(?:,\n$colDef)*\n\\);$$".r
+    val alter =
+      s"^ALTER TABLE $qualified ADD COLUMN $ident $colType;$$".r
+    val gen = DdlGenerator.Deterministic
+    (0 until 100).foreach { i =>
+      val schema0 = genSchema.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      // the generator contract takes SANITIZED names (evolve sanitizes
+      // before delegating); non-empty schema as CREATE demands
+      val schema = if (schema0.isEmpty)
+        StructType(Seq(StructField("c", LongType))) else schema0
+      val table = SchemaEvolver.parseTableName(
+        if (i % 2 == 0) s"ns$i.t$i" else s"t$i")
+      val created = gen.createTable(table, schema, MySql)
+      val (ns, ct) = (created.init, created.last)
+      ns.foreach(s => assert(createDb.matches(s), s"not MySQL DDL: $s"))
+      assert(createTable.matches(ct), s"not MySQL DDL: $ct")
+      val altered = gen.alterTable(table, schema.fields.toSeq, MySql)
+      altered.foreach(s => assert(alter.matches(s), s"not MySQL DDL: $s"))
+    }
+  }
+
   test("property: evolve(existing, inferred) ⊇ existing, and is idempotent") {
     // Plain ScalaCheck sampling (scalatest-plus bridge isn't a declared
     // dependency): 200 deterministic cases.
