@@ -652,14 +652,19 @@ object Dedup {
     jaccardZone(s, dir)
       .select(col("id1").as("a"), col("id2").as("b"))
 
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-    val pairs = jaccardPairZone(s, dir)
-    val labels = connectedComponents(pairs)
-    docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
-  }
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    // memoized: the CC fixpoint over the pair zone is deterministic
+    // per dir and BOTH q98 and q138 consume it — one contraction loop
+    // per application, not one per consumer
+    graft.util.Scratch.memo(s, "jaccard-labels",
+      s"jaccard-labels:$dir") {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val pairs = jaccardPairZone(s, dir)
+      val labels = connectedComponents(pairs)
+      docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterLabels(s, dir)

@@ -49,19 +49,24 @@ object Perceptual {
   /** (doc_id, dhash) over the rendered media corpus — the decode runs
     * the real PPM codec per partition (same mapPartitions shape as
     * [[Multimodal.decodeImages]]); undecodable blobs are dropped. */
-  def dhashes(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.renderedBlobs(s, dir)
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("dhash", LongType, nullable = false)))
-    val rdd = media.rdd.mapPartitions { it =>
-      it.flatMap { r =>
-        Ppm.decode(r.getAs[Array[Byte]]("blob"))
-          .map(img => Row(r.getLong(0), dhash(img)))
+  def dhashes(s: SparkSession, dir: String): DataFrame =
+    // memoized ([[graft.util.Scratch.memo]]): the codec decode is the
+    // expensive stage, and the hash relation is consumed twice within
+    // one query (both self-join sides) and again by q126's union —
+    // decode once per application, every consumer scans (doc_id, hash)
+    graft.util.Scratch.memo(s, "dhashes", s"dhashes:$dir") {
+      val media = Multimodal.renderedBlobs(s, dir)
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("dhash", LongType, nullable = false)))
+      val rdd = media.rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          Ppm.decode(r.getAs[Array[Byte]]("blob"))
+            .map(img => Row(r.getLong(0), dhash(img)))
+        }
       }
+      s.createDataFrame(rdd, outSchema)
     }
-    s.createDataFrame(rdd, outSchema)
-  }
 
   /** q122: image near-dup pairs — every pair of rendered images within
     * Hamming ≤ `maxHamming` of each other's dHash.
@@ -142,7 +147,13 @@ object Perceptual {
     * to a real RIFF blob and decoded back through the [[Wav]] codec —
     * the audio leg of the same render→real-decode→hash pipeline as
     * [[dhashes]]. */
-  def ahashes(s: SparkSession, dir: String): DataFrame = {
+  def ahashes(s: SparkSession, dir: String): DataFrame =
+    // memoized: same decode-once reasoning as [[dhashes]]
+    graft.util.Scratch.memo(s, "ahashes", s"ahashes:$dir") {
+      ahashesDerive(s, dir)
+    }
+
+  private def ahashesDerive(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val blobs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -181,7 +192,13 @@ object Perceptual {
     * [[Y4m.frameAsPpm]] (luma replicated to RGB, so the integer gray
     * (299+587+114)·y/1000 = y exactly and the frame dHash IS the luma
     * dHash — DuckDB replays it without channel math). */
-  def fhashes(s: SparkSession, dir: String): DataFrame = {
+  def fhashes(s: SparkSession, dir: String): DataFrame =
+    // memoized: same decode-once reasoning as [[dhashes]]
+    graft.util.Scratch.memo(s, "fhashes", s"fhashes:$dir") {
+      fhashesDerive(s, dir)
+    }
+
+  private def fhashesDerive(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val blobs = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]

@@ -218,7 +218,15 @@ object Similarity {
     * embedding leg of the dedup suite. Candidates via shared signature
     * band, exact verify, no cross join. */
   def nearDupPairs(s: SparkSession, dir: String,
-                   threshold: Double = 0.45): DataFrame = {
+                   threshold: Double = 0.45): DataFrame =
+    // memoized pair zone: q52 itself and q107's CC loop (every round)
+    // consume the same deterministic (dir, threshold) relation — the
+    // jaccardZone discipline (Dedup.scala); the output sort is q52's
+    // own, so the zone stores unsorted
+    nearDupPairZone(s, dir, threshold).orderBy("id1", "id2")
+
+  private def nearDupPairsDerive(s: SparkSession, dir: String,
+                                 threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // Band rows carry ONLY (vec_id, band, bandVal): the 64-float
     // vectors never ride through the explode/join/distinct (at sf0.1
@@ -252,8 +260,16 @@ object Similarity {
         col("embedding").as("v2")), "id2")
       .select(col("id1"), col("id2"), dotCol(col("v1"), col("v2")).as("cosine"))
       .where(col("cosine") >= threshold)
-      .orderBy("id1", "id2")
   }
+
+  /** The q52 pair zone unsorted — what the clustering consumer reads
+    * (CC canonicalizes and checkpoints the edges anyway). */
+  private def nearDupPairZone(s: SparkSession, dir: String,
+                              threshold: Double = 0.45): DataFrame =
+    graft.util.Scratch.memo(s, "srp-pairs",
+      s"srp-pairs:$dir:$threshold") {
+      nearDupPairsDerive(s, dir, threshold)
+    }
 
   /** Scalar int8 quantization of the embedding column: per-vector
     * symmetric scale (max |x| → 127), 4× smaller than float32 — the
@@ -320,7 +336,7 @@ object Similarity {
     * pipeline and closes it with a recursive CTE. */
   def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
     val vecs = corpus(s, dir).select(col("vec_id"))
-    val pairs = nearDupPairs(s, dir)
+    val pairs = nearDupPairZone(s, dir)
       .select(col("id1").as("a"), col("id2").as("b"))
     val labels = graft.dedup.Dedup.connectedComponents(pairs)
     vecs.join(broadcast(labels), vecs("vec_id") === labels("id"), "left")
