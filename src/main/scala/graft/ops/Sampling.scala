@@ -230,7 +230,99 @@ object Sampling {
       .orderBy("source", "rk")
   }
 
+  /** q146: seeded deterministic corpus shuffle — the reproducible
+    * global "training order" a pretraining run consumes: a document's
+    * position under epoch seed `seed` is a pure function of
+    * (seed, doc_id), so re-running the pipeline (or re-materializing a
+    * lost epoch) reproduces the identical order, and a different seed
+    * gives an independent permutation for the next epoch.
+    *
+    * Scale shape: the global rank is the q112 two-level DISTRIBUTED
+    * prefix pattern, not one giant `row_number` window — the 60-bit
+    * md5 order key splits into 128 range buckets by its HIGH bits
+    * (global key order ≡ (bucket, key) order; md5 keys are uniform so
+    * buckets are balanced by construction), in-bucket ranks are
+    * key-partitioned windows, bucket counts (≤128 rows) take the one
+    * tiny window, and position = base + local rank after a broadcast
+    * join. DuckDB replays the single global window — the semantic
+    * spec the two-level plan must reproduce exactly. */
+  def seededShuffle(s: SparkSession, dir: String,
+                    seed: String = "42"): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        md5Prefix(concat(lit(seed), lit(":"),
+          col("doc_id").cast("string"))).as("shuffle_key"))
+      // shuffle_key ∈ [0, 2⁶⁰): top 7 bits → 128 order-preserving buckets
+      .withColumn("bkt", shiftright(col("shuffle_key"), 53))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    val local = docs.withColumn("rn", row_number().over(wIn).cast("long"))
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = docs.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(sum(col("cnt")).over(wB), lit(0L)))
+      .select(col("bkt"), col("base"))
+    local.join(broadcast(prefix), "bkt")
+      .select(col("doc_id"), col("shuffle_key"),
+        (col("base") + col("rn")).as("position"))
+      .orderBy("position")
+  }
+
+  /** q147: token-budget corpus selection — fill a fixed training-token
+    * budget with the highest-quality documents: rank the corpus by the
+    * q31 quality score (descending, doc_id tiebreak), take documents
+    * while the running token total is still under `budget` (the last
+    * admitted document may straddle the line — the packing writer
+    * truncates it). Emits the full audit relation
+    * `(doc_id, n_tokens, quality, cum_tokens, kept)` so the cut is
+    * inspectable, not just the survivor set.
+    *
+    * Scale shape: the running total is the q112 two-level prefix sum.
+    * Quality is not hash-uniform, so the order-preserving bucketing
+    * quantizes the score instead: bkt = floor((1−quality)·128) is
+    * non-decreasing as quality falls, hence (bkt, quality DESC) order
+    * ≡ quality DESC order; equal scores land in one bucket so no tie
+    * ever splits across the bucket window. In-bucket running sums are
+    * bucket-partitioned windows; bucket totals (≤129 rows) take the
+    * one tiny window; cum = base + local after a broadcast join. A
+    * quality distribution collapsed onto few values skews the bucket
+    * windows — at that point widen the quantization (more buckets) or
+    * fall back to hash-ordered filling. DuckDB replays the single
+    * global cumulative window over the shared q31 formula
+    * ([[graft.text.TextAnalysis.qualitySql]]). */
+  def tokenBudget(s: SparkSession, dir: String,
+                  budget: Long = 10000L): DataFrame = {
+    val q = graft.text.TextAnalysis.qualityRelation(s, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality"))
+      // null quality (null text) → bucket 128: AFTER every real
+      // bucket, matching both engines' NULLS LAST under quality DESC
+      // (and keeping the equi-join on bkt from dropping the rows)
+      .withColumn("bkt",
+        when(col("quality").isNull, lit(128))
+          .otherwise(least(lit(127), greatest(lit(0),
+            floor((lit(1.0) - col("quality")) * 128).cast("int")))))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val local = q.withColumn("cum", sum(col("n_tokens")).over(wIn))
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = q.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("base", coalesce(sum(col("tot")).over(wB), lit(0L)))
+      .select(col("bkt"), col("base"))
+    local.join(broadcast(prefix), "bkt")
+      .withColumn("cum_tokens", col("base") + col("cum"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("cum_tokens"),
+        (col("cum_tokens") - col("n_tokens") < budget).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_seeded_shuffle" -> ((s: SparkSession, d: String) =>
+      seededShuffle(s, d)),
+    "q147_token_budget" -> ((s: SparkSession, d: String) =>
+      tokenBudget(s, d)),
     "q102_hash_split"   -> (hashSplit _),
     "q103_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
     "q108_curated_corpus" -> ((s: SparkSession, d: String) =>
@@ -248,6 +340,37 @@ object Sampling {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q146_seeded_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+        |    AS BIGINT) AS position
+        |FROM h ORDER BY position""".stripMargin,
+    // the semantic spec of the two-level prefix sum: ONE global
+    // cumulative window over the shared q31 quality formula (plain
+    // concatenation, NOT s-interpolation — the interpolator would
+    // cook the \t\n\v\f\r regex escapes)
+    "q147_token_budget" ->
+      ("""WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))
+        |      AS BIGINT) AS n_tokens,
+        |    (""".stripMargin +
+        graft.text.TextAnalysis.qualitySql + """) AS quality
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, n_tokens, quality, cum_tokens,
+        |  (cum_tokens - n_tokens < 10000) AS kept
+        |FROM c ORDER BY doc_id""".stripMargin),
     "q102_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id, source,

@@ -346,7 +346,32 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q148: hard-negative mining — for each query vector, the top-k
+    * most-similar corpus vectors whose class `label` DIFFERS from the
+    * query's: the contrastive-training counterpart of q50 (a hard
+    * negative is "looks like me, isn't me" — the pairs that actually
+    * move an embedding model). Same broadcast-query / one-corpus-scan
+    * shape and [[rankTopK]] contract as q50; the label inequality
+    * rides in the join condition, so same-class pairs are rejected
+    * during the scan and never materialize. */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val all = corpus(s, dir)
+    val q = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = all.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        dotCol(col("embedding"), col("qv")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_hard_negatives" -> ((s: SparkSession, d: String) =>
+      hardNegatives(s, d)),
     "q50_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "q51_knn_lsh"   -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     // Exact mode (probe all cells): the full IVF machinery runs, and
@@ -408,6 +433,22 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q148_hard_negatives" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    c.label AS neg_label,
+         |    ${dotSql("c.embedding", "q.embedding")} AS cosine
+         |  FROM embeddings c JOIN embeddings q
+         |    ON q.vec_id < 10 AND c.vec_id != q.vec_id
+         |      AND c.label != q.label
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, neg_label, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, neg_label, cosine, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q50_knn_brute" -> bruteTopkSql,
     "q53_knn_ivf" -> bruteTopkSql,
     // full int8 replay: float max-abs scale, double-divide round-half-

@@ -31,10 +31,15 @@ object TextAnalysis {
       length(col("text")).as("len_chars"))
       .orderBy("doc_id")
 
-  /** q31: heuristic quality score — stopword ratio, length saturation,
-    * type-token ratio, combined with fixed weights. The exact formula
-    * is engine-defined; what matters is determinism + scan-speed. */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** The q31 relation WITHOUT the presentation sort —
+    * `(doc_id, n_tokens, quality)` — for downstream consumers (q147's
+    * token-budget selection) that impose their own ordering; an
+    * embedded `orderBy` would plan a wasted global range sort under
+    * the consumer's window. ONE formula definition: q31 and every
+    * consumer's oracle share this exact double-arithmetic order, so
+    * the quality doubles stay bit-identical across engines. */
+  private[graft] def qualityRelation(s: SparkSession,
+                                     dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks)
     val nStop = size(expr(
@@ -46,8 +51,13 @@ object TextAnalysis {
       col("doc_id"),
       nTok.as("n_tokens"),
       (stopRatio * 0.3 + lenSat * 0.4 + ttr * 0.3).as("quality"))
-      .orderBy("doc_id")
   }
+
+  /** q31: heuristic quality score — stopword ratio, length saturation,
+    * type-token ratio, combined with fixed weights. The exact formula
+    * is engine-defined; what matters is determinism + scan-speed. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityRelation(s, dir).orderBy("doc_id")
 
   /** q32: language-ID via marker-token counts (n-gram heuristic class;
     * CJK presence short-circuits). Fixed priority on ties. */
@@ -272,6 +282,20 @@ object TextAnalysis {
     "q141_decontaminate" -> ((s: SparkSession, d: String) =>
       decontaminate(s, d)))
 
+  /** The q31 quality formula as ONE DuckDB expression over `text` —
+    * spliced into q31's oracle AND q147's (token-budget selection), so
+    * the double-arithmetic order (which both engines must reproduce
+    * bit-for-bit for the ORDER BY quality to agree) can never drift
+    * between the two oracles. Mirrors [[qualityRelation]] term by
+    * term. */
+  private[graft] val qualitySql: String =
+    """(len(list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'),
+      |       w -> w IN ('the', 'a', 'of', 'and')))
+      |     / len(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))) * 0.3
+      |  + LEAST(1.0, len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) / 100.0) * 0.4
+      |  + (len(list_distinct(string_split_regex(trim(text), '[ \t\n\v\f\r]+')))
+      |     / len(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))) * 0.3""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q95_token_freq" ->
       """SELECT t.tok, count(*) AS n
@@ -283,16 +307,13 @@ object TextAnalysis {
         |  len(list_distinct(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))) AS n_distinct_tokens,
         |  length(text) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // concatenation, NOT s-interpolation: the interpolator would cook
+    // the \t\n\v\f\r regex escapes
     "q31_quality_score" ->
-      """SELECT doc_id,
+      ("""SELECT doc_id,
         |  len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS n_tokens,
-        |  (len(list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'),
-        |       w -> w IN ('the', 'a', 'of', 'and')))
-        |     / len(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))) * 0.3
-        |  + LEAST(1.0, len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) / 100.0) * 0.4
-        |  + (len(list_distinct(string_split_regex(trim(text), '[ \t\n\v\f\r]+')))
-        |     / len(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))) * 0.3 AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  """.stripMargin + qualitySql + """ AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin),
     "q32_langid" ->
       """SELECT doc_id,
         |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
