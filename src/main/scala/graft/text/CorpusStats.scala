@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -493,7 +493,110 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q149: within-document repetition filter — the Gopher/MassiveText
+    * repetition rules (Rae et al. 2021 §A1.1) that catch boilerplate
+    * and degenerate generations WHOLE-corpus dedup cannot see (a
+    * document that repeats ITSELF is unique corpus-wide). Complements
+    * q89's ratio signals (duplicate-bigram, adjacent-repeat) with the
+    * CONCENTRATION rules — how much of the document the single most
+    * frequent gram owns — plus a composite threshold verdict: fraction of
+    * tokens in the single most frequent token, fraction of bigram
+    * occurrences in the most frequent bigram, fraction of trigram
+    * occurrences whose trigram repeats within the document. All
+    * ranking keys are integer counts and each emitted fraction is ONE
+    * int/int IEEE division (the module's float-free gate discipline),
+    * so the flag thresholds compare bit-identical doubles on both
+    * engines.
+    *
+    * Scale shape: unigram/bigram/trigram occurrences are built
+    * MAP-SIDE into one tagged array per document (one corpus scan, one
+    * explode — not three), then ONE shuffle on (doc_id, n, gram) with
+    * map-side partial counts; the per-doc rollups re-key on doc_id
+    * prefixes of the same key, so nothing exceeds document size and no
+    * corpus-wide state exists. Every doc has ≥1 token in this corpus
+    * (verified at all SFs), so the inner explode drops no documents;
+    * a corpus with empty texts would left-join from `documents` and
+    * coalesce counts to 0. */
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val tagged = (n: Int, g: Column) =>
+      transform(g, x => struct(lit(n).as("n"), x.as("g")))
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
+      .select(col("doc_id"), explode(concat(
+        tagged(1, w),
+        tagged(2, Tokens.ngramsOf(w, 2)),
+        tagged(3, Tokens.ngramsOf(w, 3)))).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+    val perGram = grams.groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val perN = perGram.groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("tot"), max(col("c")).as("mx"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup"))
+    def pick(n: Int, c: Column): Column = max(when(col("n") === n, c))
+    perN.groupBy(col("doc_id"))
+      .agg(
+        pick(1, col("tot")).as("n_tokens"),
+        pick(1, col("mx")).as("top_token_count"),
+        pick(2, col("tot")).as("n_bigrams"),
+        pick(2, col("mx")).as("top_bigram_count"),
+        pick(3, col("tot")).as("n_trigrams"),
+        pick(3, col("dup")).as("dup_trigram_count"))
+      .select(col("doc_id"), col("n_tokens"), col("top_token_count"),
+        (col("top_token_count") / col("n_tokens")).as("top_token_frac"),
+        col("n_bigrams"), col("top_bigram_count"),
+        (col("top_bigram_count") / col("n_bigrams")).as("top_bigram_frac"),
+        col("n_trigrams"), col("dup_trigram_count"),
+        (col("dup_trigram_count") / col("n_trigrams"))
+          .as("dup_trigram_frac"))
+      .withColumn("flagged",
+        col("top_token_frac") > 0.2 || col("top_bigram_frac") > 0.18 ||
+          col("dup_trigram_frac") > 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** q150: keep-FIRST shared-chunk scrub — the C4-production variant
+    * of q113: where q113 drops EVERY occurrence of a cross-doc shared
+    * chunk (the content vanishes from the corpus entirely), this keeps
+    * the globally first occurrence — min (doc_id, chunk index) — and
+    * scrubs only the later repeats, so exactly one copy of every
+    * distinct chunk survives. Also catches WITHIN-doc chunk repeats
+    * (same chunk twice in one doc: q113's ndocs=1 test keeps both;
+    * here the second is a repeat and drops).
+    *
+    * Scale shape: identical to q113 up to the survivor rule — the
+    * chunk relation comes from the shared parquet scratch zone
+    * ([[chunkZone]]), the survivor per fingerprint is a groupBy-MIN
+    * (map-side partial min — a mass-duplicated chunk's million
+    * occurrences reduce inside their partitions; the deliberate
+    * NON-window spelling, same skew argument as connectedComponents'
+    * groupBy-min), one key-partitioned join back, and the bounded
+    * per-doc collect_list reassembly. */
+  def keepFirstScrub(s: SparkSession, dir: String): DataFrame = {
+    val ch = chunkZone(s, dir)
+    val surv = ch.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("j"))).as("sv"))
+    ch.join(surv, "chunk_hash")
+      .withColumn("kept",
+        col("doc_id") === col("sv.doc_id") && col("j") === col("sv.j"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("kept"), col("ctoks")).otherwise(0L))
+          .as("n_tokens_kept"),
+        // collect_list skips the when()'s nulls; array_sort orders by
+        // j (unique per doc) — q113's deterministic reassembly idiom
+        array_join(transform(array_sort(collect_list(
+          when(col("kept"), struct(col("j"), col("ctext"))))),
+          x => x.getField("ctext")), " ").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_repetition_filter" -> ((s: SparkSession, d: String) =>
+      repetitionFilter(s, d)),
+    "q150_keepfirst_scrub" -> ((s: SparkSession, d: String) =>
+      keepFirstScrub(s, d)),
     "q133_freq_items"     -> ((s: SparkSession, d: String) =>
       freqItemsWitness(s, d)),
     "q145_exact_span_scrub" -> ((s: SparkSession, d: String) =>
@@ -539,6 +642,83 @@ object CorpusStats {
       |  FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the n<2/n<3 CASE arms mirror Tokens.ngramsOf's whole-text
+    // fallback for short docs exactly
+    "q149_repetition_filter" ->
+      raw"""WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, unnest(w) AS g FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n, unnest(
+        |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i+1:i+2], ' ')
+        |               for i in range(0, len(w) - 1)] END) FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, unnest(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i+1:i+3], ' ')
+        |               for i in range(0, len(w) - 2)] END) FROM w),
+        |c AS (
+        |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot,
+        |    CAST(max(c) AS BIGINT) AS mx,
+        |    CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup
+        |  FROM c GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 1 THEN tot END) AS n_tokens,
+        |    max(CASE WHEN n = 1 THEN mx END) AS top_token_count,
+        |    max(CASE WHEN n = 2 THEN tot END) AS n_bigrams,
+        |    max(CASE WHEN n = 2 THEN mx END) AS top_bigram_count,
+        |    max(CASE WHEN n = 3 THEN tot END) AS n_trigrams,
+        |    max(CASE WHEN n = 3 THEN dup END) AS dup_trigram_count
+        |  FROM a GROUP BY 1)
+        |SELECT doc_id, n_tokens, top_token_count,
+        |  top_token_count / n_tokens AS top_token_frac,
+        |  n_bigrams, top_bigram_count,
+        |  top_bigram_count / n_bigrams AS top_bigram_frac,
+        |  n_trigrams, dup_trigram_count,
+        |  dup_trigram_count / n_trigrams AS dup_trigram_frac,
+        |  (top_token_count / n_tokens > 0.2 OR
+        |   top_bigram_count / n_bigrams > 0.18 OR
+        |   dup_trigram_count / n_trigrams > 0.3) AS flagged
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // survivor = lexicographic min (doc_id, chunk_idx) per
+    // fingerprint, spelled as the two-level min the struct-min
+    // computes on the Spark side
+    "q150_keepfirst_scrub" ->
+      (cdcCtes +
+        raw""",
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(list(tok ORDER BY pos), ' ') AS ctext,
+        |    md5(array_to_string(list(tok ORDER BY pos), ' '))
+        |      AS chunk_hash,
+        |    CAST(count(*) AS BIGINT) AS ctoks
+        |  FROM c GROUP BY 1, 2),
+        |s1 AS (
+        |  SELECT chunk_hash, min(doc_id) AS sdoc FROM ch GROUP BY 1),
+        |s2 AS (
+        |  SELECT ch.chunk_hash, s1.sdoc, min(ch.chunk_idx) AS sj
+        |  FROM ch JOIN s1 ON ch.chunk_hash = s1.chunk_hash
+        |    AND ch.doc_id = s1.sdoc
+        |  GROUP BY 1, 2)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN ch.doc_id = s2.sdoc AND
+        |    ch.chunk_idx = s2.sj THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(coalesce(sum(CASE WHEN ch.doc_id = s2.sdoc AND
+        |    ch.chunk_idx = s2.sj THEN ctoks END), 0) AS BIGINT)
+        |    AS n_tokens_kept,
+        |  coalesce(array_to_string(list(ctext ORDER BY chunk_idx)
+        |    FILTER (WHERE ch.doc_id = s2.sdoc AND ch.chunk_idx = s2.sj),
+        |    ' '), '') AS cleaned_text
+        |FROM ch JOIN s2 USING (chunk_hash)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin),
     "q133_freq_items" ->
       raw"""WITH tok AS (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+'))

@@ -172,6 +172,36 @@ class DedupScaleSpec extends SparkSpec {
     assert(scrubbed == 12L * totalClones, "coverage must be exactly every clone token")
   }
 
+  test("q150 shape: keep-first scrub leaves exactly one copy per clone cluster") {
+    // survivor selection is a groupBy-MIN over chunk fingerprints: the
+    // head cluster's ~2000 identical chunk occurrences partial-reduce
+    // map-side (never a window gather, never a pair relation), and
+    // exactly the min-doc_id clone survives with all 12 tokens.
+    val rows = graft.text.CorpusStats.keepFirstScrub(spark, dir).collect()
+    assert(rows.length == totalClones + singletons)
+    val (clones, uniq) = rows.partition(_.getAs[Long]("doc_id") < 900000L)
+    clones.groupBy(r => cluster(r.getAs[Long]("doc_id"))).foreach {
+      case (k, rs) =>
+        val kept = rs.map(_.getAs[Long]("n_tokens_kept")).sum
+        assert(kept == 12L, s"cluster $k kept $kept tokens, want one copy")
+        val minDoc = rs.map(_.getAs[Long]("doc_id")).min
+        rs.foreach { r =>
+          val id = r.getAs[Long]("doc_id")
+          if (id == minDoc)
+            assert(r.getAs[Long]("n_dropped") == 0L,
+              s"survivor $id lost chunks")
+          else
+            assert(r.getAs[Long]("n_tokens_kept") == 0L &&
+              r.getAs[String]("cleaned_text") == "",
+              s"non-first clone $id kept content")
+        }
+    }
+    uniq.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") == 0L,
+        s"singleton ${r.getAs[Long]("doc_id")} was scrubbed")
+    }
+  }
+
   test("q116 shape: a 100%-skewed length bucket still batches exactly") {
     // every doc lands in bucket 0 (8-12 tokens, width 32) — the
     // one-task-per-bucket trap the sub-split exists for. Exact-fill

@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Semantics of the q149 repetition filter on hand-computable
+  * fixtures: every asserted fraction is derived by hand from the
+  * fixture text, and the three Gopher-rule thresholds are exercised on
+  * both sides (a degenerate doc that trips all three, a diverse doc
+  * that trips none, and a phrase-loop doc that sits EXACTLY on the
+  * top-token threshold — equality must not flag — while tripping the
+  * bigram and trigram rules). */
+class CorpusStatsSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("repetition_docs").toString
+    Seq(
+      (0L, Seq.fill(50)("spam").mkString(" "), "a"), // degenerate
+      (1L, (0 until 50).map(i => s"w$i").mkString(" "), "a"), // diverse
+      (2L, Seq.fill(10)("a b c d e").mkString(" "), "a") // phrase loop
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q149: degenerate repetition flags; diverse text passes") {
+    val rows = CorpusStats.repetitionFilter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 3)
+
+    // doc 0: one token x50 → every fraction exactly 1.0
+    val d0 = rows(0L)
+    assert(d0.getAs[Long]("n_tokens") == 50L)
+    assert(d0.getAs[Double]("top_token_frac") == 1.0)
+    assert(d0.getAs[Double]("top_bigram_frac") == 1.0)
+    assert(d0.getAs[Double]("dup_trigram_frac") == 1.0)
+    assert(d0.getAs[Boolean]("flagged"))
+
+    // doc 1: 50 distinct tokens → all bigrams/trigrams distinct
+    val d1 = rows(1L)
+    assert(d1.getAs[Double]("top_token_frac") == 1.0 / 50)
+    assert(d1.getAs[Double]("top_bigram_frac") == 1.0 / 49)
+    assert(d1.getAs[Long]("dup_trigram_count") == 0L)
+    assert(!d1.getAs[Boolean]("flagged"))
+
+    // doc 2: "a b c d e" x10 — each token 10/50 = 0.2 EXACTLY (the
+    // > 0.2 rule must not fire on equality); bigram "a b" 10 of 49
+    // (> 0.18 fires); all 48 trigrams repeat (1.0 fires)
+    val d2 = rows(2L)
+    assert(d2.getAs[Double]("top_token_frac") == 0.2)
+    assert(d2.getAs[Double]("top_bigram_frac") == 10.0 / 49)
+    assert(d2.getAs[Double]("dup_trigram_frac") == 1.0)
+    assert(d2.getAs[Boolean]("flagged"))
+  }
+}
