@@ -243,6 +243,45 @@ class PlanAuditSpec extends SparkSpec {
       "expected scans of the token scratch zone:\n" + plan)
   }
 
+  test("q146/q147: epoch shuffle and token budget keep the two-level prefix shape") {
+    // same invariant as q112: the corpus-side running window must be
+    // key-partitioned on bkt; only the ≤129-row bucket-totals relation
+    // may take an unpartitioned window, and offsets come back via
+    // broadcast. A refactor to the oracle's single global window would
+    // funnel the whole corpus through one task.
+    for (q <- Seq("q146_seeded_shuffle", "q147_token_budget")) {
+      val plan = planOf(q)
+      val windows = "windowspecdefinition\\(([^,]*)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(windows.nonEmpty, s"$q:\n$plan")
+      assert(windows.exists(_.contains("bkt")),
+        s"$q: expected the corpus window partitioned by bkt:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: bucket offsets must come back broadcast:\n$plan")
+    }
+  }
+
+  test("q149: repetition rules are one corpus scan, aggregates only") {
+    val plan = planOf("q149_repetition_filter")
+    // the three gram families build map-side into ONE tagged array —
+    // a per-family explode would plan three corpus scans
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      "expected ONE corpus scan for all three gram families:\n" + plan)
+    assert(!plan.contains("Window"),
+      "concentration rollups must be aggregates, not windows:\n" + plan)
+  }
+
+  test("q150: keep-first scrub reads the chunk zone — no corpus re-scan") {
+    val plan = planOf("q150_keepfirst_scrub")
+    assert(!plan.contains("documents.parquet"),
+      "a branch re-scanned the corpus instead of the chunk zone:\n" +
+        plan)
+    assert(plan.contains("graft-scratch-"),
+      "expected scans of the chunk scratch zone:\n" + plan)
+    assert(!plan.contains("Window"),
+      "survivor selection must be groupBy-min, not a window:\n" + plan)
+  }
+
   test("q120: canonicalization is map-side and stays in codegen") {
     val df = graft.SparkEntry.queries("q120_nfc_clean")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
