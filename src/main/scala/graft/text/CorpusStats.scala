@@ -555,6 +555,45 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q151: integer-surprisal quality score — the CCNet-style
+    * language-model perplexity filter re-expressed FLOAT-FREE (the
+    * module's gate discipline): per-token surprisal under the corpus'
+    * own unigram model is bits(T) − bits(c) — binary magnitude of the
+    * corpus token total minus magnitude of the token's count — an
+    * integer within ±1 bit of −log₂ p(token) that needs no libm call
+    * on either engine (`length(bin(x))` both sides). Low mean-bits =
+    * boilerplate made of the corpus' most common tokens; high = rare
+    * or garbled vocabulary — the same two tails a KenLM filter cuts,
+    * without hanging the cross-engine hash gate on transcendental ulp
+    * agreement. The doc score is an exact integer sum (order-free)
+    * plus ONE int/int division.
+    *
+    * Scale shape: the tokenized corpus comes from the SAME parquet
+    * scratch zone q145 stores (one tokenization per application); the
+    * unigram model is a token-keyed partial-agg count, the score join
+    * re-keys on the token (vocab-bounded model side, deliberately
+    * UNHINTED — broadcast is AQE's call below threshold, shuffle
+    * above), and the corpus total rides a 1-row cross join. */
+  def surprisalFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("t"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (length(bin(col("t"))) - length(bin(col("c"))))
+          .cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        (col("sum_bits") / col("n_tokens")).as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
   /** q150: keep-FIRST shared-chunk scrub — the C4-production variant
     * of q113: where q113 drops EVERY occurrence of a cross-doc shared
     * chunk (the content vanishes from the corpus entirely), this keeps
@@ -597,6 +636,8 @@ object CorpusStats {
       repetitionFilter(s, d)),
     "q150_keepfirst_scrub" -> ((s: SparkSession, d: String) =>
       keepFirstScrub(s, d)),
+    "q151_surprisal" -> ((s: SparkSession, d: String) =>
+      surprisalFilter(s, d)),
     "q133_freq_items"     -> ((s: SparkSession, d: String) =>
       freqItemsWitness(s, d)),
     "q145_exact_span_scrub" -> ((s: SparkSession, d: String) =>
@@ -687,6 +728,23 @@ object CorpusStats {
         |   top_bigram_count / n_bigrams > 0.18 OR
         |   dup_trigram_count / n_trigrams > 0.3) AS flagged
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q151_surprisal" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+        |b AS (
+        |  SELECT tok.doc_id,
+        |    CAST(length(bin(t.t)) - length(bin(c.c)) AS BIGINT) AS bits
+        |  FROM tok JOIN c USING (tok) CROSS JOIN t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+        |  CAST(sum(bits) AS BIGINT) / CAST(count(*) AS BIGINT)
+        |    AS mean_bits
+        |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // survivor = lexicographic min (doc_id, chunk_idx) per
     // fingerprint, spelled as the two-level min the struct-min
     // computes on the Spark side

@@ -53,4 +53,20 @@ class CorpusStatsSpec extends SparkSpec {
     assert(d2.getAs[Double]("dup_trigram_frac") == 1.0)
     assert(d2.getAs[Boolean]("flagged"))
   }
+
+  test("q151: integer surprisal — hand-computed bits, tails ordered") {
+    // T = 150 tokens → bits(150) = 8. Counts: spam 50 → bits 6;
+    // each w_i 1 → bits 1; each of a..e 10 → bits 4. Per-token
+    // surprisal: doc0 = 2, doc1 = 7, doc2 = 4 — integer-exact, and
+    // the repetitive doc scores LOWEST (the boilerplate tail) while
+    // the all-distinct doc scores highest (the rare-vocab tail).
+    val rows = CorpusStats.surprisalFilter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[Long]("sum_bits") == 100L)
+    assert(rows(0L).getAs[Double]("mean_bits") == 2.0)
+    assert(rows(1L).getAs[Long]("sum_bits") == 350L)
+    assert(rows(1L).getAs[Double]("mean_bits") == 7.0)
+    assert(rows(2L).getAs[Long]("sum_bits") == 200L)
+    assert(rows(2L).getAs[Double]("mean_bits") == 4.0)
+  }
 }
