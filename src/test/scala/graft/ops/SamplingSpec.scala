@@ -318,6 +318,52 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q146: positions are a permutation; seeds reproduce and differ") {
+    val p42 = Sampling.seededShuffle(spark, sf(), "42").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("position")).toMap
+    val n = p42.size
+    // a permutation of 1..N — no gaps, no collisions
+    assert(p42.values.toSet == (1L to n).toSet)
+    // same seed → byte-identical order (the epoch-replay contract)
+    val again = Sampling.seededShuffle(spark, sf(), "42").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("position")).toMap
+    assert(again == p42, "same seed must reproduce the epoch order")
+    // different seed → an (almost surely) different permutation,
+    // still valid — the independent next-epoch order
+    val p43 = Sampling.seededShuffle(spark, sf(), "43").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("position")).toMap
+    assert(p43.keySet == p42.keySet)
+    assert(p43.values.toSet == (1L to n).toSet)
+    assert(p43 != p42, "seed 43 must give a different epoch order")
+  }
+
+  test("q147: the kept set is a quality-prefix and exactly fills the budget") {
+    val rows = Sampling.tokenBudget(spark, sf(), budget = 10000L).collect()
+    val byQuality = rows.sortBy(r =>
+      (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+    // cum_tokens replays the running sum in quality order exactly
+    var run = 0L
+    byQuality.foreach { r =>
+      run += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") == run,
+        s"doc ${r.getAs[Long]("doc_id")}: cum ${r.getAs[Long]("cum_tokens")} != $run")
+      assert(r.getAs[Boolean]("kept") ==
+        (r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens") < 10000L))
+    }
+    // kept is a PREFIX of the quality order (no hole: a kept doc
+    // never follows a dropped one), and the cut straddles the budget
+    val keptFlags = byQuality.map(_.getAs[Boolean]("kept"))
+    assert(!keptFlags.dropWhile(identity).contains(true),
+      "kept set must be a contiguous quality-prefix")
+    val keptTokens = byQuality.takeWhile(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("n_tokens")).sum
+    val lastKept = byQuality.takeWhile(_.getAs[Boolean]("kept")).last
+    assert(keptTokens >= 10000L || keptFlags.forall(identity),
+      "budget must be filled unless the corpus runs out")
+    assert(keptTokens - lastKept.getAs[Long]("n_tokens") < 10000L,
+      "dropping the straddling doc must dip under budget")
+  }
+
   test("q113: scrub drops exactly the shared chunks, reassembly is exact") {
     val out = CorpusStats.sharedSpanScrub(spark, sf()).cache()
     // consistency with the q106 scorer: dropped == shared, per doc
