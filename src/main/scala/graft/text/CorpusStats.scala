@@ -55,11 +55,17 @@ object CorpusStats {
     * key-partitioned on the bigram. Ratios are a single int/int
     * division — exact cross-engine. */
   def bigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
     // token arrays materialize into a column FIRST: inlining the split
     // into the n-gram lambda re-evaluates it per element (O(tokens²))
+    // bigrams hash to 8 bytes map-side (Md5Prefix, oracle-replayed —
+    // the q145/q149 discipline): the count shuffle and join key stop
+    // scaling with gram length, and the strings never leave the scan
     val bigrams = Tables.load(s, dir, "documents")
       .select(col("doc_id"), Tokens.whitespace(lower(col("text"))).as("w"))
-      .select(col("doc_id"), explode(Tokens.ngramsOf(col("w"), 2)).as("bg"))
+      .select(col("doc_id"),
+        explode(transform(Tokens.ngramsOf(col("w"), 2),
+          g => Md5Prefix.h(g))).as("bg"))
     val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
     bigrams.join(counts, "bg")
       .groupBy(col("doc_id"))
@@ -417,9 +423,14 @@ object CorpusStats {
     * gram-key shuffle; no per-doc state exceeds document size. */
   def dupGramFraction(s: SparkSession, dir: String,
                       n: Int = 5): DataFrame = {
+    // grams hash to 8 bytes map-side (Md5Prefix, oracle-replayed —
+    // the q145/q149 discipline): both the distinct-doc aggregate and
+    // the join back key on the hash, never the 5-gram string
     val grams = Tables.load(s, dir, "documents")
       .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
-      .select(col("doc_id"), explode(Tokens.ngramsOf(col("w"), n)).as("g"))
+      .select(col("doc_id"),
+        explode(transform(Tokens.ngramsOf(col("w"), n),
+          g => graft.dedup.Md5Prefix.h(g))).as("g"))
     val shared = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"))
     grams.join(shared, "g")
@@ -835,12 +846,16 @@ object CorpusStats {
       raw"""WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
         |  FROM documents),
-        |g AS (
+        |g0 AS (
         |  SELECT doc_id, unnest(
         |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
         |         ELSE [array_to_string(w[i+1:i+5], ' ')
-        |               for i in range(0, len(w) - 4)] END) AS g
+        |               for i in range(0, len(w) - 4)] END) AS gs
         |  FROM w),
+        |g AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g
+        |  FROM g0),
         |nd AS (
         |  SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
@@ -895,12 +910,16 @@ object CorpusStats {
         |  SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') AS w
         |  FROM documents),
-        |bg AS (
+        |bg0 AS (
         |  SELECT doc_id, unnest(
         |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
         |         ELSE [array_to_string(w[i+1:i+2], ' ')
-        |               for i in range(0, len(w) - 1)] END) AS bg
+        |               for i in range(0, len(w) - 1)] END) AS g
         |  FROM w),
+        |bg AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS bg
+        |  FROM bg0),
         |c AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1)
         |SELECT b.doc_id,
         |  count(*) AS n_bigrams,
