@@ -261,7 +261,48 @@ object Postings {
       .limit(k)
   }
 
+  /** q152: exact phrase search — consecutive-token phrase occurrences
+    * across the corpus (the "grep the corpus" primitive a curation
+    * pipeline runs for boilerplate strings, eval-prompt leaks, or
+    * contract phrases): every document containing the query tokens at
+    * consecutive positions, with match count and the 0-based start
+    * positions (comma-joined — the cross-engine array form this
+    * module's postings already use).
+    *
+    * Scale shape: entirely MAP-SIDE — the k-way positional alignment
+    * is a `filter` over start indices of each document's own token
+    * array (one corpus scan, zero shuffles before the output sort;
+    * stays in whole-stage codegen). This is the right plan for a
+    * corpus grep: a positional-postings join spelling would shuffle
+    * (doc, pos) pairs k ways to rediscover adjacency the array
+    * already encodes. A production search over a MAINTAINED index
+    * serves the same relation from q118's zone restricted to the
+    * phrase's rarest term (the q123 note) — scan swapped for pruned
+    * index-block reads. */
+  def phraseSearch(s: SparkSession, dir: String,
+                   phrase: Seq[String] = Seq("value", "table")): DataFrame = {
+    require(phrase.nonEmpty, "phrase search wants at least one token")
+    val k = phrase.length
+    val w = col("w")
+    val matchAt = (i: Column) => phrase.zipWithIndex.map { case (t, j) =>
+      element_at(w, (i + lit(j) + 1).cast("int")) === t
+    }.reduce(_ && _)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Tokens.whitespace(lower(col("text"))).as("w"))
+      .withColumn("hits",
+        when(size(w) < k, expr("CAST(array() AS ARRAY<BIGINT>)"))
+          .otherwise(filter(
+            sequence(lit(0L), size(w).cast("long") - k), matchAt)))
+      .where(size(col("hits")) > 0)
+      .select(col("doc_id"), size(col("hits")).cast("long").as("n_matches"),
+        concat_ws(",", transform(col("hits"), x => x.cast("string")))
+          .as("positions"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_phrase_search" -> ((s: SparkSession, d: String) =>
+      phraseSearch(s, d)),
     "q117_setsim_join" -> ((s: SparkSession, d: String) =>
       setSimJoin(s, d)),
     "q118_inverted_index" -> ((s: SparkSession, d: String) =>
@@ -272,6 +313,21 @@ object Postings {
       keywordSearch(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // n_matches is INTEGER in the comprehension replay; the engine
+    // side emits BIGINT — cast to match
+    "q152_phrase_search" ->
+      raw"""WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    [i for i in range(0, len(w) - 1)
+        |     if w[i+1] = 'value' AND w[i+2] = 'table'] AS hits
+        |  FROM w WHERE len(w) >= 2)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+        |  array_to_string(hits, ',') AS positions
+        |FROM h WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
     // brute force on purpose: prefix filtering is lossless, so the
     // result must equal the all-candidate spelling exactly
     "q117_setsim_join" ->

@@ -282,6 +282,16 @@ class PlanAuditSpec extends SparkSpec {
       "survivor selection must be groupBy-min, not a window:\n" + plan)
   }
 
+  test("q152: phrase grep is map-side — one scan, no shuffle but the sort") {
+    val plan = planOf("q152_phrase_search")
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    // positional alignment lives in the document's own token array —
+    // a positional-postings join would shuffle (doc, pos) k ways
+    assert("(?<!Broadcast)Exchange".r.findAllIn(plan).length == 1,
+      "expected only the output-sort exchange:\n" + plan)
+    assert(!plan.contains("Join"), "phrase grep must not join:\n" + plan)
+  }
+
   test("q120: canonicalization is map-side and stays in codegen") {
     val df = graft.SparkEntry.queries("q120_nfc_clean")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString

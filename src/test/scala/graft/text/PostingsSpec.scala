@@ -159,4 +159,30 @@ class PostingsSpec extends SparkSpec {
       assert(postings.forall(d => d / 100 == blk))
     }
   }
+
+  test("q152 phrase search: exact positions, overlaps counted, case folded") {
+    import spark.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("phrase_docs").toString
+    Seq(
+      (0L, "alpha beta gamma alpha beta", "a"), // matches at 0 and 3
+      (1L, "beta alpha nothing here", "a"), // reversed — no match
+      (2L, "ALPHA BETA shouting", "a"), // lower() folds — match at 0
+      (3L, "alpha alpha alpha", "a"), // self-overlap fixture
+      (4L, "alpha", "a") // shorter than the phrase
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val ab = Postings.phraseSearch(spark, d, Seq("alpha", "beta"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[String]("positions"))).toMap
+    assert(ab == Map(0L -> ((2L, "0,3")), 2L -> ((1L, "0"))))
+
+    // overlapping matches all count: "alpha alpha alpha" has
+    // "alpha alpha" at 0 AND 1
+    val aa = Postings.phraseSearch(spark, d, Seq("alpha", "alpha"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("positions")).toMap
+    assert(aa == Map(3L -> "0,1"))
+  }
 }
