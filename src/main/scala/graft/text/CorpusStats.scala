@@ -646,7 +646,31 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q153: inverse-cloze positive pairs — the training-pair extraction
+    * for contrastive embedding models (ICT, Lee et al. 2019; the
+    * unsupervised recipe Contriever-class retrievers start from):
+    * adjacent CDC chunks of the same document form (anchor, positive)
+    * pairs — "nearby spans are semantically related" — the positive
+    * counterpart of q148's hard negatives. Documents with a single
+    * chunk emit nothing.
+    *
+    * Scale shape: a self-join of the chunk zone on
+    * (doc_id, j → j+1) — co-partitioned on the doc, bounded by
+    * document size, reading the SAME stored chunk relation as
+    * q106/q113/q150 (no corpus re-scan, no re-chunking). */
+  def ictPairs(s: SparkSession, dir: String): DataFrame = {
+    val ch = chunkZone(s, dir)
+    ch.as("a").join(ch.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.j") + 1 === col("b.j"))
+      .select(col("a.doc_id").as("doc_id"), col("a.j").as("j"),
+        col("a.ctext").as("anchor"), col("b.ctext").as("positive"))
+      .orderBy("doc_id", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_ict_pairs" -> ((s: SparkSession, d: String) =>
+      ictPairs(s, d)),
     "q149_repetition_filter" -> ((s: SparkSession, d: String) =>
       repetitionFilter(s, d)),
     "q150_keepfirst_scrub" -> ((s: SparkSession, d: String) =>
@@ -745,6 +769,18 @@ object CorpusStats {
         |   top_bigram_count / n_bigrams > 0.18 OR
         |   dup_trigram_count / n_trigrams > 0.3) AS flagged
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q153_ict_pairs" ->
+      (cdcCtes +
+        raw""",
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(list(tok ORDER BY pos), ' ') AS ctext
+        |  FROM c GROUP BY 1, 2)
+        |SELECT a.doc_id AS doc_id, a.chunk_idx AS j,
+        |  a.ctext AS anchor, b.ctext AS positive
+        |FROM ch a JOIN ch b
+        |  ON a.doc_id = b.doc_id AND a.chunk_idx + 1 = b.chunk_idx
+        |ORDER BY a.doc_id, j""".stripMargin),
     "q151_surprisal" ->
       raw"""WITH tok AS (
         |  SELECT doc_id,
