@@ -71,6 +71,39 @@ object IndexMaintain {
   def read(spark: SparkSession, root: String): DataFrame =
     MergeOnRead.read(spark, root, Seq("term", "blk"))
 
+  /** [[graft.text.Postings.keywordSearch]] SERVED FROM THE ZONE — the
+    * production path both q123's and q152's scaladocs point at: the
+    * same float-free score (Σ tf·(N DIV df), ties on doc_id) computed
+    * from the maintained index instead of a corpus scan. The term
+    * filter is an `isInCollection` predicate, so it pushes below the
+    * reconcile window (term is a window partition key) into the
+    * zone's parquet scans — the query reads only the query terms'
+    * index rows, O(terms' postings), never O(corpus or index).
+    *
+    * `nDocs` is the corpus document count for the idf term — index
+    * blocks cannot know it (a distinct-doc union over all postings
+    * would be the O(index) scan this path exists to avoid); serve it
+    * from the ingest pipeline's own count (e.g. `RunReport` /
+    * `tableStats`), the same place the corpus spelling's broadcast
+    * 1-row aggregate gets it. Equality with the corpus-scan spelling
+    * is spec-pinned (IndexMaintainSpec). */
+  def search(spark: SparkSession, root: String, terms: Seq[String],
+             nDocs: Long, k: Int = 10): DataFrame = {
+    val tf = MergeOnRead.read(spark, root, Seq("term", "blk"))
+      .where(col("term").isInCollection(terms))
+      .select(col("term"),
+        explode(arrays_zip(col("postings"), col("tfs"))).as("z"))
+      .select(col("term"), col("z.postings").as("doc_id"),
+        col("z.tfs").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(col("tf") * expr(s"$nDocs DIV df")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** The from-scratch spelling maintenance must match exactly. */
   def rebuild(docs: DataFrame, blockSize: Int = 100): DataFrame =
     Postings.aggIndex(Postings.tfRelation(docs, blockSize))

@@ -63,4 +63,28 @@ class IndexMaintainSpec extends SparkSpec {
       "(?s).*PushedFilters: \\[[^\\]]*(In|EqualTo)\\(blk[^\\]]*\\].*"),
       "blk IN (...) did not reach the parquet scan:\n" + plan)
   }
+
+  test("index-served search equals the corpus-scan q123 exactly") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val root = freshRoot()
+    // zone built incrementally, out of doc order — search must see
+    // the reconciled index, not any single epoch
+    IndexMaintain.init(spark, root, docs.limit(0), blockSize = 8)
+    for (r <- Seq(1, 0))
+      IndexMaintain.applyBatch(spark, root,
+        docs.where(col("doc_id") % 2 === r), blockSize = 8)
+    val served = IndexMaintain.search(spark, root,
+      Seq("spark", "data", "vector"), nDocs = docs.count())
+    val want = graft.text.Postings.keywordSearch(spark, sf())
+      .collect().map(_.toSeq)
+    assert(served.collect().map(_.toSeq).toSeq == want.toSeq,
+      "served ranking must be bit-identical to the corpus scan")
+    assert(want.nonEmpty)
+    // the term predicate reaches the zone's parquet scans — the
+    // O(terms' postings) claim
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*(In|EqualTo)\\(term[^\\]]*\\].*"),
+      "term IN (...) did not reach the parquet scan:\n" + plan)
+  }
 }
