@@ -271,14 +271,22 @@ object Postings {
     *
     * Scale shape: entirely MAP-SIDE — the k-way positional alignment
     * is a `filter` over start indices of each document's own token
-    * array (one corpus scan, zero shuffles before the output sort;
+    * array (one zone scan, zero shuffles before the output sort;
     * stays in whole-stage codegen). This is the right plan for a
     * corpus grep: a positional-postings join spelling would shuffle
     * (doc, pos) pairs k ways to rediscover adjacency the array
     * already encodes. A production search over a MAINTAINED index
     * serves the same relation from q118's zone restricted to the
     * phrase's rarest term (the q123 note) — scan swapped for pruned
-    * index-block reads. */
+    * index-block reads.
+    *
+    * The token arrays come from a parquet scratch zone ON PURPOSE,
+    * not straight off the tokenize projection: `element_at(w, …)`
+    * references `w` once per phrase term per position, and
+    * CollapseProject inlines a projected `split()` into the lambda —
+    * re-tokenizing the document O(positions × terms) times (measured
+    * 7.6 s → 0.6 s for this query at sf0.1 local[32]). A parquet-
+    * backed `w` is a leaf attribute, which nothing can inline. */
   def phraseSearch(s: SparkSession, dir: String,
                    phrase: Seq[String] = Seq("value", "table")): DataFrame = {
     require(phrase.nonEmpty, "phrase search wants at least one token")
@@ -287,8 +295,10 @@ object Postings {
     val matchAt = (i: Column) => phrase.zipWithIndex.map { case (t, j) =>
       element_at(w, (i + lit(j) + 1).cast("int")) === t
     }.reduce(_ && _)
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), Tokens.whitespace(lower(col("text"))).as("w"))
+    graft.util.Scratch.memo(s, "lc-tokens", s"lc-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Tokens.whitespace(lower(col("text"))).as("w")))
       .withColumn("hits",
         when(size(w) < k, expr("CAST(array() AS ARRAY<BIGINT>)"))
           .otherwise(filter(

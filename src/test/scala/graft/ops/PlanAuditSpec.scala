@@ -290,6 +290,14 @@ class PlanAuditSpec extends SparkSpec {
     assert("(?<!Broadcast)Exchange".r.findAllIn(plan).length == 1,
       "expected only the output-sort exchange:\n" + plan)
     assert(!plan.contains("Join"), "phrase grep must not join:\n" + plan)
+    // the scan is the token ZONE: a parquet-backed `w` is a leaf
+    // attribute, so CollapseProject cannot inline the tokenize split
+    // into the per-position lambda (the O(positions × terms)
+    // re-tokenize; measured 7.6 s → 0.6 s)
+    assert(plan.contains("graft-scratch-"),
+      "expected the lc-tokens zone scan:\n" + plan)
+    assert(!plan.contains("split("),
+      "tokenize leaked into the consumer plan:\n" + plan)
   }
 
   test("q120: canonicalization is map-side and stays in codegen") {
