@@ -41,11 +41,18 @@ object Tables {
     // fail the read outright — Spark has no lossless nanos path).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
-    // ts arrives as INT64 nanoseconds; truncate to micros with integer
-    // `div` (double division would lose precision at 1e18 magnitude —
-    // and DuckDB truncates ns the same way, so comparisons agree).
-    normalizeTimestamps(
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    // Two generator layouts exist: INT64 nanoseconds (reads as LONG
+    // under nanosAsLong; truncate to micros with integer `div` —
+    // double division would lose precision at 1e18 magnitude, and
+    // DuckDB truncates ns the same way) or native timestamp[us]
+    // (nothing to convert). Dispatch on the OBSERVED schema instead
+    // of assuming one writer.
+    val converted = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+    normalizeTimestamps(converted)
   }
 
   private def normalizeTimestamps(df: DataFrame): DataFrame = {
