@@ -609,6 +609,42 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q154: hashed-feature linear quality classifier — the
+    * fastText-shaped filter production curation stacks run (CCNet,
+    * RefinedWeb: a linear model over hashed token features):
+    * score(doc) = Σ_tokens w[h(token)], keep = score ≥ 0. The weight
+    * table is hash-DERIVED — w = h(token) mod 2001 − 1000 ∈ [−1000,
+    * 1000] under [[graft.dedup.Md5Prefix]]'s cross-engine 60-bit hash
+    * — a deterministic stand-in for trained parameters carrying the
+    * REAL plumbing: the per-token weight lookup is pure map-side
+    * column math (no weight relation, no join, no UDF — hashing-trick
+    * models need no vocabulary side at all), the per-doc reduce is a
+    * partial-agg integer sum, and a trained model swaps in as a
+    * broadcast (bucket → weight) lookup without changing the shape.
+    * Integer score and verdict; ONE double division for the mean.
+    *
+    * Scale shape: tokens stream from the shared span-tokens scratch
+    * zone (one tokenization per application — the q145/q151
+    * discipline); everything before the doc-keyed partial agg is
+    * map-side, so the only shuffle is the 2-long-column doc rollup. */
+  def linearQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val toks = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+    toks
+      .select(col("doc_id"),
+        (Md5Prefix.h(col("tok")) % 2001 - 1000).as("wt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("w_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"),
+        (col("w_sum") / col("n_tokens")).as("mean_w"),
+        (col("w_sum") >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q150: keep-FIRST shared-chunk scrub — the C4-production variant
     * of q113: where q113 drops EVERY occurrence of a cross-doc shared
     * chunk (the content vanishes from the corpus entirely), this keeps
@@ -677,6 +713,8 @@ object CorpusStats {
       keepFirstScrub(s, d)),
     "q151_surprisal" -> ((s: SparkSession, d: String) =>
       surprisalFilter(s, d)),
+    "q154_linear_quality" -> ((s: SparkSession, d: String) =>
+      linearQuality(s, d)),
     "q133_freq_items"     -> ((s: SparkSession, d: String) =>
       freqItemsWitness(s, d)),
     "q145_exact_span_scrub" -> ((s: SparkSession, d: String) =>
@@ -781,6 +819,20 @@ object CorpusStats {
         |FROM ch a JOIN ch b
         |  ON a.doc_id = b.doc_id AND a.chunk_idx + 1 = b.chunk_idx
         |ORDER BY a.doc_id, j""".stripMargin),
+    "q154_linear_quality" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(wt) AS BIGINT) AS w_sum,
+        |  CAST(sum(wt) AS BIGINT) / CAST(count(*) AS BIGINT) AS mean_w,
+        |  sum(wt) >= 0 AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q151_surprisal" ->
       raw"""WITH tok AS (
         |  SELECT doc_id,

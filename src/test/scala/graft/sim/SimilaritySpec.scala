@@ -117,4 +117,61 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.knnLsh(spark, sf(), k = 3).collect()
     assert(a.sameElements(b))
   }
+
+  test("q155 knn graph: every vector an anchor, exact k, q143-consistent") {
+    val g = Similarity.knnGraph(spark, sf()).collect()
+    val n = graft.Tables.load(spark, sf(), "embeddings").count()
+    val per = g.groupBy(_.getAs[Long]("query_id"))
+    assert(per.size == n, s"anchors ${per.size} != corpus $n")
+    assert(per.values.forall(_.length == Similarity.GraphK))
+    // the graph restricted to anchors < 10 IS q143 (same codes, same
+    // ranking contract) — rank-for-rank, neighbor and integer dot
+    val q143 = Similarity.knnQuantized(spark, sf(), k = Similarity.GraphK)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Long]("qdot")))).toMap
+    g.filter(_.getAs[Long]("query_id") < 10).foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))
+      assert(q143(key) ==
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Long]("qdot"))), s"$key")
+    }
+  }
+
+  test("banded knn graph: candidates from band equality, usable recall") {
+    val exact = Similarity.knnGraph(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val banded = Similarity.knnGraphBanded(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = (exact & banded).size.toDouble / exact.size
+    // random unit vectors — the q51 hardest-case bound applies
+    assert(recall >= 0.25, s"banded graph recall $recall")
+    // k bounds the per-anchor output even through the bucket join
+    banded.groupBy(_._1).foreach { case (_, nbs) =>
+      assert(nbs.size <= Similarity.GraphK)
+    }
+  }
+
+  test("q156 semantic dedup: closure of thresholded graph edges") {
+    val labels = Similarity.semanticDedup(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+    val byId = labels.map(l => l._1 -> l._2).toMap
+    // every corpus vector labeled, keep ⟺ id == label
+    assert(labels.length ==
+      graft.Tables.load(spark, sf(), "embeddings").count())
+    labels.foreach { case (id, lab, keep) => assert(keep == (id == lab)) }
+    // cluster label = min member, and every thresholded edge's
+    // endpoints share a label (the closure property)
+    labels.groupBy(_._2).foreach { case (lab, ms) =>
+      assert(ms.map(_._1).min == lab)
+    }
+    Similarity.knnGraph(spark, sf()).collect()
+      .filter(_.getAs[Double]("approx_cos") >= Similarity.SemTau)
+      .foreach { r =>
+        assert(byId(r.getAs[Long]("query_id")) ==
+          byId(r.getAs[Long]("neighbor_id")))
+      }
+  }
 }

@@ -69,4 +69,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows(2L).getAs[Long]("sum_bits") == 200L)
     assert(rows(2L).getAs[Double]("mean_bits") == 4.0)
   }
+
+  test("q154: linear quality — weights replayed via an independent md5") {
+    // Independent spelling of the hash-derived weight: JVM MessageDigest
+    // instead of the Md5Prefix60 expression — the test would catch a
+    // drifted hash contract on either side.
+    def w(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000
+    }
+    val rows = CorpusStats.linearQuality(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 3)
+    val exp = Map(
+      0L -> 50 * w("spam"),
+      1L -> (0 until 50).map(i => w(s"w$i")).sum,
+      2L -> 10 * Seq("a", "b", "c", "d", "e").map(w).sum)
+    exp.foreach { case (id, wsum) =>
+      val r = rows(id)
+      assert(r.getAs[Long]("n_tokens") == 50L)
+      assert(r.getAs[Long]("w_sum") == wsum, s"doc $id")
+      assert(r.getAs[Double]("mean_w") == wsum / 50.0)
+      assert(r.getAs[Boolean]("keep") == (wsum >= 0))
+    }
+  }
 }
