@@ -96,6 +96,8 @@ object GraftFunctions {
     classOf[FloatDot].getName, "float_dot")
   private val nfcInfo = new ExpressionInfo(
     classOf[NfcNormalize].getName, "nfc_normalize")
+  private val int8Info = new ExpressionInfo(
+    classOf[Int8Dot].getName, "int8_dot")
 
   // arity-checked builders: without the match, extra SQL arguments
   // would be SILENTLY DROPPED (children.head) — wrong results with no
@@ -111,12 +113,19 @@ object GraftFunctions {
     case args => throw new IllegalArgumentException(
       s"nfc_normalize requires exactly 1 argument, got ${args.length}")
   }
+  private[functions] val buildInt8Dot: Seq[Expression] => Expression = {
+    case Seq(a, b) => Int8Dot(a, b)
+    case args => throw new IllegalArgumentException(
+      s"int8_dot requires exactly 2 arguments, got ${args.length}")
+  }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("float_dot"), info, buildFloatDot)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nfc_normalize"), nfcInfo, buildNfc)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("int8_dot"), int8Info, buildInt8Dot)
   }
 }
 
@@ -132,6 +141,9 @@ class GraftExtensions
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       GraftFunctions.buildNfc))
+    ext.injectFunction((FunctionIdentifier("int8_dot"),
+      new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
+      GraftFunctions.buildInt8Dot))
     ext.injectOptimizerRule(_ => DotFusion)
   }
 }

@@ -66,6 +66,13 @@ object Similarity {
   private def dotCol(a: Column, b: Column): Column =
     call_function("float_dot", a, b)
 
+  /** Codegen'd native int8 dot (graft.functions.Int8Dot) — exact
+    * BIGINT arithmetic, bit-identical to the aggregate(zip_with(...))
+    * spelling it replaces (pinned in Int8DotSpec); callers must have
+    * run GraftFunctions.register(spark) first. */
+  private def int8DotCol(a: Column, b: Column): Column =
+    call_function("int8_dot", a, b)
+
   /** 16-bit SRP signature of an embedding column. */
   def signature(v: Column): Column =
     (0 until SigBits).map { b =>
@@ -311,15 +318,14 @@ object Similarity {
     * 4× less vector bandwidth than float32 — the reason a 100 TB
     * corpus quantizes its serving copy at all. */
   def knnQuantized(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val all = quantizedZone(s, dir)
     val q = all.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q_vec").as("qq"),
         col("q_scale").as("qs"))
     val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr("aggregate(zip_with(q_vec, qq, " +
-          "(a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("qdot"),
+        int8DotCol(col("q_vec"), col("qq")).as("qdot"),
         col("q_scale"), col("qs"))
       .select(col("query_id"), col("neighbor_id"), col("qdot"),
         (col("qdot").cast("double") * col("q_scale").cast("double") *
@@ -360,14 +366,13 @@ object Similarity {
     * point of the banded variant. */
   private def knnGraphDerive(s: SparkSession, dir: String,
                              k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val all = quantizedZone(s, dir)
     val q = all.select(col("vec_id").as("query_id"),
       col("q_vec").as("qq"), col("q_scale").as("qs"))
     val scored = all.join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr("aggregate(zip_with(q_vec, qq, " +
-          "(a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("qdot"),
+        int8DotCol(col("q_vec"), col("qq")).as("qdot"),
         col("q_scale"), col("qs"))
       .select(col("query_id"), col("neighbor_id"), col("qdot"),
         (col("qdot").cast("double") * col("q_scale").cast("double") *
@@ -396,6 +401,7 @@ object Similarity {
     * optimizer's call, id-keyed shuffle above). */
   def knnGraphBanded(s: SparkSession, dir: String,
                      k: Int = GraphK): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
     val banded = emb
       .repartition(s.sparkContext.defaultParallelism)
@@ -415,9 +421,7 @@ object Similarity {
       .join(all.select(col("vec_id").as("neighbor_id"),
         col("q_vec"), col("q_scale")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        expr("aggregate(zip_with(q_vec, qq, " +
-          "(a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("qdot"),
+        int8DotCol(col("q_vec"), col("qq")).as("qdot"),
         col("q_scale"), col("qs"))
       .select(col("query_id"), col("neighbor_id"), col("qdot"),
         (col("qdot").cast("double") * col("q_scale").cast("double") *

@@ -53,6 +53,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), "split must not need a window:\n" + plan)
   }
 
+  test("q154: hashed weights are pure column math — no join in the plan") {
+    val plan = planOf("q154_linear_quality")
+    // the weight lookup must never become a weight-relation join; the
+    // only exchanges are the doc rollup and the output sort
+    assert(!plan.contains("Join"), "weight lookup joined:\n" + plan)
+    assert("(?<!Broadcast)Exchange".r.findAllIn(plan).length == 2,
+      "expected only the rollup and output-sort exchanges:\n" + plan)
+  }
+
   test("q103: quota sampling runs on the custom heap operator, not a window") {
     val plan = planOf("q103_quota_sample")
     assert(plan.contains("TopKPerGroup"),

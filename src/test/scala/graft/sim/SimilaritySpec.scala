@@ -151,6 +151,14 @@ class SimilaritySpec extends SparkSpec {
     banded.groupBy(_._1).foreach { case (_, nbs) =>
       assert(nbs.size <= Similarity.GraphK)
     }
+    // and the scale path never plans a product join — candidates come
+    // from band equality, codes re-attach by id (the exact graph is
+    // all-pairs BY DESIGN; this pin is about the banded variant only)
+    val plan = Similarity.knnGraphBanded(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      "product join in the banded graph plan:\n" + plan)
   }
 
   test("q156 semantic dedup: closure of thresholded graph edges") {
