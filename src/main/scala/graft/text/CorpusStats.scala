@@ -222,7 +222,28 @@ object CorpusStats {
     * which is the semantic spec the two-level plan must (and does)
     * reproduce exactly. */
   def sequencePack(s: SparkSession, dir: String,
-                   seqLen: Int = 512): DataFrame = {
+                   seqLen: Int = 512): DataFrame =
+    tokenOffsets(s, dir)
+      // integral DIV, not floor(float/): exact at any corpus size
+      .withColumn("seq_first", expr(s"start_off DIV $seqLen"))
+      .withColumn("seq_last",
+        when(col("n_tokens") > 0,
+          expr(s"(start_off + n_tokens - 1) DIV $seqLen"))
+          .otherwise(expr(s"start_off DIV $seqLen")))
+      .withColumn("n_seqs",
+        when(col("n_tokens") > 0,
+          col("seq_last") - col("seq_first") + 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+      .orderBy("doc_id")
+
+  /** (doc_id, n_tokens, start_off): the corpus-wide token prefix sum
+    * in deterministic hash order — the two-level spelling (128
+    * order-preserving hash buckets: in-bucket window + a ≤128-row
+    * broadcast base-offset relation, never a global single-partition
+    * window) factored out of q112 so sequence packing and shard
+    * export share ONE offset definition. */
+  private def tokenOffsets(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Md5Prefix
     val docs = Tables.load(s, dir, "documents")
       // null text packs as 0 tokens — without the coalesce a null
@@ -244,18 +265,39 @@ object CorpusStats {
       .select(col("bkt"), col("base"))
     local.join(broadcast(prefix), "bkt")
       .withColumn("start_off", col("base") + col("cum") - col("n_tokens"))
-      // integral DIV, not floor(float/): exact at any corpus size
-      .withColumn("seq_first", expr(s"start_off DIV $seqLen"))
-      .withColumn("seq_last",
-        when(col("n_tokens") > 0,
-          expr(s"(start_off + n_tokens - 1) DIV $seqLen"))
-          .otherwise(expr(s"start_off DIV $seqLen")))
-      .withColumn("n_seqs",
-        when(col("n_tokens") > 0,
-          col("seq_last") - col("seq_first") + 1L).otherwise(0L))
-      .select(col("doc_id"), col("n_tokens"), col("start_off"),
-        col("seq_first"), col("seq_last"), col("n_seqs"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("start_off"))
+  }
+
+  /** Shard count of the q158 manifest — shared with its oracle SQL. */
+  val NShards = 32
+
+  /** q158: token-balanced export-shard manifest — the write side of a
+    * curation pipeline: cut the corpus (in the same deterministic
+    * hash order q112 packs by) into [[NShards]] CONTIGUOUS token
+    * ranges, `shard = start_off·N DIV total`, so every shard carries
+    * total/N tokens to within one document — the property that makes
+    * downstream training readers stream equal-sized files. Per-shard
+    * row: doc/token counts and the token interval. All-integer (one
+    * multiply, one DIV); the `least` guard pins a trailing zero-token
+    * document into the last shard.
+    *
+    * Scale shape: [[tokenOffsets]]'s two-level prefix sum (no global
+    * window), a 1-row total broadcast, and a [[NShards]]-key rollup.
+    * The assignment column — not materialized here — is what a real
+    * export would partitionBy-write; the manifest is the audit
+    * artifact. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    val off = tokenOffsets(s, dir)
+    val total = off.agg(sum(col("n_tokens")).as("tot"))
+    off.crossJoin(broadcast(total))
+      .withColumn("shard_id",
+        expr(s"least((start_off * $NShards) DIV tot, ${NShards - 1})"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("start_off")).as("first_off"),
+        max(col("start_off") + col("n_tokens")).as("end_off"))
+      .orderBy("shard_id")
   }
 
   /** q116: length-bucketed batch assignment — group documents of
@@ -715,6 +757,8 @@ object CorpusStats {
       surprisalFilter(s, d)),
     "q154_linear_quality" -> ((s: SparkSession, d: String) =>
       linearQuality(s, d)),
+    "q158_shard_manifest" -> ((s: SparkSession, d: String) =>
+      shardManifest(s, d)),
     "q133_freq_items"     -> ((s: SparkSession, d: String) =>
       freqItemsWitness(s, d)),
     "q145_exact_span_scrub" -> ((s: SparkSession, d: String) =>
@@ -819,6 +863,30 @@ object CorpusStats {
         |FROM ch a JOIN ch b
         |  ON a.doc_id = b.doc_id AND a.chunk_idx + 1 = b.chunk_idx
         |ORDER BY a.doc_id, j""".stripMargin),
+    "q158_shard_manifest" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')), 0)
+        |      AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_off
+        |  FROM d),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM d),
+        |a AS (
+        |  SELECT doc_id, n_tokens, start_off,
+        |    least((start_off * 32) // tot, 31) AS shard_id
+        |  FROM o CROSS JOIN t)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(min(start_off) AS BIGINT) AS first_off,
+        |  CAST(max(start_off + n_tokens) AS BIGINT) AS end_off
+        |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "q154_linear_quality" ->
       raw"""WITH tok AS (
         |  SELECT doc_id,

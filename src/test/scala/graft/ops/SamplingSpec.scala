@@ -392,4 +392,33 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q158: shards partition the corpus into contiguous balanced ranges") {
+    val m = CorpusStats.shardManifest(spark, sf()).collect()
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val nDocs = docs.count()
+    val total = docs
+      .agg(sum(size(split(trim(col("text")), "\\s+")))).head().getLong(0)
+    // conservation: every doc and every token lands in exactly one shard
+    assert(m.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(m.map(_.getAs[Long]("n_tokens")).sum == total)
+    // contiguity: shard i ends exactly where shard i+1 begins
+    val sorted = m.sortBy(_.getAs[Long]("shard_id"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("end_off") == b.getAs[Long]("first_off"),
+          s"gap between shards ${a.getLong(0)} and ${b.getLong(0)}")
+      case _ =>
+    }
+    assert(sorted.head.getAs[Long]("first_off") == 0L)
+    assert(sorted.last.getAs[Long]("end_off") == total)
+    // balance: a shard overshoots total/N by at most one document
+    val maxDoc = docs
+      .agg(max(size(split(trim(col("text")), "\\s+")))).head().getInt(0)
+    val target = total / CorpusStats.NShards
+    sorted.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= target + maxDoc,
+        s"shard ${r.getLong(0)} unbalanced: ${r.getAs[Long]("n_tokens")}")
+    }
+  }
+
 }
