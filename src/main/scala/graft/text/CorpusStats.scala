@@ -271,6 +271,44 @@ object CorpusStats {
   /** Shard count of the q158 manifest — shared with its oracle SQL. */
   val NShards = 32
 
+  /** q159: exact per-source token-length quantiles (p25/p50/p75/p95 +
+    * max) — the length-distribution panel of a curation scorecard
+    * (padding budgets, truncation thresholds and packing efficiency
+    * all read these). EXACT, not approximate, and float-free: the
+    * classic value-histogram method — (source, length) counts, a
+    * running count over the TINY post-agg relation (distinct lengths
+    * per source, not documents), and quantile q = the smallest length
+    * whose running count reaches ⌈q·n⌉ (integer ceil-division) —
+    * valid precisely because token lengths have a bounded domain,
+    * which is the training-data case. Interpolating percentile
+    * functions were rejected on cross-engine grounds: engines
+    * disagree on the interpolation spelling's rounding; rank
+    * selection has no floats to disagree on.
+    *
+    * Scale shape: one corpus scan → (source, length) partial agg; the
+    * only window runs over the histogram (≤ sources × max-length
+    * rows), never the corpus. */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        coalesce(size(Tokens.whitespace(col("text"))).cast("long"),
+          lit(0L)).as("n"))
+    val counts = docs.groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n"))
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val tot = counts.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    def q(pct: Int): org.apache.spark.sql.Column =
+      min(when(col("cum") >= expr(s"(tot * $pct + 99) DIV 100"), col("n")))
+    cum.join(tot, "source")
+      .groupBy(col("source"), col("tot"))
+      .agg(q(25).as("p25"), q(50).as("p50"), q(75).as("p75"),
+        q(95).as("p95"), max(col("n")).as("max_tokens"))
+      .select(col("source"), col("tot").as("n_docs"), col("p25"),
+        col("p50"), col("p75"), col("p95"), col("max_tokens"))
+      .orderBy("source")
+  }
+
   /** q158: token-balanced export-shard manifest — the write side of a
     * curation pipeline: cut the corpus (in the same deterministic
     * hash order q112 packs by) into [[NShards]] CONTIGUOUS token
@@ -759,6 +797,8 @@ object CorpusStats {
       linearQuality(s, d)),
     "q158_shard_manifest" -> ((s: SparkSession, d: String) =>
       shardManifest(s, d)),
+    "q159_length_quantiles" -> ((s: SparkSession, d: String) =>
+      lengthQuantiles(s, d)),
     "q133_freq_items"     -> ((s: SparkSession, d: String) =>
       freqItemsWitness(s, d)),
     "q145_exact_span_scrub" -> ((s: SparkSession, d: String) =>
@@ -863,6 +903,29 @@ object CorpusStats {
         |FROM ch a JOIN ch b
         |  ON a.doc_id = b.doc_id AND a.chunk_idx + 1 = b.chunk_idx
         |ORDER BY a.doc_id, j""".stripMargin),
+    "q159_length_quantiles" ->
+      raw"""WITH d AS (
+        |  SELECT source,
+        |    CAST(coalesce(len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')), 0)
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT source, n, c,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY n) AS BIGINT)
+        |      AS cum
+        |  FROM c),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT cc.source, t.tot AS n_docs,
+        |  min(CASE WHEN cum >= (tot * 25 + 99) // 100 THEN n END) AS p25,
+        |  min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN n END) AS p50,
+        |  min(CASE WHEN cum >= (tot * 75 + 99) // 100 THEN n END) AS p75,
+        |  min(CASE WHEN cum >= (tot * 95 + 99) // 100 THEN n END) AS p95,
+        |  max(n) AS max_tokens
+        |FROM cc JOIN t USING (source) GROUP BY cc.source, t.tot
+        |ORDER BY source""".stripMargin,
     "q158_shard_manifest" ->
       raw"""WITH d AS (
         |  SELECT doc_id,

@@ -70,6 +70,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("mean_bits") == 4.0)
   }
 
+  test("q159: exact rank-selection quantiles on hand-built lengths") {
+    import spark.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("quantile_docs").toString
+    def text(n: Int) = Seq.fill(n)("x").mkString(" ")
+    Seq(
+      (0L, text(10), "s"), (1L, text(20), "s"),
+      (2L, text(30), "s"), (3L, text(40), "s"),
+      (4L, text(7), "t")
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = CorpusStats.lengthQuantiles(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // source s, n=4: ceil positions 1/2/3/4 of (10,20,30,40)
+    val s4 = rows("s")
+    assert(s4.getAs[Long]("n_docs") == 4L)
+    assert(s4.getAs[Long]("p25") == 10L && s4.getAs[Long]("p50") == 20L)
+    assert(s4.getAs[Long]("p75") == 30L && s4.getAs[Long]("p95") == 40L)
+    assert(s4.getAs[Long]("max_tokens") == 40L)
+    // a single-doc source collapses every quantile onto that doc
+    val t1 = rows("t")
+    assert(Seq("p25", "p50", "p75", "p95", "max_tokens")
+      .forall(c => t1.getAs[Long](c) == 7L))
+  }
+
   test("q154: linear quality — weights replayed via an independent md5") {
     // Independent spelling of the hash-derived weight: JVM MessageDigest
     // instead of the Md5Prefix60 expression — the test would catch a
