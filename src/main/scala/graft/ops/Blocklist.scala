@@ -37,38 +37,61 @@ object Blocklist {
   private def pos(h: org.apache.spark.sql.Column, j: Int) =
     shiftright(h, 12 * j).bitwiseAND(lit((MBits - 1).toLong))
 
-  def bloomScrub(s: SparkSession, dir: String): DataFrame = {
-    import graft.dedup.Md5Prefix
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), Md5Prefix.h(col("text")).as("h"))
-    val blocked = docs.where(col("doc_id") % 17 === 0)
-    // filter build: explode the k positions, partial-agg bit-OR per
-    // word, then ONE row carrying the dense 128-word array (absent
-    // words are 0) — the broadcastable artifact
-    val words = blocked
+  /** Filter build over a blocked-digest column `h`: explode the k
+    * positions, partial-agg bit-OR per word — (w, om), ≤ [[NWords]]
+    * rows. Shared by the batch scrub and the streaming admission. */
+  private[graft] def wordsOf(blocked: DataFrame): DataFrame =
+    blocked
       .select(explode(array((0 until K).map(j => pos(col("h"), j)): _*))
         .as("p"))
       .select(expr(s"p DIV $WordBits").as("w"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))")
           .as("m"))
       .groupBy(col("w")).agg(expr("bit_or(m)").as("om"))
-    val filterRow = words
-      .agg(map_from_entries(collect_list(struct(col("w"), col("om"))))
-        .as("wm"))
-      .select(expr(
-        s"transform(sequence(0, ${NWords - 1}), " +
-          "i -> coalesce(wm[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))")
-        .as("arr"))
-    // probe: 3 shifts + 3 element_at per doc, fully map-side after the
-    // 1-row broadcast; true_member is the exact-check audit column
-    // (digest semi-join — at scale this runs ONLY on bloom hits)
-    val hit = (0 until K)
+
+  /** The dense word array as a DRIVER value (128 longs) — what a
+    * deployment ships to a stream as a broadcast constant. The
+    * blocklist is batch/static by definition, so the one collect here
+    * is a bounded artifact build, not a data-path collect. */
+  private[graft] def filterWordsArray(blocked: DataFrame): Array[Long] = {
+    val dense = Array.fill(NWords)(0L)
+    wordsOf(blocked).collect().foreach { r =>
+      dense(r.getAs[Long]("w").toInt) = r.getAs[Long]("om")
+    }
+    dense
+  }
+
+  /** The probe predicate over columns `h` (60-bit digest) and `arr`
+    * (the [[NWords]]-long filter array): 3 shifts + 3 element_at,
+    * pure map-side column math — ONE spelling for batch and
+    * streaming. */
+  private[graft] def hitColumn: org.apache.spark.sql.Column =
+    (0 until K)
       .map { j =>
         val p = s"(shiftright(h, ${12 * j}) & ${MBits - 1})"
         expr(s"(element_at(arr, CAST($p DIV $WordBits AS INT) + 1) & " +
           s"shiftleft(CAST(1 AS BIGINT), CAST($p % $WordBits AS INT))) != 0")
       }
       .reduce(_ && _)
+
+  def bloomScrub(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Md5Prefix.h(col("text")).as("h"))
+    val blocked = docs.where(col("doc_id") % 17 === 0)
+    // filter build → ONE row carrying the dense 128-word array (absent
+    // words are 0) — the broadcastable artifact
+    val filterRow = wordsOf(blocked)
+      .agg(map_from_entries(collect_list(struct(col("w"), col("om"))))
+        .as("wm"))
+      .select(expr(
+        s"transform(sequence(0, ${NWords - 1}), " +
+          "i -> coalesce(wm[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))")
+        .as("arr"))
+    // probe: fully map-side after the 1-row broadcast; true_member is
+    // the exact-check audit column (digest semi-join — at scale this
+    // runs ONLY on bloom hits)
+    val hit = hitColumn
     docs.crossJoin(broadcast(filterRow))
       .join(blocked.select(col("h")).distinct()
         .withColumn("true_member", lit(true)), Seq("h"), "left")

@@ -319,6 +319,33 @@ object Streams {
       .load(inDir)
   }
 
+  /** Streaming blocklist admission — the q157 bloom scrub applied at
+    * ingest time: the (static, batch-built) blocklist folds into the
+    * 128-word bloom array ONCE on the driver and rides into the
+    * stream as a literal/broadcast constant, so per-micro-batch
+    * admission is pure map-side column math (3 shifts + 3 array
+    * reads per document, no stream-static join, no state store).
+    * Same spelling as the batch probe ([[graft.ops.Blocklist
+    * .hitColumn]]), so batch and stream can never disagree on what
+    * is blocked; no false negatives is structural. A production
+    * deployment refreshes the array by restarting the query with the
+    * re-built constant — the blocklist is slow-moving by nature.
+    *
+    * Output adds `bloom_hit` (route to quarantine + exact check) and
+    * `admitted`. */
+  def blocklistAdmission(stream: DataFrame,
+                         blockedTexts: DataFrame): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val words = graft.ops.Blocklist.filterWordsArray(
+      blockedTexts.select(Md5Prefix.h(col("text")).as("h")))
+    stream
+      .withColumn("h", Md5Prefix.h(col("text")))
+      .withColumn("arr", array(words.map(lit(_)): _*))
+      .withColumn("bloom_hit", graft.ops.Blocklist.hitColumn)
+      .withColumn("admitted", !col("bloom_hit"))
+      .drop("arr")
+  }
+
   /** Drain a stream with `Trigger.AvailableNow`, returning per-batch
     * row counts — the observability half of backpressure: asserting
     * (in tests) and monitoring (in production) that no micro-batch
