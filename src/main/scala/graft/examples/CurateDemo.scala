@@ -55,6 +55,12 @@ object CurateDemo {
       .where(col("dup_fraction") < 0.5)
     // 4. exact + near-dup survivors (connected components, min doc_id)
     val survivors = Dedup.dedupClusters(spark, sfDir).where(col("keep"))
+    // 5. blocklist scrub (bloom-probed, no corpus join) + the linear
+    //    quality classifier floor
+    val unblocked = graft.ops.Blocklist.bloomScrub(spark, sfDir)
+      .where(col("keep"))
+    val linearOk = graft.text.CorpusStats.linearQuality(spark, sfDir)
+      .where(col("keep"))
 
     try {
       val curated = docs
@@ -63,21 +69,27 @@ object CurateDemo {
         .join(lowRep.select("doc_id"), "doc_id")
         .join(lowBoiler.select("doc_id"), "doc_id")
         .join(survivors.select("doc_id"), "doc_id")
-      curated.write.mode("overwrite").parquet(s"$out/documents")
+        .join(unblocked.select("doc_id"), "doc_id")
+        .join(linearOk.select("doc_id"), "doc_id")
+      // written as a documents TABLE (documents.parquet) so the
+      // corpus-table operators below run ON the curated zone
+      curated.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-      val kept = spark.read.parquet(s"$out/documents").count()
+      val kept = spark.read.parquet(s"$out/documents.parquet").count()
       require(kept > 0 && kept <= total,
         s"curation must keep a nonempty subset (kept $kept of $total)")
       // safe only after the nonempty check: sum over zero rows is null
       val toks = TextAnalysis.tokenStats(spark, sfDir)
-        .join(spark.read.parquet(s"$out/documents").select("doc_id"), "doc_id")
+        .join(spark.read.parquet(s"$out/documents.parquet")
+          .select("doc_id"), "doc_id")
         .agg(sum(col("n_tokens"))).head().getLong(0)
-      println(s"curated: kept $kept/$total docs, $toks tokens -> $out/documents")
+      println(s"curated: kept $kept/$total docs, $toks tokens -> " +
+        s"$out/documents.parquet")
 
       // release side — over the CURATED set, actually composed:
       // leakage-safe split (cluster-hash; a near-dup component never
       // straddles), then a stratified 10% sample of the train docs
-      val curatedDocs = spark.read.parquet(s"$out/documents")
+      val curatedDocs = spark.read.parquet(s"$out/documents.parquet")
       val split = Dedup.leakageSafeSplit(spark, sfDir)
         .join(curatedDocs.select("doc_id"), "doc_id")
       split.groupBy("split").count().orderBy("split").show()
@@ -91,6 +103,18 @@ object CurateDemo {
       val decon = TextAnalysis.decontaminate(spark, sfDir)
       println(s"decontamination audit: ${decon.where(!col("kept")).count()}" +
         " train docs carry eval 5-grams")
+
+      // export side, ON the curated zone: token-balanced shard
+      // manifest + the length-quantile scorecard panel
+      val manifest = graft.text.CorpusStats.shardManifest(spark, out)
+      val shardToks = manifest.agg(sum(col("n_tokens"))).head().getLong(0)
+      require(shardToks == toks,
+        s"shard manifest must conserve the curated tokens " +
+          s"($shardToks vs $toks)")
+      println(s"export: ${manifest.count()} token-balanced shards, " +
+        s"$shardToks tokens")
+      graft.text.CorpusStats.lengthQuantiles(spark, out)
+        .show(5, truncate = false)
     } finally spark.stop()
   }
 }
