@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, LongType}
 
 /** Optimizer rule: dot-product fusion.
   *
@@ -27,6 +27,27 @@ object DotFusion extends Rule[LogicalPlan] {
 
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isByteArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(ByteType, _) => true
+    case _ => false
+  }
+
+  /** `(x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)` — the widened
+    * product of the int8 spelling (the bare product would overflow
+    * TINYINT, so the casts are load-bearing and required). */
+  private def isWidenedProductLambda(fn: Expression): Boolean = fn match {
+    case LambdaFunction(mul: Multiply,
+        Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+      def cv(e: Expression, nv: NamedLambdaVariable): Boolean = e match {
+        case Cast(l: NamedLambdaVariable, LongType, _, _) =>
+          l.exprId == nv.exprId
+        case _ => false
+      }
+      (cv(mul.left, x) && cv(mul.right, y)) ||
+        (cv(mul.left, y) && cv(mul.right, x))
     case _ => false
   }
 
@@ -72,6 +93,14 @@ object DotFusion extends Rule[LogicalPlan] {
             isProductLambda(zipFn) && isSumMerge(merge) &&
             isIdentityFinish(finish) =>
         FloatDot(a, b)
+      // the int8 sibling: array<tinyint> + widened products + 0L seed
+      // → the codegen'd Int8Dot (exact BIGINT either way)
+      case ArrayAggregate(ZipWith(a, b, zipFn), Literal(0L, LongType),
+          merge, finish)
+          if isByteArray(a) && isByteArray(b) &&
+            isWidenedProductLambda(zipFn) && isSumMerge(merge) &&
+            isIdentityFinish(finish) =>
+        Int8Dot(a, b)
     }
 
   /** Hook the rule into a live session (idempotent). */

@@ -318,7 +318,56 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Budget of the q160 allocation — shared with its oracle SQL. */
+  val MixTarget = 10000
+
+  /** q160: temperature-weighted source mixing (UniMax / τ-sampling
+    * with τ = 2): allocate a training budget across sources in
+    * proportion to √(source token count) instead of raw size, so
+    * mid-size sources stop being drowned by the largest ones — the
+    * standard multilingual/multi-domain mixing correction. Exact and
+    * float-free end to end: the integer square root is a double
+    * `sqrt` followed by a ±1 correction (the correction forces the
+    * exact isqrt regardless of libm rounding, so both engines agree
+    * bit-for-bit), and the budget allocates by the q142 Hamilton
+    * largest-remainder method — all-integer, Σ alloc = budget
+    * EXACTLY.
+    *
+    * Scale shape: one corpus scan → (source) partial-agg token sums;
+    * every later step runs on the ≤|sources| row relation (the
+    * q112/q142 tiny-window rule). */
+  def temperatureMix(s: SparkSession, dir: String,
+                     target: Int = MixTarget): DataFrame = {
+    val sizes = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        coalesce(size(graft.util.Tokens.whitespace(col("text")))
+          .cast("long"), lit(0L)).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val sized = sizes
+      .withColumn("s0",
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        "CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1 " +
+          "WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END"))
+    val tot = sized.agg(sum(col("w")).as("sw"))
+    val quota = sized.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($target * w) DIV sw"))
+      .withColumn("rem", expr(s"($target * w) % sw"))
+    // ≤ |sources| rows: the one intentionally-unpartitioned window
+    val rr = row_number().over(
+      Window.orderBy(col("rem").desc, col("source")))
+    val need = quota.agg((lit(target.toLong) - sum(col("base")))
+      .as("extra"))
+    quota.withColumn("rr", rr).crossJoin(broadcast(need))
+      .withColumn("alloc",
+        col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("w"), col("alloc"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_temperature_mix" -> ((s: SparkSession, d: String) =>
+      temperatureMix(s, d)),
     "q146_seeded_shuffle" -> ((s: SparkSession, d: String) =>
       seededShuffle(s, d)),
     "q147_token_budget" -> ((s: SparkSession, d: String) =>
@@ -340,6 +389,38 @@ object Sampling {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q160_temperature_mix" ->
+      raw"""WITH d AS (
+        |  SELECT source,
+        |    CAST(coalesce(len(string_split_regex(trim(text), '[ \t\n\v\f\r]+')), 0)
+        |      AS BIGINT) AS nt
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |w0 AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+        |  FROM s),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+        |         WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END AS w
+        |  FROM w0),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+        |q AS (
+        |  SELECT source, n_tokens, w,
+        |    (${MixTarget} * w) // sw AS base,
+        |    (${MixTarget} * w) % sw AS rem,
+        |    row_number() OVER (ORDER BY (${MixTarget} * w) % sw DESC,
+        |      source) AS rr
+        |  FROM w CROSS JOIN t),
+        |x AS (SELECT CAST(${MixTarget} - sum(base) AS BIGINT) AS extra
+        |      FROM q)
+        |SELECT source, n_tokens, w,
+        |  CAST(base + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM q CROSS JOIN x ORDER BY source""".stripMargin,
     "q146_seeded_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

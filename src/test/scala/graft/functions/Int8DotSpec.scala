@@ -59,6 +59,32 @@ class Int8DotSpec extends SparkSpec {
     assert(rows(3).getLong(0) == 6L)
   }
 
+  test("DotFusion rewrites the composable int8 spelling to Int8Dot") {
+    DotFusion.install(spark)
+    try {
+      // parquet-backed: a local relation would constant-fold away
+      val codes = graft.sim.Similarity
+        .quantize(spark.read.parquet(s"${sf()}/embeddings.parquet"))
+        .select(col("vec_id"), col("q_vec").as("a"))
+        .limit(50)
+      val selfDot =
+        "aggregate(zip_with(a, a, (x, y) -> CAST(x AS BIGINT) * " +
+          "CAST(y AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val df2 = codes.select(expr(selfDot).as("d"))
+      val fused = df2.queryExecution.optimizedPlan.collectFirst {
+        case p if p.expressions.exists(_.exists(_.isInstanceOf[Int8Dot])) => p
+      }.isDefined
+      assert(fused, df2.queryExecution.optimizedPlan.toString)
+      val x = df2.collect().map(_.getLong(0))
+      val y = codes.select(expr("int8_dot(a, a)")).collect()
+        .map(_.getLong(0))
+      assert(x.sameElements(y))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DotFusion)
+    }
+  }
+
   test("q155 scoring through int8_dot matches the HOF spelling on testdata") {
     // end-to-end: quantize the real corpus, score a 20×20 pair block
     // both ways — exact integer equality, row for row

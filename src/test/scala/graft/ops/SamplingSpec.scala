@@ -392,6 +392,60 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q160: sqrt-weighted allocation — exact isqrt, exact total, fair") {
+    val m = Sampling.temperatureMix(spark, sf()).collect()
+    // the corrected isqrt is EXACT: w² ≤ n < (w+1)²
+    m.foreach { r =>
+      val (n, w) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("w"))
+      assert(w * w <= n && n < (w + 1) * (w + 1), s"isqrt off: $r")
+    }
+    // Hamilton: the budget is hit exactly, and every source sits
+    // within one seat of its exact sqrt-proportional quota
+    assert(m.map(_.getAs[Long]("alloc")).sum == Sampling.MixTarget)
+    val sw = m.map(_.getAs[Long]("w")).sum
+    m.foreach { r =>
+      val (w, a) = (r.getAs[Long]("w"), r.getAs[Long]("alloc"))
+      val base = Sampling.MixTarget * w / sw
+      assert(a == base || a == base + 1, s"off-quota: $r")
+    }
+    // the temperature property: relative to proportional mixing, a
+    // MUCH smaller source gets more slots per token. Only asserted
+    // across a ≥2× size gap — for near-equal sources the ±1 integer
+    // sqrt granularity can locally invert the per-token rate (seen on
+    // testdata: n 1441 → w 37 vs n 1466 → w 38), which is exactly why
+    // the contract is about correcting ORDER-OF-MAGNITUDE imbalance
+    val sorted = m.sortBy(_.getAs[Long]("n_tokens"))
+    for {
+      small <- sorted.headOption
+      big <- sorted.lastOption
+      if big.getAs[Long]("n_tokens") >= 2 * small.getAs[Long]("n_tokens")
+    } {
+      val lhs = (small.getAs[Long]("alloc") + 1) *
+        big.getAs[Long]("n_tokens")
+      val rhs = (big.getAs[Long]("alloc") - 1) *
+        small.getAs[Long]("n_tokens")
+      assert(lhs >= rhs, s"small source under-weighted: $small vs $big")
+    }
+    // and on a hand-built skewed corpus the property is strict: a
+    // 100× token imbalance must yield a >5× per-token upweight
+    import spark.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("tempmix_docs").toString
+    def text(n: Int) = Seq.fill(n)("x").mkString(" ")
+    (Seq.tabulate(100)(i => (i.toLong, text(100), "huge")) :+
+      (1000L, text(100), "tiny"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val mm = Sampling.temperatureMix(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val (h, t) = (mm("huge"), mm("tiny"))
+    assert(h.getAs[Long]("n_tokens") == 100L * t.getAs[Long]("n_tokens"))
+    // per-token rate ratio ≈ √100 = 10; assert the conservative half
+    assert(t.getAs[Long]("alloc") * h.getAs[Long]("n_tokens") >
+      5L * h.getAs[Long]("alloc") * t.getAs[Long]("n_tokens"),
+      s"tiny source not upweighted: $t vs $h")
+  }
+
   test("q158: shards partition the corpus into contiguous balanced ranges") {
     val m = CorpusStats.shardManifest(spark, sf()).collect()
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
