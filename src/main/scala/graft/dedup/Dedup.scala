@@ -851,7 +851,58 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** q161: winnowing fingerprints (Schleimer/Wilkerson/Aiken — the
+    * MOSS local-fingerprinting algorithm): per document, hash every
+    * k-token gram, slide a w-gram window and keep each window's MIN
+    * hash as a fingerprint. The selection guarantee — any shared run
+    * of ≥ w+k−1 tokens yields at least one SHARED fingerprint — is
+    * what MinHash cannot promise (MinHash bounds expected recall over
+    * whole-set similarity; winnowing detects LOCAL matches of bounded
+    * length deterministically). Pairs = documents sharing ≥ minShared
+    * distinct fingerprints; fingerprint equality IS the blocking (the
+    * q125 video-frame discipline — no all-pairs anywhere).
+    *
+    * Scale shape: tokens stream from the shared span-tokens zone; the
+    * window-min runs per document (bounded frames, doc-keyed
+    * partitions); the pair join is fingerprint-bucketed, so candidate
+    * volume tracks shared content, and density is self-limiting
+    * (~2/(w+1) of grams become fingerprints). */
+  def winnowPairs(s: SparkSession, dir: String, k: Int = 5,
+                  win: Int = 4, minShared: Int = 2): DataFrame = {
+    val docs = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.util.Tokens.whitespace(col("text")).as("w")))
+    // the size guard keeps ngramsOf in its sliding branch only: docs
+    // shorter than k emit NO fingerprints (both engines)
+    val grams = docs.where(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(graft.util.Tokens.ngramsOf(col("w"), k))
+          .as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"), Md5Prefix.h(col("g")).as("gh"))
+    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(0, win - 1)
+    val fps = grams
+      .withColumn("ng",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("fp", min(col("gh")).over(wspec))
+      // FULL windows only; a doc with fewer than `win` grams keeps
+      // its p=0 window (the frame clips to the whole doc → global min)
+      .where(col("p") <= col("ng") - win || col("p") === 0)
+      .select(col("doc_id"), col("fp")).distinct()
+    fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_winnow_pairs" -> ((s: SparkSession, d: String) =>
+      winnowPairs(s, d)),
     "q34_dedup_exact"   -> (exactGroups _),
     "q138_leakage_split" -> (leakageSafeSplit _),
     "q139_source_overlap" -> (sourceOverlap _),
@@ -936,6 +987,32 @@ object Dedup {
     * join, verification — list comprehensions standing in for Spark's
     * higher-order array functions. */
   val oracle: Map[String, String] = Map(
+    "q161_winnow_pairs" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([{'p': CAST(i AS BIGINT),
+        |      'gh': ('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')),
+        |        1, 15))::BIGINT}
+        |    for i in range(0, len(w) - 4)], recursive := true)
+        |  FROM d WHERE len(w) >= 5),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+        |      FROM g GROUP BY 1),
+        |f AS (
+        |  SELECT g.doc_id, g.p, n.ng,
+        |    min(gh) OVER (PARTITION BY g.doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g JOIN n USING (doc_id)),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, fp FROM f
+        |  WHERE p <= ng - 4 OR p = 0)
+        |SELECT x.doc_id AS id1, y.doc_id AS id2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sel x JOIN sel y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id1, id2""".stripMargin,
     "q34_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

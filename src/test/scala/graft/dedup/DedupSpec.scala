@@ -323,4 +323,25 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q161 winnowing: a shared run of w+k-1 tokens is always caught") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("winnow_docs").toString
+    // the selection guarantee: any shared run of ≥ win+k−1 = 8 tokens
+    // yields 4 consecutive shared grams — one FULL window whose min is
+    // the same VALUE in both docs, so a fingerprint must match
+    val run = (0 until 8).map(i => s"r$i").mkString(" ")
+    val a = s"alpha unique tokens one two $run tail bits here"
+    val b = s"totally different prefix words $run and other suffix"
+    val c = "no overlap at all just distinct vocabulary everywhere now ok"
+    Seq((1L, a, "s"), (2L, b, "s"), (3L, c, "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.winnowPairs(spark, dir, minShared = 1).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"false pair involving the disjoint doc: $pairs")
+  }
+
 }
