@@ -271,6 +271,51 @@ object CorpusStats {
   /** Shard count of the q158 manifest — shared with its oracle SQL. */
   val NShards = 32
 
+  /** q162: top collocations by integer PMI — pointwise mutual
+    * information log₂(p(xy)/(p(x)p(y))) scored in the q151 bits
+    * discipline (`length(bin(n))` = ⌊log₂ n⌋+1 on both engines):
+    * pmi_bits = bits(c_xy) + 2·bits(T) − bits(T₂) − bits(c_x) −
+    * bits(c_y), within a few bits of true PMI with zero libm
+    * dependence — the collocation/phrase-mining signal (tokenizer
+    * vocab candidates, multi-word expressions) every corpus pipeline
+    * computes, made hash-gateable. Min support c_xy ≥ 5 cuts the
+    * hapax noise PMI is notorious for; top 50 under a TOTAL order
+    * (pmi_bits desc, bigram asc) so LIMIT is deterministic.
+    *
+    * Scale shape: one pass from the span-tokens zone → bigram
+    * partial-agg counts; unigram model joins are token-keyed and
+    * vocab-bounded (unhinted — the q151 discipline); totals ride
+    * 1-row cross joins; top-50 is a TakeOrdered, no global sort
+    * materialization. */
+  def pmiCollocations(s: SparkSession, dir: String,
+                      minSupport: Int = 5, topK: Int = 50): DataFrame = {
+    val docs = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+    val uni = docs.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tt = uni.agg(sum(col("c")).as("t_total"))
+    val bg = docs.where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS x, w[i + 1] AS y))")).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    val t2 = bg.agg(sum(col("cxy")).as("t2_total"))
+    bg.where(col("cxy") >= minSupport)
+      .join(uni.select(col("t").as("x"), col("c").as("cx")), "x")
+      .join(uni.select(col("t").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(t2))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("cxy"), col("cx"), col("cy"),
+        (length(bin(col("cxy"))) + lit(2) * length(bin(col("t_total")))
+          - length(bin(col("t2_total"))) - length(bin(col("cx")))
+          - length(bin(col("cy")))).cast("long").as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** q159: exact per-source token-length quantiles (p25/p50/p75/p95 +
     * max) — the length-distribution panel of a curation scorecard
     * (padding budgets, truncation thresholds and packing efficiency
@@ -799,6 +844,8 @@ object CorpusStats {
       shardManifest(s, d)),
     "q159_length_quantiles" -> ((s: SparkSession, d: String) =>
       lengthQuantiles(s, d)),
+    "q162_pmi_collocations" -> ((s: SparkSession, d: String) =>
+      pmiCollocations(s, d)),
     "q133_freq_items"     -> ((s: SparkSession, d: String) =>
       freqItemsWitness(s, d)),
     "q145_exact_span_scrub" -> ((s: SparkSession, d: String) =>
@@ -903,6 +950,33 @@ object CorpusStats {
         |FROM ch a JOIN ch b
         |  ON a.doc_id = b.doc_id AND a.chunk_idx + 1 = b.chunk_idx
         |ORDER BY a.doc_id, j""".stripMargin),
+    "q162_pmi_collocations" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |tok AS (SELECT unnest(w) AS t FROM d),
+        |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+        |        FROM tok GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM uni),
+        |bgr AS (
+        |  SELECT unnest([{'x': w[i+1], 'y': w[i+2]}
+        |    for i in range(0, len(w) - 1)], recursive := true)
+        |  FROM d WHERE len(w) >= 2),
+        |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+        |       FROM bgr GROUP BY 1, 2),
+        |t2 AS (SELECT CAST(sum(cxy) AS BIGINT) AS t2_total FROM bc)
+        |SELECT bc.x || ' ' || bc.y AS bigram, bc.cxy, ux.c AS cx,
+        |  uy.c AS cy,
+        |  CAST(length(bin(bc.cxy)) + 2 * length(bin(tt.t_total))
+        |    - length(bin(t2.t2_total)) - length(bin(ux.c))
+        |    - length(bin(uy.c)) AS BIGINT) AS pmi_bits
+        |FROM bc
+        |JOIN uni ux ON ux.t = bc.x
+        |JOIN uni uy ON uy.t = bc.y
+        |CROSS JOIN tt CROSS JOIN t2
+        |WHERE bc.cxy >= 5
+        |ORDER BY pmi_bits DESC, bigram LIMIT 50""".stripMargin,
     "q159_length_quantiles" ->
       raw"""WITH d AS (
         |  SELECT source,

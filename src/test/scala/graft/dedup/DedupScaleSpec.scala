@@ -237,6 +237,27 @@ class DedupScaleSpec extends SparkSpec {
     assert(bySrc == Map("big" -> 998, "mid" -> 1, "tiny" -> 1), bySrc.toString)
   }
 
+  test("q161 shape: winnowing pairs are exactly the clone-cluster closure") {
+    // identical clones share every fingerprint, so pairs are the full
+    // within-cluster closure — genuinely quadratic in CLUSTER size
+    // because the OUTPUT is (the q36 argument); what must NOT happen
+    // is cross-cluster or singleton noise, and the volume must be
+    // exactly the closure, not fingerprint-count-inflated.
+    // minShared=1: a doc's windows can all share one min value, so
+    // identical docs are only guaranteed ≥1 shared fingerprint.
+    val pairs = Dedup.winnowPairs(spark, dir, minShared = 1).cache()
+    val expected = clusterSizes.values
+      .map(sz => sz.toLong * (sz - 1) / 2).sum
+    assert(pairs.count() == expected,
+      s"pair volume != clone closure ($expected)")
+    assert(pairs.where(
+      expr("id1 DIV 10000 != id2 DIV 10000")).count() == 0,
+      "cross-cluster winnow pair")
+    assert(pairs.where(col("id1") >= 900000L || col("id2") >= 900000L)
+      .count() == 0, "singleton paired")
+    pairs.unpersist()
+  }
+
   test("connected components labels the power-law clusters at scale") {
     import spark.implicits._
     val pairs = Dedup.minhashLshPairs(spark, dir, maxBucket = 100)

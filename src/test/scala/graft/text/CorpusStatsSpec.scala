@@ -70,6 +70,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("mean_bits") == 4.0)
   }
 
+  test("q162: integer-PMI collocations — hand-computed bits and order") {
+    // corpus: T = 150 unigrams, T2 = 147 bigrams (bits 8 both).
+    // candidates ≥ 5 support: "spam spam" 49, "a b".."d e" 10, "e a" 9.
+    // pmi_bits = bits(cxy) + 2·8 − 8 − bits(cx) − bits(cy):
+    //   phrase-loop bigrams: 4 + 16 − 8 − 4 − 4 = 4
+    //   "spam spam":         6 + 16 − 8 − 6 − 6 = 2  (self-pair of a
+    //     frequent token scores LOW — exactly what PMI is for)
+    val rows = CorpusStats.pmiCollocations(spark, dir).collect()
+    assert(rows.length == 6)
+    val top = rows.take(5).map(r =>
+      (r.getAs[String]("bigram"), r.getAs[Long]("pmi_bits")))
+    assert(top.sameElements(Seq("a b", "b c", "c d", "d e", "e a")
+      .map(b => (b, 4L))), top.mkString(","))
+    val last = rows.last
+    assert(last.getAs[String]("bigram") == "spam spam" &&
+      last.getAs[Long]("pmi_bits") == 2L)
+  }
+
   test("q159: exact rank-selection quantiles on hand-built lengths") {
     import spark.implicits._
     val d = java.nio.file.Files
