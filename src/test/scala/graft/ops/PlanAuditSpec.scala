@@ -62,6 +62,12 @@ class PlanAuditSpec extends SparkSpec {
       "expected only the rollup and output-sort exchanges:\n" + plan)
   }
 
+  test("q162: top-50 is a TakeOrdered, not a global sort materialization") {
+    val plan = planOf("q162_pmi_collocations")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected TakeOrderedAndProject for the LIMIT:\n" + plan)
+  }
+
   test("q103: quota sampling runs on the custom heap operator, not a window") {
     val plan = planOf("q103_quota_sample")
     assert(plan.contains("TopKPerGroup"),
