@@ -170,21 +170,26 @@ object Similarity {
     * key (partition pruning on probe), and the centroid table is a
     * broadcast. Recall is tunable via nProbe; measured against q50 in
     * tests. */
-  def knnIvf(s: SparkSession, dir: String, k: Int = 5,
-             nCells: Int = IvfCells, nProbe: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  /** The IVF quantizer fit + corpus cell assignment — shared by q53's
+    * in-query path and [[IvfServe.build]]'s zone writer (ONE fit
+    * spelling, so the served index can never disagree with the query
+    * path on cell geometry). Returns (assigned corpus, centroid
+    * table).
+    *
+    * The quantizer fits on a BOUNDED sample: k-means is iterative
+    * (maxIter full scans + a driver-side centroid reduce), so fitting
+    * on the whole corpus is the one step that would not survive a
+    * 100 TB table. Centroid geometry converges on a uniform sample —
+    * ~6k rows per cell is plenty — and the corpus-wide cell ASSIGNMENT
+    * stays a single broadcast-scored scan. The row count comes
+    * from parquet metadata (no data read); at gate scale the fraction
+    * is 1.0, so q53 results are bit-identical to a full fit. */
+  private[sim] def ivfFit(s: SparkSession, dir: String,
+                          nCells: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("v", array_to_vector(col("embedding")))
-    // The quantizer fits on a BOUNDED sample: k-means is iterative
-    // (maxIter full scans + a driver-side centroid reduce), so fitting
-    // on the whole corpus is the one step that would not survive a
-    // 100 TB table. Centroid geometry converges on a uniform sample —
-    // ~6k rows per cell is plenty — and the corpus-wide cell ASSIGNMENT
-    // below stays a single broadcast-scored scan. The row count comes
-    // from parquet metadata (no data read); at gate scale the fraction
-    // is 1.0, so q53 results are bit-identical to a full fit.
     val fitCap = 100000L
     val n = emb.count()
     val fitSet =
@@ -199,7 +204,13 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }
-    val cdf = s.createDataFrame(centroids.toSeq).toDF("cell", "cvec")
+    (assigned, s.createDataFrame(centroids.toSeq).toDF("cell", "cvec"))
+  }
+
+  def knnIvf(s: SparkSession, dir: String, k: Int = 5,
+             nCells: Int = IvfCells, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (assigned, cdf) = ivfFit(s, dir, nCells)
     // probe set: nProbe closest centroids per query (unit vectors →
     // max dot = min angle)
     val q = assigned.where(col("vec_id") < 10)
