@@ -521,6 +521,17 @@ object Similarity {
       ((s: SparkSession, d: String) => knnQuantized(s, d)),
     "q155_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "q156_semantic_dedup" -> (semanticDedup _),
+    // the BUILD→WRITE→SERVE round trip under the hash gate: probe-all
+    // from the cell-partitioned zone ≡ brute force (the q53 contract,
+    // now including the parquet partitioning round trip)
+    "q163_ivf_served" -> ((s: SparkSession, d: String) => {
+      val zoneDir = java.nio.file.Files
+        .createTempDirectory("ivf_serve_zone").toString
+      IvfServe.build(s, d, zoneDir)
+      val q = corpus(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      IvfServe.search(s, zoneDir, q, k = 5, nProbe = IvfCells)
+    }),
     "q107_embedding_clusters" -> (embeddingClusters _))
 
   /** The ±1 projection matrix as a DuckDB VALUES relation `proj(b, p)`
@@ -634,6 +645,7 @@ object Similarity {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q50_knn_brute" -> bruteTopkSql,
     "q53_knn_ivf" -> bruteTopkSql,
+    "q163_ivf_served" -> bruteTopkSql,
     // full int8 replay: float max-abs scale, double-divide round-half-
     // away to TINYINT codes, exact BIGINT dot, one de-scale expression
     "q143_knn_quantized" ->

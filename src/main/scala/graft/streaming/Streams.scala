@@ -319,6 +319,42 @@ object Streams {
       .load(inDir)
   }
 
+  /** Streaming heavy hitters — the q133 Misra-Gries sketch maintained
+    * ACROSS micro-batches per source: each batch's tokens fold into
+    * the keyed state through the same `reduce`/`merge` the batch
+    * Aggregator runs, so the no-false-negative guarantee (any token
+    * above the 1/(k+1) mass threshold is in the sketch) holds over
+    * the WHOLE stream, not per batch — the continuously-maintained
+    * "what is flooding this source" monitor. State per key is the
+    * bounded k-entry map; each batch emits the source's current
+    * sketch contents.
+    *
+    * Tokenization mirrors [[graft.util.Tokens.whitespace]]'s class
+    * exactly (the cross-engine discipline, applied JVM-side). */
+  def heavyHittersStream(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mg = new graft.functions.MisraGries(k)
+    val typed = docs.select(col("source"), col("text"))
+      .as[(String, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], (String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val batch = rows.foldLeft(mg.zero) { (b, r) =>
+            r._2.trim.split("[ \\t\\n\\x0B\\f\\r]+")
+              .foldLeft(b)((bb, t) => mg.reduce(bb, (t, 1L)))
+          }
+          val merged = mg.merge(state.getOption.getOrElse(mg.zero), batch)
+          state.update(merged)
+          merged.toSeq.sortBy { case (t, w) => (-w, t) }
+            .iterator.map { case (t, w) => (src, t, w) }
+      }
+      .toDF("source", "token", "weight")
+  }
+
   /** Streaming blocklist admission — the q157 bloom scrub applied at
     * ingest time: the (static, batch-built) blocklist folds into the
     * 128-word bloom array ONCE on the driver and rides into the

@@ -266,6 +266,41 @@ class StreamsSpec extends SparkSpec {
       s"expected exactly the planted near-dup pair, got: $found")
   }
 
+  test("heavy hitters accumulate across batches in keyed state") {
+    val in = Files.createTempDirectory("hh_in").toString
+    val ckpt = Files.createTempDirectory("hh_ckpt").toString
+    val docSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    def row(src: String, text: String) =
+      s"""{"source":"$src","text":"$text"}"""
+    // "hot" appears 30× in EACH batch; a single batch alone can
+    // account for weight ≤ 30 + fillers — the cross-batch assertion
+    // below needs the merged state to exceed any one batch's count
+    def batchText(tag: String) =
+      (Seq.fill(30)("hot") ++ (0 until 5).map(i => s"f$tag$i"))
+        .mkString(" ")
+    writeBatch(in, "b1.json", row("s", batchText("a")))
+    writeBatch(in, "b2.json", row("s", batchText("b")))
+    val stream = Streams.rateLimitedStream(spark, in, docSchema,
+      maxFilesPerTrigger = 1)
+    val out = Streams.heavyHittersStream(stream, k = 8)
+    val q = out.writeStream.format("memory").queryName("hh")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val weights = spark.table("hh")
+      .where(org.apache.spark.sql.functions.col("token") === "hot")
+      .collect()
+      .map(_.getAs[Long]("weight"))
+    // some emission must carry hot's weight ABOVE any single batch's
+    // 30 occurrences — only the merged cross-batch state can
+    assert(weights.nonEmpty && weights.max > 30,
+      s"cross-batch fold missing: weights ${weights.mkString(",")}")
+  }
+
   test("streaming blocklist admission blocks exact content, batch-equal") {
     import org.apache.spark.sql.functions.col
     val in = Files.createTempDirectory("bloom_in").toString
