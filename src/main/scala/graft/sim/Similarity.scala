@@ -465,6 +465,49 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q164: domain-similarity matrix — cosine between per-label
+    * centroid DIRECTIONS, the "which domains look alike in embedding
+    * space" diagnostic behind mixing and curriculum decisions. Exact
+    * and hash-gateable: each float component rounds to 10-bit fixed
+    * point (round() agreement is the proven q143 contract), component
+    * sums per (label, dim) are exact BIGINTs, the centroid dot is an
+    * exact integer, and the final cosine is ONE fixed double
+    * expression (dot / (√na·√nb) — sqrt is IEEE-correctly-rounded on
+    * both engines). The 10-bit scale bounds the integer dot at
+    * 64·(n·2¹⁰)² — overflow-free through ~10⁸ vectors per label; a
+    * larger corpus drops to a wider fixed point per shard.
+    *
+    * Scale shape: one corpus scan → (label, dim) partial-agg sums
+    * (64·|labels| groups); everything after runs on the |labels|-row
+    * centroid relation. */
+  def domainSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val fx = corpus(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)").as("r"))
+    val cent = fx.groupBy(col("label"), col("d"))
+      .agg(sum(col("r")).as("sv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, sv))), " +
+        "e -> e.sv)").as("cv"))
+    val n = corpus(s, dir).groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+    val withN = cent.join(n, "label")
+    def dot(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    withN.select(col("label").as("label_a"), col("cv").as("ca"),
+        col("n").as("n_a"))
+      .join(withN.select(col("label").as("label_b"), col("cv").as("cb"),
+        col("n").as("n_b")), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        dot("ca", "cb").as("dot_fp"),
+        (dot("ca", "cb").cast("double") /
+          (sqrt(dot("ca", "ca").cast("double")) *
+            sqrt(dot("cb", "cb").cast("double")))).as("cos_centroid"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** q107: embedding near-dup CLUSTERS — the q52 pair graph folded
     * into connected components with a survivor per cluster: the
     * semantic-dedup mirror of q98 (same
@@ -532,6 +575,7 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       IvfServe.search(s, zoneDir, q, k = 5, nProbe = IvfCells)
     }),
+    "q164_domain_similarity" -> (domainSimilarity _),
     "q107_embedding_clusters" -> (embeddingClusters _))
 
   /** The ±1 projection matrix as a DuckDB VALUES relation `proj(b, p)`
@@ -646,6 +690,38 @@ object Similarity {
     "q50_knn_brute" -> bruteTopkSql,
     "q53_knn_ivf" -> bruteTopkSql,
     "q163_ivf_served" -> bruteTopkSql,
+    // fixed-point centroid replay: 10-bit rounds, BIGINT sums/dots,
+    // one double cosine expression
+    "q164_domain_similarity" ->
+      s"""WITH fx AS (
+         |  SELECT label, u.d, CAST(round(CAST(u.x AS DOUBLE) * 1024)
+         |    AS BIGINT) AS r
+         |  FROM embeddings JOIN LATERAL (
+         |    SELECT unnest(embedding) AS x,
+         |      generate_subscripts(embedding, 1) - 1 AS d) u ON true),
+         |cent AS (
+         |  SELECT label, list(sv ORDER BY d) AS cv FROM (
+         |    SELECT label, d, CAST(sum(r) AS BIGINT) AS sv
+         |    FROM fx GROUP BY 1, 2) GROUP BY label),
+         |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+         |      FROM embeddings GROUP BY 1),
+         |wn AS (SELECT cent.label, cv, n FROM cent JOIN n USING (label))
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  a.n AS n_a, b.n AS n_b,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [a.cv[i] * b.cv[i] for i in range(1, ${Dim + 1})]),
+         |    (acc, v) -> acc + v) AS dot_fp,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [a.cv[i] * b.cv[i] for i in range(1, ${Dim + 1})]),
+         |    (acc, v) -> acc + v) AS DOUBLE) /
+         |  (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [a.cv[i] * a.cv[i] for i in range(1, ${Dim + 1})]),
+         |    (acc, v) -> acc + v) AS DOUBLE)) *
+         |   sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [b.cv[i] * b.cv[i] for i in range(1, ${Dim + 1})]),
+         |    (acc, v) -> acc + v) AS DOUBLE))) AS cos_centroid
+         |FROM wn a JOIN wn b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin,
     // full int8 replay: float max-abs scale, double-divide round-half-
     // away to TINYINT codes, exact BIGINT dot, one de-scale expression
     "q143_knn_quantized" ->
