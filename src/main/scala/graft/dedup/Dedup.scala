@@ -900,7 +900,50 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** q165: LSH precision self-audit — the engine verifying its own
+    * ANN shortcut IN ONE QUERY: every q37 MinHash-LSH pair gets its
+    * EXACT shingle Jaccard (the same 3-shingle sets the signatures
+    * summarize — like for like, unlike a comparison against q36's
+    * token-set similarity, which measures a different thing), and the
+    * audit reports how many estimated pairs are true at the same 0.5
+    * threshold. The truth test is one integer compare (J ≥ 1/2 ⟺
+    * 2·|∩| ≥ |∪|) — no float agreement needed. This is the
+    * dial-validation an operator runs before trusting the
+    * approximate path on a new corpus; recall's exact-truth side is
+    * covered by DedupSpec's brute-force tests at spec scale (full
+    * truth is corpus² by nature — not a query you run at 100 TB;
+    * precision IS, because it only touches the candidates).
+    *
+    * Scale shape: the LSH pair relation is the existing bucketed
+    * derivation; shingle sets re-attach by doc id (unhinted); the
+    * verdict is map-side integer math; output is one row. */
+  def lshPrecisionAudit(s: SparkSession, dir: String): DataFrame = {
+    val lsh = minhashLshPairs(s, dir, hash = Md5Prefix)
+      .select(col("id1"), col("id2"))
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(Tokens.ngramsOf(
+          Tokens.whitespace(col("text")), 3)).as("sh"))
+    val verified = lsh
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")),
+        "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        "id2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh1")).cast("long") + size(col("sh2")) - col("inter"))
+      .withColumn("tp", col("inter") * 2 >= col("uni"))
+    verified.agg(count(lit(1)).as("n_lsh"),
+        sum(when(col("tp"), 1L).otherwise(0L)).as("n_true"))
+      .select(col("n_lsh"), col("n_true"),
+        when(col("n_lsh") === 0, lit(null).cast("double"))
+          .otherwise(col("n_true").cast("double") / col("n_lsh"))
+          .as("precision_at_05"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_lsh_precision_audit" -> (lshPrecisionAudit _),
     "q161_winnow_pairs" -> ((s: SparkSession, d: String) =>
       winnowPairs(s, d)),
     "q34_dedup_exact"   -> (exactGroups _),
@@ -987,6 +1030,43 @@ object Dedup {
     * join, verification — list comprehensions standing in for Spark's
     * higher-order array functions. */
   val oracle: Map[String, String] = Map(
+    // the q37 pair derivation verified against exact shingle Jaccard
+    // (q38's shingle-set spelling) — one integer compare per pair
+    "q165_lsh_precision_audit" ->
+      (MinhashBandedCtes +
+      raw""", lpairs AS (
+        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+        |    a.sig AS s1, c.sig AS s2
+        |  FROM banded a JOIN banded c
+        |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id
+        |), lsh AS (
+        |  SELECT id1, id2 FROM lpairs
+        |  WHERE len([i for i in range(0, 32) if s1[i+1] = s2[i+1]])
+        |    / 32.0 >= 0.5
+        |), shw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+')
+        |    AS w
+        |  FROM documents
+        |), shs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct([array_to_string(w[i+1:i+3], ' ')
+        |                             for i in range(0, len(w) - 2)])
+        |    END AS sh FROM shw
+        |), v AS (
+        |  SELECT l.id1, l.id2,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |    CAST(len(a.sh) + len(b.sh)
+        |      - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+        |  FROM lsh l JOIN shs a ON a.doc_id = l.id1
+        |             JOIN shs b ON b.doc_id = l.id2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lsh,
+        |  CAST(sum(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_true,
+        |  CASE WHEN count(*) = 0 THEN NULL
+        |       ELSE CAST(sum(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0
+        |         END) AS DOUBLE) / count(*) END AS precision_at_05
+        |FROM v""".stripMargin),
     "q161_winnow_pairs" ->
       raw"""WITH d AS (
         |  SELECT doc_id,
