@@ -485,14 +485,15 @@ object Similarity {
       .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("label"), col("d"),
         expr("CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)").as("r"))
-    val cent = fx.groupBy(col("label"), col("d"))
-      .agg(sum(col("r")).as("sv"))
+    // every (label, dim) group holds exactly n_label rows, so the
+    // vector count rides the SAME aggregate — one corpus scan total,
+    // no second count branch
+    val withN = fx.groupBy(col("label"), col("d"))
+      .agg(sum(col("r")).as("sv"), count(lit(1)).as("c"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(d, sv))), " +
-        "e -> e.sv)").as("cv"))
-    val n = corpus(s, dir).groupBy(col("label"))
-      .agg(count(lit(1)).as("n"))
-    val withN = cent.join(n, "label")
+        "e -> e.sv)").as("cv"),
+        max(col("c")).as("n"))
     def dot(a: String, b: String) =
       expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), " +
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
