@@ -101,11 +101,54 @@ object Quality {
       .orderBy("relationship")
   }
 
+  /** q166: the per-document curation VERDICT — the contract a
+    * production corpus pipeline actually exposes: documents in,
+    * keep/reject + reason flags out, in one query. Composes three
+    * independent oracle-gated signals — the linear quality
+    * classifier (q154), the Gopher repetition rules (q149) and the
+    * bloom blocklist (q157) — as doc-keyed joins of the REAL
+    * operators, with the final verdict one boolean expression. The
+    * oracle embeds those three queries' EXISTING oracle strings as
+    * subqueries, so the composition can never drift from its parts.
+    *
+    * Scale shape: three doc-keyed equi-joins of per-doc relations
+    * (each one scan + a rollup); the verdict is map-side. */
+  def curationVerdict(s: SparkSession, dir: String): DataFrame = {
+    val lin = graft.text.CorpusStats.linearQuality(s, dir)
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val rep = graft.text.CorpusStats.repetitionFilter(s, dir)
+      .select(col("doc_id"), col("flagged").as("flagged_repetition"))
+    val blo = Blocklist.bloomScrub(s, dir)
+      .select(col("doc_id"), col("bloom_hit").as("blocked"))
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(lin, "doc_id").join(rep, "doc_id").join(blo, "doc_id")
+      .withColumn("keep",
+        col("keep_quality") && !col("flagged_repetition") &&
+          !col("blocked"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_dq_rules"   -> (dqRules _),
+    "q166_curation_verdict" -> (curationVerdict _),
     "q132_fk_orphans" -> (fkOrphans _))
 
   val oracle: Map[String, String] = Map(
+    // the three signals' EXISTING oracle strings embedded verbatim as
+    // subqueries — the composition cannot drift from its parts
+    "q166_curation_verdict" ->
+      s"""SELECT d.doc_id, l.keep AS keep_quality,
+         |  r.flagged AS flagged_repetition,
+         |  b.bloom_hit AS blocked,
+         |  (l.keep AND NOT r.flagged AND NOT b.bloom_hit) AS keep
+         |FROM documents d
+         |JOIN (${graft.text.CorpusStats.oracle("q154_linear_quality")}
+         |) l ON l.doc_id = d.doc_id
+         |JOIN (${graft.text.CorpusStats.oracle("q149_repetition_filter")}
+         |) r ON r.doc_id = d.doc_id
+         |JOIN (${Blocklist.oracle("q157_bloom_scrub")}
+         |) b ON b.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q131_dq_rules" ->
       """WITH w AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
