@@ -404,26 +404,36 @@ object Similarity {
     knnGraphZone(s, dir).orderBy("query_id", "rank")
 
   /** The 100 TB path for the kNN graph: SRP band-equality candidates
-    * (q51/q52's blocking — a bucket-keyed self-join, never corpus²)
-    * rescored with the exact int8 dot and ranked under the same
-    * contract. Recall < 1 by construction, measured vs [[knnGraph]]
-    * in SimilaritySpec. Band rows carry ids only; codes re-attach by
-    * id afterwards (unhinted — broadcast below threshold is the
-    * optimizer's call, id-keyed shuffle above). */
-  def knnGraphBanded(s: SparkSession, dir: String,
-                     k: Int = GraphK): DataFrame = {
+    * (q51/q52's blocking — the single-pass bucket shape, so the
+    * corpus signature pipeline plans ONCE, never a band self-join
+    * that would plan it per side) rescored with the exact int8 dot
+    * and ranked under the same contract. Recall < 1 by construction,
+    * measured vs [[knnGraph]] in SimilaritySpec. Band rows carry ids
+    * only; codes re-attach by id afterwards (unhinted — broadcast
+    * below threshold is the optimizer's call, id-keyed shuffle
+    * above). `maxBucket` caps each element's partner list, so a
+    * mass-duplicated embedding bucket costs |bucket|·cap, not
+    * |bucket|² — every ANCHOR keeps candidates (unlike star+chain,
+    * which preserves pair detection but not per-anchor coverage),
+    * and past the cap a boilerplate bucket degrades graph recall
+    * instead of blowing up. */
+  def knnGraphBanded(s: SparkSession, dir: String, k: Int = GraphK,
+                     maxBucket: Int = 200): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
     val banded = emb
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), signature(col("embedding")).as("sig"))
       .select(col("vec_id"), bandCols)
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bandVal") === col("y.bandVal") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("query_id"),
-        col("y.vec_id").as("neighbor_id"))
+    val buckets = banded.groupBy(col("band"), col("bandVal"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val cand = buckets
+      .select(col("ids"), explode(col("ids")).as("x"))
+      .select(col("x").as("query_id"),
+        explode(expr(
+          s"slice(filter(ids, y -> y != x), 1, $maxBucket)"))
+          .as("neighbor_id"))
       .distinct()
     val all = quantizedZone(s, dir)
     val scored = cand
