@@ -53,4 +53,26 @@ class QualitySpec extends SparkSpec {
     assert(rows("orders.o_custkey->customer") == (3L, 1L),
       "custkey 8 has no customer row")
   }
+
+  test("q166: verdict agrees with its three parent queries per doc") {
+    val verdict = Quality.curationVerdict(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val lin = graft.text.CorpusStats.linearQuality(spark, sf())
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("keep")).toMap
+    val rep = graft.text.CorpusStats.repetitionFilter(spark, sf())
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("flagged")).toMap
+    val blo = Blocklist.bloomScrub(spark, sf())
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("bloom_hit")).toMap
+    assert(verdict.nonEmpty && verdict.size == lin.size)
+    verdict.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("keep_quality") == lin(id))
+      assert(r.getAs[Boolean]("flagged_repetition") == rep(id))
+      assert(r.getAs[Boolean]("blocked") == blo(id))
+      assert(r.getAs[Boolean]("keep") ==
+        (lin(id) && !rep(id) && !blo(id)), s"verdict drifted at $id")
+    }
+  }
 }

@@ -161,6 +161,20 @@ class SimilaritySpec extends SparkSpec {
       "product join in the banded graph plan:\n" + plan)
   }
 
+  test("q164 domain similarity: full strict-upper matrix, bounded cosines") {
+    val rows = Similarity.domainSimilarity(spark, sf()).collect()
+    val labels = graft.Tables.load(spark, sf(), "embeddings")
+      .select("label").distinct().count()
+    assert(rows.length == labels * (labels - 1) / 2,
+      s"expected C($labels,2) pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label_a") < r.getAs[Int]("label_b"))
+      val c = r.getAs[Double]("cos_centroid")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cosine out of range: $r")
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+  }
+
   test("q156 semantic dedup: closure of thresholded graph edges") {
     val labels = Similarity.semanticDedup(spark, sf()).collect()
       .map(r => (r.getAs[Long]("vec_id"),
