@@ -942,8 +942,27 @@ object Dedup {
           .as("precision_at_05"))
   }
 
+  /** q167: winnowing CLUSTERS — the q161 local-match pair graph
+    * folded into connected components with a min-id survivor: the
+    * clusters consumer every pair family has (q36→q98 exact, q52→
+    * q107 embedding, perceptual→q126 multimodal), closing the set
+    * for the MOSS fingerprint edges. Same [[connectedComponents]]
+    * operator, same survivor contract. */
+  def winnowClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val pairs = winnowPairs(s, dir)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val labels = connectedComponents(pairs)
+    docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_lsh_precision_audit" -> (lshPrecisionAudit _),
+    "q167_winnow_clusters" -> (winnowClusters _),
     "q161_winnow_pairs" -> ((s: SparkSession, d: String) =>
       winnowPairs(s, d)),
     "q34_dedup_exact"   -> (exactGroups _),
@@ -1029,6 +1048,36 @@ object Dedup {
     * shingling, md5-prefix hashing, signatures, banding, candidate
     * join, verification — list comprehensions standing in for Spark's
     * higher-order array functions. */
+  /** The q161 winnow-pair derivation as shared CTEs ending in
+    * `wp(id1, id2, n_shared)` — q161's surface and q167's closure
+    * read ONE spelling, so the two cannot drift. */
+  private lazy val WinnowPairsCtes: String =
+    raw"""d AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest([{'p': CAST(i AS BIGINT),
+      |      'gh': ('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')),
+      |        1, 15))::BIGINT}
+      |    for i in range(0, len(w) - 4)], recursive := true)
+      |  FROM d WHERE len(w) >= 5),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+      |      FROM g GROUP BY 1),
+      |f AS (
+      |  SELECT g.doc_id, g.p, n.ng,
+      |    min(gh) OVER (PARTITION BY g.doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM g JOIN n USING (doc_id)),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, fp FROM f
+      |  WHERE p <= ng - 4 OR p = 0),
+      |wp AS (
+      |  SELECT x.doc_id AS id1, y.doc_id AS id2,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM sel x JOIN sel y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the q37 pair derivation verified against exact shingle Jaccard
     // (q38's shingle-set spelling) — one integer compare per pair
@@ -1068,31 +1117,22 @@ object Dedup {
         |         END) AS DOUBLE) / count(*) END AS precision_at_05
         |FROM v""".stripMargin),
     "q161_winnow_pairs" ->
-      raw"""WITH d AS (
-        |  SELECT doc_id,
-        |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest([{'p': CAST(i AS BIGINT),
-        |      'gh': ('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')),
-        |        1, 15))::BIGINT}
-        |    for i in range(0, len(w) - 4)], recursive := true)
-        |  FROM d WHERE len(w) >= 5),
-        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
-        |      FROM g GROUP BY 1),
-        |f AS (
-        |  SELECT g.doc_id, g.p, n.ng,
-        |    min(gh) OVER (PARTITION BY g.doc_id ORDER BY p
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM g JOIN n USING (doc_id)),
-        |sel AS (
-        |  SELECT DISTINCT doc_id, fp FROM f
-        |  WHERE p <= ng - 4 OR p = 0)
-        |SELECT x.doc_id AS id1, y.doc_id AS id2,
-        |  CAST(count(*) AS BIGINT) AS n_shared
-        |FROM sel x JOIN sel y ON x.fp = y.fp AND x.doc_id < y.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY id1, id2""".stripMargin,
+      ("WITH " + WinnowPairsCtes + raw"""
+        |SELECT id1, id2, n_shared FROM wp
+        |ORDER BY id1, id2""".stripMargin),
+    // the winnow pair CTEs closed with the q98-family recursive CTE
+    "q167_winnow_clusters" ->
+      ("WITH RECURSIVE " + WinnowPairsCtes + raw""",
+        |e(src, dst) AS (
+        |  SELECT id1, id2 FROM wp UNION ALL SELECT id2, id1 FROM wp
+        |), reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+        |)
+        |SELECT id AS doc_id, min(label) AS cluster_id,
+        |  (id = min(label)) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     "q34_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
