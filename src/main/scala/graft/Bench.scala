@@ -97,7 +97,27 @@ object Bench {
     val noisy = spreads.count(_._2 > 2.0)
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1_before":$loadBefore%.2f,"load1_after":$loadAfter%.2f,"noisy_queries":$noisy,"pass_spread":$spreadJson}""")
+    // Artifact durability (round-6 lesson: the one-line JSON outgrew
+    // the driver's ~2 KB tail capture, and the pass_spread tail read
+    // as phantom 20-57 s "timings"). Two deliveries now:
+    //  1. stdout stays EXACTLY ONE JSON line, now timings+totals ONLY
+    //     (the diagnostics map went to stderr), so a tail/line-length
+    //     cap truncates cleanly and can never splice spread RATIOS
+    //     into what reads as the timing fields;
+    //  2. the complete JSON (timings + diagnostics) is also written to
+    //     BENCH.json at the repo root — the durable copy a capture
+    //     limit cannot corrupt.
+    val line1 = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val diag = f""""load1_before":$loadBefore%.2f,"load1_after":$loadAfter%.2f,"noisy_queries":$noisy,"pass_spread":$spreadJson"""
+    println(line1)
+    System.err.println(s"""[bench] diagnostics: {$diag}""")
+    try {
+      val full = line1.dropRight(1) + "," + diag + "}"
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+        (full + "\n").getBytes("UTF-8")): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

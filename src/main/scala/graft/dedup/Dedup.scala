@@ -642,29 +642,38 @@ object Dedup {
     * — singletons keep their own id. The ONE label-join spelling
     * shared by q98 and q138 (a drifted copy would let the clusters
     * the split protects diverge from the clusters dedup ships). The
-    * label table is broadcast: (id, label) pairs over only the
-    * edge-participating nodes — KB at gate scale. At 10⁹ nodes it
-    * outgrows broadcast range: drop the hint and this becomes a
-    * shuffle join on doc_id — still linear, still one pass. */
+    * label join is UNHINTED by design: (id, label) covers only the
+    * edge-participating nodes — KB at gate scale, where AQE
+    * auto-broadcasts it, but O(corpus) on a web corpus with 30–50%
+    * near-dup rates, where a forced broadcast would OOM; unhinted it
+    * degrades to an id-keyed shuffle join — still linear, still one
+    * pass (pinned for the whole cluster family in PlanAuditSpec). */
   /** The q36 pair zone as (a, b) edges — the clustering family's view;
     * the zone scan column-prunes the jaccard value away. */
   private def jaccardPairZone(s: SparkSession, dir: String): DataFrame =
     jaccardZone(s, dir)
       .select(col("id1").as("a"), col("id2").as("b"))
 
+  /** The label-join derivation behind [[clusterLabels]] — exposed
+    * (package-private) so PlanAuditSpec can pin the no-hint
+    * discipline on the plan that actually runs at scale, not on the
+    * memoized zone scan that replays it. */
+  private[graft] def clusterLabelsDerive(s: SparkSession,
+                                         dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val pairs = jaccardPairZone(s, dir)
+    val labels = connectedComponents(pairs)
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     // memoized: the CC fixpoint over the pair zone is deterministic
     // per dir and BOTH q98 and q138 consume it — one contraction loop
     // per application, not one per consumer
     graft.util.Scratch.memo(s, "jaccard-labels",
-      s"jaccard-labels:$dir") {
-      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-      val pairs = jaccardPairZone(s, dir)
-      val labels = connectedComponents(pairs)
-      docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster_id"))
-    }
+      s"jaccard-labels:$dir")(clusterLabelsDerive(s, dir))
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterLabels(s, dir)
@@ -920,10 +929,16 @@ object Dedup {
   def lshPrecisionAudit(s: SparkSession, dir: String): DataFrame = {
     val lsh = minhashLshPairs(s, dir, hash = Md5Prefix)
       .select(col("id1"), col("id2"))
-    val sh = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        array_distinct(Tokens.ngramsOf(
-          Tokens.whitespace(col("text")), 3)).as("sh"))
+    // Tokenize ONCE via the shared span-tokens zone, then n-gram the
+    // array column — passing whitespace(text) straight into ngramsOf
+    // inlines the split into the per-element lambda (O(tokens²) per
+    // document; the Tokens.scala contract, measured 12× on q89).
+    val toks = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+    val sh = toks.select(col("doc_id"),
+      array_distinct(Tokens.ngramsOf(col("w"), 3)).as("sh"))
     val verified = lsh
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")),
         "id1")
@@ -953,7 +968,7 @@ object Dedup {
     val pairs = winnowPairs(s, dir)
       .select(col("id1").as("a"), col("id2").as("b"))
     val labels = connectedComponents(pairs)
-    docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))

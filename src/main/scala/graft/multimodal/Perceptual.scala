@@ -258,7 +258,7 @@ object Perceptual {
       .distinct()
     val labels = graft.dedup.Dedup.connectedComponents(edges)
     val docs = graft.Tables.load(s, dir, "documents").select(col("doc_id"))
-    docs.join(broadcast(labels), docs("doc_id") === labels("id"), "left")
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))

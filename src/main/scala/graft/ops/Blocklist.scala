@@ -97,7 +97,13 @@ object Blocklist {
         .withColumn("true_member", lit(true)), Seq("h"), "left")
       .select(col("doc_id"), hit.as("bloom_hit"),
         coalesce(col("true_member"), lit(false)).as("true_member"))
-      .withColumn("keep", !col("bloom_hit"))
+      // the verdict comes from the EXACT check: a bloom FALSE
+      // POSITIVE (an innocent doc colliding into set bits) must keep
+      // its document — bloom_hit only gates which rows pay the exact
+      // semi-join (at scale the join probes hits only; a miss proves
+      // non-membership, so keep = !bloom_hit would be equal there,
+      // but spelling it on true_member makes the contract literal)
+      .withColumn("keep", !col("true_member"))
       // the no-false-negative guarantee as a gated value: every true
       // member must be a bloom hit — the q133 witness discipline
       .withColumn("caught", col("bloom_hit") || !col("true_member"))
@@ -138,7 +144,7 @@ object Blocklist {
          |  FROM d CROSS JOIN arr)
          |SELECT p.doc_id, p.bloom_hit,
          |  (p.h IN (SELECT h FROM bl)) AS true_member,
-         |  NOT p.bloom_hit AS keep,
+         |  NOT (p.h IN (SELECT h FROM bl)) AS keep,
          |  (p.bloom_hit OR NOT (p.h IN (SELECT h FROM bl))) AS caught
          |FROM probe p ORDER BY doc_id""".stripMargin)
 }

@@ -118,8 +118,11 @@ object Quality {
       .select(col("doc_id"), col("keep").as("keep_quality"))
     val rep = graft.text.CorpusStats.repetitionFilter(s, dir)
       .select(col("doc_id"), col("flagged").as("flagged_repetition"))
+    // blocked = the EXACT membership verdict, not the bloom probe —
+    // a bloom false positive must not cost an innocent document
+    // (bloom_hit only gates which rows pay the exact check)
     val blo = Blocklist.bloomScrub(s, dir)
-      .select(col("doc_id"), col("bloom_hit").as("blocked"))
+      .select(col("doc_id"), col("true_member").as("blocked"))
     Tables.load(s, dir, "documents").select(col("doc_id"))
       .join(lin, "doc_id").join(rep, "doc_id").join(blo, "doc_id")
       .withColumn("keep",
@@ -139,8 +142,8 @@ object Quality {
     "q166_curation_verdict" ->
       s"""SELECT d.doc_id, l.keep AS keep_quality,
          |  r.flagged AS flagged_repetition,
-         |  b.bloom_hit AS blocked,
-         |  (l.keep AND NOT r.flagged AND NOT b.bloom_hit) AS keep
+         |  b.true_member AS blocked,
+         |  (l.keep AND NOT r.flagged AND NOT b.true_member) AS keep
          |FROM documents d
          |JOIN (${graft.text.CorpusStats.oracle("q154_linear_quality")}
          |) l ON l.doc_id = d.doc_id

@@ -45,6 +45,11 @@ object Similarity {
     * brute force) needs nProbe == nCells, so both come from HERE. */
   val IvfCells = 16
 
+  /** q164 overflow ceiling: vectors per label beyond which the
+    * 10-bit fixed-point centroid dot can exceed BIGINT
+    * ((2¹⁰·n)² ≤ 2⁶³−1 ⟹ n ≲ 2.9·10⁶; see [[domainSimilarity]]). */
+  val DomainSimMaxN = 2900000L
+
   /** Deterministic ±1 projection matrix (xorshift-mixed), bits × dim. */
   private[sim] lazy val projections: Array[Array[Double]] =
     Array.tabulate(SigBits, Dim) { (b, d) =>
@@ -468,7 +473,7 @@ object Similarity {
       .distinct()
     val vecs = corpus(s, dir).select(col("vec_id"))
     val labels = graft.dedup.Dedup.connectedComponents(edges)
-    vecs.join(broadcast(labels), vecs("vec_id") === labels("id"), "left")
+    vecs.join(labels, vecs("vec_id") === labels("id"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster_id"))
       .withColumn("keep", col("vec_id") === col("cluster_id"))
@@ -483,9 +488,13 @@ object Similarity {
     * sums per (label, dim) are exact BIGINTs, the centroid dot is an
     * exact integer, and the final cosine is ONE fixed double
     * expression (dot / (√na·√nb) — sqrt is IEEE-correctly-rounded on
-    * both engines). The 10-bit scale bounds the integer dot at
-    * 64·(n·2¹⁰)² — overflow-free through ~10⁸ vectors per label; a
-    * larger corpus drops to a wider fixed point per shard.
+    * both engines). Overflow bound (Cauchy–Schwarz, each quantized
+    * unit vector's L2 norm ≲ 2¹⁰): |dot_fp| ≤ (2¹⁰·n)², which
+    * crosses BIGINT around n ≈ 3·10⁶ vectors per label — NOT 10⁸;
+    * past it the dot wraps silently. So the query GUARDS the bound
+    * ([[DomainSimMaxN]], raise_error on the |labels|-row relation —
+    * zero per-vector cost); a larger corpus drops to a wider fixed
+    * point per shard or pre-averages per-shard centroids.
     *
     * Scale shape: one corpus scan → (label, dim) partial-agg sums
     * (64·|labels| groups); everything after runs on the |labels|-row
@@ -503,7 +512,18 @@ object Similarity {
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(d, sv))), " +
         "e -> e.sv)").as("cv"),
-        max(col("c")).as("n"))
+        max(col("c")).as("n0"))
+      // overflow guard on the |labels|-row relation: past ~3·10⁶
+      // vectors per label the fixed-point dot exceeds BIGINT and
+      // would wrap silently — fail loudly instead (scaladoc above)
+      .select(col("label"), col("cv"),
+        when(col("n0") <= DomainSimMaxN, col("n0"))
+          .otherwise(raise_error(concat(
+            lit("domainSimilarity: label "), col("label"),
+            lit(s" has more than $DomainSimMaxN vectors — the 10-bit " +
+              "fixed-point dot would overflow BIGINT; use a wider " +
+              "fixed point per shard"))).cast("long"))
+          .as("n"))
     def dot(a: String, b: String) =
       expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), " +
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
@@ -530,7 +550,7 @@ object Similarity {
     val pairs = nearDupPairZone(s, dir)
       .select(col("id1").as("a"), col("id2").as("b"))
     val labels = graft.dedup.Dedup.connectedComponents(pairs)
-    vecs.join(broadcast(labels), vecs("vec_id") === labels("id"), "left")
+    vecs.join(labels, vecs("vec_id") === labels("id"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster_id"))
       .withColumn("keep", col("vec_id") === col("cluster_id"))
@@ -579,9 +599,12 @@ object Similarity {
     // from the cell-partitioned zone ≡ brute force (the q53 contract,
     // now including the parquet partitioning round trip)
     "q163_ivf_served" -> ((s: SparkSession, d: String) => {
-      val zoneDir = java.nio.file.Files
-        .createTempDirectory("ivf_serve_zone").toString
-      IvfServe.build(s, d, zoneDir)
+      // zone lives under the managed scratch root (memoized per dir):
+      // repeated gate runs serve ONE built artifact, and the copy is
+      // reclaimed by Scratch.clear / JVM-exit cleanup instead of
+      // leaking a corpus copy per invocation
+      val zoneDir = graft.util.Scratch.memoZone(s, "ivf-serve",
+        s"ivf-serve:$d")(p => IvfServe.build(s, d, p))
       val q = corpus(s, d).where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       IvfServe.search(s, zoneDir, q, k = 5, nProbe = IvfCells)

@@ -344,7 +344,11 @@ object Streams {
         (src: String, rows: Iterator[(String, String)],
          state: GroupState[Map[String, Long]]) =>
           val batch = rows.foldLeft(mg.zero) { (b, r) =>
-            r._2.trim.split("[ \\t\\n\\x0B\\f\\r]+")
+            // null-text documents exist in the corpus (the batch
+            // operators coalesce for exactly this); an NPE here
+            // kills the whole streaming query
+            Option(r._2).getOrElse("").trim
+              .split("[ \\t\\n\\x0B\\f\\r]+")
               .foldLeft(b)((bb, t) => mg.reduce(bb, (t, 1L)))
           }
           val merged = mg.merge(state.getOption.getOrElse(mg.zero), batch)

@@ -100,6 +100,30 @@ object Scratch {
     spark.read.parquet(path)
   }
 
+  /** Allocate a managed zone DIRECTORY for operators that write their
+    * own artifact layout (a cell-partitioned index, a multi-file
+    * serve zone) rather than a single parquet relation: the path
+    * lives under the app-scoped scratch root, is tracked like any
+    * stored relation (deleted by [[clear]], and under the default
+    * root on JVM exit), and is memoized per key so repeated
+    * invocations serve the SAME built artifact instead of leaking
+    * one full copy per call. `build` runs once per (key,
+    * application); same determinism contract as [[memo]]. */
+  def memoZone(spark: SparkSession, name: String, key: String)
+              (build: String => Unit): String = {
+    val full = s"zone:$key@${spark.sparkContext.applicationId}"
+    val existing = memoized.get(full)
+    if (existing != null) existing
+    else {
+      val p = s"${root(spark)}/${spark.sparkContext.applicationId}" +
+        s"/$name-${seq.incrementAndGet()}"
+      build(p)
+      stored.add(p)
+      val prev = memoized.putIfAbsent(full, p)
+      if (prev != null) prev else p
+    }
+  }
+
   /** Delete every zone this application stored. Only call when no
     * live DataFrame still scans a zone (e.g. between batch runs). */
   def clear(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -173,6 +173,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("cluster family: NO user broadcast hint on any corpus-derived join") {
+    // Every connected-component label join used to carry a forced
+    // broadcast(labels): (id, label) over edge-participating docs is
+    // KB at gate scale, but on a web corpus with 30–50% near-dup
+    // rates it is O(corpus) rows, and a FORCED broadcast OOMs rather
+    // than degrading. The discipline (the q36 rule, generalized): no
+    // user strategy hint anywhere in a cluster-consumer plan — AQE
+    // auto-broadcasts below the threshold and shuffles above it,
+    // re-deciding at every scale. Pins all five cluster consumers.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // q98's label join lives inside a memoized derivation (the
+    // registered query replays a zone scan) — audit the derivation
+    // plan directly; the other four consumers join in-query.
+    val plans = Seq(
+      "q98 derivation" ->
+        graft.dedup.Dedup.clusterLabelsDerive(spark, sf()),
+      "q107_embedding_clusters" ->
+        graft.SparkEntry.queries("q107_embedding_clusters")(spark, sf()),
+      "q126_multimodal_clusters" ->
+        graft.SparkEntry.queries("q126_multimodal_clusters")(spark, sf()),
+      "q156_semantic_dedup" ->
+        graft.SparkEntry.queries("q156_semantic_dedup")(spark, sf()),
+      "q167_winnow_clusters" ->
+        graft.SparkEntry.queries("q167_winnow_clusters")(spark, sf()))
+    for ((name, df) <- plans) {
+      val hinted = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined) => j.hint.toString
+      }
+      assert(hinted.isEmpty, s"strategy hints found on $name joins: $hinted")
+    }
+  }
+
   test("q119: one key-partitioned window, no global sort before it") {
     val plan = planOf("q119_forward_fill")
     val windows = "windowspecdefinition\\(([^,]*)".r
