@@ -963,7 +963,11 @@ object Dedup {
     * q107 embedding, perceptual→q126 multimodal), closing the set
     * for the MOSS fingerprint edges. Same [[connectedComponents]]
     * operator, same survivor contract. */
-  def winnowClusters(s: SparkSession, dir: String): DataFrame = {
+  /** The winnow-cluster label derivation — exposed (package-private)
+    * for PlanAuditSpec's no-hint pin; consumers go through the
+    * memoized [[winnowClusters]]. */
+  private[graft] def winnowClustersDerive(s: SparkSession,
+                                          dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
     val pairs = winnowPairs(s, dir)
       .select(col("id1").as("a"), col("id2").as("b"))
@@ -972,8 +976,14 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
   }
+
+  def winnowClusters(s: SparkSession, dir: String): DataFrame =
+    // memoized (the q98 jaccard-labels discipline): one CC loop per
+    // application over the winnow pair graph
+    graft.util.Scratch.memo(s, "winnow-labels",
+      s"winnow-labels:$dir")(winnowClustersDerive(s, dir))
+      .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_lsh_precision_audit" -> (lshPrecisionAudit _),

@@ -251,7 +251,11 @@ object Perceptual {
     * operator, a three-way edge union). A pair that only ONE modality
     * catches still merges its documents — the reason a curation
     * pipeline runs all the detectors and clusters the union. */
-  def multimodalClusters(s: SparkSession, dir: String): DataFrame = {
+  /** The multimodal-cluster label derivation — exposed
+    * (package-private) for PlanAuditSpec's no-hint pin; consumers go
+    * through the memoized [[multimodalClusters]]. */
+  private[graft] def multimodalClustersDerive(s: SparkSession,
+                                              dir: String): DataFrame = {
     val edges = imageNearDup(s, dir).select(col("a"), col("b"))
       .union(audioNearDup(s, dir).select(col("a"), col("b")))
       .union(videoNearDup(s, dir).select(col("a"), col("b")))
@@ -262,8 +266,14 @@ object Perceptual {
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
   }
+
+  def multimodalClusters(s: SparkSession, dir: String): DataFrame =
+    // memoized (the q98 jaccard-labels discipline): one three-modal
+    // CC loop per application
+    graft.util.Scratch.memo(s, "mm-labels",
+      s"mm-labels:$dir")(multimodalClustersDerive(s, dir))
+      .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_image_neardup" -> ((s: SparkSession, d: String) =>

@@ -88,14 +88,19 @@ object Blocklist {
         s"transform(sequence(0, ${NWords - 1}), " +
           "i -> coalesce(wm[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))")
         .as("arr"))
-    // probe: fully map-side after the 1-row broadcast; true_member is
-    // the exact-check audit column (digest semi-join — at scale this
-    // runs ONLY on bloom hits)
-    val hit = hitColumn
+    // probe: fully map-side after the 1-row broadcast; the exact
+    // check is GATED by the probe in the join condition itself — a
+    // bloom miss PROVES non-membership (no false negatives), so only
+    // hit rows can match, which is also the at-scale shape: with a
+    // blocklist beyond broadcast range, pre-filtering the corpus
+    // side to bloom hits is what keeps the exact shuffle join
+    // O(hits), not O(corpus)
+    val bl = blocked.select(col("h").as("bl_h"))
+      .distinct().withColumn("true_member", lit(true))
     docs.crossJoin(broadcast(filterRow))
-      .join(blocked.select(col("h")).distinct()
-        .withColumn("true_member", lit(true)), Seq("h"), "left")
-      .select(col("doc_id"), hit.as("bloom_hit"),
+      .withColumn("bloom_hit", hitColumn)
+      .join(bl, col("bloom_hit") && col("h") === col("bl_h"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
         coalesce(col("true_member"), lit(false)).as("true_member"))
       // the verdict comes from the EXACT check: a bloom FALSE
       // POSITIVE (an innocent doc colliding into set bits) must keep

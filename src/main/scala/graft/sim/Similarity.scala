@@ -368,6 +368,14 @@ object Similarity {
   /** q156's duplicate-edge cosine threshold — q52's near-dup value. */
   val SemTau = 0.45
 
+  /** Per-anchor candidate cap of [[knnGraphBanded]] — shared by the
+    * Spark path and the q168 oracle replay. */
+  val GraphMaxBucket = 200
+  /** q168's pinned overall-recall floor for the banded graph vs the
+    * exact graph (random unit vectors — the q51 hardest-case bound;
+    * clustered real corpora measure far higher). */
+  val BandedRecallFloor = 0.25
+
   /** q155 derivation: EXACT int8 kNN graph — EVERY vector an anchor
     * (where q50/q143 rank a 10-query set, a graph serves semantic
     * dedup, diversity pruning and graph-based curation corpus-wide),
@@ -423,7 +431,7 @@ object Similarity {
     * and past the cap a boilerplate bucket degrades graph recall
     * instead of blowing up. */
   def knnGraphBanded(s: SparkSession, dir: String, k: Int = GraphK,
-                     maxBucket: Int = 200): DataFrame = {
+                     maxBucket: Int = GraphMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
     val banded = emb
@@ -455,6 +463,50 @@ object Similarity {
     rankTopK(scored, k, scoreCol = "approx_cos")
   }
 
+  /** q168: banded kNN-graph WITNESS — the production ANN path under
+    * the hash gate, closing the q155 gate-mode / scale-path split:
+    * the per-anchor overlap between [[knnGraphBanded]] (SRP-banded
+    * candidates + exact int8 rescore — the 100 TB path) and the
+    * exact graph ([[knnGraphZone]]) is computed IN the query, with
+    * the corpus-level recall bound emitted as a gated boolean
+    * (`recall_ok`, pinned TRUE by the oracle — the q84/q133 witness
+    * discipline). Both graphs are fully deterministic (deterministic
+    * SRP signatures, sorted bucket lists, capped slices, exact
+    * integer dots, id tie-breaks), so DuckDB replays the ENTIRE
+    * banded pipeline — bucketing, per-anchor cap, rescore, rank —
+    * and every per-anchor recall VALUE is hash-gated, not just the
+    * bound.
+    *
+    * Scale shape: the banded side is the q168 production derivation
+    * (bucketed, capped); the exact side reads the q155 zone — at
+    * true scale an operator swaps the exact side for a SAMPLED
+    * anchor set (the recall estimate needs thousands of anchors, not
+    * the corpus), which changes this query's input relation, not its
+    * shape. */
+  def knnBandedWitness(s: SparkSession, dir: String): DataFrame = {
+    val exact = knnGraphZone(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val banded = knnGraphBanded(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val per = exact
+      .join(banded, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    // corpus-level recall: exact BIGINT sums, ONE double division
+    // (the q106 discipline) — rides a 1-row broadcast constant
+    val tot = per.agg(
+      (sum(col("n_hit")).cast("double") /
+        sum(col("n_exact")).cast("double")).as("recall_overall"))
+    per.crossJoin(broadcast(tot))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"),
+        col("recall_overall"),
+        (col("recall_overall") >= BandedRecallFloor).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   /** q156: semantic dedup (SemDeDup-shaped) — embedding-space
     * duplicate pruning driven by the kNN graph: a graph edge scoring
     * approx_cos ≥ τ (q52's 0.45) joins its endpoints into one
@@ -465,7 +517,11 @@ object Similarity {
     * integer dot, so the whole chain — quantize, graph, threshold,
     * closure, survivor — is hash-gated. At scale the edge relation
     * comes from [[knnGraphBanded]] under the identical contract. */
-  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The semantic-dedup label derivation — exposed (package-private)
+    * for PlanAuditSpec's no-hint pin; consumers go through the
+    * memoized [[semanticDedup]]. */
+  private[graft] def semanticDedupDerive(s: SparkSession,
+                                         dir: String): DataFrame = {
     val edges = knnGraphZone(s, dir)
       .where(col("approx_cos") >= SemTau)
       .select(least(col("query_id"), col("neighbor_id")).as("a"),
@@ -477,8 +533,16 @@ object Similarity {
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster_id"))
       .withColumn("keep", col("vec_id") === col("cluster_id"))
-      .orderBy("vec_id")
   }
+
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    // memoized like q98's jaccard-labels: the CC fixpoint is an
+    // iterative multi-job loop, deterministic per (dir, k, τ) — run
+    // it once per application, let every later invocation scan the
+    // stored labels
+    graft.util.Scratch.memo(s, "sem-labels",
+      s"sem-labels:$dir:$GraphK:$SemTau")(semanticDedupDerive(s, dir))
+      .orderBy("vec_id")
 
   /** q164: domain-similarity matrix — cosine between per-label
     * centroid DIRECTIONS, the "which domains look alike in embedding
@@ -545,7 +609,11 @@ object Similarity {
     * [[graft.dedup.Dedup.connectedComponents]] star-contraction
     * operator, different edge relation). Oracle replays the q52
     * pipeline and closes it with a recursive CTE. */
-  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
+  /** The embedding-cluster label derivation — exposed
+    * (package-private) for PlanAuditSpec's no-hint pin; consumers go
+    * through the memoized [[embeddingClusters]]. */
+  private[graft] def embeddingClustersDerive(s: SparkSession,
+                                             dir: String): DataFrame = {
     val vecs = corpus(s, dir).select(col("vec_id"))
     val pairs = nearDupPairZone(s, dir)
       .select(col("id1").as("a"), col("id2").as("b"))
@@ -554,8 +622,14 @@ object Similarity {
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster_id"))
       .withColumn("keep", col("vec_id") === col("cluster_id"))
-      .orderBy("vec_id")
   }
+
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame =
+    // memoized (the q98 jaccard-labels discipline): one CC loop per
+    // application over the q52 pair zone, not one per consumer/run
+    graft.util.Scratch.memo(s, "srp-labels",
+      s"srp-labels:$dir")(embeddingClustersDerive(s, dir))
+      .orderBy("vec_id")
 
   /** q148: hard-negative mining — for each query vector, the top-k
     * most-similar corpus vectors whose class `label` DIFFERS from the
@@ -594,6 +668,7 @@ object Similarity {
     "q143_knn_quantized" ->
       ((s: SparkSession, d: String) => knnQuantized(s, d)),
     "q155_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
+    "q168_knn_banded_witness" -> (knnBandedWitness _),
     "q156_semantic_dedup" -> (semanticDedup _),
     // the BUILD→WRITE→SERVE round trip under the hash gate: probe-all
     // from the cell-partitioned zone ≡ brute force (the q53 contract,
@@ -610,6 +685,27 @@ object Similarity {
       IvfServe.search(s, zoneDir, q, k = 5, nProbe = IvfCells)
     }),
     "q164_domain_similarity" -> (domainSimilarity _),
+    // the INCREMENTAL serve path under the hash gate: zone built on a
+    // partial corpus (vec_id ≥ 50), the rest folded in as a
+    // maintenance batch (centroid-replay assignment, cell-local
+    // appends, NO re-fit), then probe-all search — candidates = the
+    // whole maintained zone, so the result ≡ brute force over the
+    // full corpus regardless of the partial fit (the q53/q163
+    // contract, now through applyBatch)
+    "q170_ivf_maintained" -> ((s: SparkSession, d: String) => {
+      val root = graft.util.Scratch.memoZone(s, "ivf-maint",
+        s"ivf-maint:$d") { p =>
+        val all = corpus(s, d)
+        all.where(col("vec_id") >= 50)
+          .write.mode("overwrite").parquet(s"$p/partial/embeddings.parquet")
+        IvfServe.build(s, s"$p/partial", s"$p/zone")
+        IvfServe.applyBatch(s, s"$p/zone",
+          all.where(col("vec_id") < 50)): Unit
+      }
+      val q = corpus(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      IvfServe.search(s, s"$root/zone", q, k = 5, nProbe = IvfCells)
+    }),
     "q107_embedding_clusters" -> (embeddingClusters _))
 
   /** The ±1 projection matrix as a DuckDB VALUES relation `proj(b, p)`
@@ -724,6 +820,7 @@ object Similarity {
     "q50_knn_brute" -> bruteTopkSql,
     "q53_knn_ivf" -> bruteTopkSql,
     "q163_ivf_served" -> bruteTopkSql,
+    "q170_ivf_maintained" -> bruteTopkSql,
     // fixed-point centroid replay: 10-bit rounds, BIGINT sums/dots,
     // one double cosine expression
     "q164_domain_similarity" ->
@@ -782,6 +879,76 @@ object Similarity {
          |SELECT query_id, neighbor_id, qdot, approx_cos, rank
          |FROM ranked WHERE rank <= $GraphK
          |ORDER BY query_id, rank""".stripMargin,
+    // full banded-pipeline replay: SRP signatures → band buckets
+    // (sorted ids) → per-anchor capped candidates (the rank
+    // arithmetic below ≡ Spark's slice(filter(ids, y != x), 1, cap)
+    // over the SORTED bucket list: b's position in a's self-filtered
+    // list is b.rn when b.rn < a.rn, else b.rn − 1) → exact int8
+    // rescore → rank → per-anchor overlap vs the exact graph
+    "q168_knn_banded_witness" ->
+      s"""$sigCtes, $knnGraphCtesSql,
+         |exactk AS (
+         |  SELECT query_id, neighbor_id FROM ranked
+         |  WHERE rank <= $GraphK
+         |),
+         |bmem AS (
+         |  SELECT band, bandVal, vec_id,
+         |    row_number() OVER (PARTITION BY band, bandVal
+         |      ORDER BY vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY band, bandVal) AS sz
+         |  FROM banded
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bmem a JOIN bmem b
+         |    ON a.band = b.band AND a.bandVal = b.bandVal
+         |      AND a.vec_id != b.vec_id
+         |      AND (CASE WHEN b.rn < a.rn THEN b.rn ELSE b.rn - 1 END)
+         |        <= $GraphMaxBucket
+         |  WHERE a.sz >= 2
+         |),
+         |bscored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    $int8DotSql AS qdot,
+         |    c.q_scale AS sa, q.q_scale AS sq
+         |  FROM cand
+         |  JOIN codes q ON q.vec_id = cand.query_id
+         |  JOIN codes c ON c.vec_id = cand.neighbor_id
+         |),
+         |branked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(qdot AS DOUBLE) * CAST(sa AS DOUBLE)
+         |        * CAST(sq AS DOUBLE) / 16129.0 DESC, neighbor_id)
+         |      AS rank
+         |  FROM bscored
+         |),
+         |bandedk AS (
+         |  SELECT query_id, neighbor_id FROM branked
+         |  WHERE rank <= $GraphK
+         |),
+         |per AS (
+         |  SELECT e.query_id,
+         |    CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(sum(CASE WHEN bk.neighbor_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM exactk e LEFT JOIN bandedk bk
+         |    ON e.query_id = bk.query_id
+         |      AND e.neighbor_id = bk.neighbor_id
+         |  GROUP BY e.query_id
+         |),
+         |tot AS (
+         |  SELECT CAST(sum(n_hit) AS DOUBLE)
+         |    / CAST(sum(n_exact) AS DOUBLE) AS recall_overall
+         |  FROM per
+         |)
+         |SELECT per.query_id, per.n_exact, per.n_hit,
+         |  CAST(per.n_hit AS DOUBLE) / CAST(per.n_exact AS DOUBLE)
+         |    AS recall,
+         |  tot.recall_overall,
+         |  tot.recall_overall >= $BandedRecallFloor AS recall_ok
+         |FROM per, tot
+         |ORDER BY query_id""".stripMargin,
     // graph edges above τ, symmetrized, closed with the q98-family
     // recursive CTE; min-id survivor per component
     "q156_semantic_dedup" ->

@@ -30,6 +30,29 @@ object Bpe {
   /** One learned merge: rank = order learned, (left, right) → fused. */
   final case class Merge(rank: Int, left: String, right: String)
 
+  /** The trained tokenizer as a FROZEN ARTIFACT — how BPE vocabs ship
+    * in practice (trained once on a reference corpus, then applied to
+    * every corpus thereafter; retraining per input would change token
+    * ids under consumers). Learned by [[learnBpe]] on the sf0.01
+    * documents corpus via `graft.tools.BpeFreeze` (the regeneration
+    * provenance); q169 encodes with THIS list, and its oracle splices
+    * the same list in as literals, so the whole apply-the-vocab path
+    * — char split, ranked merge application, per-doc rollup — sits
+    * under the hash gate. */
+  val FrozenMerges: Seq[Merge] = Seq(
+    Merge(0, "e", "r"),
+    Merge(1, "i", "n"),
+    Merge(2, "o", "w"),
+    Merge(3, "o", "r"),
+    Merge(4, "s", "t"),
+    Merge(5, "m", "er"),
+    Merge(6, "a", "t"),
+    Merge(7, "l", "u"),
+    Merge(8, "a", "r"),
+    Merge(9, "p", "ar"),
+    Merge(10, "j", "o"),
+    Merge(11, "jo", "in"))
+
   /** The word-frequency table: one corpus scan, then training never
     * touches the corpus again. */
   private def wordFreqs(s: SparkSession, dir: String,
@@ -134,7 +157,10 @@ object Bpe {
     import s.implicits._
     val ordered = merges.sortBy(_.rank).map(m => (m.left, m.right))
     graft.Tables.load(s, dir, "documents")
-      .select(col("doc_id"), Tokens.whitespace(lower(col("text"))).as("w"))
+      // null-text guard (the corpus contains null documents): encode
+      // them as zero-word rows, matching the oracle's coalesce
+      .select(col("doc_id"),
+        Tokens.whitespace(lower(coalesce(col("text"), lit("")))).as("w"))
       .as[(Long, Seq[String])]
       .map { case (id, ws) =>
         val words = ws.filter(_.nonEmpty)
@@ -153,4 +179,94 @@ object Bpe {
       .toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens")
       .orderBy("doc_id")
   }
+
+  /** q169: encode the corpus with the [[FrozenMerges]] tokenizer. */
+  def encodeFrozen(s: SparkSession, dir: String): DataFrame =
+    encode(s, dir, FrozenMerges)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_bpe_encode" -> (encodeFrozen _))
+
+  private def sqlLit(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
+  /** One merge-application step as generated CTEs: w{k} → w{k+1},
+    * keyed by distinct word. The greedy left-to-right non-overlap
+    * rule relationally: adjacent-match positions form ISLANDS of
+    * consecutive indices (overlap is only possible when left = right
+    * symbol), and greedy fuses the 1st, 3rd, 5th… position of each
+    * island; the row AFTER a fused position is the consumed right
+    * symbol and is dropped on rebuild. Verified ≡ [[applyMerge]] in
+    * BpeSpec (chain cases included). */
+  private def stepSql(k: Int, m: Merge): String = {
+    val (l, r) = (sqlLit(m.left), sqlLit(m.right))
+    s"""e$k AS (
+       |  SELECT word, s, i FROM w$k, LATERAL (
+       |    SELECT unnest(syms) AS s,
+       |      generate_subscripts(syms, 1) AS i)),
+       |m$k AS (
+       |  SELECT word, i, s,
+       |    CASE WHEN s = $l AND lead(s) OVER (PARTITION BY word
+       |      ORDER BY i) = $r THEN 1 ELSE 0 END AS mm
+       |  FROM e$k),
+       |i$k AS (
+       |  SELECT word, i, s, mm,
+       |    CASE WHEN mm = 1 THEN i - row_number() OVER (
+       |      PARTITION BY word, mm ORDER BY i) END AS grp
+       |  FROM m$k),
+       |f$k AS (
+       |  SELECT word, i, s,
+       |    CASE WHEN mm = 1 AND row_number() OVER (
+       |      PARTITION BY word, grp ORDER BY i) % 2 = 1
+       |    THEN 1 ELSE 0 END AS fuse
+       |  FROM i$k),
+       |k$k AS (
+       |  SELECT word, i, s, fuse,
+       |    lag(fuse) OVER (PARTITION BY word ORDER BY i) AS pf
+       |  FROM f$k),
+       |w${k + 1} AS (
+       |  SELECT word, list(CASE WHEN fuse = 1 THEN s || $r ELSE s END
+       |    ORDER BY i) AS syms
+       |  FROM k$k WHERE coalesce(pf, 0) = 0 GROUP BY word)""".stripMargin
+  }
+
+  /** The q169 oracle, code-generated from [[FrozenMerges]] (one CTE
+    * chain step per merge — the list IS the tokenizer, spliced in as
+    * literals so the oracle can never drift from the shipped vocab).
+    * Merge application runs on the DISTINCT-word relation (the same
+    * Heaps'-law reduction the Spark trainer uses) and joins back by
+    * word for the per-document rollup. */
+  val oracle: Map[String, String] = Map(
+    "q169_bpe_encode" -> {
+      val steps = FrozenMerges.sortBy(_.rank).zipWithIndex
+        .map { case (m, k) => stepSql(k, m) }.mkString(",\n")
+      val last = FrozenMerges.size
+      s"""WITH words AS (
+         |  SELECT d.doc_id, t.word
+         |  FROM documents d, LATERAL unnest(string_split_regex(
+         |    trim(lower(coalesce(d.text, ''))), '[ \\t\\n\\v\\f\\r]+'))
+         |    AS t(word)
+         |  WHERE t.word != ''),
+         |uw AS (SELECT DISTINCT word FROM words),
+         |w0 AS (SELECT word, string_split_regex(word, '') AS syms
+         |       FROM uw),
+         |$steps,
+         |wtok AS (
+         |  SELECT word, CAST(len(syms) AS BIGINT) AS ntok,
+         |    CAST(length(word) AS BIGINT) AS nchr
+         |  FROM w$last),
+         |docstats AS (
+         |  SELECT w.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(wt.nchr) AS BIGINT) AS n_chars,
+         |    CAST(sum(wt.ntok) AS BIGINT) AS n_bpe_tokens
+         |  FROM words w JOIN wtok wt USING (word)
+         |  GROUP BY w.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(s.n_words, CAST(0 AS BIGINT)) AS n_words,
+         |  coalesce(s.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+         |  coalesce(s.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN docstats s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    })
 }

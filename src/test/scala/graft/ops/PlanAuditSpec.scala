@@ -183,20 +183,20 @@ class PlanAuditSpec extends SparkSpec {
     // auto-broadcasts below the threshold and shuffles above it,
     // re-deciding at every scale. Pins all five cluster consumers.
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    // q98's label join lives inside a memoized derivation (the
-    // registered query replays a zone scan) — audit the derivation
-    // plan directly; the other four consumers join in-query.
+    // Every label join lives inside a memoized derivation (the
+    // registered queries replay zone scans) — audit the derivation
+    // plans directly: they are what runs at scale.
     val plans = Seq(
       "q98 derivation" ->
         graft.dedup.Dedup.clusterLabelsDerive(spark, sf()),
-      "q107_embedding_clusters" ->
-        graft.SparkEntry.queries("q107_embedding_clusters")(spark, sf()),
-      "q126_multimodal_clusters" ->
-        graft.SparkEntry.queries("q126_multimodal_clusters")(spark, sf()),
-      "q156_semantic_dedup" ->
-        graft.SparkEntry.queries("q156_semantic_dedup")(spark, sf()),
-      "q167_winnow_clusters" ->
-        graft.SparkEntry.queries("q167_winnow_clusters")(spark, sf()))
+      "q107 derivation" ->
+        graft.sim.Similarity.embeddingClustersDerive(spark, sf()),
+      "q126 derivation" ->
+        graft.multimodal.Perceptual.multimodalClustersDerive(spark, sf()),
+      "q156 derivation" ->
+        graft.sim.Similarity.semanticDedupDerive(spark, sf()),
+      "q167 derivation" ->
+        graft.dedup.Dedup.winnowClustersDerive(spark, sf()))
     for ((name, df) <- plans) {
       val hinted = df.queryExecution.optimizedPlan.collect {
         case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||

@@ -175,6 +175,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q168 banded witness: bound holds and per-anchor fields are consistent") {
+    val rows = Similarity.knnBandedWitness(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // the witness contract: the corpus-level recall bound PINNED true
+    // (the oracle hash-gates the values; this pins the bound itself)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok"),
+        s"banded recall ${r.getAs[Double]("recall_overall")} below " +
+          s"${Similarity.BandedRecallFloor}")
+      val hit = r.getAs[Long]("n_hit")
+      val ex = r.getAs[Long]("n_exact")
+      assert(hit >= 0 && hit <= ex && ex <= Similarity.GraphK)
+      assert(math.abs(r.getAs[Double]("recall") -
+        hit.toDouble / ex) < 1e-12)
+    }
+  }
+
   test("q156 semantic dedup: closure of thresholded graph edges") {
     val labels = Similarity.semanticDedup(spark, sf()).collect()
       .map(r => (r.getAs[Long]("vec_id"),

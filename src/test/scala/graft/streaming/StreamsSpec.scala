@@ -343,4 +343,75 @@ class StreamsSpec extends SparkSpec {
     assert(!rows(13L)._1 && rows(13L)._2)
   }
 
+  test("append-mode replay ≡ batch mirror: closed windows only, late data per watermark") {
+    // The append-mode CONTRACT, replayed deterministically: the same
+    // tumblingCounts operator over (a) a stream split into four
+    // micro-batches (one AvailableNow run per file, one checkpoint —
+    // watermark state persists across runs) and (b) a static batch of
+    // the ADMITTED rows, restricted to windows the final watermark
+    // closed, must emit IDENTICAL rows. Covers both late-data rules:
+    // a row behind the watermark is dropped; a late-but-within-
+    // watermark row still lands in its (open) window.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.{col, expr}
+    val in = Files.createTempDirectory("stream_append_in").toString
+    val out = Files.createTempDirectory("stream_append_out").toString
+    val ck = Files.createTempDirectory("stream_append_ck").toString
+    def runOnce(): Unit = {
+      val q = Streams.tumblingCounts(
+          Streams.fileStream(spark, in, schema), "1 hour", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // b1: two clicks in [00:00) + a view at 03:30 (→ watermark 02:30)
+    writeBatch(in, "b1.json",
+      """{"event_id":1,"ts":"2024-01-01T00:10:00Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:20:00Z","user_id":1,"event_type":"click","value":2.0}""",
+      """{"event_id":3,"ts":"2024-01-01T03:30:00Z","user_id":2,"event_type":"view","value":3.0}""")
+    runOnce()
+    // b2: 00:40 click is BEHIND the 02:30 watermark (dropped); 03:40
+    // view is late-but-admissible ([03:00) still open); 05:30 view
+    // advances the watermark to 04:30
+    writeBatch(in, "b2.json",
+      """{"event_id":4,"ts":"2024-01-01T00:40:00Z","user_id":1,"event_type":"click","value":9.0}""",
+      """{"event_id":5,"ts":"2024-01-01T03:40:00Z","user_id":2,"event_type":"view","value":4.0}""",
+      """{"event_id":6,"ts":"2024-01-01T05:30:00Z","user_id":2,"event_type":"view","value":5.0}""")
+    runOnce()
+    // b3/b4: watermark carriers so [03:00) then [05:00) flush
+    writeBatch(in, "b3.json",
+      """{"event_id":7,"ts":"2024-01-01T08:30:00Z","user_id":3,"event_type":"click","value":1.0}""")
+    runOnce()
+    writeBatch(in, "b4.json",
+      """{"event_id":8,"ts":"2024-01-01T11:30:00Z","user_id":3,"event_type":"click","value":1.0}""")
+    runOnce()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("window_start_ms"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value"))).toSet
+    // batch mirror: same operator, static input = all rows EXCEPT the
+    // watermark-dropped one; closed = window end ≤ the FINAL
+    // watermark (10:30 — AvailableNow runs a trailing no-data batch,
+    // so windows closed by the last file's own watermark flush too)
+    val admitted = spark.read.schema(schema)
+      .json(in).where(col("event_id") =!= 4)
+    val finalWmMs = 1704067200000L + (10 * 60 + 30) * 60000L
+    val mirror = Streams.tumblingCounts(admitted, "1 hour", "1 hour")
+      .where(col("window_start_ms") + expr("3600000") <= finalWmMs)
+      .collect()
+      .map(r => (r.getAs[Long]("window_start_ms"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value"))).toSet
+    assert(got == mirror, s"append output $got != batch mirror $mirror")
+    // and the mirror is the three expected closed windows
+    val h0 = 1704067200000L
+    assert(mirror == Set(
+      (h0, "click", 2L, 3.0),
+      (h0 + 3 * 3600000L, "view", 2L, 7.0),
+      (h0 + 5 * 3600000L, "view", 1L, 5.0),
+      (h0 + 8 * 3600000L, "click", 1L, 1.0)))
+  }
+
 }

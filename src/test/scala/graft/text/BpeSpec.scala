@@ -78,4 +78,17 @@ class BpeSpec extends SparkSpec {
     assert(agg.getLong(0) < agg.getLong(1), "BPE must beat chars")
     assert(agg.getLong(0) >= agg.getLong(2), "BPE can't beat words")
   }
+
+  test("q169 frozen-vocab encode: per-doc bounds and null-text rows survive") {
+    val rows = Bpe.encodeFrozen(spark, sf()).collect()
+    // every document present, including null/empty text (0,0,0 rows)
+    assert(rows.length ==
+      graft.Tables.load(spark, sf(), "documents").count())
+    rows.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens"))
+      // each word is ≥1 token; merges only ever shrink symbol counts
+      assert(w >= 0 && t >= w && t <= c, s"inconsistent row: $r")
+    }
+  }
 }
