@@ -391,7 +391,13 @@ object Similarity {
   private def knnGraphDerive(s: SparkSession, dir: String,
                              k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // spread the streamed side: the quantized corpus is a few MB of
+    // parquet → ONE input split, and an all-pairs join over one
+    // split runs its O(n²) scoring on ONE core (measured at the 10×
+    // scale stress: a single 15+ min task while 31 cores idled —
+    // the sf1 cliff this derive's gate mode must not hit)
     val all = quantizedZone(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
     val q = all.select(col("vec_id").as("query_id"),
       col("q_vec").as("qq"), col("q_scale").as("qs"))
     val scored = all.join(q, col("vec_id") =!= col("query_id"))
