@@ -26,7 +26,8 @@ object SparkEntry {
       ops.SkewJoin.queries ++ ops.Sampling.queries ++
       text.CorpusStats.queries ++ text.Postings.queries ++
       text.Normalize.queries ++ multimodal.Perceptual.queries ++
-      ops.Quality.queries ++ ops.Blocklist.queries ++ text.Bpe.queries
+      ops.Quality.queries ++ ops.Blocklist.queries ++
+      text.Bpe.queries ++ sim.KMeans.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       ops.SkewJoin.oracle ++ ops.Sampling.oracle ++
       text.CorpusStats.oracle ++ text.Postings.oracle ++
       text.Normalize.oracle ++ multimodal.Perceptual.oracle ++
-      ops.Quality.oracle ++ ops.Blocklist.oracle ++ text.Bpe.oracle
+      ops.Quality.oracle ++ ops.Blocklist.oracle ++
+      text.Bpe.oracle ++ sim.KMeans.oracle
 }

