@@ -894,19 +894,25 @@ object CorpusStats {
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
       count(lit(1)).as("rc"))
     val t = m.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
-    val doc = b.join(m, "bk")
-      .crossJoin(broadcast(t))
-      .select(col("doc_id"),
-        (ilogFp("tc + 1") - ilogFp("rc + 1") +
-          ilogFp("rt") - ilogFp("tt")).as("wt"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("iw_q16"))
-      // cutoff domain: WHOLE bits (arithmetic shift = floor-by-2¹⁶,
-      // identical for negatives on both engines) — Q16 doc weights
-      // are near-unique, so the q159 histogram must run over the
-      // coarsened domain (bounded by max-doc-bits, corpus-size-free)
-      // or the cutoff window would be corpus-sized
-      .withColumn("cw", shiftright(col("iw_q16"), 16))
+    // the per-doc weight relation is consumed THREE times (cutoff
+    // histogram, doc count, output join) — memoized to the scratch
+    // zone per the ≥3-consumer materialize rule, or the whole
+    // tokenize→bucket→score subtree replans per consumer
+    val doc = graft.util.Scratch.memo(s, "dsir-doc",
+      s"dsir-doc:$dir:$DsirBuckets")(
+      b.join(m, "bk")
+        .crossJoin(broadcast(t))
+        .select(col("doc_id"),
+          (ilogFp("tc + 1") - ilogFp("rc + 1") +
+            ilogFp("rt") - ilogFp("tt")).as("wt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("iw_q16"))
+        // cutoff domain: WHOLE bits (arithmetic shift = floor-by-2¹⁶,
+        // identical for negatives on both engines) — Q16 doc weights
+        // are near-unique, so the q159 histogram must run over the
+        // coarsened domain (bounded by max-doc-bits, corpus-size-free)
+        // or the cutoff window would be corpus-sized
+        .withColumn("cw", shiftright(col("iw_q16"), 16)))
     val h = doc.groupBy(col("cw").as("v"))
       .agg(count(lit(1)).as("c"))
     val hc = h.withColumn("cum",
