@@ -87,19 +87,92 @@ object KMeans {
     prev.indices.map(j => byCluster.getOrElse(j, prev(j)))
   }
 
+  /** The fitted assignment (vec_id, cluster, dist2), memoized: the
+    * Lloyd loop is a multi-job driver fold, deterministic per
+    * (dir, K, Iters, Fp), so it runs once per application and every
+    * consumer (q173's gate scan, q174's mixer) reads the stored
+    * labels — the cluster-family `srp-labels` discipline. */
+  private[sim] def assignZone(s: SparkSession, dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "kmeans-assign",
+      s"kmeans-assign:$dir:$K:$Iters:$Fp") {
+      val v = fixedZone(s, dir)
+      val init: Seq[Array[Long]] = v.orderBy("vec_id").limit(K)
+        .select(col("q")).collect().toSeq
+        .map(_.getSeq[Long](0).toArray)
+      val finalCents = (1 to Iters).foldLeft(init) { (c, _) =>
+        update(assign(v, c), c)
+      }
+      assign(v, finalCents)
+        .select(col("vec_id"), col("cluster"), col("dist2"))
+    }
+
   /** The q173 surface: (vec_id, cluster, dist2) after [[Iters]]
     * Lloyd rounds from the deterministic init. */
-  def kmeansTopics(s: SparkSession, dir: String): DataFrame = {
-    val v = fixedZone(s, dir)
-    val init: Seq[Array[Long]] = v.orderBy("vec_id").limit(K)
-      .select(col("q")).collect().toSeq
-      .map(_.getSeq[Long](0).toArray)
-    val finalCents = (1 to Iters).foldLeft(init) { (c, _) =>
-      update(assign(v, c), c)
-    }
-    assign(v, finalCents)
-      .select(col("vec_id"), col("cluster"), col("dist2"))
-      .orderBy("vec_id")
+  def kmeansTopics(s: SparkSession, dir: String): DataFrame =
+    assignZone(s, dir).orderBy("vec_id")
+
+  /** Per-cluster pick budget of [[clusterMix]] — shared with its
+    * oracle SQL. */
+  val ClusterMixTarget = 120
+
+  /** q174: topic-balanced vector sampling — the q160 temperature
+    * mixer pointed at LEARNED clusters instead of source labels: the
+    * fitted k-means assignment partitions the corpus into topics,
+    * each topic gets a √size Hamilton-allocated share of the pick
+    * budget (small topics over-sampled relative to proportional —
+    * the data-mixture flattening every pretraining recipe applies),
+    * and the picks inside a topic follow the seeded-hash order
+    * (q103's discipline) so the sample is deterministic and
+    * re-runnable. A topic smaller than its allocation contributes
+    * all its vectors (the budget under-fills rather than stealing
+    * from elsewhere — documented, not hidden).
+    *
+    * Scale shape: cluster sizes are a K-row partial agg off the
+    * assignment zone; allocation runs on the K-row relation; the
+    * per-topic selection is the heap TopK operator capped at the
+    * BUDGET (never a corpus-wide window — the q103 skew argument),
+    * and the final rank join touches ≤ K·target rows. */
+  def clusterMix(s: SparkSession, dir: String,
+                 target: Int = ClusterMixTarget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = assignZone(s, dir)
+    val sizes = a.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val sized = sizes
+      .withColumn("s0",
+        expr("CAST(floor(sqrt(CAST(n_vecs AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        "CASE WHEN (s0 + 1) * (s0 + 1) <= n_vecs THEN s0 + 1 " +
+          "WHEN s0 * s0 > n_vecs THEN s0 - 1 ELSE s0 END"))
+    val tot = sized.agg(sum(col("w")).as("sw"))
+    val quota = sized.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($target * w) DIV sw"))
+      .withColumn("rem", expr(s"($target * w) % sw"))
+    val rr = row_number().over(
+      Window.orderBy(col("rem").desc, col("cluster")))
+    val need = quota.agg((lit(target.toLong) - sum(col("base")))
+      .as("extra"))
+    val alloc = quota.withColumn("rr", rr).crossJoin(broadcast(need))
+      .withColumn("alloc",
+        col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+      .select(col("cluster"), col("alloc"))
+    val hashed = a.select(col("vec_id"), col("cluster"),
+      (-graft.dedup.Md5Prefix.h(concat(col("cluster").cast("string"),
+        lit(":"), col("vec_id").cast("string")))).as("neg_h"))
+    // heap-capped at the whole budget (alloc ≤ target always), THEN
+    // ranked and trimmed to the per-cluster allocation — the rank
+    // window runs over ≤ K·target surviving rows, never the corpus
+    val capped = graft.plans.TopK.topKPerGroup(hashed,
+      groupCols = Seq("cluster"), orderCol = "neg_h", tieCol = "vec_id",
+      k = target)
+    capped
+      .withColumn("pick_rank",
+        row_number().over(Window.partitionBy(col("cluster"))
+          .orderBy(col("neg_h").desc, col("vec_id"))).cast("long"))
+      .join(broadcast(alloc), "cluster")
+      .where(col("pick_rank") <= col("alloc"))
+      .select(col("cluster"), col("vec_id"), col("pick_rank"))
+      .orderBy("cluster", "pick_rank")
   }
 
   /** Code-generated oracle: one (assign, update) CTE pair per Lloyd
@@ -157,16 +230,69 @@ object KMeans {
          |  SELECT vec_id, cid, d2,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
          |      AS rn
-         |  FROM df)
-         |SELECT vec_id, cid AS cluster, d2 AS dist2
-         |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+         |  FROM df)""".stripMargin)
     sb.toString
   }
 
+  /** q174's oracle: the SAME unrolled k-means chain, then the q160
+    * Hamilton mixer over cluster sizes and the q103 seeded-hash
+    * selection — spliced from one prefix so the two oracles can
+    * never disagree on the fit. */
+  private def clusterMixOracleSql: String =
+    kmeansOracleSql +
+      s""",
+         |asg AS (SELECT vec_id, cid AS cluster FROM af WHERE rn = 1),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+         |       FROM asg GROUP BY 1),
+         |w0 AS (
+         |  SELECT cluster, n_vecs,
+         |    CAST(floor(sqrt(CAST(n_vecs AS DOUBLE))) AS BIGINT) AS s0
+         |  FROM cs),
+         |w AS (
+         |  SELECT cluster, n_vecs,
+         |    CASE WHEN (s0 + 1) * (s0 + 1) <= n_vecs THEN s0 + 1
+         |         WHEN s0 * s0 > n_vecs THEN s0 - 1 ELSE s0 END AS w
+         |  FROM w0),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+         |q AS (
+         |  SELECT cluster, w,
+         |    ($ClusterMixTarget * w) // sw AS base,
+         |    ($ClusterMixTarget * w) % sw AS rem,
+         |    row_number() OVER (ORDER BY ($ClusterMixTarget * w) % sw
+         |      DESC, cluster) AS rr
+         |  FROM w CROSS JOIN t),
+         |x AS (SELECT CAST($ClusterMixTarget - sum(base) AS BIGINT)
+         |        AS extra FROM q),
+         |al AS (
+         |  SELECT cluster,
+         |    CAST(base + CASE WHEN rr <= extra THEN 1 ELSE 0 END
+         |      AS BIGINT) AS alloc
+         |  FROM q CROSS JOIN x),
+         |hk AS (
+         |  SELECT vec_id, cluster,
+         |    ('0x' || substr(md5(CAST(cluster AS VARCHAR) || ':' ||
+         |      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM asg),
+         |rk AS (
+         |  SELECT vec_id, cluster,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY h, vec_id) AS BIGINT) AS pick_rank
+         |  FROM hk)
+         |SELECT rk.cluster, rk.vec_id, rk.pick_rank
+         |FROM rk JOIN al ON rk.cluster = al.cluster
+         |WHERE rk.pick_rank <= al.alloc
+         |ORDER BY rk.cluster, rk.pick_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_kmeans_topics" -> ((s: SparkSession, d: String) =>
-      kmeansTopics(s, d)))
+      kmeansTopics(s, d)),
+    "q174_cluster_mix" -> ((s: SparkSession, d: String) =>
+      clusterMix(s, d)))
 
   val oracle: Map[String, String] = Map(
-    "q173_kmeans_topics" -> kmeansOracleSql)
+    "q173_kmeans_topics" -> (kmeansOracleSql +
+      """
+        |SELECT vec_id, cid AS cluster, d2 AS dist2
+        |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    "q174_cluster_mix" -> clusterMixOracleSql)
 }

@@ -59,6 +59,29 @@ class KMeansSpec extends SparkSpec {
     assert(out.collect().toSeq == again.collect().toSeq)
   }
 
+  test("q174: cluster mix honors the budget with contiguous pick ranks") {
+    val out = KMeans.clusterMix(spark, sf()).collect()
+    assert(out.nonEmpty)
+    assert(out.length <= KMeans.ClusterMixTarget)
+    // within each cluster the pick ranks are exactly 1..n (the
+    // seeded-hash selection keeps a PREFIX of the per-cluster order)
+    out.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val rks = rows.map(_.getLong(2)).sorted
+      assert(rks.toSeq == (1L to rks.length).toSeq)
+    }
+    // no vector picked twice, and re-running is bit-identical
+    assert(out.map(_.getLong(1)).distinct.length == out.length)
+    assert(KMeans.clusterMix(spark, sf()).collect().toSeq == out.toSeq)
+    // the budget fully spends unless some cluster ran out of vectors
+    val sizes = KMeans.kmeansTopics(spark, sf())
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val picks = out.groupBy(_.getInt(0)).view.mapValues(_.length.toLong)
+    val exhausted = picks.exists { case (c, p) => p == sizes(c) }
+    if (!exhausted)
+      assert(out.length == KMeans.ClusterMixTarget)
+  }
+
   test("q173: duplicate-heavy corpus keeps empty clusters stable") {
     import spark.implicits._
     val d = java.nio.file.Files
