@@ -212,15 +212,47 @@ object Dedup {
   /** The pair DERIVATION (no output sort): the pipeline that fills
     * [[jaccardZone]] — every consumer reads the zone; only q36's own
     * surface adds the deterministic sort. Plan-shape tests pin THIS
-    * plan (DedupSpec q36 guard, PlanAuditSpec no-hint/zone-scan). */
+    * plan (DedupSpec q36 guard, PlanAuditSpec no-hint/zone-scan).
+    *
+    * EXACT-SET COLLAPSE (the sf1 cliff fix): Jaccard is a function of
+    * the token SET, so documents with identical sets — exact dups and
+    * near-exact boilerplate clones, 30–50% of a web crawl, families
+    * grown 10× by the sf1 stress — are verified ONCE through a
+    * canonical representative (min doc_id per (source, sorted-set
+    * digest)) and the full pair list is re-expanded algebraically:
+    * cross-family member pairs inherit the rep pair's jaccard
+    * verbatim (equal sets ⇒ equal similarity), within-family pairs
+    * are jaccard-1 by identity. Output is bit-identical to the
+    * uncollapsed spelling (the oracle stays brute force, so the
+    * collapse is verified invisible); the expensive candidate/verify
+    * pipeline now runs on DISTINCT sets only — candidate volume stops
+    * growing with clone-family size entirely (measured at the sf1
+    * 10×-clone stress: the pair-zone build was the q138 475 s
+    * dominator; distinct-set volume is unchanged from sf0.1). The
+    * expansion joins are member-list lookups, linear in the OUTPUT
+    * (which is honestly quadratic in family size — that is the
+    * answer, not the plan). */
   private[graft] def jaccardPairsUnordered(s: SparkSession,
                                     dir: String): DataFrame = {
+    // docs with no tokens never enter the postings/prefix pipeline
+    // (explode drops them) — exclude them from families too, or the
+    // within-family expansion would invent pairs the uncollapsed
+    // spelling cannot produce
     val docs = jaccardTokenSets(s, dir)
-    val cand = jaccardCandidates(docs).distinct()
-    cand
-      .join(docs.select(col("doc_id").as("id1"), col("toks").as("t1")),
+      .where(col("toks").isNotNull && size(col("toks")) > 0)
+    val fams = docs
+      .withColumn("setkey",
+        md5(concat_ws(" ", array_sort(col("toks")))))
+      .groupBy(col("source"), col("setkey"))
+      .agg(min(struct(col("doc_id"), col("toks"))).as("sv"),
+        array_sort(collect_list(col("doc_id"))).as("members"))
+    val reps = fams.select(col("sv.doc_id").as("doc_id"),
+      col("source"), col("sv.toks").as("toks"))
+    val cand = jaccardCandidates(reps).distinct()
+    val repPairs = cand
+      .join(reps.select(col("doc_id").as("id1"), col("toks").as("t1")),
         "id1")
-      .join(docs.select(col("doc_id").as("id2"), col("toks").as("t2")),
+      .join(reps.select(col("doc_id").as("id2"), col("toks").as("t2")),
         "id2")
       .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
       .select(col("id1"), col("id2"),
@@ -237,6 +269,28 @@ object Dedup {
       // and the filter reads the projected column (pinned in
       // DedupSpec's q36 guard).
       .where(col("jaccard") + rand() * 0.0 >= 0.8)
+    // re-expansion: member lists are corpus-derived — UNHINTED joins
+    // (AQE broadcasts at gate scale, id-keyed shuffles at corpus
+    // scale), the repo's discipline for every corpus-growing side
+    val mem = fams.select(col("sv.doc_id").as("rid"), col("members"))
+    val cross = repPairs
+      .join(mem.select(col("rid").as("id1"), col("members").as("m1")),
+        "id1")
+      .join(mem.select(col("rid").as("id2"), col("members").as("m2")),
+        "id2")
+      .select(explode(col("m1")).as("a"), col("m2"), col("jaccard"))
+      .select(col("a"), explode(col("m2")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"), col("jaccard"))
+    val within = fams
+      .where(size(col("members")) >= 2)
+      .select(col("members"),
+        posexplode(col("members")).as(Seq("i", "a")))
+      .select(col("a").as("id1"),
+        explode(expr("slice(members, i + 2, size(members) - i - 1)"))
+          .as("id2"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** The (id1, id2, jaccard) pair relation, materialized once per

@@ -101,7 +101,26 @@ object Postings {
 
   def setSimJoin(s: SparkSession, dir: String, n: Int = 5,
                  tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
-    val docs = shingleSets(s, dir, n)
+    // EXACT-SET COLLAPSE (the Dedup.jaccardPairsUnordered discipline,
+    // sf1-measured there): shingle-set Jaccard is a set function, so
+    // identical-set documents — clone families the sf1 stress grows
+    // 10× — verify once through a canonical rep (min doc_id per
+    // sorted-set digest; shingles contain spaces, so the digest joins
+    // on '\n', which no token can contain) and the pair list
+    // re-expands algebraically: cross-family member pairs inherit the
+    // rep pair's (inter, sizes, jaccard) — swapped when the member
+    // ordering flips the pair — and within-family pairs are
+    // jaccard-1 by identity. Oracle stays brute force: the collapse
+    // is verified invisible.
+    val all = shingleSets(s, dir, n)
+      .where(col("sh").isNotNull && size(col("sh")) > 0)
+    val fams = all
+      .withColumn("setkey", md5(concat_ws("\n", array_sort(col("sh")))))
+      .groupBy(col("setkey"))
+      .agg(min(struct(col("doc_id"), col("sh"))).as("sv"),
+        array_sort(collect_list(col("doc_id"))).as("members"))
+    val docs = fams.select(col("sv.doc_id").as("doc_id"),
+      col("sv.sh").as("sh"))
     val post = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = prefixRelation(post, dfreq, tauNum, tauDen)
@@ -116,12 +135,39 @@ object Postings {
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .distinct()
 
-    verifiedOverlap(cand, docs)
+    val repPairs = verifiedOverlap(cand, docs)
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
       .where(col("inter") * tauDen >= col("union_sz") * tauNum)
-      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
-        (col("inter") / col("union_sz")).as("jaccard"))
-      .orderBy("a", "b")
+      .select(col("a"), col("b"), col("inter"), col("sz_a"),
+        col("sz_b"), (col("inter") / col("union_sz")).as("jaccard"))
+
+    // re-expansion (member lists corpus-derived — UNHINTED joins)
+    val mem = fams.select(col("sv.doc_id").as("rid"), col("members"))
+    val cross = repPairs
+      .join(mem.select(col("rid").as("a"), col("members").as("m1")), "a")
+      .join(mem.select(col("rid").as("b"), col("members").as("m2")), "b")
+      .select(explode(col("m1")).as("x"), col("m2"), col("inter"),
+        col("sz_a"), col("sz_b"), col("jaccard"))
+      .select(col("x"), explode(col("m2")).as("y"), col("inter"),
+        col("sz_a"), col("sz_b"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("inter"),
+        when(col("x") < col("y"), col("sz_a")).otherwise(col("sz_b"))
+          .as("sz_a"),
+        when(col("x") < col("y"), col("sz_b")).otherwise(col("sz_a"))
+          .as("sz_b"),
+        col("jaccard"))
+    val within = fams
+      .where(size(col("members")) >= 2)
+      .select(col("members"),
+        size(col("sv.sh")).cast("long").as("ssz"),
+        posexplode(col("members")).as(Seq("i", "x")))
+      .select(col("x").as("a"),
+        explode(expr("slice(members, i + 2, size(members) - i - 1)"))
+          .as("b"),
+        col("ssz").as("inter"), col("ssz").as("sz_a"),
+        col("ssz").as("sz_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within).orderBy("a", "b")
   }
 
   /** q121: exact containment self-join — the DIRECTED variant of
