@@ -41,6 +41,10 @@ object Similarity {
   val SigBits = 16
   val Bands = 4
   val BandBits: Int = SigBits / Bands
+
+  /** Block size of the q52 pair expansion grid — each grid cell
+    * expands at most PairBlock² candidate pairs in its own task. */
+  val PairBlock = 1024
   /** IVF cell count — the q53 gate's oracle contract (probe-all ≡
     * brute force) needs nProbe == nCells, so both come from HERE. */
   val IvfCells = 16
@@ -268,14 +272,55 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), signature(col("embedding")).as("sig"))
       .select(col("vec_id"), bandCols)
-    val buckets = banded.groupBy(col("band"), col("bandVal"))
+    // BLOCK-GRID triangle expansion (the sf1 skew fix): a 16-bit
+    // signature in 4-bit bands has ≤ 2^BandBits bucket values per
+    // band, so the per-bucket collect_list + triangle explode ran the
+    // WHOLE bucket's C(sz,2) expansion in the one task holding the
+    // bucket row — parallelism ≤ #buckets, and the densest bucket is
+    // the wall (measured at the sf1 10× stress: sys-bound, ~2 cores
+    // busy of 32). Same candidate SET, different shape: index each
+    // bucket's members (linear window), group into fixed-size blocks,
+    // and expand the triangle as a block-grid join — every grid cell
+    // (≤ PairBlock² pairs) is its own task, so the densest bucket
+    // spreads over (sz/B)²/2 tasks. Block indexing follows vec_id
+    // order, so cross-block cells emit id1 < id2 by construction and
+    // the diagonal cells keep the slice-triangle spelling.
+    val idx = banded
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("band"), col("bandVal"))
+          .orderBy(col("vec_id"))) - 1)
+    val blocks = idx
+      .withColumn("blk", (col("i") / PairBlock).cast("int"))
+      .groupBy(col("band"), col("bandVal"), col("blk"))
       .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+    val grid = blocks.as("x").join(blocks.as("y"),
+      col("x.band") === col("y.band") &&
+        col("x.bandVal") === col("y.bandVal") &&
+        col("x.blk") <= col("y.blk"))
+    val diag = grid.where(col("x.blk") === col("y.blk"))
+      .select(col("x.ids").as("ids"))
       .where(size(col("ids")) >= 2)
-    val cand = buckets
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
-      .select(col("x").as("id1"),
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "v")))
+      .select(col("v").as("id1"),
         explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id2"))
-      .distinct()
+    val off = grid.where(col("x.blk") < col("y.blk"))
+      .select(col("x.ids").as("ids1"), col("y.ids").as("ids2"))
+      .select(explode(col("ids1")).as("id1"), col("ids2"))
+      .select(col("id1"), explode(col("ids2")).as("id2"))
+    // dedup AFTER the threshold, not before: a pair colliding in k
+    // bands appears k times in the candidate stream, and the old
+    // pre-join `distinct()` shuffled the WHOLE ~bucket-quadratic
+    // candidate relation to remove those few duplicates (measured at
+    // the sf1 stress: the one big shuffle left, sys-bound). The
+    // embedding lookups auto-broadcast (unhinted — the corpus side
+    // is MBs at gate scale; at true corpus scale AQE shuffles them
+    // and a pre-join dedup becomes worth re-evaluating), so the
+    // candidate stream now flows map-side through the codegen'd dot:
+    // duplicate candidates cost ≤ Bands extra dots on the survivors'
+    // path, and the post-threshold distinct dedups the SURVIVING
+    // pairs — thousands of rows, not 10⁸ (identical inputs give
+    // bit-identical cosines, so (id1,id2,cosine) dedup is exact).
+    val cand = diag.unionByName(off)
     cand // same no-hint rule as knnLsh for the corpus-sided lookups
       .join(emb.select(col("vec_id").as("id1"),
         col("embedding").as("v1")), "id1")
@@ -283,6 +328,7 @@ object Similarity {
         col("embedding").as("v2")), "id2")
       .select(col("id1"), col("id2"), dotCol(col("v1"), col("v2")).as("cosine"))
       .where(col("cosine") >= threshold)
+      .distinct()
   }
 
   /** The q52 pair zone unsorted — what the clustering consumer reads
