@@ -107,7 +107,14 @@ object ScaleUp {
                       .cast("int")))))
           case _ => keyed
         }
+        // spread the output across executor-count files: the fanout
+        // is narrow (broadcast cross join), so without this every
+        // copy of an input split lands in ONE output file with ONE
+        // row group — and every later scan of the scaled table caps
+        // its parallelism at the file count (measured: the whole sf1
+        // bench ran lineitem scans on 2 tasks of 32)
         perturbed.drop("copy")
+          .repartition(spark.sparkContext.defaultParallelism)
       }
     scaled.write.mode("overwrite").parquet(s"$out/$table.parquet")
     spark.read.parquet(s"$out/$table.parquet").count()
