@@ -187,7 +187,22 @@ object Postings {
     */
   def containmentJoin(s: SparkSession, dir: String, n: Int = 5,
                       tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
-    val docs = shingleSets(s, dir, n)
+    // EXACT-SET COLLAPSE, directed variant (the setSimJoin/q36
+    // discipline): containment is a set function, so identical-set
+    // families verify once through a rep; DIRECTED rep pairs expand
+    // to all (x∈A, y∈B) with the rep's values verbatim (no swap —
+    // direction is fixed), and within-family ORDERED pairs (x≠y,
+    // both directions — the uncollapsed =!= candidate spelling) are
+    // containment-1 by identity. Oracle stays brute force.
+    val all = shingleSets(s, dir, n)
+      .where(col("sh").isNotNull && size(col("sh")) > 0)
+    val fams = all
+      .withColumn("setkey", md5(concat_ws("\n", array_sort(col("sh")))))
+      .groupBy(col("setkey"))
+      .agg(min(struct(col("doc_id"), col("sh"))).as("sv"),
+        array_sort(collect_list(col("doc_id"))).as("members"))
+    val docs = fams.select(col("sv.doc_id").as("doc_id"),
+      col("sv.sh").as("sh"))
     val post = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = prefixRelation(post, dfreq, tauNum, tauDen)
@@ -199,11 +214,29 @@ object Postings {
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .distinct()
 
-    verifiedOverlap(cand, docs)
+    val repPairs = verifiedOverlap(cand, docs)
       .where(col("inter") * tauDen >= col("sz_a") * tauNum)
-      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
-        (col("inter") / col("sz_a")).as("containment"))
-      .orderBy("a", "b")
+      .select(col("a"), col("b"), col("inter"), col("sz_a"),
+        col("sz_b"), (col("inter") / col("sz_a")).as("containment"))
+
+    val mem = fams.select(col("sv.doc_id").as("rid"), col("members"))
+    val cross = repPairs
+      .join(mem.select(col("rid").as("a"), col("members").as("m1")), "a")
+      .join(mem.select(col("rid").as("b"), col("members").as("m2")), "b")
+      .select(explode(col("m1")).as("x"), col("m2"), col("inter"),
+        col("sz_a"), col("sz_b"), col("containment"))
+      .select(col("x").as("a"), explode(col("m2")).as("b"),
+        col("inter"), col("sz_a"), col("sz_b"), col("containment"))
+    val within = fams
+      .where(size(col("members")) >= 2)
+      .select(col("members"),
+        size(col("sv.sh")).cast("long").as("ssz"),
+        explode(col("members")).as("x"))
+      .select(col("x").as("a"), explode(col("members")).as("b"),
+        col("ssz").as("inter"), col("ssz").as("sz_a"),
+        col("ssz").as("sz_b"), lit(1.0).as("containment"))
+      .where(col("a") =!= col("b"))
+    cross.unionByName(within).orderBy("a", "b")
   }
 
   /** q118: sharded inverted index — per (term, doc-block): document
