@@ -50,12 +50,9 @@ object CurateDemo {
     // 2. repetition ceiling (degenerate-text filter)
     val lowRep = TextAnalysis.repetition(spark, sfDir)
       .where(col("dup_2gram_ratio") <= 0.5)
-    // 3. cross-doc boilerplate floor (duplicated 5-gram fraction)
-    val lowBoiler = graft.text.CorpusStats.dupGramFraction(spark, sfDir)
-      .where(col("dup_fraction") < 0.5)
-    // 4. exact + near-dup survivors (connected components, min doc_id)
+    // 3. exact + near-dup survivors (connected components, min doc_id)
     val survivors = Dedup.dedupClusters(spark, sfDir).where(col("keep"))
-    // 5. blocklist scrub (bloom-probed, no corpus join) + the linear
+    // 4. blocklist scrub (bloom-probed, no corpus join) + the linear
     //    quality classifier floor
     val unblocked = graft.ops.Blocklist.bloomScrub(spark, sfDir)
       .where(col("keep"))
@@ -63,14 +60,30 @@ object CurateDemo {
       .where(col("keep"))
 
     try {
-      val curated = docs
+      // per-doc gates + dedup survivorship FIRST, staged as a
+      // documents table so the boilerplate filter runs on it
+      val staged = docs
         .join(lang.select("doc_id"), "doc_id")
         .join(quality.select("doc_id"), "doc_id")
         .join(lowRep.select("doc_id"), "doc_id")
-        .join(lowBoiler.select("doc_id"), "doc_id")
         .join(survivors.select("doc_id"), "doc_id")
         .join(unblocked.select("doc_id"), "doc_id")
         .join(linearOk.select("doc_id"), "doc_id")
+      staged.write.mode("overwrite").parquet(s"$out/stage1/documents.parquet")
+
+      // 5. cross-doc boilerplate floor (duplicated 5-gram fraction),
+      //    computed ON THE DEDUPED SET — the production ordering. On
+      //    a clone-heavy corpus (the sf1 stress: every doc ×10) the
+      //    raw-corpus spelling marks EVERY 5-gram duplicated and
+      //    rejects the whole corpus; after survivor selection the
+      //    duplicated-gram signal measures organic boilerplate again
+      //    (template headers/footers), which is what the filter is
+      //    for. Ordering lesson recorded in PLANS.md round 11.
+      val lowBoiler = graft.text.CorpusStats
+        .dupGramFraction(spark, s"$out/stage1")
+        .where(col("dup_fraction") < 0.5)
+      val curated = spark.read.parquet(s"$out/stage1/documents.parquet")
+        .join(lowBoiler.select("doc_id"), "doc_id")
       // written as a documents TABLE (documents.parquet) so the
       // corpus-table operators below run ON the curated zone
       curated.write.mode("overwrite").parquet(s"$out/documents.parquet")
