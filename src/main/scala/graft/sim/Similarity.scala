@@ -706,7 +706,61 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Eval-slice hash modulus of [[semanticDecontam]] — shared with
+    * its oracle SQL (≈5% of vectors land in the eval slice). */
+  val DecontamMod = 20
+
+  /** q175: SEMANTIC decontamination — the embedding-space complement
+    * of q141's exact n-gram decontamination: flag every train vector
+    * whose cosine to ANY eval-slice vector clears the near-dup
+    * threshold ([[SemTau]]). Exact 13-gram matching misses
+    * paraphrased leakage; embedding similarity is how production
+    * pipelines audit it (the SemDeDup/eval-contamination literature).
+    * The eval slice is a deterministic hash split (the q102
+    * discipline) so the gate needs no eval table; scoring runs on
+    * the shared int8 zone with the exact integer dot and ONE
+    * de-scale expression (the q143 contract — hash-gateable because
+    * no float accumulates).
+    *
+    * GATE mode is deliberately brute (train × eval/20, the q155
+    * all-pairs precedent — DuckDB replays it bit-for-bit; the
+    * streamed side is spread like the q155 derive). The production
+    * path at corpus scale is the banded candidate machinery the q168
+    * witness gates: same SRP buckets, same exact rescore, recall
+    * measured — only the candidate generation changes. */
+  def semanticDecontam(s: SparkSession, dir: String,
+                       tau: Double = SemTau): DataFrame = {
+    import graft.dedup.Md5Prefix
+    graft.functions.GraftFunctions.register(s)
+    val codes = quantizedZone(s, dir)
+    val isEval =
+      Md5Prefix.h(col("vec_id").cast("string")) % DecontamMod === 0
+    val ev = codes.where(isEval)
+      .select(col("vec_id").as("eval_id"), col("q_vec").as("ev"),
+        col("q_scale").as("es"))
+    val train = codes.where(!isEval)
+      .repartition(s.sparkContext.defaultParallelism)
+    val hits = train.join(ev, col("vec_id") =!= col("eval_id"))
+      .select(col("vec_id"),
+        (int8DotCol(col("q_vec"), col("ev")).cast("double") *
+          col("q_scale").cast("double") * col("es").cast("double") /
+          lit(16129.0)).as("approx_cos"))
+      .where(col("approx_cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("approx_cos")).as("max_cos"))
+    train.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("max_cos"),
+        (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("flagged"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_semantic_decontam" -> ((s: SparkSession, d: String) =>
+      semanticDecontam(s, d)),
     "q148_hard_negatives" -> ((s: SparkSession, d: String) =>
       hardNegatives(s, d)),
     "q50_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
@@ -853,6 +907,32 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q175_semantic_decontam" ->
+      s"""WITH $int8CtesSql,
+         |ev0 AS (
+         |  SELECT vec_id,
+         |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % $DecontamMod = 0 AS is_eval
+         |  FROM codes),
+         |tr AS (
+         |  SELECT codes.* FROM codes JOIN ev0 USING (vec_id)
+         |  WHERE NOT is_eval),
+         |evs AS (
+         |  SELECT codes.* FROM codes JOIN ev0 USING (vec_id)
+         |  WHERE is_eval),
+         |sc AS (
+         |  SELECT c.vec_id,
+         |    CAST($int8DotSql AS DOUBLE) * CAST(c.q_scale AS DOUBLE)
+         |      * CAST(q.q_scale AS DOUBLE) / 16129.0 AS approx_cos
+         |  FROM tr c JOIN evs q ON c.vec_id != q.vec_id),
+         |h AS (
+         |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+         |    max(approx_cos) AS max_cos
+         |  FROM sc WHERE approx_cos >= $SemTau GROUP BY 1)
+         |SELECT tr.vec_id,
+         |  coalesce(h.n_eval_hits, 0) AS n_eval_hits, h.max_cos,
+         |  coalesce(h.n_eval_hits, 0) > 0 AS flagged
+         |FROM tr LEFT JOIN h USING (vec_id) ORDER BY tr.vec_id""".stripMargin,
     "q148_hard_negatives" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

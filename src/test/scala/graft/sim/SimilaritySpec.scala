@@ -213,4 +213,31 @@ class SimilaritySpec extends SparkSpec {
           byId(r.getAs[Long]("neighbor_id")))
       }
   }
+
+  test("q175: semantic decontam covers exactly the train slice, " +
+    "flags ⟺ a hit above tau") {
+    import graft.dedup.Md5Prefix
+    val out = Similarity.semanticDecontam(spark, sf()).collect()
+    val evalIds = graft.Tables.load(spark, sf(), "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .where(Md5Prefix.h(org.apache.spark.sql.functions
+        .col("vec_id").cast("string")) % Similarity.DecontamMod === 0)
+      .collect().map(_.getLong(0)).toSet
+    val total = graft.Tables.load(spark, sf(), "embeddings").count()
+    // output = every train vector, never an eval one
+    assert(out.length.toLong == total - evalIds.size)
+    assert(out.forall(r => !evalIds.contains(r.getAs[Long]("vec_id"))))
+    out.foreach { r =>
+      val flagged = r.getAs[Boolean]("flagged")
+      val n = r.getAs[Long]("n_eval_hits")
+      val mc = Option(r.getAs[java.lang.Double]("max_cos"))
+      assert(flagged == (n > 0))
+      // max_cos present ⟺ flagged, and only above the threshold
+      assert(mc.isDefined == flagged)
+      mc.foreach(c => assert(c >= Similarity.SemTau))
+    }
+    // rerun is bit-identical (deterministic slice + exact int8 dot)
+    assert(Similarity.semanticDecontam(spark, sf()).collect().toSeq ==
+      out.toSeq)
+  }
 }
