@@ -27,7 +27,8 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.SkewJoin.queries, ops.Sampling.queries,
       text.CorpusStats.queries, text.Postings.queries,
       text.Normalize.queries, multimodal.Perceptual.queries,
-      ops.Quality.queries, ops.Blocklist.queries, text.Bpe.queries)
+      ops.Quality.queries, ops.Blocklist.queries, text.Bpe.queries,
+      sim.KMeans.queries)
     val all = parts.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
