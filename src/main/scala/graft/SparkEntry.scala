@@ -27,7 +27,8 @@ object SparkEntry {
       text.CorpusStats.queries ++ text.Postings.queries ++
       text.Normalize.queries ++ multimodal.Perceptual.queries ++
       ops.Quality.queries ++ ops.Blocklist.queries ++
-      text.Bpe.queries ++ sim.KMeans.queries
+      text.Bpe.queries ++ sim.KMeans.queries ++ sim.Spectral.queries ++
+      text.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       text.CorpusStats.oracle ++ text.Postings.oracle ++
       text.Normalize.oracle ++ multimodal.Perceptual.oracle ++
       ops.Quality.oracle ++ ops.Blocklist.oracle ++
-      text.Bpe.oracle ++ sim.KMeans.oracle
+      text.Bpe.oracle ++ sim.KMeans.oracle ++ sim.Spectral.oracle ++
+      text.Sketches.oracle
 }

@@ -1,0 +1,254 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Spectral embedding analysis: exact fixed-point covariance and a
+  * PCA top-component projection — the "what direction does this
+  * corpus vary in" primitives behind embedding whitening, anisotropy
+  * diagnostics (all-but-the-top), and cheap 1-D curriculum ordering.
+  *
+  * Reference scope: the reference pipeline stops at SQL aggregates
+  * (`dags/taxi_transform_dag.py:38-100` — means over a cleaned
+  * table); this module extends the same "describe the corpus with
+  * one scan" idea to second moments of the embedding table, the
+  * north-star direction the brief names (training-data pipeline ops
+  * beyond the reference's own operators).
+  *
+  * Both queries are float-free until the last expression (the module
+  * discipline proven by q143/q164): components round to 10-bit fixed
+  * point (`round(x·1024)`, the cross-engine `round` contract), all
+  * sums/products are exact BIGINTs, and the only doubles ever emitted
+  * are single IEEE expressions over those integers — so DuckDB
+  * replays every row bit-for-bit.
+  *
+  * Scale shape (the 100 TB argument):
+  *   - q176 is ONE corpus scan with a map-side pair expansion
+  *     (dim·(dim+1)/2 = 2080 structs per vector) feeding a hash
+  *     partial aggregate keyed by (i, j) — the shuffle carries at
+  *     most 2080 rows per map partition, and the result relation is
+  *     2080 rows at ANY corpus size. No self-join, no corpus-keyed
+  *     shuffle.
+  *   - q177's power iteration runs on the COLLECTED 2080-row matrix
+  *     (driver-bounded by dim², the bloom-words/BPE-argmax
+  *     precedent: constant-size state, never corpus-sized), and the
+  *     projection pass is one corpus scan with the eigenvector as a
+  *     64-long literal inside a codegen'd `zip_with` dot — the
+  *     q173 centroid-literal shape: no join, no shuffle.
+  *
+  * Overflow bounds (documented, guarded): with unit-norm embeddings
+  * the fixed components |r| ≲ 2¹⁰, so the centered covariance
+  * integers |n·s_ij − s_i·s_j| ≤ 2²¹·n², which crosses BIGINT near
+  * n ≈ 2×10⁹ vectors — q176's raw sums are safe to n ≈ 2⁴³. The
+  * iteration matrix is pre-shrunk to < 2³⁰ (arithmetic shift, the
+  * q171 `>>` cross-engine contract) and the vector held at ≤ 2²⁰, so
+  * every mat-vec partial stays under 2⁵⁶. [[CovMaxN]] fails loudly
+  * (raise_error on the 2080-row relation) past the centered bound;
+  * beyond it, widen to per-shard decimal accumulation.
+  */
+object Spectral {
+
+  /** 10-bit fixed point — the q143/q164 quantization contract. */
+  val Fp = 1024
+
+  /** Embedding width (matches [[Similarity.Dim]]). */
+  val Dim = 64
+
+  /** Power-iteration count: enough for a clear dominant direction on
+    * label-structured corpora; correctness does not depend on
+    * convergence (both engines run the SAME T steps). */
+  val PcaIters = 12
+
+  /** Iteration vector scale: components held in [−2²⁰, 2²⁰]. */
+  val PcaScale: Long = 1L << 20
+
+  /** Pre-shrink target for the iteration matrix: < 2³⁰ per entry. */
+  val ShrinkBits = 30
+
+  /** Loud-failure ceiling for the centered-covariance integers
+    * (2²¹·n² ≤ 2⁶² ⇒ n ≤ 2²⁰·√2 ≈ 1.4×10⁶ is conservative-safe;
+    * kept at 10⁶ with margin for non-unit vectors). */
+  val CovMaxN: Long = 1000000L
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** The fixed-point component array — shared by both queries. */
+  private def rfx: Column =
+    expr(s"transform(embedding, x -> " +
+      s"CAST(round(CAST(x AS DOUBLE) * $Fp) AS BIGINT))")
+
+  /** q176: exact fixed-point second-moment matrix — for every
+    * dimension pair i ≤ j: the count, component sums and
+    * cross-product sum over the whole corpus. Centered covariance,
+    * correlation, and the PCA iteration all derive from these four
+    * integers without touching the corpus again (cov_ij ∝
+    * n·s_ij − s_i·s_j).
+    *
+    * Plan: one scan → map-side expansion of the 2080 (i, j) pairs
+    * per vector → hash partial agg on (i, j). The exploded relation
+    * never shuffles; only the 2080 per-partition partials do. */
+  def covarianceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = corpus(s, dir)
+      .select(col("vec_id"), rfx.as("r"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
+           |  transform(sequence(i, ${Dim - 1}), j ->
+           |    struct(i AS i, j AS j, r[i] AS ri, r[j] AS rj))))
+           |""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.ri").as("ri"), col("p.rj").as("rj"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ri")).as("s_i"),
+        sum(col("rj")).as("s_j"),
+        sum(col("ri") * col("rj")).as("s_ij"))
+      .orderBy("i", "j")
+  }
+
+  /** Bit length with `bin()` semantics on both engines:
+    * blen(0) = 1 (DuckDB `length(bin(0))` = 1), else ⌊log₂ x⌋ + 1. */
+  private def blen(x: Long): Int =
+    if (x == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Driver-side power iteration — EXACTLY the integer/shift
+    * arithmetic the oracle unrolls in SQL (Scala `>>` on Long is the
+    * same arithmetic shift as DuckDB's `>>`, the q171 contract).
+    * Input: the 2080 upper-triangle rows of [[covarianceMatrix]].
+    * Returns the L∞-normalized dominant eigenvector of the CENTERED
+    * covariance, components in [−2²⁰, 2²⁰]. */
+  private[graft] def powerIterate(
+      rows: Seq[(Int, Int, Long, Long, Long, Long)]): Array[Long] = {
+    val c = Array.ofDim[Long](Dim, Dim)
+    rows.foreach { case (i, j, n, si, sj, sij) =>
+      require(n <= CovMaxN,
+        s"pcaProject: corpus has $n vectors — past the $CovMaxN " +
+          "BIGINT bound for centered fixed-point covariance; widen " +
+          "to per-shard decimal accumulation")
+      val v = n * sij - si * sj
+      c(i)(j) = v
+      c(j)(i) = v
+    }
+    val maxAbsC = c.flatten.map(math.abs).max
+    val cs = math.max(0, blen(maxAbsC) - ShrinkBits)
+    val a = c.map(_.map(_ >> cs))
+    // seed at the max-variance axis (ties → min d): Rayleigh quotient
+    // then starts at max_d var(d) and power iteration only raises it
+    val seed = (0 until Dim).maxBy(d => (a(d)(d), -d))
+    var v = Array.tabulate(Dim)(d => if (d == seed) PcaScale else 0L)
+    var it = 0
+    while (it < PcaIters) {
+      val w = Array.tabulate(Dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < Dim) { acc += a(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val mw = w.map(math.abs).max
+      val sh = math.max(0, blen(mw) - 20)
+      v = w.map(_ >> sh)
+      it += 1
+    }
+    v
+  }
+
+  /** q177: PCA top-component projection — every embedding scored
+    * along the corpus's dominant variance direction, as one exact
+    * integer dot per vector. The downstream uses are standard:
+    * subtract it for anisotropy correction ("all-but-the-top"),
+    * sort by it for a 1-D curriculum, or range-partition on it as a
+    * cheap spatial split. Emits (vec_id, label, pc1_fp) with
+    * pc1_fp = Σ_d r_d·v_d (|pc1_fp| ≤ 64·2¹⁰·2²⁰ = 2³⁶).
+    *
+    * The eigenvector derivation is deterministic integer arithmetic
+    * end to end (fixed seed axis, shift-only renormalization), so
+    * the oracle replays the ENTIRE derivation — covariance, shrink,
+    * T unrolled mat-vec/normalize steps, projection — in DuckDB SQL
+    * and the hash gate covers the whole path, not just the final
+    * scan. */
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cov = covarianceMatrix(s, dir)
+      .as[(Int, Int, Long, Long, Long, Long)].collect().toSeq
+    val v = powerIterate(cov)
+    val vLit = s"array(${v.mkString("L, ") + "L"})"
+    corpus(s, dir)
+      .select(col("vec_id"), col("label"), rfx.as("r"))
+      .select(col("vec_id"), col("label"),
+        expr(s"aggregate(zip_with(r, $vLit, (p, q) -> p * q), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("pc1_fp"))
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** The q176 relation as DuckDB CTE body (shared by both oracles).
+    * MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
+    * unrolled iteration chain references the matrix 12 times — the
+    * expansion would re-open the parquet exponentially. */
+  private val covSql: String =
+    s"""u AS MATERIALIZED (
+       |  SELECT vec_id, u.d, CAST(round(CAST(u.x AS DOUBLE) * $Fp)
+       |    AS BIGINT) AS r
+       |  FROM embeddings JOIN LATERAL (
+       |    SELECT unnest(embedding) AS x,
+       |      generate_subscripts(embedding, 1) - 1 AS d) u ON true),
+       |cov AS MATERIALIZED (
+       |  SELECT a.d AS i, b.d AS j, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(a.r) AS BIGINT) AS s_i,
+       |    CAST(sum(b.r) AS BIGINT) AS s_j,
+       |    CAST(sum(a.r * b.r) AS BIGINT) AS s_ij
+       |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The unrolled power-iteration CTE chain: wK = A·v(K−1), then
+    * shift-normalize to vK — generated from [[PcaIters]] so oracle
+    * and Scala can never drift on the step count. */
+  private def iterSql: String =
+    (1 to PcaIters).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT a.i AS d, CAST(sum(a.a * v${k - 1}.v) AS BIGINT) AS w
+         |  FROM a JOIN v${k - 1} ON v${k - 1}.d = a.j GROUP BY 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT d, w >> greatest(0,
+         |    (SELECT length(bin(max(abs(w)))) FROM w$k) - 20) AS v
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_embedding_covariance" -> (covarianceMatrix _),
+    "q177_pca_project" -> (pcaProject _))
+
+  val oracle: Map[String, String] = Map(
+    "q176_embedding_covariance" ->
+      s"""WITH $covSql
+         |SELECT i, j, n, s_i, s_j, s_ij FROM cov ORDER BY i, j
+         |""".stripMargin,
+    "q177_pca_project" ->
+      s"""WITH $covSql,
+         |cfull AS MATERIALIZED (
+         |  SELECT i, j, n * s_ij - s_i * s_j AS c FROM cov
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, n * s_ij - s_i * s_j AS c
+         |  FROM cov WHERE i < j),
+         |a AS MATERIALIZED (
+         |  SELECT i, j, c >> greatest(0,
+         |    (SELECT length(bin(max(abs(c)))) FROM cfull)
+         |      - $ShrinkBits) AS a
+         |  FROM cfull),
+         |v0 AS MATERIALIZED (
+         |  SELECT i AS d, CASE WHEN i = (
+         |      SELECT i FROM a WHERE i = j ORDER BY a DESC, i LIMIT 1)
+         |    THEN CAST($PcaScale AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS v
+         |  FROM a WHERE i = j),
+         |$iterSql
+         |SELECT u.vec_id, e.label,
+         |  CAST(sum(u.r * vv.v) AS BIGINT) AS pc1_fp
+         |FROM u JOIN v$PcaIters vv ON vv.d = u.d
+         |JOIN embeddings e ON e.vec_id = u.vec_id
+         |GROUP BY 1, 2 ORDER BY u.vec_id
+         |""".stripMargin)
+}

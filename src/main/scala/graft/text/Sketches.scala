@@ -1,0 +1,220 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Tokens
+
+/** Mergeable cardinality sketches over the token stream — the
+  * "how many distinct tokens/urls/ngrams does each slice have"
+  * question that exact `count(distinct)` answers with a corpus-keyed
+  * shuffle and a sketch answers with CONSTANT per-slice state. At
+  * 100 TB the sketch is the only affordable spelling for per-source /
+  * per-shard vocabulary dashboards, and because both sketches here
+  * are deterministic functions of the input SET (fixed hash, min/max
+  * state), their outputs are hash-gateable and DuckDB-replayable —
+  * unlike `approx_count_distinct`, whose HLL++ internals differ per
+  * engine.
+  *
+  * Two classic designs, both riding Spark's partial aggregation
+  * (map-side shrink → merge, the [[graft.functions.MisraGries]]
+  * surface):
+  *   - KMV / bottom-k (q178): k smallest distinct 60-bit hashes via
+  *     the typed [[graft.functions.KmvSketch]] Aggregator;
+  *     D̂ = (k−1)·2⁶⁰/h₍ₖ₎, σ ≈ 1/√(k−2).
+  *   - HyperLogLog registers (q179): 64 registers of max
+  *     leading-zero rank, spelled ENTIRELY in built-in integer
+  *     expressions (shift/%/`length(bin())` — the q151 bits
+  *     discipline), so the whole sketch is one `groupBy(source,
+  *     reg).max` partial agg; D̂ = α·m²·2⁵⁵/Σ2⁵⁵⁻ᴹ, σ ≈ 1.04/√m.
+  *
+  * Both queries also emit the EXACT distinct count and a
+  * `within_bound` witness column (the q84/q133 audit discipline:
+  * the estimate is the production path, the exact count is the
+  * gate-affordable audit; at 100 TB you drop the audit column, not
+  * the sketch). The error bound uses 4σ — loose enough to be stable
+  * at every SF, tight enough that a broken sketch fails the gate.
+  */
+object Sketches {
+
+  /** KMV size: σ ≈ 1/√62 ≈ 12.7%. */
+  val KmvK = 64
+
+  /** HLL register count m (and its α constant): σ ≈ 13%. */
+  val HllM = 64
+
+  /** Hash range of [[graft.dedup.Md5Prefix]]: 2⁶⁰ (exact as a double
+    * — a power of two). */
+  val HashRange: Double = 1152921504606846976.0
+
+  /** (source, 60-bit 3-gram-shingle hash) — the one corpus-derived
+    * relation both sketches consume. Shingles, not tokens: this
+    * corpus's per-source token vocabulary is only ~31 values, which
+    * would leave both sketches in their degenerate exhaustive range;
+    * distinct shingles (10³–10⁴ per source here, unbounded on a real
+    * corpus) are also the statistic dedup/contamination sizing
+    * actually wants. Tokens stream from the shared span-tokens zone
+    * (the q171 discipline: tokenize once per application); the
+    * `size ≥ 3` guard keeps [[Tokens.ngramsOf]] in its sliding-window
+    * branch (the q145 contract — short docs contribute NO shingles,
+    * matching the oracle's `range()` emptiness). */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    val zone = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    zone.join(src, "doc_id")
+      .where(size(col("w")) >= 3)
+      .select(col("source"),
+        explode(Tokens.ngramsOf(col("w"), 3)).as("g"))
+      .select(col("source"), graft.dedup.Md5Prefix.h(col("g")).as("h"))
+  }
+
+  /** q178: per-source KMV distinct-token sketch + estimate + exact
+    * witness. Under-full sketch (fewer than k distinct values) holds
+    * the WHOLE distinct set, so the estimate degrades to the exact
+    * count — the standard KMV small-set rule, spelled identically in
+    * both engines. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    shingleHashes(s, dir)
+      .groupBy(col("source"))
+      .agg(kmv(col("h")).as("mins"),
+        countDistinct(col("h")).as("n_exact"))
+      .select(col("source"),
+        size(col("mins")).cast("long").as("n_sketch"),
+        element_at(col("mins"), size(col("mins"))).as("kth_min"),
+        col("n_exact"))
+      .withColumn("est_distinct",
+        when(col("n_sketch") < KmvK, col("n_exact").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(HashRange) /
+            col("kth_min").cast("double")))
+      .withColumn("within_bound",
+        abs(col("est_distinct") - col("n_exact").cast("double")) <=
+          lit(4.0 / math.sqrt(KmvK - 2.0)) *
+            col("n_exact").cast("double"))
+      .orderBy("source")
+  }
+
+  /** q179: per-source HyperLogLog registers folded to the harmonic
+    * sum — `reg = h mod 64`, `rank = 55 − bitlen(h ÷ 64)` (the 60-bit
+    * hash leaves 54 payload bits, so ranks live in [1, 55]), register
+    * state = max rank, and the harmonic denominator is the exact
+    * integer Σ 2⁵⁵⁻ᴹʳ with empty registers contributing 2⁵⁵ (M = 0).
+    * The only doubles are the final α·m²-scaled division and the
+    * witness comparison. Raw α for m = 64: 0.709 (Flajolet et al.
+    * 2007); no small-range correction — the witness bound absorbs it
+    * at gate scale and a 100 TB slice is never in small range. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val regs = shingleHashes(s, dir)
+      .select(col("source"),
+        (col("h") % HllM).cast("int").as("reg"),
+        shiftright(col("h"), 6).as("wbits"))
+      .select(col("source"), col("reg"),
+        expr("CASE WHEN wbits = 0 THEN 55 " +
+          "ELSE 55 - length(bin(wbits)) END").as("rank"))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("rank")).as("m"))
+    val z = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_regs_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))"))
+          .as("z_hit"))
+      .select(col("source"), col("n_regs_hit"),
+        (col("z_hit") + (lit(HllM.toLong) - col("n_regs_hit")) *
+          expr("shiftleft(CAST(1 AS BIGINT), 55)")).as("z_scaled"))
+    val exact = shingleHashes(s, dir).groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("n_exact"))
+    z.join(exact, "source")
+      .withColumn("est_distinct",
+        lit(0.709) * lit((HllM.toLong * HllM).toDouble) *
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), 55) AS DOUBLE)") /
+          col("z_scaled").cast("double"))
+      .withColumn("within_bound",
+        abs(col("est_distinct") - col("n_exact").cast("double")) <=
+          lit(4.0 * 1.04 / math.sqrt(HllM.toDouble)) *
+            col("n_exact").cast("double"))
+      .select(col("source"), col("n_regs_hit"), col("z_scaled"),
+        col("n_exact"), col("est_distinct"), col("within_bound"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** The (source, h) relation in DuckDB — mirrors [[shingleHashes]]
+    * (the q145 gram spelling over the q171 tokenization). */
+  private val tokSql: String =
+    raw"""tok AS MATERIALIZED (
+      |  SELECT source, unnest([
+      |      ('0x' || substr(md5(array_to_string(w[i+1:i+3], ' ')),
+      |        1, 15))::BIGINT
+      |    for i in range(0, len(w) - 2)]) AS h
+      |  FROM (SELECT source,
+      |      string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+      |    FROM documents)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_kmv_distinct" -> (kmvDistinct _),
+    "q179_hll_distinct" -> (hllDistinct _))
+
+  val oracle: Map[String, String] = Map(
+    "q178_kmv_distinct" ->
+      s"""WITH $tokSql,
+         |dh AS (SELECT DISTINCT source, h FROM tok),
+         |rk AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+         |  FROM dh),
+         |agg AS (
+         |  SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_sketch,
+         |    max(h) AS kth_min
+         |  FROM rk WHERE r <= $KmvK GROUP BY 1),
+         |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM dh GROUP BY 1)
+         |SELECT agg.source, n_sketch, kth_min, n_exact,
+         |  CASE WHEN n_sketch < $KmvK THEN CAST(n_exact AS DOUBLE)
+         |    ELSE ${(KmvK - 1).toDouble} * $HashRange
+         |      / CAST(kth_min AS DOUBLE) END AS est_distinct,
+         |  abs((CASE WHEN n_sketch < $KmvK THEN CAST(n_exact AS DOUBLE)
+         |    ELSE ${(KmvK - 1).toDouble} * $HashRange
+         |      / CAST(kth_min AS DOUBLE) END) - CAST(n_exact AS DOUBLE))
+         |    <= ${4.0 / math.sqrt(KmvK - 2.0)} * CAST(n_exact AS DOUBLE)
+         |    AS within_bound
+         |FROM agg JOIN ex ON ex.source = agg.source
+         |ORDER BY agg.source
+         |""".stripMargin,
+    "q179_hll_distinct" ->
+      s"""WITH $tokSql,
+         |r AS (
+         |  SELECT source, CAST(h % $HllM AS INT) AS reg,
+         |    CASE WHEN (h >> 6) = 0 THEN 55
+         |      ELSE 55 - length(bin(h >> 6)) END AS rank
+         |  FROM tok),
+         |regs AS (
+         |  SELECT source, reg, max(rank) AS m FROM r GROUP BY 1, 2),
+         |z AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_regs_hit,
+         |    CAST(sum(CAST(1 AS BIGINT) << (55 - m)) AS BIGINT)
+         |      + ($HllM - CAST(count(*) AS BIGINT))
+         |        * (CAST(1 AS BIGINT) << 55) AS z_scaled
+         |  FROM regs GROUP BY 1),
+         |ex AS (SELECT source, CAST(count(DISTINCT h) AS BIGINT)
+         |         AS n_exact FROM tok GROUP BY 1),
+         |est AS (
+         |  SELECT z.source, n_regs_hit, z_scaled, n_exact,
+         |    0.709 * ${(HllM.toLong * HllM).toDouble}
+         |      * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+         |      / CAST(z_scaled AS DOUBLE) AS est_distinct
+         |  FROM z JOIN ex ON ex.source = z.source)
+         |SELECT source, n_regs_hit, z_scaled, n_exact, est_distinct,
+         |  abs(est_distinct - CAST(n_exact AS DOUBLE))
+         |    <= ${4.0 * 1.04 / math.sqrt(HllM.toDouble)}
+         |      * CAST(n_exact AS DOUBLE) AS within_bound
+         |FROM est ORDER BY source
+         |""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft.sim
+
+import graft.SparkSpec
+
+/** Contract tests for the covariance / PCA module beyond the hash
+  * gate: algebraic invariants of the matrix, the Rayleigh-quotient
+  * monotonicity witness of the power iteration, and a synthetic
+  * known-direction recovery. */
+class SpectralSpec extends SparkSpec {
+
+  private lazy val cov = Spectral.covarianceMatrix(spark, sf())
+    .collect()
+    .map(r => ((r.getInt(0), r.getInt(1)),
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    .toMap
+
+  test("q176 emits the full upper triangle with one consistent count") {
+    assert(cov.size == Spectral.Dim * (Spectral.Dim + 1) / 2)
+    val ns = cov.values.map(_._1).toSet
+    assert(ns.size == 1, s"count must be corpus-wide constant: $ns")
+    // diagonal second moments are non-negative by construction
+    (0 until Spectral.Dim).foreach { d =>
+      assert(cov((d, d))._4 >= 0L, s"s_dd < 0 at $d")
+    }
+  }
+
+  test("q176 sums are transpose-consistent (s_i of (i,j) = s_j of (j,i) role)") {
+    // in row (i,j): s_i sums dim i, s_j sums dim j; the dim-i sum must
+    // agree across every row that touches dim i
+    val perDim = collection.mutable.Map[Int, Long]()
+    cov.foreach { case ((i, j), (_, si, sj, _)) =>
+      assert(perDim.getOrElseUpdate(i, si) == si, s"s_i drift at ($i,$j)")
+      assert(perDim.getOrElseUpdate(j, sj) == sj, s"s_j drift at ($i,$j)")
+    }
+  }
+
+  test("power iteration: Rayleigh quotient ends at/above the seed axis variance") {
+    val rows = cov.toSeq.map { case ((i, j), (n, si, sj, sij)) =>
+      (i, j, n, si, sj, sij)
+    }
+    val v = Spectral.powerIterate(rows)
+    // centered covariance in BigInt (no overflow in the witness math)
+    def c(i: Int, j: Int): BigInt = {
+      val (n, si, sj, sij) =
+        if (i <= j) cov((i, j))
+        else { val (n0, sj0, si0, sij0) = cov((j, i)); (n0, si0, sj0, sij0) }
+      BigInt(n) * sij - BigInt(si) * sj
+    }
+    val vB = v.map(BigInt(_))
+    val num = (for (i <- 0 until Spectral.Dim; j <- 0 until Spectral.Dim)
+      yield vB(i) * c(i, j) * vB(j)).sum
+    val den = vB.map(x => x * x).sum
+    assert(den > 0, "iteration collapsed to the zero vector")
+    val rayleigh = num / den // floor — fine for a ≥ comparison
+    val maxAxis = (0 until Spectral.Dim).map(d => c(d, d)).max
+    // power iteration seeds AT the max-variance axis and (up to the
+    // shift rounding) only raises the quotient; allow 2% slack for
+    // the integer renormalization
+    assert(rayleigh * 100 >= maxAxis * 98,
+      s"rayleigh $rayleigh < max axis variance $maxAxis")
+  }
+
+  test("power iteration recovers a planted dominant axis") {
+    // synthetic second moments of a corpus whose variance is
+    // concentrated on axis 7: cov = diag(small) + spike at (7,7)
+    val n = 100L
+    val rows = for (i <- 0 until Spectral.Dim; j <- i until Spectral.Dim)
+      yield {
+        val sij = if (i == 7 && j == 7) 1000000L
+          else if (i == j) 100L else 0L
+        (i, j, n, 0L, 0L, sij)
+      }
+    val v = Spectral.powerIterate(rows)
+    val top = v.zipWithIndex.maxBy { case (x, _) => math.abs(x) }._2
+    assert(top == 7, s"dominant component at $top, expected 7")
+  }
+
+  test("q177 projection is deterministic and complete") {
+    val a = Spectral.pcaProject(spark, sf()).collect()
+    val b = Spectral.pcaProject(spark, sf()).collect()
+    assert(a.sameElements(b))
+    assert(a.length ==
+      graft.Tables.load(spark, sf(), "embeddings").count())
+  }
+
+  test("q176 plan: one scan, no join (map-side pair expansion only)") {
+    val plan = Spectral.covarianceMatrix(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pair expansion must not join:\n$plan")
+    val scans = "FileScan|Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 1, s"expected a single corpus scan:\n$plan")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.functions.KmvSketch
+
+/** Sketch contracts beyond the hash gate: KMV set-function
+  * determinism and mergeability (the properties that make the
+  * output hash-gateable at ANY partitioning), estimate accuracy on
+  * a synthetic uniform stream, and the witness bounds at spec SF. */
+class SketchesSpec extends SparkSpec {
+
+  private def fold(k: KmvSketch, xs: Seq[Long]): Array[Long] =
+    xs.foldLeft(k.zero)(k.reduce)
+
+  test("kmv buffer is the sorted k smallest distinct values") {
+    val k = new KmvSketch(4)
+    val out = fold(k, Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 7L, 5L))
+    assert(out.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("kmv is a set function: order and duplication never matter") {
+    val k = new KmvSketch(8)
+    val xs = Seq.tabulate(200)(i => (i * 2654435761L) % 1000)
+    val a = fold(k, xs)
+    val b = fold(k, scala.util.Random.shuffle(xs ++ xs))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("kmv merge of split partials equals the whole-stream sketch") {
+    val k = new KmvSketch(16)
+    val xs = Seq.tabulate(500)(i => (i * 0x9e3779b97f4aL) % 100000)
+    val whole = fold(k, xs)
+    val grouped = xs.grouped(37).map(g => fold(k, g))
+    val merged = grouped.reduce(k.merge)
+    assert(whole.toSeq == merged.toSeq)
+    // merge must dedup values shared across partials
+    val dup = k.merge(fold(k, xs.take(100)), fold(k, xs.take(100)))
+    assert(dup.toSeq == fold(k, xs.take(100)).toSeq)
+  }
+
+  test("kmv under-full sketch holds the entire distinct set") {
+    val k = new KmvSketch(64)
+    val out = fold(k, Seq(5L, 1L, 5L, 9L))
+    assert(out.toSeq == Seq(1L, 5L, 9L))
+  }
+
+  test("kmv estimate lands near truth on a uniform synthetic stream") {
+    // 10k distinct "hashes" uniform on [0, 2^60): est = 63*2^60/h_64
+    val n = 10000
+    val range = 1L << 60
+    val xs = Seq.tabulate(n) { i =>
+      new java.math.BigInteger(
+        1, java.security.MessageDigest.getInstance("MD5")
+          .digest(s"v$i".getBytes)).shiftRight(68).longValueExact()
+    }
+    val k = new KmvSketch(64)
+    val sk = fold(k, xs)
+    val est = 63.0 * range.toDouble / sk.last.toDouble
+    assert(math.abs(est - n) < 0.4 * n, s"est $est vs $n")
+  }
+
+  test("q178/q179 witnesses hold at spec SF and schemas agree") {
+    val kmv = Sketches.kmvDistinct(spark, sf()).collect()
+    val hll = Sketches.hllDistinct(spark, sf()).collect()
+    assert(kmv.nonEmpty && hll.nonEmpty)
+    kmv.foreach(r => assert(r.getAs[Boolean]("within_bound"),
+      s"kmv bound broken: $r"))
+    hll.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"), s"hll bound broken: $r")
+      assert(r.getAs[Long]("n_regs_hit") <= Sketches.HllM)
+    }
+    // the sketch must be exercising its estimating range at spec SF,
+    // not the degenerate exhaustive range
+    assert(kmv.forall(_.getAs[Long]("n_sketch") == Sketches.KmvK),
+      "kmv under-full at spec SF — input relation too small")
+  }
+}
