@@ -459,7 +459,7 @@ object Similarity {
   /** The ranked graph stored to the scratch zone — q155's surface,
     * q156's edges and the banded recall test all read it, so the
     * corpus² scoring runs once per application. */
-  private def knnGraphZone(s: SparkSession, dir: String): DataFrame =
+  private[graft] def knnGraphZone(s: SparkSession, dir: String): DataFrame =
     graft.util.Scratch.memo(s, "knn-graph", s"knn-graph:$dir:$GraphK")(
       knnGraphDerive(s, dir, GraphK))
 
@@ -885,6 +885,16 @@ object Similarity {
        |      ORDER BY CAST(qdot AS DOUBLE) * CAST(sa AS DOUBLE)
        |        * CAST(sq AS DOUBLE) / 16129.0 DESC, neighbor_id) AS rank
        |  FROM scored
+       |)""".stripMargin
+
+  /** The q155 edge relation as a MATERIALIZED DuckDB CTE chain —
+    * shared with q180's PageRank oracle (the knnGraphCtesSql prefix
+    * would otherwise re-inline its corpus² scoring once per
+    * iteration CTE). */
+  private[graft] def knnEdgesSql: String =
+    s"""$knnGraphCtesSql,
+       |edges AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= $GraphK
        |)""".stripMargin
 
   /** Exact top-k over the full corpus — the oracle for q50 (brute

@@ -182,6 +182,68 @@ object Spectral {
       .orderBy("vec_id")
   }
 
+  /** PageRank iteration count (unrolled identically in the oracle). */
+  val PrIters = 8
+
+  /** Rank fixed point: every node starts at 2¹⁶; the damped update is
+    * r' = ⌊0.15·2¹⁶⌋ + ⌊85·inflow/100⌋ — all positive integers, so
+    * truncating and flooring division agree across engines. */
+  val PrScale = 65536L
+  val PrBase = 9830L // ⌊0.15 · 2¹⁶⌋
+
+  /** q180: PageRank centrality over the q155 semantic kNN graph —
+    * "which documents are REPRESENTATIVE of their neighborhood": the
+    * damped stationary-mass iteration on the k-out-degree similarity
+    * graph, the standard graph-centrality selection signal (pick
+    * high-PR docs per topic for coverage; low-PR isolates are
+    * outliers q129 flags geometrically). PageRank IS a dominant-
+    * eigenvector computation (of the Google matrix), so the module's
+    * q177 discipline applies unchanged: all-integer updates
+    * (positive values — DIV is floor on both engines), fixed
+    * iteration count, oracle replays every step.
+    *
+    * Scale shape: edges are k·n rows (q155's bounded out-degree —
+    * at 100 TB the banded graph path feeds the same shape); each of
+    * the [[PrIters]] rounds is one src-keyed join + one dst-keyed
+    * partial-agg shuffle of the edge relation, both AQE-sized and
+    * unhinted. The rank relation is n rows — never collected; this
+    * operator is genuinely distributed (unlike q177's dim²-bounded
+    * driver step). Overflow: inflow < Σr ≈ n·2¹⁶, so 85·inflow
+    * crosses BIGINT near n ≈ 10⁹ nodes per partition-disjoint graph;
+    * past that, widen the damping to a shift (85/100 → 7/8 via `>>3`)
+    * or drop [[PrScale]]. */
+  def pagerankCentrality(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnGraphZone(s, dir)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val nodes = corpus(s, dir).select(col("vec_id").as("id"))
+    pagerankIterate(nodes, edges)
+      .select(col("id").as("vec_id"), col("r").as("pr_fp"))
+      .orderBy("vec_id")
+  }
+
+  /** The damped integer iteration on an arbitrary (id) / (src, dst)
+    * graph — exposed for SpectralSpec's synthetic-hub contract. */
+  private[graft] def pagerankIterate(nodes: DataFrame,
+                                     edges0: DataFrame): DataFrame = {
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val edges = edges0.join(deg, "src")
+    var ranks = nodes.select(col("id"), lit(PrScale).as("r"))
+    var it = 0
+    while (it < PrIters) {
+      val inflow = edges.join(ranks, edges("src") === ranks("id"))
+        .select(col("dst"), expr("r div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes
+        .join(inflow, nodes("id") === inflow("dst"), "left")
+        .select(col("id"),
+          (lit(PrBase) +
+            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+      it += 1
+    }
+    ranks
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** The q176 relation as DuckDB CTE body (shared by both oracles).
@@ -217,9 +279,27 @@ object Spectral {
          |  FROM w$k)""".stripMargin
     }.mkString(",\n")
 
+  /** The unrolled PageRank iteration CTEs (generated from
+    * [[PrIters]] — step count can never drift between engines). */
+  private def prIterSql: String =
+    (1 to PrIters).map { k =>
+      s"""f$k AS MATERIALIZED (
+         |  SELECT e.neighbor_id AS id,
+         |    CAST(sum(r.r // d.odeg) AS BIGINT) AS inflow
+         |  FROM edges e
+         |  JOIN r${k - 1} r ON r.id = e.query_id
+         |  JOIN deg d ON d.src = e.query_id
+         |  GROUP BY 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT n.id, $PrBase
+         |    + (85 * coalesce(f.inflow, CAST(0 AS BIGINT))) // 100 AS r
+         |  FROM nodes n LEFT JOIN f$k f ON f.id = n.id)""".stripMargin
+    }.mkString(",\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_embedding_covariance" -> (covarianceMatrix _),
-    "q177_pca_project" -> (pcaProject _))
+    "q177_pca_project" -> (pcaProject _),
+    "q180_pagerank_centrality" -> (pagerankCentrality _))
 
   val oracle: Map[String, String] = Map(
     "q176_embedding_covariance" ->
@@ -250,5 +330,16 @@ object Spectral {
          |FROM u JOIN v$PcaIters vv ON vv.d = u.d
          |JOIN embeddings e ON e.vec_id = u.vec_id
          |GROUP BY 1, 2 ORDER BY u.vec_id
+         |""".stripMargin,
+    "q180_pagerank_centrality" ->
+      s"""WITH ${Similarity.knnEdgesSql},
+         |nodes AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),
+         |deg AS MATERIALIZED (
+         |  SELECT query_id AS src, CAST(count(*) AS BIGINT) AS odeg
+         |  FROM edges GROUP BY 1),
+         |r0 AS MATERIALIZED (
+         |  SELECT id, CAST($PrScale AS BIGINT) AS r FROM nodes),
+         |$prIterSql
+         |SELECT id AS vec_id, r AS pr_fp FROM r$PrIters ORDER BY id
          |""".stripMargin)
 }

@@ -83,6 +83,37 @@ class SpectralSpec extends SparkSpec {
       graft.Tables.load(spark, sf(), "embeddings").count())
   }
 
+  test("pagerank: star-graph mass pools in the hub cycle; spokes tie") {
+    import spark.implicits._
+    // 9 spokes all point at node 0; node 0 points at node 1. The
+    // spokes' mass drains into the {0, 1} cycle (oscillating between
+    // them — the graph is near-periodic, so which of the two holds
+    // more after a FIXED iteration count is parity, not centrality);
+    // both must dominate every spoke, and the symmetric spokes tie.
+    val nodes = (0L to 9L).toDF("id")
+    val edges = ((1L to 9L).map(i => (i, 0L)) :+ (0L, 1L))
+      .toDF("src", "dst")
+    val pr = Spectral.pagerankIterate(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(0L) > pr(2L) && pr(1L) > pr(2L),
+      s"cycle must dominate spokes: $pr")
+    assert((2L to 9L).map(pr).toSet.size == 1, s"spokes must tie: $pr")
+    // spokes get no inflow at all: they sit exactly at the base
+    assert(pr(2L) == Spectral.PrBase)
+  }
+
+  test("pagerank: floors only lose mass, never mint it") {
+    val out = Spectral.pagerankCentrality(spark, sf()).collect()
+    val n = out.length
+    val total = out.map(_.getLong(1)).sum
+    // every node ≥ the damping base; total ≤ the started mass n·2¹⁶
+    assert(out.forall(_.getLong(1) >= Spectral.PrBase))
+    assert(total <= n * Spectral.PrScale, s"mass minted: $total")
+    // and the ranking differentiates (a constant vector means the
+    // iteration never propagated anything)
+    assert(out.map(_.getLong(1)).distinct.length > 1)
+  }
+
   test("q176 plan: one scan, no join (map-side pair expansion only)") {
     val plan = Spectral.covarianceMatrix(spark, sf())
       .queryExecution.executedPlan.toString
