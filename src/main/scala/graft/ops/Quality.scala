@@ -131,12 +131,108 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** q181: classifier calibration sweep — per-threshold confusion
+    * counts (and precision/recall) of the q154 linear quality score
+    * against the `lang = 'en'` proxy label: the curve a curation
+    * pipeline reads before picking the q154 keep-threshold (the
+    * CCNet/DCLM calibration step). Emits one row per occupied score
+    * bin: counts at that bin plus the cumulative TP/FP for the rule
+    * "keep iff score ≥ bin".
+    *
+    * Cross-engine arithmetic: the per-doc mean is binned through an
+    * OFFSET-POSITIVE integer division — token weights live in
+    * [−1000, 1000], so (w_sum + 1000·n)·100 ÷ n is a division of
+    * non-negatives, where Spark's truncating `div` and DuckDB's
+    * flooring `//` agree (the sign-safety rule the module's shift
+    * idiom exists for); re-centering by −100000 happens after. The
+    * bin domain is therefore a CONSTANT [−100000, 100000] — the
+    * cumulative window runs over the occupied-bin histogram (the
+    * q159 value-histogram rule), never over documents.
+    *
+    * Scale shape: one doc-keyed rollup (q154's own shape) + a
+    * constant-bounded histogram + one intentionally-unpartitioned
+    * window over it; totals ride a 1-row broadcast. */
+  def qualityRoc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = graft.text.CorpusStats.linearQuality(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"))
+    val lab = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        coalesce(col("lang") === "en", lit(false)).as("pos"))
+    val bins = score.join(lab, "doc_id")
+      .select(
+        (expr("((w_sum + 1000 * n_tokens) * 100) div n_tokens")
+          - lit(100000L)).as("thr_bin"),
+        col("pos"))
+      .groupBy(col("thr_bin"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    val tot = bins.agg(sum(col("np")).as("tp_all"),
+      sum(col("nn")).as("fp_all"))
+    // ≤ 200001 occupied bins: the one intentionally-unpartitioned
+    // window (q159/q160 tiny-window rule)
+    val w = Window.orderBy(col("thr_bin").desc)
+    bins
+      .withColumn("tp", sum(col("np")).over(w))
+      .withColumn("fp", sum(col("nn")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("thr_bin"), col("np"), col("nn"),
+        col("tp"), col("fp"),
+        (col("tp_all") - col("tp")).as("fn"),
+        (col("fp_all") - col("fp")).as("tn"),
+        (col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")).as("prec"),
+        (col("tp").cast("double") / col("tp_all").cast("double"))
+          .as("rec"))
+      .orderBy("thr_bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_dq_rules"   -> (dqRules _),
     "q166_curation_verdict" -> (curationVerdict _),
+    "q181_quality_roc" -> (qualityRoc _),
     "q132_fk_orphans" -> (fkOrphans _))
 
   val oracle: Map[String, String] = Map(
+    // same offset-positive binning; the doc-score subtree is the q154
+    // oracle's own spelling
+    "q181_quality_roc" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS tok
+        |  FROM documents),
+        |wt AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM tok),
+        |d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(wt) AS BIGINT) AS w_sum
+        |  FROM wt GROUP BY 1),
+        |lb AS (
+        |  SELECT doc_id, coalesce(lang = 'en', false) AS pos
+        |  FROM documents),
+        |b AS (
+        |  SELECT ((w_sum + 1000 * n_tokens) * 100) // n_tokens
+        |      - 100000 AS thr_bin, pos
+        |  FROM d JOIN lb USING (doc_id)),
+        |h AS (
+        |  SELECT thr_bin,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT thr_bin, np, nn,
+        |    CAST(sum(np) OVER (ORDER BY thr_bin DESC) AS BIGINT) AS tp,
+        |    CAST(sum(nn) OVER (ORDER BY thr_bin DESC) AS BIGINT) AS fp
+        |  FROM h),
+        |t AS (SELECT CAST(sum(np) AS BIGINT) AS tp_all,
+        |             CAST(sum(nn) AS BIGINT) AS fp_all FROM h)
+        |SELECT thr_bin, np, nn, tp, fp,
+        |  tp_all - tp AS fn, fp_all - fp AS tn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+        |  CAST(tp AS DOUBLE) / CAST(tp_all AS DOUBLE) AS rec
+        |FROM c CROSS JOIN t ORDER BY thr_bin""".stripMargin,
     // the three signals' EXISTING oracle strings embedded verbatim as
     // subqueries — the composition cannot drift from its parts
     "q166_curation_verdict" ->

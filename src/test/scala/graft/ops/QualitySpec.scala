@@ -75,4 +75,30 @@ class QualitySpec extends SparkSpec {
         (lin(id) && !rep(id) && !blo(id)), s"verdict drifted at $id")
     }
   }
+
+  test("q181 ROC: cumulative counts are monotone and conserve totals") {
+    val rows = Quality.qualityRoc(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.Tables.load(spark, sf(), "documents").count()
+    // per-bin counts sum to the corpus; every doc lands in one bin
+    assert(rows.map(r => r.getAs[Long]("np") + r.getAs[Long]("nn")).sum
+      == nDocs)
+    // rows come back ordered by thr_bin ASC ⇒ tp/fp (counts at ≥ thr)
+    // must be non-increasing in thr, i.e. non-increasing when walking
+    // the rows in reverse
+    val tps = rows.map(_.getAs[Long]("tp"))
+    val fps = rows.map(_.getAs[Long]("fp"))
+    assert(tps.zip(tps.tail).forall { case (lo, hi) => lo >= hi },
+      "tp must shrink as the threshold rises")
+    assert(fps.zip(fps.tail).forall { case (lo, hi) => lo >= hi },
+      "fp must shrink as the threshold rises")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == tps.head)
+      assert(r.getAs[Long]("fp") + r.getAs[Long]("tn") == fps.head)
+      val rec = r.getAs[Double]("rec")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the loosest threshold keeps everything
+    assert(tps.head + fps.head == nDocs)
+  }
 }
