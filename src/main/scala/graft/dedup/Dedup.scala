@@ -734,6 +734,35 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
 
+  /** q182: duplicate-cluster size distribution + corpus dedup ratio —
+    * the observability report a dedup run is judged by (how much of
+    * the corpus is clones, and in what family shapes: a few giant
+    * template families vs a long tail of near-pairs drive different
+    * cap/threshold tuning). One row per occupied cluster size, with
+    * the corpus-wide duplicate count and ratio as report constants.
+    *
+    * Scale shape: the memoized label zone → one cluster-keyed
+    * partial-agg count → a histogram bounded by the LARGEST family
+    * size (never corpus-sized) → 1-row broadcast totals. Nothing
+    * here re-derives pairs or closure — it is a pure consumer of the
+    * q98 zone (the ≥3-consumer materialize rule keeps paying). */
+  def clusterHistogram(s: SparkSession, dir: String): DataFrame = {
+    val sz = clusterLabels(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+    val h = sz.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val tot = h.agg(
+      sum(col("cluster_size") * col("n_clusters")).as("total_docs"),
+      sum((col("cluster_size") - 1) * col("n_clusters")).as("dup_docs"))
+    h.crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        col("dup_docs"),
+        (col("dup_docs").cast("double") /
+          col("total_docs").cast("double")).as("dedup_ratio"))
+      .orderBy("cluster_size")
+  }
+
   /** INCREMENTAL cluster maintenance: fold a batch of NEW edges into
     * an existing (id, label) table without recomputing the graph —
     * the 100 TB ingest path, where clusters must absorb each
@@ -1056,7 +1085,8 @@ object Dedup {
       simhashPairs(s, d, hash = Md5Prefix)),
     "q115_delta_neardup" -> ((s: SparkSession, d: String) =>
       minhashDeltaPairs(s, d, hash = Md5Prefix)),
-    "q98_dedup_clusters" -> (dedupClusters _))
+    "q98_dedup_clusters" -> (dedupClusters _),
+    "q182_cluster_histogram" -> (clusterHistogram _))
 
   /** The q36 pair derivation as a bare SQL body — shared by the q36
     * oracle and q98's recursive-CTE clustering oracle so the two can
@@ -1224,6 +1254,29 @@ object Dedup {
     "q36_jaccard_pairs" ->
       (JaccardPairsSql + "\nORDER BY id1, id2"),
     "q98_dedup_clusters" -> ClustersOracleSql,
+    // the q98 label fixpoint wrapped as a subquery (one spelling),
+    // folded to the size histogram + corpus dedup ratio
+    "q182_cluster_histogram" ->
+      s"""WITH lab AS MATERIALIZED (
+         |  SELECT * FROM ($ClustersOracleSql) t),
+         |sz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM lab GROUP BY 1),
+         |h AS (
+         |  SELECT sz AS cluster_size,
+         |    CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM sz GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(sum(cluster_size * n_clusters) AS BIGINT)
+         |      AS total_docs,
+         |    CAST(sum((cluster_size - 1) * n_clusters) AS BIGINT)
+         |      AS dup_docs
+         |  FROM h)
+         |SELECT cluster_size, n_clusters,
+         |  cluster_size * n_clusters AS n_docs, dup_docs,
+         |  CAST(dup_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)
+         |    AS dedup_ratio
+         |FROM h CROSS JOIN t ORDER BY cluster_size""".stripMargin,
     // the incremental fold must land EXACTLY on the full-graph
     // fixpoint — same oracle as q98, different Spark path
     "q144_incremental_clusters" -> ClustersOracleSql,

@@ -344,4 +344,23 @@ class DedupSpec extends SparkSpec {
       s"false pair involving the disjoint doc: $pairs")
   }
 
+  test("q182 histogram is the exact fold of the q98 labels") {
+    val labels = Dedup.dedupClusters(spark, sf()).collect()
+      .groupBy(_.getAs[Long]("cluster_id")).map(_._2.length.toLong)
+    val expected = labels.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val h = Dedup.clusterHistogram(spark, sf()).collect()
+    val got = h.map(r => r.getAs[Long]("cluster_size") ->
+      r.getAs[Long]("n_clusters")).toMap
+    assert(got == expected, s"histogram drifted: $got vs $expected")
+    val nDocs = labels.sum
+    h.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("dup_docs") == nDocs - labels.size)
+      val ratio = r.getAs[Double]("dedup_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+    }
+  }
+
 }
