@@ -359,6 +359,70 @@ object Streams {
       .toDF("source", "token", "weight")
   }
 
+  /** Streaming distinct-cardinality monitor — the q179 HyperLogLog
+    * registers maintained ACROSS micro-batches per source: each
+    * batch's 3-gram shingle hashes fold into the keyed 64-register
+    * state by elementwise max — EXACTLY the HLL merge, so the
+    * stream-final sketch is bit-identical to the batch q179 sketch
+    * over the same documents regardless of how the stream was
+    * split into batches (asserted in StreamsSpec). State per key is
+    * 64 longs, forever; each batch emits the source's current
+    * (n_regs_hit, z_scaled, est_distinct) in the q179 derivation.
+    *
+    * Shingling/hashing mirrors the batch operator exactly:
+    * [[graft.util.Tokens.whitespace]]'s split class, 3-grams joined
+    * by single spaces, [[graft.functions.Md5Prefix60]] over UTF-8
+    * bytes — the cross-engine/cross-mode discipline. */
+  def hllDistinctStream(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = 64
+    def fold(regs: Array[Long], text: String): Array[Long] = {
+      // EXACT mirror of Tokens.whitespace: Spark SQL `trim` strips
+      // the space character only (Java's String#trim strips all
+      // ≤ U+0020 — a drift the gate would catch), and Spark `split`
+      // runs with limit −1 (trailing empties preserved)
+      val t = Option(text).getOrElse("")
+        .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val w = t.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+      if (w.length >= 3) {
+        var i = 0
+        while (i <= w.length - 3) {
+          val h = graft.functions.Md5Prefix60.hash(
+            s"${w(i)} ${w(i + 1)} ${w(i + 2)}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val reg = (h % m).toInt
+          val pay = h >>> 6
+          val rank =
+            if (pay == 0L) 55L
+            else 55L - (64 - java.lang.Long.numberOfLeadingZeros(pay))
+          if (rank > regs(reg)) regs(reg) = rank
+          i += 1
+        }
+      }
+      regs
+    }
+    docs.select(col("source"), col("text")).as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (String, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, String)],
+         state: GroupState[Array[Long]]) =>
+          val regs = rows.foldLeft(
+            state.getOption.getOrElse(Array.fill(m)(0L))) {
+            (r, row) => fold(r, row._2)
+          }
+          state.update(regs)
+          val hit = regs.count(_ > 0L).toLong
+          val z = regs.map(r => 1L << (55 - r)).sum
+          val est = 0.709 * (m.toLong * m).toDouble *
+            (1L << 55).toDouble / z.toDouble
+          Iterator.single((src, hit, z, est))
+      }
+      .toDF("source", "n_regs_hit", "z_scaled", "est_distinct")
+  }
+
   /** Streaming blocklist admission — the q157 bloom scrub applied at
     * ingest time: the (static, batch-built) blocklist folds into the
     * 128-word bloom array ONCE on the driver and rides into the

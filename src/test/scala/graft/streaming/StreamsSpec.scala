@@ -414,4 +414,39 @@ class StreamsSpec extends SparkSpec {
       (h0 + 8 * 3600000L, "click", 1L, 1.0)))
   }
 
+  test("streaming HLL final state ≡ batch q179 sketch, any batch split") {
+    val in = Files.createTempDirectory("hll_in").toString
+    val ckpt = Files.createTempDirectory("hll_ckpt").toString
+    // the REAL corpus, streamed as 3 arbitrary micro-batches
+    graft.Tables.load(spark, sf(), "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .repartition(3)
+      .write.mode("overwrite").json(in)
+    val docSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    val stream = Streams.rateLimitedStream(spark, in, docSchema,
+      maxFilesPerTrigger = 1)
+    val out = Streams.hllDistinctStream(stream)
+    val q = out.writeStream.format("memory").queryName("hll")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // final emission per source = min z_scaled (registers only fill:
+    // z is monotone non-increasing as state accumulates)
+    val got = spark.table("hll").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_regs_hit"),
+        r.getAs[Long]("z_scaled"), r.getAs[Double]("est_distinct")))
+      .groupBy(_._1).map { case (_, rows) => rows.minBy(_._3) }.toSet
+    val batch = graft.text.Sketches.hllDistinct(spark, sf()).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_regs_hit"),
+        r.getAs[Long]("z_scaled"), r.getAs[Double]("est_distinct")))
+      .toSet
+    assert(got == batch,
+      s"stream-final sketch drifted from batch:\n$got\nvs\n$batch")
+  }
+
 }
