@@ -206,6 +206,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q180/q182: graph/report consumers carry no strategy hints either") {
+    // same discipline extended to the round-12 additions: PageRank's
+    // per-iteration rank joins and the histogram's totals must be
+    // free to degrade to shuffle joins as the corpus grows (the
+    // histogram's 1-row totals crossJoin(broadcast) is a CONSTANT
+    // relation — the one legal hint class, same as q160's)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val pr = graft.sim.Spectral.pagerankCentrality(spark, sf())
+    val hinted = pr.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined) => j.hint.toString
+    }
+    assert(hinted.isEmpty, s"strategy hints in q180 plan: $hinted")
+  }
+
+  test("q178: the KMV sketch rides partial aggregation, not a collect") {
+    // the typed Aggregator must plan as a two-phase object hash
+    // aggregate (map-side shrink → merge) — the mergeable-summary
+    // shape that makes the sketch affordable at any scale
+    val plan = graft.text.Sketches.kmvDistinct(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected object hash aggregate phases for the udaf:\n$plan")
+  }
+
   test("q119: one key-partitioned window, no global sort before it") {
     val plan = planOf("q119_forward_fill")
     val windows = "windowspecdefinition\\(([^,]*)".r

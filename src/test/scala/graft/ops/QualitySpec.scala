@@ -63,9 +63,11 @@ class QualitySpec extends SparkSpec {
     val rep = graft.text.CorpusStats.repetitionFilter(spark, sf())
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Boolean]("flagged")).toMap
+    // the verdict's "blocked" is the EXACT membership check, never
+    // the bloom probe (a false positive must not cost a document)
     val blo = Blocklist.bloomScrub(spark, sf())
       .collect().map(r => r.getAs[Long]("doc_id") ->
-        r.getAs[Boolean]("bloom_hit")).toMap
+        r.getAs[Boolean]("true_member")).toMap
     assert(verdict.nonEmpty && verdict.size == lin.size)
     verdict.foreach { case (id, r) =>
       assert(r.getAs[Boolean]("keep_quality") == lin(id))
