@@ -128,6 +128,30 @@ object CurateDemo {
         s"$shardToks tokens")
       graft.text.CorpusStats.lengthQuantiles(spark, out)
         .show(5, truncate = false)
+
+      // observability epilogue — the round-12 report operators, run
+      // the way an operator on call would read them:
+      // how much of the RAW corpus was clones, and in what shapes
+      println("dedup report (raw corpus):")
+      Dedup.clusterHistogram(spark, sfDir).show(5, truncate = false)
+      // distinct-shingle cardinality of the CURATED zone, sketch vs
+      // exact witness (the dashboard number that stays affordable
+      // when the exact count no longer is)
+      println("curated-zone distinct shingles (KMV sketch vs exact):")
+      graft.text.Sketches.kmvDistinct(spark, out)
+        .select("source", "n_exact", "est_distinct", "within_bound")
+        .show(5, truncate = false)
+      // classifier calibration: the threshold an operator would pick
+      // (max F1 over the q181 sweep)
+      val roc = graft.ops.Quality.qualityRoc(spark, sfDir).collect()
+      val best = roc.maxBy { r =>
+        val p = r.getAs[Double]("prec"); val rc = r.getAs[Double]("rec")
+        if (p.isNaN || p + rc == 0) -1.0 else 2 * p * rc / (p + rc)
+      }
+      println(s"q154 calibration: best-F1 threshold bin " +
+        s"${best.getAs[Long]("thr_bin")} " +
+        s"(prec ${best.getAs[Double]("prec")}, " +
+        s"rec ${best.getAs[Double]("rec")})")
     } finally spark.stop()
   }
 }
