@@ -78,13 +78,19 @@ object Sketches {
     * the WHOLE distinct set, so the estimate degrades to the exact
     * count — the standard KMV small-set rule, spelled identically in
     * both engines. */
-  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+  /** The per-source (mins, n_exact) sketch relation — shared by q178
+    * and q183 (the sketches compose; the derivation must not fork). */
+  private def kmvRelation(s: SparkSession, dir: String): DataFrame = {
     val kmv = udaf(new graft.functions.KmvSketch(KmvK),
       org.apache.spark.sql.Encoders.scalaLong)
     shingleHashes(s, dir)
       .groupBy(col("source"))
       .agg(kmv(col("h")).as("mins"),
         countDistinct(col("h")).as("n_exact"))
+  }
+
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    kmvRelation(s, dir)
       .select(col("source"),
         size(col("mins")).cast("long").as("n_sketch"),
         element_at(col("mins"), size(col("mins"))).as("kth_min"),
@@ -142,6 +148,64 @@ object Sketches {
       .orderBy("source")
   }
 
+  /** q183: pairwise source Jaccard from COMPOSED KMV sketches — the
+    * 100 TB spelling of "which sources share content" (q139 answers
+    * it doc-exactly; this answers it from per-source constant-size
+    * state): for sources a, b the union sketch is the merge of their
+    * bottom-k sketches (k smallest of A ∪ B — again a pure set
+    * function), and the fraction of union-sketch values present in
+    * BOTH sketches is the standard bottom-k Jaccard estimator
+    * (Broder's minwise resemblance, one-permutation bottom-k form).
+    * Exact Jaccard rides as the witness (inclusion–exclusion over
+    * the distinct-hash relation — gate-affordable, droppable at
+    * scale); the bound is ABSOLUTE (4·√(¼/k) = 0.25): resemblance
+    * concentration is additive, not relative.
+    *
+    * Scale shape: the sketch relation is |sources| rows of ≤ k longs
+    * — the pair join is sketch×sketch, never corpus-keyed; all array
+    * ops are bounded by 2k. The exact witness is the only
+    * corpus-keyed work (distinct-hash self-join on h). */
+  def kmvSourceJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sk = kmvRelation(s, dir).select(col("source"), col("mins"))
+    val pairs = sk.select(col("source").as("source_a"),
+        col("mins").as("ma"))
+      .join(sk.select(col("source").as("source_b"), col("mins").as("mb")),
+        col("source_a") < col("source_b"))
+      .withColumn("u",
+        expr(s"slice(array_sort(array_distinct(concat(ma, mb))), 1, $KmvK)"))
+      .withColumn("n_union_sketch", size(col("u")).cast("long"))
+      .withColumn("n_shared_sketch",
+        size(expr("filter(u, x -> array_contains(ma, x) AND " +
+          "array_contains(mb, x))")).cast("long"))
+      .withColumn("est_jaccard",
+        col("n_shared_sketch").cast("double") /
+          col("n_union_sketch").cast("double"))
+    val dh = shingleHashes(s, dir).distinct()
+    val sizes = dh.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val inter = dh.select(col("source").as("source_a"), col("h"))
+      .join(dh.select(col("source").as("source_b"), col("h")),
+        Seq("h"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("nd").as("na")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("nd").as("nb")),
+        "source_b")
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("exact_jaccard",
+        col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .withColumn("within_bound",
+        abs(col("est_jaccard") - col("exact_jaccard")) <= lit(0.25))
+      .select(col("source_a"), col("source_b"), col("n_union_sketch"),
+        col("n_shared_sketch"), col("est_jaccard"),
+        col("exact_jaccard"), col("within_bound"))
+      .orderBy("source_a", "source_b")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** The (source, h) relation in DuckDB — mirrors [[shingleHashes]]
@@ -159,7 +223,8 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_kmv_distinct" -> (kmvDistinct _),
-    "q179_hll_distinct" -> (hllDistinct _))
+    "q179_hll_distinct" -> (hllDistinct _),
+    "q183_kmv_source_jaccard" -> (kmvSourceJaccard _))
 
   val oracle: Map[String, String] = Map(
     "q178_kmv_distinct" ->
@@ -216,5 +281,52 @@ object Sketches {
          |    <= ${4.0 * 1.04 / math.sqrt(HllM.toDouble)}
          |      * CAST(n_exact AS DOUBLE) AS within_bound
          |FROM est ORDER BY source
+         |""".stripMargin,
+    "q183_kmv_source_jaccard" ->
+      s"""WITH $tokSql,
+         |dh AS MATERIALIZED (SELECT DISTINCT source, h FROM tok),
+         |rk AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+         |  FROM dh),
+         |sk AS MATERIALIZED (
+         |  SELECT source, list(h ORDER BY h) AS mins
+         |  FROM rk WHERE r <= $KmvK GROUP BY 1),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    a.mins AS ma, b.mins AS mb,
+         |    list_sort(list_distinct(a.mins || b.mins))[1:$KmvK] AS u0
+         |  FROM sk a JOIN sk b ON a.source < b.source),
+         |p2 AS (
+         |  SELECT source_a, source_b,
+         |    CAST(len(u0) AS BIGINT) AS n_union_sketch,
+         |    CAST(len([x for x in u0 IF
+         |      list_contains(ma, x) AND list_contains(mb, x)])
+         |      AS BIGINT) AS n_shared_sketch
+         |  FROM p),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+         |       FROM dh GROUP BY 1),
+         |iv AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM dh a JOIN dh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |f AS (
+         |  SELECT p2.source_a, p2.source_b, n_union_sketch,
+         |    n_shared_sketch,
+         |    CAST(n_shared_sketch AS DOUBLE)
+         |      / CAST(n_union_sketch AS DOUBLE) AS est_jaccard,
+         |    CAST(coalesce(n_inter, 0) AS DOUBLE)
+         |      / CAST(sa.nd + sb.nd - coalesce(n_inter, 0) AS DOUBLE)
+         |      AS exact_jaccard
+         |  FROM p2
+         |  JOIN sz sa ON sa.source = p2.source_a
+         |  JOIN sz sb ON sb.source = p2.source_b
+         |  LEFT JOIN iv ON iv.source_a = p2.source_a
+         |    AND iv.source_b = p2.source_b)
+         |SELECT source_a, source_b, n_union_sketch, n_shared_sketch,
+         |  est_jaccard, exact_jaccard,
+         |  abs(est_jaccard - exact_jaccard) <= 0.25 AS within_bound
+         |FROM f ORDER BY source_a, source_b
          |""".stripMargin)
 }

@@ -59,6 +59,43 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - n) < 0.4 * n, s"est $est vs $n")
   }
 
+  test("kmv jaccard estimator tracks truth on planted overlaps") {
+    // two synthetic 2000-element sets with known 50% overlap, hashed
+    // like the operator hashes shingles
+    def hset(tag: String, n: Int): Seq[Long] = Seq.tabulate(n) { i =>
+      new java.math.BigInteger(
+        1, java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$tag$i".getBytes)).shiftRight(68).longValueExact()
+    }
+    val shared = hset("s", 1000)
+    val a = shared ++ hset("a", 1000)
+    val b = shared ++ hset("b", 1000)
+    val k = new KmvSketch(64)
+    val ska = a.foldLeft(k.zero)(k.reduce)
+    val skb = b.foldLeft(k.zero)(k.reduce)
+    val union = k.merge(ska, skb) // k smallest of A ∪ B
+    val inBoth = union.count(v => ska.contains(v) && skb.contains(v))
+    val est = inBoth.toDouble / union.length
+    val truth = 1000.0 / 3000.0
+    assert(math.abs(est - truth) <= 0.25, s"est $est vs $truth")
+    // and the disjoint control estimates (near) zero
+    val skc = hset("c", 2000).foldLeft(k.zero)(k.reduce)
+    val u2 = k.merge(ska, skc)
+    assert(u2.count(v => ska.contains(v) && skc.contains(v)) == 0)
+  }
+
+  test("q183 witnesses hold at spec SF; pairs cover all sources") {
+    val rows = Sketches.kmvSourceJaccard(spark, sf()).collect()
+    val nSrc = graft.Tables.load(spark, sf(), "documents")
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"), s"bound broken: $r")
+      val e = r.getAs[Double]("est_jaccard")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+  }
+
   test("q178/q179 witnesses hold at spec SF and schemas agree") {
     val kmv = Sketches.kmvDistinct(spark, sf()).collect()
     val hll = Sketches.hllDistinct(spark, sf()).collect()
