@@ -283,16 +283,65 @@ object KMeans {
          |WHERE rk.pick_rank <= al.alloc
          |ORDER BY rk.cluster, rk.pick_rank""".stripMargin
 
+  /** Per-topic outlier shortlist size of [[farthestPerTopic]]. */
+  val FarthestK = 10
+
+  /** q184: per-topic outlier shortlist — the [[FarthestK]] vectors
+    * FARTHEST from their assigned centroid in each topic: the
+    * embedding-QA review queue ("show me the 10 weirdest items per
+    * topic" — mislabeled/garbled/out-of-domain members land here),
+    * the geometric complement of q129's numeric z-scores. A
+    * rank-based shortlist, deliberately not a mean-multiple flag: on
+    * near-uniform-shell embedding distributions (this corpus:
+    * max dist²/mean ≈ 1.11) no fixed multiple separates anything,
+    * while the farthest-k queue is non-degenerate on EVERY
+    * distribution.
+    *
+    * Scale shape: pure consumer of the memoized assignment zone
+    * (q173's derivation runs once per application); selection runs
+    * on the [[graft.plans.TopK]] heap operator — per-partition
+    * k-heaps keyed by cluster, never a corpus-wide window (the q103
+    * skew argument); the display rank is a window over the ≤ K·k
+    * selected rows (the q174 tiny-window rule). */
+  def farthestPerTopic(s: SparkSession, dir: String): DataFrame = {
+    val picked = graft.plans.TopK.topKPerGroup(
+      assignZone(s, dir), Seq("cluster"), orderCol = "dist2",
+      tieCol = "vec_id", k = FarthestK)
+    picked.withColumn("rank",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))
+          .orderBy(col("dist2").desc, col("vec_id"))))
+      .select(col("cluster"), col("vec_id"), col("dist2"), col("rank"))
+      .orderBy("cluster", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_kmeans_topics" -> ((s: SparkSession, d: String) =>
       kmeansTopics(s, d)),
     "q174_cluster_mix" -> ((s: SparkSession, d: String) =>
-      clusterMix(s, d)))
+      clusterMix(s, d)),
+    "q184_farthest_per_topic" -> ((s: SparkSession, d: String) =>
+      farthestPerTopic(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q173_kmeans_topics" -> (kmeansOracleSql +
       """
         |SELECT vec_id, cid AS cluster, d2 AS dist2
         |FROM af WHERE rn = 1 ORDER BY vec_id""".stripMargin),
-    "q174_cluster_mix" -> clusterMixOracleSql)
+    "q174_cluster_mix" -> clusterMixOracleSql,
+    // same k-means CTE prefix; the heap operator's (dist2 DESC,
+    // vec_id ASC) contract replayed as a window rank
+    "q184_farthest_per_topic" -> (kmeansOracleSql +
+      s"""
+        |, asg AS (
+        |  SELECT vec_id, cid AS cluster, d2 FROM af WHERE rn = 1),
+        |rk AS (
+        |  SELECT cluster, vec_id, d2 AS dist2,
+        |    CAST(row_number() OVER (PARTITION BY cluster
+        |      ORDER BY d2 DESC, vec_id) AS INTEGER) AS rank
+        |  FROM asg)
+        |SELECT cluster, vec_id, dist2, rank FROM rk
+        |WHERE rank <= $FarthestK
+        |ORDER BY cluster, rank""".stripMargin))
 }

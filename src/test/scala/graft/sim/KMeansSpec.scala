@@ -106,4 +106,25 @@ class KMeansSpec extends SparkSpec {
       assert(rows.forall(_.getLong(2) == 0L))
     }
   }
+
+  test("q184 shortlist is exactly the per-topic farthest-k by rank") {
+    val out = KMeans.farthestPerTopic(spark, sf()).collect()
+    val asg = KMeans.kmeansTopics(spark, sf()).collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getLong(2)))
+    // reference: per cluster, (dist2 DESC, vec_id ASC) top-k
+    val expected = asg.groupBy(_._1).toSeq.flatMap { case (c, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(KMeans.FarthestK)
+        .zipWithIndex.map { case ((_, id, d2), i) => (c, id, d2, i + 1) }
+        .toSeq
+    }.toSet
+    val got = out.map(r => (r.getAs[Int]("cluster"),
+      r.getAs[Long]("vec_id"), r.getAs[Long]("dist2"),
+      r.getAs[Int]("rank"))).toSet
+    assert(got == expected, s"shortlist drifted")
+    // every cluster contributes, none exceeds k
+    val perC = out.groupBy(_.getAs[Int]("cluster")).view
+      .mapValues(_.length).toMap
+    assert(perC.values.forall(_ <= KMeans.FarthestK))
+    assert(perC.keySet == asg.map(_._1).toSet)
+  }
 }
