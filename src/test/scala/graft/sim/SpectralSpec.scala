@@ -114,6 +114,17 @@ class SpectralSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).distinct.length > 1)
   }
 
+  test("pca guards the centered-covariance overflow ceiling loudly") {
+    val tooBig = Spectral.CovMaxN + 1
+    val rows = for (i <- 0 until Spectral.Dim; j <- i until Spectral.Dim)
+      yield (i, j, tooBig, 0L, 0L, if (i == j) 1L else 0L)
+    val e = intercept[IllegalArgumentException] {
+      Spectral.powerIterate(rows)
+    }
+    assert(e.getMessage.contains("per-shard decimal"),
+      s"guard must explain the escape hatch: ${e.getMessage}")
+  }
+
   test("q176 plan: one scan, no join (map-side pair expansion only)") {
     val plan = Spectral.covarianceMatrix(spark, sf())
       .queryExecution.executedPlan.toString
