@@ -982,11 +982,91 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q185: trigram stupid-backoff scoring — the production n-gram LM
+    * shape above q172's bigram (Brants et al. 2007, "Large Language
+    * Models in Machine Translation": no normalization, no discounting
+    * — when the trigram is unseen, back off a level and pay a fixed
+    * penalty). Integer-bits flavor of the module's float-free gate
+    * discipline: score per position is
+    *   bits(c(x₁x₂)) − bits(c(x₁x₂y))            trigram seen
+    *   2 + bits(c(x₂)) − bits(c(x₂y))            bigram backoff
+    *   4 + bits(T) − bits(c(y))                   unigram backoff
+    *   4 + bits(T)                                OOV
+    * (2 bits per backoff level ≈ α = ¼; every arm is non-negative so
+    * the doc mean is one positive IEEE division, the q172 contract).
+    * Trigram context counts derive FROM the trigram relation
+    * (Σ over y), bigram/unigram from the adjacent-pair relation —
+    * each model level is one partial agg over the en slice.
+    *
+    * Scale shape: grams stream from the span-tokens zone; model
+    * joins are gram-keyed and UNHINTED (corpus-growing — the
+    * q151/q172 discipline); T rides a 1-row broadcast; per-doc
+    * reduce is one integer rollup. Coverage: every ≥3-token doc. */
+  def trigramLm(s: SparkSession, dir: String): DataFrame = {
+    val zone = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+    val langs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val base = zone.join(langs, "doc_id")
+    val tg = base.where(size(col("w")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 3), " +
+          "i -> struct(w[i] AS x1, w[i + 1] AS x2, w[i + 2] AS y))"))
+        .as("t"))
+      .select(col("doc_id"), col("lang"), col("t.x1").as("x1"),
+        col("t.x2").as("x2"), col("t.y").as("y"))
+    val bgEn = base.where(col("lang") === "en" && size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS x, w[i + 1] AS y))")).as("b"))
+      .select(col("b.x").as("bx"), col("b.y").as("by"))
+    val c3 = tg.where(col("lang") === "en")
+      .groupBy(col("x1"), col("x2"), col("y"))
+      .agg(count(lit(1)).as("cxyz"))
+    val cctx = c3.groupBy(col("x1"), col("x2"))
+      .agg(sum(col("cxyz")).as("cctx"))
+    val c2m = bgEn.groupBy(col("bx"), col("by"))
+      .agg(count(lit(1)).as("cxy"))
+    val c1 = c2m.groupBy(col("bx")).agg(sum(col("cxy")).as("cx"))
+    val cu = c2m.groupBy(col("by")).agg(sum(col("cxy")).as("cy"))
+    val t = cu.agg(sum(col("cy")).as("tt"))
+    tg.join(c3, Seq("x1", "x2", "y"), "left")
+      .join(cctx, Seq("x1", "x2"), "left")
+      .join(c2m, col("x2") === col("bx") && col("y") === col("by"),
+        "left")
+      .join(c1.select(col("bx").as("cbx"), col("cx")),
+        col("x2") === col("cbx"), "left")
+      .join(cu.select(col("by").as("uby"), col("cy")),
+        col("y") === col("uby"), "left")
+      .crossJoin(broadcast(t))
+      .select(col("doc_id"), col("lang"), expr(
+        """CAST(CASE
+          |  WHEN cxyz IS NOT NULL
+          |    THEN length(bin(cctx)) - length(bin(cxyz))
+          |  WHEN cxy IS NOT NULL
+          |    THEN 2 + length(bin(cx)) - length(bin(cxy))
+          |  WHEN cy IS NOT NULL
+          |    THEN 4 + length(bin(tt)) - length(bin(cy))
+          |  ELSE 4 + length(bin(tt)) END AS BIGINT)""".stripMargin)
+        .as("bits"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("lang"), col("n_trigrams"),
+        col("sum_bits"),
+        (col("sum_bits") / col("n_trigrams")).as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_dsir_weights" -> ((s: SparkSession, d: String) =>
       dsirWeights(s, d)),
     "q172_bigram_lm" -> ((s: SparkSession, d: String) =>
       bigramLm(s, d)),
+    "q185_trigram_backoff" -> ((s: SparkSession, d: String) =>
+      trigramLm(s, d)),
     "q153_ict_pairs" -> ((s: SparkSession, d: String) =>
       ictPairs(s, d)),
     "q149_repetition_filter" -> ((s: SparkSession, d: String) =>
@@ -1112,6 +1192,57 @@ object CorpusStats {
         |  LEFT JOIN c1 ON bg.x = c1.x
         |  CROSS JOIN v)
         |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+        |  CAST(sum(bits) AS BIGINT) / CAST(count(*) AS BIGINT)
+        |    AS mean_bits
+        |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    "q185_trigram_backoff" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, lang,
+        |    unnest([{'x1': w[i+1], 'x2': w[i+2], 'y': w[i+3]}
+        |      for i in range(0, len(w) - 2)], recursive := true)
+        |  FROM d WHERE len(w) >= 3),
+        |bg AS (
+        |  SELECT unnest([{'bx': w[i+1], 'by': w[i+2]}
+        |      for i in range(0, len(w) - 1)], recursive := true)
+        |  FROM d WHERE lang = 'en' AND len(w) >= 2),
+        |c3 AS (
+        |  SELECT x1, x2, y, CAST(count(*) AS BIGINT) AS cxyz
+        |  FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+        |cctx AS (
+        |  SELECT x1, x2, CAST(sum(cxyz) AS BIGINT) AS cctx
+        |  FROM c3 GROUP BY 1, 2),
+        |c2m AS (
+        |  SELECT bx, by, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT bx, CAST(sum(cxy) AS BIGINT) AS cx
+        |       FROM c2m GROUP BY 1),
+        |cu AS (SELECT by, CAST(sum(cxy) AS BIGINT) AS cy
+        |       FROM c2m GROUP BY 1),
+        |t AS (SELECT CAST(sum(cy) AS BIGINT) AS tt FROM cu),
+        |sc AS (
+        |  SELECT tg.doc_id, tg.lang,
+        |    CAST(CASE
+        |      WHEN c3.cxyz IS NOT NULL
+        |        THEN length(bin(cctx.cctx)) - length(bin(c3.cxyz))
+        |      WHEN c2m.cxy IS NOT NULL
+        |        THEN 2 + length(bin(c1.cx)) - length(bin(c2m.cxy))
+        |      WHEN cu.cy IS NOT NULL
+        |        THEN 4 + length(bin(t.tt)) - length(bin(cu.cy))
+        |      ELSE 4 + length(bin(t.tt)) END AS BIGINT) AS bits
+        |  FROM tg
+        |  LEFT JOIN c3 ON tg.x1 = c3.x1 AND tg.x2 = c3.x2
+        |    AND tg.y = c3.y
+        |  LEFT JOIN cctx ON tg.x1 = cctx.x1 AND tg.x2 = cctx.x2
+        |  LEFT JOIN c2m ON tg.x2 = c2m.bx AND tg.y = c2m.by
+        |  LEFT JOIN c1 ON tg.x2 = c1.bx
+        |  LEFT JOIN cu ON tg.y = cu.by
+        |  CROSS JOIN t)
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_trigrams,
         |  CAST(sum(bits) AS BIGINT) AS sum_bits,
         |  CAST(sum(bits) AS BIGINT) / CAST(count(*) AS BIGINT)
         |    AS mean_bits

@@ -49,4 +49,29 @@ class ModelScoreSpec extends SparkSpec {
       .count()
     assert(n == eligible)
   }
+
+  test("q185: trigram backoff separates en harder than the bigram LM") {
+    def byLang(df: org.apache.spark.sql.DataFrame) =
+      withLang(df).groupBy(col("true_lang"))
+        .agg(avg(col("mean_bits")).as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val t = byLang(CorpusStats.trigramLm(spark, sf()))
+    (t.keySet - "en").foreach { l =>
+      assert(t("en") < t(l),
+        s"en mean_bits ${t("en")} must be below $l ${t(l)}")
+    }
+    // more context = a sharper in-language advantage: the en-vs-rest
+    // gap must not shrink relative to the bigram model
+    val b = byLang(CorpusStats.bigramLm(spark, sf()))
+    val gapT = (t - "en").values.min - t("en")
+    val gapB = (b - "en").values.min - b("en")
+    assert(gapT >= gapB * 0.8,
+      s"trigram gap $gapT collapsed vs bigram gap $gapB")
+    // coverage: every ≥3-token document
+    val n = CorpusStats.trigramLm(spark, sf()).count()
+    val eligible = Tables.load(spark, sf(), "documents")
+      .where(size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")) >= 3)
+      .count()
+    assert(n == eligible)
+  }
 }
