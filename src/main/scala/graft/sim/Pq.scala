@@ -188,6 +188,95 @@ object Pq {
       .orderBy("query_id", "rank")
   }
 
+  /** q188: IVF-routed PQ search — the full FAISS-style IVFPQ
+    * composition: the q173 k-means assignment is the coarse
+    * quantizer (cells), [[pqCodes]] the fine codes; a query routes
+    * to its `nProbe` nearest coarse centroids and ADC-scores ONLY
+    * those cells' members. Gate mode probes ALL cells, so the
+    * ranking is exactly [[pqSearch]]'s exhaustive ADC (the q53/q163
+    * probe-all ≡ brute contract, one level up the index stack);
+    * PqSpec measures the partial-probe (nProbe = 2) recall against
+    * the exhaustive ranking — the production dial.
+    *
+    * Scale shape: routing is NQueries·K integer dots map-side on the
+    * query relation; the candidate set is cell-pruned BEFORE any
+    * scoring (cells ride the assignment zone, codes the codes zone —
+    * an id-keyed join of two compact zones); everything downstream
+    * is q187's shape. At 100 TB the zones are co-partitioned by cell
+    * (q163's layout) and the join disappears into the scan. */
+  def ivfPqSearch(s: SparkSession, dir: String,
+                  nProbe: Int = KMeans.K): DataFrame = {
+    val cents = codebooks(s, dir)
+    val fz = KMeans.fixedZone(s, dir)
+    // final coarse centroids: re-derive deterministically the same
+    // way assignZone's fit does (bounded driver fold, memo-backed
+    // assignment zone supplies the cells themselves)
+    val coarse = coarseCentroids(s, dir)
+    val coarseD = coarse.zipWithIndex.map { case (c, j) =>
+      val cl = array(c.toSeq.map(x => lit(x)): _*)
+      aggregate(zip_with(col("q"), cl, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, e) => acc + e).as(s"cd$j")
+    }
+    val lutCols = (0 until M).map { m =>
+      val sub = expr(s"slice(q, ${m * SubDim + 1}, $SubDim)")
+      array(cents(m).map { c =>
+        val cl = array(c.toSeq.map(x => lit(x)): _*)
+        aggregate(zip_with(sub, cl, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, e) => acc + e)
+      }: _*).as(s"lut$m")
+    }
+    val qRaw = fz.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id") +: col("q").as("qq") +:
+        (coarseD ++ lutCols): _*)
+    // probed cells: the nProbe nearest coarse ids (struct sort =
+    // distance asc, ties → lowest cell id)
+    val q = qRaw
+      .withColumn("cdarr",
+        array(coarse.indices.map(j => col(s"cd$j")): _*))
+      .withColumn("probe", expr(
+        s"slice(transform(array_sort(transform(" +
+          s"sequence(0, ${KMeans.K - 1}), " +
+          "j -> struct(element_at(cdarr, j + 1) AS d, j AS j))), " +
+          s"e -> e.j), 1, $nProbe)"))
+    val cells = KMeans.assignZone(s, dir)
+      .select(col("vec_id"), col("cluster"))
+    val adc = (0 until M).map(m =>
+      element_at(col(s"lut$m"), col(s"c$m") + 1)).reduce(_ + _)
+    val scored = codesZone(s, dir)
+      .join(cells, "vec_id")
+      .join(broadcast(q), col("vec_id") =!= col("query_id") &&
+        array_contains(col("probe"), col("cluster")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc_dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= SearchK)
+      .withColumn("n_cells_probed", lit(nProbe))
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist2"),
+        col("rank"), col("n_cells_probed"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The K coarse centroids after the q173 fit — the same driver
+    * fold `assignZone` runs, cached per zone key. */
+  private val coarseCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[Array[Long]]]()
+  private[sim] def coarseCentroids(s: SparkSession,
+                                   dir: String): Seq[Array[Long]] =
+    coarseCache.computeIfAbsent(
+      s"$dir:${KMeans.K}:${KMeans.Iters}:${KMeans.Fp}", { _ =>
+        val v = KMeans.fixedZone(s, dir)
+        val init: Seq[Array[Long]] = v.orderBy("vec_id")
+          .limit(KMeans.K).select(col("q")).collect().toSeq
+          .map(_.getSeq[Long](0).toArray)
+        (1 to KMeans.Iters).foldLeft(init) { (c, _) =>
+          KMeans.update(KMeans.assign(v, c), c)
+        }
+      })
+
   // ---------------------------------------------------------------- oracle
 
   /** One subspace's unrolled Lloyd chain (CTE names prefixed s{m}_),
@@ -274,7 +363,9 @@ object Pq {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_pq_codes" -> (pqCodes _),
-    "q187_pq_search" -> (pqSearch _))
+    "q187_pq_search" -> (pqSearch _),
+    "q188_ivfpq_search" -> ((s: SparkSession, d: String) =>
+      ivfPqSearch(s, d)))
 
   /** One subspace's LUT rows (query_id, sub, j, d): the query's
     * exact integer distance to each of the Ksub centroids — spelled
@@ -289,33 +380,47 @@ object Pq {
        |    for i in range(0, $SubDim)]) AS BIGINT) AS d
        |FROM qs qy CROSS JOIN s${m}_c$Iters cc""".stripMargin
 
+  /** Shared ADC-ranking CTEs (query LUTs → per-pair ADC → ranks) —
+    * q187's exhaustive spelling, which q188's probe-all gate mode is
+    * defined to equal (the q53/q163 probe-all ≡ brute precedent). */
+  private def adcCtesSql: String =
+    s"""qs AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, q AS qq FROM fpz
+       |  WHERE vec_id < $NQueries),
+       |lut AS MATERIALIZED (
+       |${(0 until M).map(lutSubSql).mkString("\nUNION ALL\n")}),
+       |adc AS (
+       |  SELECT l0.query_id, c.vec_id AS neighbor_id,
+       |    ${(0 until M).map(m => s"l$m.d").mkString(" + ")}
+       |      AS adc_dist2
+       |  FROM codes c
+       |  ${(0 until M).map(m =>
+           s"JOIN lut l$m ON l$m.sub = $m AND l$m.j = c.c$m" +
+             (if (m > 0) s" AND l$m.query_id = l0.query_id" else ""))
+           .mkString("\n  ")}
+       |  WHERE c.vec_id != l0.query_id),
+       |adcr AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, adc_dist2,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist2, neighbor_id) AS INTEGER) AS rank
+       |  FROM adc)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q186_pq_codes" ->
       s"""WITH $pqCtesSql
          |SELECT * FROM codes ORDER BY vec_id
          |""".stripMargin,
+    "q188_ivfpq_search" ->
+      s"""WITH $pqCtesSql,
+         |$adcCtesSql
+         |SELECT query_id, neighbor_id, adc_dist2, rank,
+         |  ${KMeans.K} AS n_cells_probed
+         |FROM adcr WHERE rank <= $SearchK
+         |ORDER BY query_id, rank
+         |""".stripMargin,
     "q187_pq_search" ->
       s"""WITH $pqCtesSql,
-         |qs AS MATERIALIZED (
-         |  SELECT vec_id AS query_id, q AS qq FROM fpz
-         |  WHERE vec_id < $NQueries),
-         |lut AS MATERIALIZED (
-         |${(0 until M).map(lutSubSql).mkString("\nUNION ALL\n")}),
-         |adc AS (
-         |  SELECT l0.query_id, c.vec_id AS neighbor_id,
-         |    ${(0 until M).map(m => s"l$m.d").mkString(" + ")}
-         |      AS adc_dist2
-         |  FROM codes c
-         |  ${(0 until M).map(m =>
-             s"JOIN lut l$m ON l$m.sub = $m AND l$m.j = c.c$m" +
-               (if (m > 0) s" AND l$m.query_id = l0.query_id" else ""))
-             .mkString("\n  ")}
-         |  WHERE c.vec_id != l0.query_id),
-         |adcr AS MATERIALIZED (
-         |  SELECT query_id, neighbor_id, adc_dist2,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_dist2, neighbor_id) AS INTEGER) AS rank
-         |  FROM adc),
+         |$adcCtesSql,
          |ex AS (
          |  SELECT q.query_id, v.vec_id AS neighbor_id,
          |    CAST(list_sum([(v.q[i+1] - q.qq[i+1]) * (v.q[i+1] - q.qq[i+1])

@@ -53,6 +53,49 @@ class PqSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q188 probe-all equals exhaustive ADC; nProbe=2 prunes yet recalls") {
+    val full = Pq.ivfPqSearch(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val adc = Pq.pqSearch(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(full == adc, "probe-all IVFPQ must equal exhaustive ADC")
+    // the production dial: 2 of 8 cells. On THIS corpus (near-uniform
+    // shell, no coarse cluster structure) partial-probe recall of the
+    // tie-dominated ADC top-k is not a stable number — the contract
+    // that must hold at every distribution is PRUNING CORRECTNESS:
+    // every returned neighbor lives in one of the query's 2 nearest
+    // cells (routing rule: coarse distance asc, ties → lowest cell)
+    val cells = KMeans.kmeansTopics(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = Pq.coarseCentroids(spark, sf())
+    val fixed = KMeans.fixedZone(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def probed(q: Long): Set[Int] =
+      cents.zipWithIndex.map { case (c, j) =>
+        (fixed(q).zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, j)
+      }.sortBy(identity).take(2).map(_._2).toSet
+    val part = Pq.ivfPqSearch(spark, sf(), nProbe = 2).collect()
+    assert(part.nonEmpty)
+    part.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert(probed(q).contains(cells(n)),
+        s"neighbor $n of query $q from unprobed cell ${cells(n)}")
+    }
+    // and the scores are the same ADC arithmetic as the exhaustive path
+    val adcScores = Pq.pqSearch(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("adc_dist2"))
+      .toMap
+    part.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      adcScores.get(key).foreach(d =>
+        assert(d == r.getAs[Long]("adc_dist2"), s"ADC drifted at $key"))
+    }
+  }
+
   test("q186 encode plan: map-side only over the fixed zone (no join)") {
     val plan = Pq.pqCodes(spark, sf())
       .queryExecution.executedPlan.toString
