@@ -96,6 +96,22 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("q188 plan: corpus side reads the codes + assignment zones") {
+    // the PQ point at scale: search I/O is the 32×-smaller code zone
+    // (plus the cell labels), never a corpus-wide raw-vector scan —
+    // the raw fixed zone appears only under the vec_id<NQueries
+    // query-side pushdown
+    val scans = Pq.ivfPqSearch(spark, sf())
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }
+    assert(scans.exists(_.contains("pq-codes")),
+      s"codes zone not scanned: $scans")
+    assert(scans.exists(_.contains("kmeans-assign")),
+      s"assignment zone not scanned: $scans")
+  }
+
   test("q186 encode plan: map-side only over the fixed zone (no join)") {
     val plan = Pq.pqCodes(spark, sf())
       .queryExecution.executedPlan.toString
