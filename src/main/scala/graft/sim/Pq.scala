@@ -34,17 +34,41 @@ object Pq {
   val Ksub = 16
   val Iters = 3
 
-  /** Fit one subspace's codebook: deterministic init (first Ksub
-    * vec_ids' slices), [[Iters]] Lloyd rounds. */
-  private def fitSub(s: SparkSession, dir: String,
-                     m: Int): Seq[Array[Long]] = {
-    val v = KMeans.fixedZone(s, dir).select(col("vec_id"),
-      expr(s"slice(q, ${m * SubDim + 1}, $SubDim)").as("q"))
-    val init: Seq[Array[Long]] = v.orderBy("vec_id").limit(Ksub)
+  /** Fit ALL M codebooks together: deterministic init (first Ksub
+    * vec_ids' slices per subspace), then [[Iters]] Lloyd rounds
+    * where each round is ONE corpus scan — per-subspace argmin codes
+    * as literal column math, one (sub, cluster, dim)-keyed partial
+    * agg of M·Ksub·SubDim = 1024 output rows. Numerically identical
+    * to fitting each subspace independently (the subspaces never
+    * interact), but 4 scans instead of 32 (measured 16 s → ~5 s at
+    * sf1); the oracle's per-subspace chains replay the same values. */
+  private def fitAll(s: SparkSession,
+                     dir: String): IndexedSeq[Seq[Array[Long]]] = {
+    val v = KMeans.fixedZone(s, dir)
+    val initRows = v.orderBy("vec_id").limit(Ksub)
       .select(col("q")).collect().toSeq
       .map(_.getSeq[Long](0).toArray)
-    (1 to Iters).foldLeft(init) { (c, _) =>
-      KMeans.update(KMeans.assign(v, c), c)
+    val init: IndexedSeq[Seq[Array[Long]]] = (0 until M).map(m =>
+      initRows.map(_.slice(m * SubDim, (m + 1) * SubDim)))
+    (1 to Iters).foldLeft(init) { (books, _) =>
+      val cc = codeCols(books)
+      val perSub = (0 until M).map { case m =>
+        struct(lit(m).as("sub"), cc(m)._1.as("code"),
+          expr(s"slice(q, ${m * SubDim + 1}, $SubDim)").as("dims"))
+      }
+      val rows = v
+        .select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"),
+          posexplode(col("e.dims")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg(floor(sum(col("x")) / count(lit(1))).as("mn"))
+        .collect()
+      val bySubCluster = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rs) =>
+          k -> rs.sortBy(_.getInt(2)).map(_.getLong(3))
+        }
+      (0 until M).map(m => books(m).indices.map(j =>
+        bySubCluster.getOrElse((m, j), books(m)(j)).toArray).toSeq)
     }
   }
 
@@ -56,7 +80,7 @@ object Pq {
   private[sim] def codebooks(s: SparkSession,
                              dir: String): IndexedSeq[Seq[Array[Long]]] =
     books.computeIfAbsent(s"$dir:$M:$SubDim:$Ksub:$Iters:${KMeans.Fp}",
-      _ => (0 until M).map(m => fitSub(s, dir, m)))
+      _ => fitAll(s, dir))
 
   /** Per-subspace argmin columns against LITERAL codebooks — the
     * whole encode is one map-side projection (the q173 assignment
