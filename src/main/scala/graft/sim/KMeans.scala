@@ -179,7 +179,7 @@ object KMeans {
     * round — the BPE-oracle discipline (the iteration count is a
     * constant, so the loop unrolls into plain ANSI SQL DuckDB can
     * replay bit-for-bit). */
-  private def kmeansOracleSql: String = {
+  private[sim] def kmeansOracleSql: String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH v AS (

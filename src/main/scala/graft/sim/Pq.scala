@@ -116,6 +116,24 @@ object Pq {
   def pqCodes(s: SparkSession, dir: String): DataFrame =
     codesZone(s, dir).orderBy("vec_id")
 
+  /** Encode ANY (vec_id, embedding) relation with fitted codebooks —
+    * pure map-side column math, so it runs unchanged on a STREAMING
+    * DataFrame: PQ encode at ingest is how a production index admits
+    * new vectors (fit is slow-moving; encode is per-row). Stream ≡
+    * batch bit-identically because the expressions are stateless
+    * (pinned in PqSpec). */
+  def encode(books: IndexedSeq[Seq[Array[Long]]],
+             vectors: DataFrame): DataFrame = {
+    val fx = vectors.select(col("vec_id"),
+      expr(s"transform(embedding, x -> " +
+        s"CAST(round(CAST(x AS DOUBLE) * ${KMeans.Fp}.0) AS BIGINT))")
+        .as("q"))
+    val cc = codeCols(books)
+    fx.select(col("vec_id") +:
+      cc.zipWithIndex.map { case ((c, _), m) => c.as(s"c$m") } ++:
+      Seq(cc.map(_._2).reduce(_ + _).as("qerr")): _*)
+  }
+
   /** q187 constants: query set, neighborhood size, recall floor the
     * witness pins (measured ≥ this at every SF; 8×16 codebooks on
     * 64-dim vectors are coarse BY DESIGN — PQ trades recall for a
@@ -301,6 +319,28 @@ object Pq {
         }
       })
 
+  /** q189: per-cell PQ health report — for each coarse IVF cell: how
+    * many vectors, their total and mean quantization error. The
+    * index-operations dashboard behind the re-fit decision ("which
+    * cells does the codebook fit badly" — drifted or out-of-
+    * distribution regions show up as high-mean-qerr cells; the
+    * serve-side drift check in [[IvfServe.driftNeeded]] is the
+    * trigger, this is the diagnosis). Joins the two compact zones
+    * (codes + assignment); the report is K rows.
+    *
+    * The mean is ONE double division per cell from exact integers
+    * (the module discipline). */
+  def pqCellStats(s: SparkSession, dir: String): DataFrame =
+    codesZone(s, dir).select(col("vec_id"), col("qerr"))
+      .join(KMeans.assignZone(s, dir)
+        .select(col("vec_id"), col("cluster")), "vec_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qerr")).as("sum_qerr"))
+      .select(col("cluster"), col("n_vecs"), col("sum_qerr"),
+        (col("sum_qerr").cast("double") / col("n_vecs").cast("double"))
+          .as("mean_qerr"))
+      .orderBy("cluster")
+
   // ---------------------------------------------------------------- oracle
 
   /** One subspace's unrolled Lloyd chain (CTE names prefixed s{m}_),
@@ -389,7 +429,8 @@ object Pq {
     "q186_pq_codes" -> (pqCodes _),
     "q187_pq_search" -> (pqSearch _),
     "q188_ivfpq_search" -> ((s: SparkSession, d: String) =>
-      ivfPqSearch(s, d)))
+      ivfPqSearch(s, d)),
+    "q189_pq_cell_stats" -> (pqCellStats _))
 
   /** One subspace's LUT rows (query_id, sub, j, d): the query's
     * exact integer distance to each of the Ksub centroids — spelled
@@ -434,6 +475,20 @@ object Pq {
       s"""WITH $pqCtesSql
          |SELECT * FROM codes ORDER BY vec_id
          |""".stripMargin,
+    // the q173 coarse chain (v/c0/dN/aN/af names) and the PQ chains
+    // (fpz/s{m}_*) compose without collision; cells from the former,
+    // qerr from the latter
+    "q189_pq_cell_stats" ->
+      (KMeans.kmeansOracleSql + s""",
+         |$pqCtesSql,
+         |asg AS (SELECT vec_id, cid AS cluster FROM af WHERE rn = 1)
+         |SELECT asg.cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(codes.qerr) AS BIGINT) AS sum_qerr,
+         |  CAST(sum(codes.qerr) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS mean_qerr
+         |FROM asg JOIN codes ON codes.vec_id = asg.vec_id
+         |GROUP BY 1 ORDER BY asg.cluster
+         |""".stripMargin),
     "q188_ivfpq_search" ->
       s"""WITH $pqCtesSql,
          |$adcCtesSql

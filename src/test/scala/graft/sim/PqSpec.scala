@@ -112,6 +112,32 @@ class PqSpec extends SparkSpec {
       s"assignment zone not scanned: $scans")
   }
 
+  test("streaming encode ≡ batch codes, any micro-batch split") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("pq_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pq_ck").toString
+    graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .repartition(3).write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val out = Pq.encode(Pq.codebooks(spark, sf()), stream)
+    val q = out.writeStream.format("memory").queryName("pqenc")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("pqenc").collect()
+      .map(_.toSeq.toList).toSet
+    val batch = Pq.pqCodes(spark, sf()).collect()
+      .map(_.toSeq.toList).toSet
+    assert(got == batch, "streaming encode drifted from batch codes")
+  }
+
   test("q186 encode plan: map-side only over the fixed zone (no join)") {
     val plan = Pq.pqCodes(spark, sf())
       .queryExecution.executedPlan.toString
