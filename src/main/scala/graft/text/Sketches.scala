@@ -206,6 +206,63 @@ object Sketches {
       .orderBy("source_a", "source_b")
   }
 
+  /** The per-(source, reg) register relation of a documents
+    * relation — the mergeable state both the zone maintenance and
+    * [[hllDistinct]] derive from. */
+  private def registersOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), Tokens.whitespace(col("text")).as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("source"),
+        explode(Tokens.ngramsOf(col("w"), 3)).as("g"))
+      .select(col("source"), graft.dedup.Md5Prefix.h(col("g")).as("h"))
+      .select(col("source"),
+        (col("h") % HllM).cast("int").as("reg"),
+        shiftright(col("h"), 6).as("wbits"))
+      .select(col("source"), col("reg"),
+        expr("CASE WHEN wbits = 0 THEN 55 " +
+          "ELSE 55 - length(bin(wbits)) END").as("rank"))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("rank")).as("m"))
+
+  /** Build the HLL register ZONE for a documents relation — the
+    * persisted form of the q179 sketch (≤ |sources|·64 rows at ANY
+    * corpus size: the zone is state, not data). */
+  def hllZoneBuild(docs: DataFrame, path: String): Unit =
+    registersOf(docs).write.mode("overwrite").parquet(path)
+
+  /** Fold a batch of new documents into the register zone WITHOUT
+    * rescanning the corpus — elementwise max IS the HLL merge, so
+    * maintained ≡ rebuilt bit-identically (the IndexMaintain /
+    * IvfServe.applyBatch discipline for the sketch family; spec-
+    * pinned). Cost: O(batch) to sketch the batch + a rewrite of the
+    * constant-bounded zone. */
+  def hllZoneApplyBatch(s: SparkSession, path: String,
+                        batch: DataFrame): Unit = {
+    val merged = s.read.parquet(path)
+      .unionByName(registersOf(batch))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("m")).as("m"))
+      .collect() // constant-bounded: ≤ |sources|·64 rows
+    import scala.jdk.CollectionConverters._
+    val out = s.createDataFrame(
+      merged.toSeq.asJava,
+      s.read.parquet(path).schema)
+    out.write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a register zone back as the q179-shaped summary. */
+  def hllZoneSummary(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_regs_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))"))
+          .as("z_hit"))
+      .select(col("source"), col("n_regs_hit"),
+        (col("z_hit") + (lit(HllM.toLong) - col("n_regs_hit")) *
+          expr("shiftleft(CAST(1 AS BIGINT), 55)")).as("z_scaled"))
+      .orderBy("source")
+
   // ---------------------------------------------------------------- oracle
 
   /** The (source, h) relation in DuckDB — mirrors [[shingleHashes]]

@@ -96,6 +96,28 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll zone: incrementally maintained ≡ rebuilt; summary matches q179") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val full = java.nio.file.Files.createTempDirectory("hll_full").toString
+    val inc = java.nio.file.Files.createTempDirectory("hll_inc").toString
+    Sketches.hllZoneBuild(docs, full)
+    Sketches.hllZoneBuild(docs.where(col("doc_id") % 2 === 0), inc)
+    Sketches.hllZoneApplyBatch(spark, inc,
+      docs.where(col("doc_id") % 2 =!= 0))
+    def zone(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(zone(inc) == zone(full),
+      "maintained zone drifted from full rebuild")
+    // the zone summary carries exactly the q179 sketch state
+    val fromZone = Sketches.hllZoneSummary(spark, full).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fromQuery = Sketches.hllDistinct(spark, sf()).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_regs_hit"), r.getAs[Long]("z_scaled"))).toMap
+    assert(fromZone == fromQuery, "zone summary drifted from q179")
+  }
+
   test("q178/q179 witnesses hold at spec SF and schemas agree") {
     val kmv = Sketches.kmvDistinct(spark, sf()).collect()
     val hll = Sketches.hllDistinct(spark, sf()).collect()
