@@ -184,8 +184,36 @@ object Bpe {
   def encodeFrozen(s: SparkSession, dir: String): DataFrame =
     encode(s, dir, FrozenMerges)
 
+  /** q190: tokenizer fertility scorecard — per source: BPE tokens
+    * per word (fertility) and per character (compression), THE
+    * numbers a tokenizer choice is judged by across domains
+    * (multilingual fertility imbalance is the classic failure a
+    * per-source report catches). Pure consumer of the q169 encode:
+    * exact integer sums per source, two single double divisions.
+    * Null-text docs contribute zero to every sum by the q169
+    * contract. */
+  def fertilityBySource(s: SparkSession, dir: String): DataFrame = {
+    val enc = encodeFrozen(s, dir)
+    val src = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    enc.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_chars"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double")).as("fertility"),
+        (col("n_bpe_tokens").cast("double") /
+          col("n_chars").cast("double")).as("tokens_per_char"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q169_bpe_encode" -> (encodeFrozen _))
+    "q169_bpe_encode" -> (encodeFrozen _),
+    "q190_bpe_fertility" -> (fertilityBySource _))
 
   private def sqlLit(s: String): String =
     "'" + s.replace("'", "''") + "'"
@@ -236,12 +264,14 @@ object Bpe {
     * Merge application runs on the DISTINCT-word relation (the same
     * Heaps'-law reduction the Spark trainer uses) and joins back by
     * word for the per-document rollup. */
-  val oracle: Map[String, String] = Map(
-    "q169_bpe_encode" -> {
-      val steps = FrozenMerges.sortBy(_.rank).zipWithIndex
-        .map { case (m, k) => stepSql(k, m) }.mkString(",\n")
-      val last = FrozenMerges.size
-      s"""WITH words AS (
+  /** The encode chain through `docstats` — shared by the q169 and
+    * q190 oracles (one spelling of the tokenizer; the report cannot
+    * drift from the encode). */
+  private lazy val encodeCtesSql: String = {
+    val steps = FrozenMerges.sortBy(_.rank).zipWithIndex
+      .map { case (m, k) => stepSql(k, m) }.mkString(",\n")
+    val last = FrozenMerges.size
+    s"""words AS (
          |  SELECT d.doc_id, t.word
          |  FROM documents d, LATERAL unnest(string_split_regex(
          |    trim(lower(coalesce(d.text, ''))), '[ \\t\\n\\v\\f\\r]+'))
@@ -261,12 +291,34 @@ object Bpe {
          |    CAST(sum(wt.nchr) AS BIGINT) AS n_chars,
          |    CAST(sum(wt.ntok) AS BIGINT) AS n_bpe_tokens
          |  FROM words w JOIN wtok wt USING (word)
-         |  GROUP BY w.doc_id)
-         |SELECT d.doc_id,
-         |  coalesce(s.n_words, CAST(0 AS BIGINT)) AS n_words,
-         |  coalesce(s.n_chars, CAST(0 AS BIGINT)) AS n_chars,
-         |  coalesce(s.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
-         |FROM documents d LEFT JOIN docstats s USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
-    })
+         |  GROUP BY w.doc_id),
+         |percdoc AS (
+         |  SELECT d.doc_id,
+         |    coalesce(s.n_words, CAST(0 AS BIGINT)) AS n_words,
+         |    coalesce(s.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+         |    coalesce(s.n_bpe_tokens, CAST(0 AS BIGINT))
+         |      AS n_bpe_tokens
+         |  FROM documents d LEFT JOIN docstats s USING (doc_id))""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q169_bpe_encode" ->
+      s"""WITH $encodeCtesSql
+         |SELECT doc_id, n_words, n_chars, n_bpe_tokens
+         |FROM percdoc ORDER BY doc_id""".stripMargin,
+    "q190_bpe_fertility" ->
+      s"""WITH $encodeCtesSql,
+         |bysrc AS (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(p.n_words) AS BIGINT) AS n_words,
+         |    CAST(sum(p.n_chars) AS BIGINT) AS n_chars,
+         |    CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+         |  FROM percdoc p JOIN documents d USING (doc_id)
+         |  GROUP BY 1)
+         |SELECT source, n_docs, n_words, n_chars, n_bpe_tokens,
+         |  CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS fertility,
+         |  CAST(n_bpe_tokens AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         |    AS tokens_per_char
+         |FROM bysrc ORDER BY source""".stripMargin)
 }
