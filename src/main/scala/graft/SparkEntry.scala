@@ -28,7 +28,8 @@ object SparkEntry {
       text.Normalize.queries ++ multimodal.Perceptual.queries ++
       ops.Quality.queries ++ ops.Blocklist.queries ++
       text.Bpe.queries ++ sim.KMeans.queries ++ sim.Spectral.queries ++
-      text.Sketches.queries ++ sim.Pq.queries
+      text.Sketches.queries ++ sim.Pq.queries ++
+      text.TextVectors.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       text.Normalize.oracle ++ multimodal.Perceptual.oracle ++
       ops.Quality.oracle ++ ops.Blocklist.oracle ++
       text.Bpe.oracle ++ sim.KMeans.oracle ++ sim.Spectral.oracle ++
-      text.Sketches.oracle ++ sim.Pq.oracle
+      text.Sketches.oracle ++ sim.Pq.oracle ++
+      text.TextVectors.oracle
 }

@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Tokens
+
+/** Hashed-TF document vectors — the bridge from RAW TEXT to the
+  * vector stack: every document becomes a [[Dim]]-dim integer
+  * term-frequency vector via the hashing trick (dim = 60-bit token
+  * hash mod [[Dim]] — no vocabulary relation at ANY corpus size, the
+  * q171 rule), so the semantic machinery (cosine pairs, clustering,
+  * ANN) applies to corpora that ship no embedding table at all.
+  *
+  * Long-form output (doc_id, dim, v) on purpose: integer cells
+  * hash-gate exactly, and the sparse relation IS the inverted-index
+  * form the scalable dot-product join consumes.
+  *
+  * Scale shape: q191 is one corpus scan → (doc_id, dim)-keyed
+  * partial agg (≤ Dim rows per doc). q192's gate mode scores pairs
+  * through the dim-keyed join — the sparse-dot spelling that, on a
+  * REAL hashed-TF space (2¹⁸ dims, idf-pruned postings), is exactly
+  * the q117 prefix-filter machinery; at this gate's 64 dense dims
+  * it is deliberately exhaustive (the oracle surface). Production at
+  * 100 TB: quantize these vectors into the existing int8/SRP/PQ
+  * paths (q143/q52/q186) — the representation, not the operator,
+  * is what this module adds. Overflow: v ≤ doc tokens, so norms²
+  * stay ≤ 64·maxTf² — BIGINT-safe to ~10⁸-token documents. */
+object TextVectors {
+
+  val Dim = 64
+
+  /** Cosine floor of the q192 pair report. */
+  val Tau = 0.95
+
+  /** q191: the hashed-TF relation (doc_id, dim, v). */
+  def hashedTf(s: SparkSession, dir: String): DataFrame = {
+    val zone = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+    zone.select(col("doc_id"), explode(col("w")).as("tok"))
+      .select(col("doc_id"),
+        (graft.dedup.Md5Prefix.h(col("tok")) % Dim).cast("int")
+          .as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("v"))
+      .orderBy("doc_id", "dim")
+  }
+
+  /** q192: text near-dup pairs by hashed-TF cosine ≥ [[Tau]] — the
+    * semantic complement of the lexical pair family (q36 shingles
+    * see copies; TF cosine sees topic-identical rewrites) computed
+    * from TEXT alone. Exact integer dot and norms; ONE double
+    * (dot / √(n2a·n2b)) per surviving pair. */
+  def tfCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val tf = hashedTf(s, dir)
+    val nrm = tf.groupBy(col("doc_id"))
+      .agg(sum(col("v") * col("v")).as("n2"))
+    val dot = tf.select(col("doc_id").as("id1"), col("dim"),
+        col("v").as("va"))
+      .join(tf.select(col("doc_id").as("id2"), col("dim"),
+        col("v").as("vb")), "dim")
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(col("va") * col("vb")).as("dot"))
+    dot
+      .join(nrm.select(col("doc_id").as("id1"), col("n2").as("n2a")),
+        "id1")
+      .join(nrm.select(col("doc_id").as("id2"), col("n2").as("n2b")),
+        "id2")
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          sqrt((col("n2a") * col("n2b")).cast("double")))
+      .where(col("cosine") >= Tau)
+      .select(col("id1"), col("id2"), col("dot"), col("cosine"))
+      .orderBy("id1", "id2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_hashed_tf" -> (hashedTf _),
+    "q192_tf_cosine_pairs" -> (tfCosinePairs _))
+
+  private val tfSql: String =
+    raw"""tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text),
+      |    '[ \t\n\v\f\r]+')) AS t
+      |  FROM documents),
+      |tf AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST((('0x' || substr(md5(t), 1, 15))::BIGINT % $Dim)
+      |      AS INT) AS dim,
+      |    CAST(count(*) AS BIGINT) AS v
+      |  FROM tok GROUP BY 1, 2)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q191_hashed_tf" ->
+      s"""WITH $tfSql
+         |SELECT doc_id, dim, v FROM tf ORDER BY doc_id, dim
+         |""".stripMargin,
+    "q192_tf_cosine_pairs" ->
+      s"""WITH $tfSql,
+         |nrm AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
+         |        FROM tf GROUP BY 1),
+         |dt AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM tf a JOIN tf b ON a.dim = b.dim
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, dot,
+         |  CAST(dot AS DOUBLE)
+         |    / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cosine
+         |FROM dt JOIN nrm na ON na.doc_id = dt.id1
+         |JOIN nrm nb ON nb.doc_id = dt.id2
+         |WHERE CAST(dot AS DOUBLE)
+         |    / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= $Tau
+         |ORDER BY id1, id2
+         |""".stripMargin)
+}
