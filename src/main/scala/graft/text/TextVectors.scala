@@ -78,9 +78,28 @@ object TextVectors {
       .orderBy("id1", "id2")
   }
 
+  /** q193: text semantic dedup CLUSTERS — the q192 pair graph folded
+    * into connected components with a survivor per cluster: semantic
+    * dedup for corpora that ship NO embedding table, the full q98 →
+    * q107 arc replayed from raw text. Same star-contraction CC
+    * operator, same min-id survivor contract, same recursive-CTE
+    * oracle closure. */
+  def tfClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val pairs = tfCosinePairs(s, dir)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val labels = graft.dedup.Dedup.connectedComponents(pairs)
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_hashed_tf" -> (hashedTf _),
-    "q192_tf_cosine_pairs" -> (tfCosinePairs _))
+    "q192_tf_cosine_pairs" -> (tfCosinePairs _),
+    "q193_tf_clusters" -> (tfClusters _))
 
   private val tfSql: String =
     raw"""tok AS (
@@ -117,5 +136,33 @@ object TextVectors {
          |WHERE CAST(dot AS DOUBLE)
          |    / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= $Tau
          |ORDER BY id1, id2
+         |""".stripMargin,
+    // the q98-family recursive-CTE min-label fixpoint over the q192
+    // pair derivation
+    "q193_tf_clusters" ->
+      s"""WITH RECURSIVE $tfSql,
+         |nrm AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
+         |        FROM tf GROUP BY 1),
+         |dt AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(sum(a.v * b.v) AS BIGINT) AS dot
+         |  FROM tf a JOIN tf b ON a.dim = b.dim
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT id1, id2 FROM dt
+         |  JOIN nrm na ON na.doc_id = dt.id1
+         |  JOIN nrm nb ON nb.doc_id = dt.id2
+         |  WHERE CAST(dot AS DOUBLE)
+         |    / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= $Tau),
+         |e(src, dst) AS (
+         |  SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
+         |reach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id)
+         |SELECT id AS doc_id, min(label) AS cluster_id,
+         |  (id = min(label)) AS keep
+         |FROM reach GROUP BY id ORDER BY doc_id
          |""".stripMargin)
 }
