@@ -172,6 +172,79 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** q194: MULTI-PROBE SRP-LSH — the standard recall dial that does
+    * not cost more bands/tables (Lv et al. 2007): each query probes
+    * its own band value PLUS every Hamming-distance-1 neighbor value
+    * (BandBits flips per band), because a near neighbor that missed
+    * the bucket most likely differs by exactly one hyperplane sign.
+    * Candidates therefore SUPERSET q51's, and the returned top-k's
+    * overlap with the exact top-k cannot drop (a candidate can only
+    * displace a true-top-k member if its cosine is higher — making
+    * it a true-top-k member itself), so the per-query witness
+    * `no_worse` is pinned TRUE structurally, not empirically.
+    *
+    * Scale shape: identical to q51 — the probe expansion multiplies
+    * only the broadcast QUERY band rows by (BandBits+1); the corpus
+    * side is untouched. */
+  def knnLshMultiProbe(s: SparkSession, dir: String,
+                       k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
+    val banded = emb
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), signature(col("embedding")).as("sig"))
+      .select(col("vec_id"), bandCols)
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        signature(col("embedding")).as("sig"))
+      .select(col("query_id"), bandCols)
+      .select(col("query_id"),
+        col("band").as("qband"), col("bandVal").as("qbandVal"))
+    val probes = q.select(col("query_id"), col("qband"),
+      explode(expr(
+        s"transform(sequence(0, $BandBits), i -> CASE WHEN i = 0 " +
+          "THEN qbandVal ELSE CAST(qbandVal AS INT) ^ " +
+          "CAST(shiftleft(1, i - 1) AS INT) END)")).as("qbandVal"))
+    def topkFrom(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("nv")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          dotCol(col("nv"), col("qv")).as("cosine"))
+      rankTopK(scored, k)
+    }
+    val multi = topkFrom(banded.join(broadcast(probes),
+        col("band") === col("qband") &&
+          col("bandVal") === col("qbandVal") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct())
+    // witness inputs: q51's single-probe top-k and the exact top-k
+    val single = knnLsh(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = knnBrute(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(t: DataFrame): DataFrame = t
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    val hm = hits(multi.select(col("query_id"), col("neighbor_id")))
+      .select(col("query_id"), col("h").as("hits_multi"))
+    val hs = hits(single)
+      .select(col("query_id"), col("h").as("hits_single"))
+    multi
+      .join(hm, Seq("query_id"), "left")
+      .join(hs, Seq("query_id"), "left")
+      .withColumn("hits_multi", coalesce(col("hits_multi"), lit(0L)))
+      .withColumn("hits_single", coalesce(col("hits_single"), lit(0L)))
+      .withColumn("no_worse", col("hits_multi") >= col("hits_single"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"), col("hits_multi"), col("hits_single"),
+        col("no_worse"))
+      .orderBy("query_id", "rank")
+  }
+
   /** q53: IVF (inverted-file) top-k — the other ANN scale path: a
     * seeded k-means coarse quantizer partitions the corpus into cells;
     * each query probes only its `nProbe` closest cells and re-ranks
@@ -765,6 +838,8 @@ object Similarity {
       hardNegatives(s, d)),
     "q50_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "q51_knn_lsh"   -> ((s: SparkSession, d: String) => knnLsh(s, d)),
+    "q194_multiprobe_lsh" -> ((s: SparkSession, d: String) =>
+      knnLshMultiProbe(s, d)),
     // Exact mode (probe all cells): the full IVF machinery runs, and
     // the result ≡ brute force, so the k-means-free oracle applies.
     "q53_knn_ivf"   -> ((s: SparkSession, d: String) =>
@@ -1133,6 +1208,82 @@ object Similarity {
          |)
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // q51's chain with the probe set widened to Hamming-1 band
+    // values; single-probe and exact rankings re-derived for the
+    // witness columns (`no_worse` is structural — see scaladoc)
+    "q194_multiprobe_lsh" ->
+      (sigCtes +
+        s""",
+         |qb AS (SELECT vec_id AS query_id, band, bandVal
+         |       FROM banded WHERE vec_id < 10),
+         |pr AS (
+         |  SELECT DISTINCT query_id, band, pv AS bandVal FROM (
+         |    SELECT query_id, band,
+         |      unnest([bandVal] ||
+         |        [xor(bandVal, 1 << i) for i in range(0, $BandBits)])
+         |        AS pv
+         |    FROM qb)),
+         |mcand AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         |  FROM banded c JOIN pr q
+         |    ON c.band = q.band AND c.bandVal = q.bandVal
+         |      AND c.vec_id != q.query_id),
+         |mscored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${dotSql("e2.embedding", "e1.embedding")} AS cosine
+         |  FROM mcand JOIN emb e1 ON e1.vec_id = query_id
+         |             JOIN emb e2 ON e2.vec_id = neighbor_id),
+         |mtop AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM mscored),
+         |scand AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         |  FROM banded c JOIN qb q
+         |    ON c.band = q.band AND c.bandVal = q.bandVal
+         |      AND c.vec_id != q.query_id),
+         |sscored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${dotSql("e2.embedding", "e1.embedding")} AS cosine
+         |  FROM scand JOIN emb e1 ON e1.vec_id = query_id
+         |             JOIN emb e2 ON e2.vec_id = neighbor_id),
+         |stop AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sscored),
+         |escored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("c.embedding", "q.embedding")} AS cosine
+         |  FROM emb c JOIN emb q
+         |    ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+         |etop AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM escored),
+         |hm AS (
+         |  SELECT m.query_id, CAST(count(*) AS BIGINT) AS hits_multi
+         |  FROM mtop m JOIN etop e ON e.query_id = m.query_id
+         |    AND e.neighbor_id = m.neighbor_id AND e.rank <= 5
+         |  WHERE m.rank <= 5 GROUP BY 1),
+         |hs AS (
+         |  SELECT s.query_id, CAST(count(*) AS BIGINT) AS hits_single
+         |  FROM stop s JOIN etop e ON e.query_id = s.query_id
+         |    AND e.neighbor_id = s.neighbor_id AND e.rank <= 5
+         |  WHERE s.rank <= 5 GROUP BY 1)
+         |SELECT m.query_id, m.neighbor_id, m.cosine,
+         |  CAST(m.rank AS INTEGER) AS rank,
+         |  coalesce(hm.hits_multi, 0) AS hits_multi,
+         |  coalesce(hs.hits_single, 0) AS hits_single,
+         |  coalesce(hm.hits_multi, 0) >= coalesce(hs.hits_single, 0)
+         |    AS no_worse
+         |FROM mtop m
+         |LEFT JOIN hm ON hm.query_id = m.query_id
+         |LEFT JOIN hs ON hs.query_id = m.query_id
+         |WHERE m.rank <= 5
+         |ORDER BY m.query_id, m.rank""".stripMargin),
     "q52_embedding_neardup" ->
       (sigCtes +
         s""",

@@ -240,4 +240,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semanticDecontam(spark, sf()).collect().toSeq ==
       out.toSeq)
   }
+
+  test("q194 multi-probe never loses recall and strictly widens candidates") {
+    val out = Similarity.knnLshMultiProbe(spark, sf()).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Boolean]("no_worse"),
+      s"recall regressed for query ${r.getAs[Long]("query_id")}"))
+    // the multi-probe result must contain every single-probe hit's
+    // query and at least match its per-query exact-hit count — and
+    // somewhere the extra probes must actually help (this corpus:
+    // 0.48 → 0.76 mean recall at sf0.01)
+    val perQ = out.groupBy(_.getAs[Long]("query_id"))
+      .map { case (_, rs) => (rs.head.getAs[Long]("hits_multi"),
+        rs.head.getAs[Long]("hits_single")) }
+    assert(perQ.forall { case (m, s0) => m >= s0 })
+    assert(perQ.exists { case (m, s0) => m > s0 },
+      "multi-probe never helped — probe expansion broken?")
+  }
 }
