@@ -53,27 +53,77 @@ object TextVectors {
     * semantic complement of the lexical pair family (q36 shingles
     * see copies; TF cosine sees topic-identical rewrites) computed
     * from TEXT alone. Exact integer dot and norms; ONE double
-    * (dot / √(n2a·n2b)) per surviving pair. */
+    * (dot / √(n2a·n2b)) per surviving pair.
+    *
+    * EXACT-SET COLLAPSE (the round-11 jaccard fix, applied at birth
+    * here): cosine is a pure function of the token multiset, so
+    * byte-identical documents share one REPRESENTATIVE through the
+    * dim-join — candidate volume tracks DISTINCT texts, and a 10×
+    * verbatim-clone corpus (the sf1 stress) costs the same scoring
+    * as its distinct core. The pair list re-expands algebraically:
+    * cross-family pairs inherit the rep pair's exact integers;
+    * within-family pairs are (n2, cosine(n2,n2)) by identity — both
+    * spelled through the SAME cosine expression, so the output is
+    * bit-identical to the brute derivation and the oracle stays the
+    * brute spelling (outputs, not plans, are the contract). */
   def tfCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), md5(coalesce(col("text"), lit("")))
+        .as("dg"))
+    val fam = docs.groupBy(col("dg"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        min(col("doc_id")).as("rep"))
+    val reps = fam.select(col("rep"))
     val tf = hashedTf(s, dir)
+      .join(reps.select(col("rep").as("doc_id")), "doc_id")
     val nrm = tf.groupBy(col("doc_id"))
       .agg(sum(col("v") * col("v")).as("n2"))
-    val dot = tf.select(col("doc_id").as("id1"), col("dim"),
+    def cosineCol = col("dot").cast("double") /
+      sqrt((col("n2a") * col("n2b")).cast("double"))
+    val repPairs = tf.select(col("doc_id").as("r1"), col("dim"),
         col("v").as("va"))
-      .join(tf.select(col("doc_id").as("id2"), col("dim"),
+      .join(tf.select(col("doc_id").as("r2"), col("dim"),
         col("v").as("vb")), "dim")
-      .where(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
+      .where(col("r1") < col("r2"))
+      .groupBy(col("r1"), col("r2"))
       .agg(sum(col("va") * col("vb")).as("dot"))
-    dot
-      .join(nrm.select(col("doc_id").as("id1"), col("n2").as("n2a")),
-        "id1")
-      .join(nrm.select(col("doc_id").as("id2"), col("n2").as("n2b")),
-        "id2")
-      .withColumn("cosine",
-        col("dot").cast("double") /
-          sqrt((col("n2a") * col("n2b")).cast("double")))
+      .join(nrm.select(col("doc_id").as("r1"), col("n2").as("n2a")),
+        "r1")
+      .join(nrm.select(col("doc_id").as("r2"), col("n2").as("n2b")),
+        "r2")
+      .withColumn("cosine", cosineCol)
       .where(col("cosine") >= Tau)
+    // cross-family expansion: every member pair inherits the rep
+    // pair's exact integers (identical vectors ⇒ identical dot/norms)
+    val cross = repPairs
+      .join(fam.select(col("rep").as("r1"), col("members").as("ma")),
+        "r1")
+      .join(fam.select(col("rep").as("r2"), col("members").as("mb")),
+        "r2")
+      .select(explode(col("ma")).as("a"), col("mb"), col("dot"),
+        col("cosine"))
+      .select(col("a"), explode(col("mb")).as("b"), col("dot"),
+        col("cosine"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"),
+        col("dot"), col("cosine"))
+    // within-family expansion: identical vectors, dot = n2 and the
+    // SAME cosine expression on (n2, n2, n2) — families whose rep
+    // has no tokens produce no tf rows and correctly drop here
+    val within = fam.where(size(col("members")) > 1)
+      .join(nrm.select(col("doc_id").as("rep"), col("n2")), "rep")
+      .select(col("members"), col("n2").as("dot"),
+        col("n2").as("n2a"), col("n2").as("n2b"))
+      .withColumn("cosine", cosineCol)
+      .where(col("cosine") >= Tau)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(members) - 2), i ->
+          |  transform(sequence(i + 1, size(members) - 1), j ->
+          |    struct(members[i] AS id1, members[j] AS id2))))
+          |""".stripMargin)).as("p"), col("dot"), col("cosine"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("dot"), col("cosine"))
+    cross.unionByName(within)
       .select(col("id1"), col("id2"), col("dot"), col("cosine"))
       .orderBy("id1", "id2")
   }
