@@ -180,9 +180,16 @@ object Bpe {
       .orderBy("doc_id")
   }
 
-  /** q169: encode the corpus with the [[FrozenMerges]] tokenizer. */
+  /** q169: encode the corpus with the [[FrozenMerges]] tokenizer —
+    * memoized: q169's gate scan and q190's fertility rollup both
+    * consume it, and the merge-fold map is the expensive part (the
+    * ≥2-heavy-consumer materialize rule). */
   def encodeFrozen(s: SparkSession, dir: String): DataFrame =
-    encode(s, dir, FrozenMerges)
+    // zone scans do not preserve stored order — the surface re-sorts
+    graft.util.Scratch.memo(s, "bpe-enc",
+      s"bpe-enc:$dir:${FrozenMerges.size}")(
+      encode(s, dir, FrozenMerges))
+      .orderBy("doc_id")
 
   /** q190: tokenizer fertility scorecard — per source: BPE tokens
     * per word (fertility) and per character (compression), THE
