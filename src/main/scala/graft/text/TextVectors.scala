@@ -76,17 +76,38 @@ object TextVectors {
     val reps = fam.select(col("rep"))
     val tf = hashedTf(s, dir)
       .join(reps.select(col("rep").as("doc_id")), "doc_id")
-    val nrm = tf.groupBy(col("doc_id"))
-      .agg(sum(col("v") * col("v")).as("n2"))
+    // DENSE rep vectors + codegen'd LongDot all-pairs scoring: the
+    // dim-keyed product join shuffles |pairs|·|shared dims| rows
+    // (measured 92 s at sf0.1 — these 64-dim vectors are DENSE), so
+    // the rep×rep scoring runs map-side instead: one 64-long array
+    // per rep, broadcast nested-loop pairs, zero-allocation dot
+    // (the q155 Int8Dot precedent). Quadratic in DISTINCT texts —
+    // the gate/report surface; at corpus scale the same vectors ride
+    // the banding/quantization paths (q52/q143/q186).
+    def longDot(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.LongDot(
+          org.apache.spark.sql.GraftBridge.expression(a),
+          org.apache.spark.sql.GraftBridge.expression(b)))
+    val tfArr = tf.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("v"))))
+        .as("mp"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${Dim - 1}), d -> " +
+          "coalesce(element_at(mp, d), CAST(0 AS BIGINT)))").as("arr"))
+    val nrm = tfArr.select(col("doc_id"),
+      longDot(col("arr"), col("arr")).as("n2"))
     def cosineCol = col("dot").cast("double") /
       sqrt((col("n2a") * col("n2b")).cast("double"))
-    val repPairs = tf.select(col("doc_id").as("r1"), col("dim"),
-        col("v").as("va"))
-      .join(tf.select(col("doc_id").as("r2"), col("dim"),
-        col("v").as("vb")), "dim")
-      .where(col("r1") < col("r2"))
-      .groupBy(col("r1"), col("r2"))
-      .agg(sum(col("va") * col("vb")).as("dot"))
+    val left = tfArr
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("r1"), col("arr").as("aa"))
+    val right = tfArr
+      .select(col("doc_id").as("r2"), col("arr").as("ab"))
+    val repPairs = left.join(right, col("r1") < col("r2"))
+      .select(col("r1"), col("r2"),
+        longDot(col("aa"), col("ab")).as("dot"))
       .join(nrm.select(col("doc_id").as("r1"), col("n2").as("n2a")),
         "r1")
       .join(nrm.select(col("doc_id").as("r2"), col("n2").as("n2b")),
