@@ -187,10 +187,35 @@ object Quality {
       .orderBy("thr_bin")
   }
 
+  /** q195: the curation funnel per source — how many documents each
+    * source loses to each gate and what survives: the report a
+    * corpus team reads after every q166 run (a source with an
+    * outlier rejection rate is a crawler/extraction bug before it
+    * is a quality signal). Pure per-source rollup of the q166
+    * verdict columns; rates are single double divisions. */
+  def sourceFunnel(s: SparkSession, dir: String): DataFrame = {
+    val v = curationVerdict(s, dir)
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    v.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("keep_quality"), 1L).otherwise(0L))
+          .as("n_fail_quality"),
+        sum(when(col("flagged_repetition"), 1L).otherwise(0L))
+          .as("n_fail_repetition"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate",
+        col("n_keep").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_dq_rules"   -> (dqRules _),
     "q166_curation_verdict" -> (curationVerdict _),
     "q181_quality_roc" -> (qualityRoc _),
+    "q195_source_funnel" -> (sourceFunnel _),
     "q132_fk_orphans" -> (fkOrphans _))
 
   val oracle: Map[String, String] = Map(
@@ -233,6 +258,35 @@ object Quality {
         |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
         |  CAST(tp AS DOUBLE) / CAST(tp_all AS DOUBLE) AS rec
         |FROM c CROSS JOIN t ORDER BY thr_bin""".stripMargin,
+    // the q166 oracle embedded verbatim as a subquery — the funnel
+    // cannot drift from the verdict
+    "q195_source_funnel" ->
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT * FROM (${"\n"}SELECT d.doc_id,
+         |    l.keep AS keep_quality,
+         |    r.flagged AS flagged_repetition,
+         |    b.true_member AS blocked,
+         |    (l.keep AND NOT r.flagged AND NOT b.true_member) AS keep
+         |  FROM documents d
+         |  JOIN (${graft.text.CorpusStats.oracle("q154_linear_quality")}
+         |  ) l ON l.doc_id = d.doc_id
+         |  JOIN (${graft.text.CorpusStats.oracle("q149_repetition_filter")}
+         |  ) r ON r.doc_id = d.doc_id
+         |  JOIN (${Blocklist.oracle("q157_bloom_scrub")}
+         |  ) b ON b.doc_id = d.doc_id) t)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT v.keep_quality THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fail_quality,
+         |  CAST(sum(CASE WHEN v.flagged_repetition THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fail_repetition,
+         |  CAST(sum(CASE WHEN v.blocked THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_blocked,
+         |  CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep,
+         |  CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS keep_rate
+         |FROM v JOIN documents d ON d.doc_id = v.doc_id
+         |GROUP BY 1 ORDER BY d.source""".stripMargin,
     // the three signals' EXISTING oracle strings embedded verbatim as
     // subqueries — the composition cannot drift from its parts
     "q166_curation_verdict" ->
