@@ -156,27 +156,39 @@ object Bpe {
   def encode(s: SparkSession, dir: String, merges: Seq[Merge]): DataFrame = {
     import s.implicits._
     val ordered = merges.sortBy(_.rank).map(m => (m.left, m.right))
-    graft.Tables.load(s, dir, "documents")
-      // null-text guard (the corpus contains null documents): encode
-      // them as zero-word rows, matching the oracle's coalesce
+    // null-text guard (the corpus contains null documents): encode
+    // them as zero-word rows, matching the oracle's coalesce
+    val occ = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         Tokens.whitespace(lower(coalesce(col("text"), lit("")))).as("w"))
-      .as[(Long, Seq[String])]
-      .map { case (id, ws) =>
-        val words = ws.filter(_.nonEmpty)
-        var nTokens = 0L
-        var nChars = 0L
-        words.foreach { word =>
-          var syms: Seq[String] = word.split("").toSeq
-          ordered.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
-          nTokens += syms.length
-          // code points, not UTF-16 units — split("") yields one
-          // symbol per code point, so this is the matching baseline
-          nChars += word.codePointCount(0, word.length)
-        }
-        (id, words.length.toLong, nChars, nTokens)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .where(col("word") =!= "")
+    // the merge fold runs on DISTINCT words (the Heaps'-law reduction
+    // the trainer and the oracle both use — a word's encoding does
+    // not depend on which document it is in), then joins back by
+    // word for the per-document rollup; re-encoding every occurrence
+    // was the sf1 cost (measured 13 s → the distinct core's fold)
+    val wtok = occ.select(col("word")).distinct()
+      .as[String]
+      .map { word =>
+        var syms: Seq[String] = word.split("").toSeq
+        ordered.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        // code points, not UTF-16 units — split("") yields one
+        // symbol per code point, so this is the matching baseline
+        (word, syms.length.toLong,
+          word.codePointCount(0, word.length).toLong)
       }
-      .toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens")
+      .toDF("word", "ntok", "nchr")
+    val stats = occ.join(wtok, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nchr")).as("n_chars"),
+        sum(col("ntok")).as("n_bpe_tokens"))
+    graft.Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
 
