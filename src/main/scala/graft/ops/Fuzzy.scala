@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-string (edit-distance) similarity self-join — the
+  * record-linkage primitive the relational side of a curation
+  * pipeline needs: near-identical entity KEYS (customer names, user
+  * handles, product titles differing by one typo) that exact
+  * `groupBy` dedup (q34) cannot see and token-set similarity (q36,
+  * q117) sees only when the typo splits a token.
+  *
+  * Blocking is the SymSpell / deletion-neighborhood scheme (Garbe's
+  * public symmetric-delete algorithm, also FastSS, Bocek et al.
+  * 2007): every string generates its ≤[[MaxEdits]]-character
+  * deletion variants (plus itself) as join keys, and two strings
+  * within edit distance τ ALWAYS share a variant — so candidate
+  * generation is a key-equality join (shuffle on short string keys,
+  * O(len^τ) keys per row), never a corpus² comparison, and the final
+  * `levenshtein ≤ τ` filter makes any false candidate invisible.
+  * Completeness of the blocking is exhaustively spec-tested over the
+  * full string space of a small alphabet (FuzzySpec); the oracle is
+  * the BRUTE-FORCE all-pairs levenshtein join, so a lossy block
+  * would fail the gate loudly.
+  *
+  * Scale shape (100 TB): exact-set collapse at birth (the q192
+  * discipline) — identical names join as ONE representative and the
+  * pair list re-expands algebraically afterwards, so a
+  * mass-duplicated key costs its distinct core, with the quadratic
+  * within-name expansion being genuine output, not work. The key
+  * join shuffles O(n·len) short strings; no broadcast hints anywhere
+  * (the corpus-growing-side discipline) — the optimizer picks
+  * broadcast below threshold, id-keyed shuffle above.
+  */
+object Fuzzy {
+
+  /** Edit-distance radius of the gate query (the library API takes
+    * any τ ∈ {1, 2}). */
+  val MaxEdits = 1
+
+  /** SQL expression (over a string column named `src`) for the
+    * deletion neighborhood: the string itself plus every variant
+    * obtainable by deleting ≤ τ characters. The inner lambda guards
+    * empty strings because Spark's `sequence(1, 0)` DESCENDS (it
+    * would fabricate [1, 0]) instead of yielding an empty array. */
+  private[ops] def delKeysExpr(src: String, maxEdits: Int): String = {
+    def del1(x: String, v: String): String =
+      s"if(length($x) < 1, array(), transform(sequence(1, length($x)), " +
+        s"$v -> concat(substr($x, 1, $v - 1), " +
+        s"substr($x, $v + 1, length($x)))))"
+    maxEdits match {
+      case 1 =>
+        s"array_distinct(concat(array($src), ${del1(src, "i")}))"
+      case 2 =>
+        s"array_distinct(concat(array($src), ${del1(src, "i")}, " +
+          s"flatten(transform(${del1(src, "i")}, s -> ${del1("s", "j")}))))"
+      case n => throw new IllegalArgumentException(
+        s"maxEdits must be 1 or 2, got $n")
+    }
+  }
+
+  /** Edit-distance ≤ τ self-join of a (id, name) relation. Output:
+    * one row per unordered id pair, id-ordered, with both names and
+    * the exact distance. Null names never match (both engines'
+    * levenshtein(NULL) is NULL → filtered). */
+  def editDistanceJoin(s: SparkSession, rel: DataFrame,
+                       idCol: String, nameCol: String,
+                       maxEdits: Int = MaxEdits): DataFrame = {
+    val base = rel.where(col(nameCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(nameCol).as("name"))
+    // exact-set collapse: one representative per distinct name
+    val fam = base.groupBy(col("name"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+    val keys = fam.select(col("name"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("name"),
+        explode(expr(delKeysExpr("name", maxEdits))).as("k"))
+    val cand = keys
+      .join(keys.select(col("name").as("nb"), col("k")), "k")
+      .where(col("name") < col("nb"))
+      .select(col("name").as("na"), col("nb"))
+      .distinct()
+    val matched = cand
+      .where(levenshtein(col("na"), col("nb")) <= maxEdits)
+    // cross-name expansion: every member pair inherits the name
+    // pair's distance; ids normalize to (min, max) WITH their names
+    val cross = matched
+      .join(fam.select(col("name").as("na"), col("members").as("ma")),
+        "na")
+      .join(fam.select(col("name").as("nb"), col("members").as("mb")),
+        "nb")
+      .select(col("na"), col("nb"),
+        explode(col("ma")).as("ka"), col("mb"),
+        levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+      .select(col("na"), col("nb"), col("ka"),
+        explode(col("mb")).as("kb"), col("dist"))
+      .select(
+        when(col("ka") < col("kb"), col("ka")).otherwise(col("kb"))
+          .as("id_a"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka"))
+          .as("id_b"),
+        when(col("ka") < col("kb"), col("na")).otherwise(col("nb"))
+          .as("name_a"),
+        when(col("ka") < col("kb"), col("nb")).otherwise(col("na"))
+          .as("name_b"),
+        col("dist"))
+    // within-name expansion: exact duplicates pair at distance 0
+    val within = fam.where(size(col("members")) > 1)
+      .select(col("name"), explode(expr(
+        """flatten(transform(sequence(0, size(members) - 2), i ->
+          |  transform(sequence(i + 1, size(members) - 1), j ->
+          |    struct(members[i] AS id_a, members[j] AS id_b))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("name").as("name_a"), col("name").as("name_b"),
+        lit(0L).as("dist"))
+    cross.unionByName(within)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q196: edit-distance ≤ 1 self-join on customer names — the
+    * near-identical-key report (sequential zero-padded TPC-H names
+    * make a dense one-typo pair space, a worst case the blocking
+    * must absorb). */
+  def fuzzyNameJoin(s: SparkSession, dir: String): DataFrame =
+    editDistanceJoin(s, Tables.load(s, dir, "customer"),
+      "c_custkey", "c_name", MaxEdits)
+      .withColumnRenamed("id_a", "custkey_a")
+      .withColumnRenamed("id_b", "custkey_b")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_fuzzy_name_join" -> (fuzzyNameJoin _))
+
+  val oracle: Map[String, String] = Map(
+    // brute force: the blocking must be invisible
+    "q196_fuzzy_name_join" ->
+      s"""SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+         |  a.c_name AS name_a, b.c_name AS name_b,
+         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         |FROM customer a JOIN customer b
+         |  ON a.c_custkey < b.c_custkey
+         |WHERE levenshtein(a.c_name, b.c_name) <= $MaxEdits
+         |ORDER BY custkey_a, custkey_b
+         |""".stripMargin)
+}

@@ -206,6 +206,108 @@ object Sketches {
       .orderBy("source_a", "source_b")
   }
 
+  /** Count-Min depth (independent hash rows) and width (buckets per
+    * row): d·w = 2048 BIGINT cells of TOTAL state. */
+  val CmD = 4
+  val CmW = 512
+
+  /** Report size and witness slack of q197: the estimate may
+    * overshoot by at most [[CmBound]]·N/w (Markov at 8× the per-row
+    * mean excess, then min over d=4 rows → violation odds (1/8)⁴ per
+    * item under pairwise-uniform hashing). */
+  val CmTop = 20
+  val CmBound = 8.0
+
+  /** The global 3-gram-shingle stream (shingle STRING, not hash —
+    * each Count-Min row salts its own hash from the text). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val zone = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+    zone.where(size(col("w")) >= 3)
+      .select(explode(Tokens.ngramsOf(col("w"), 3)).as("g"))
+  }
+
+  /** Count-Min counter table of a shingle stream: (row, bucket) →
+    * count. Each occurrence feeds all d rows (bucket = salted 60-bit
+    * hash mod w), and partial aggregation shrinks every map task to
+    * ≤ d·w cells before the shuffle — the sketch IS the partial-agg
+    * state, which is why it merges by plain `sum` ([[cmApplyBatch]]). */
+  private[text] def cmCounters(grams: DataFrame): DataFrame =
+    grams
+      .select(explode(expr(s"sequence(0, ${CmD - 1})")).as("r"),
+        col("g"))
+      .select(col("r"),
+        (graft.dedup.Md5Prefix.h(
+          concat(col("r").cast("string"), lit(":"), col("g"))) % CmW)
+          .cast("int").as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** q197: Count-Min frequency estimates for the top-[[CmTop]]
+    * shingles — point estimate = min over rows of the salted-bucket
+    * counter, against the exact count as the gate-affordable audit
+    * (the q178/q179 witness discipline: at 100 TB the exact side
+    * drops, the d·w-cell sketch serves every frequency probe).
+    * `est ≥ exact` is the structural Count-Min guarantee (counters
+    * only ever overcount); the slack side is [[CmBound]]·N/w. */
+  def cmSketchFreq(s: SparkSession, dir: String): DataFrame = {
+    val grams = shingles(s, dir)
+    val counters = cmCounters(grams)
+    val exact = grams.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+    val top = exact.orderBy(col("n_exact").desc, col("g")).limit(CmTop)
+    val total = grams.agg(count(lit(1)).as("n_total"))
+    val probes = top
+      .select(col("g"), col("n_exact"),
+        explode(expr(s"sequence(0, ${CmD - 1})")).as("r"))
+      .select(col("g"), col("n_exact"), col("r"),
+        (graft.dedup.Md5Prefix.h(
+          concat(col("r").cast("string"), lit(":"), col("g"))) % CmW)
+          .cast("int").as("bucket"))
+      .join(counters, Seq("r", "bucket"))
+      .groupBy(col("g"), col("n_exact"))
+      .agg(min(col("c")).as("est"))
+    probes.crossJoin(total)
+      .select(col("g"), col("n_exact"), col("est"),
+        (col("est") - col("n_exact")).as("overcount"),
+        (col("est") >= col("n_exact") &&
+          (col("est") - col("n_exact")).cast("double") <=
+            lit(CmBound / CmW) * col("n_total").cast("double"))
+          .as("within_bound"))
+      .orderBy(col("n_exact").desc, col("g"))
+  }
+
+  /** Build the Count-Min counter ZONE (≤ d·w rows at any corpus
+    * size) for a documents relation. */
+  def cmZoneBuild(docs: DataFrame, path: String): Unit =
+    cmCounters(
+      docs.select(Tokens.whitespace(col("text")).as("w"))
+        .where(size(col("w")) >= 3)
+        .select(explode(Tokens.ngramsOf(col("w"), 3)).as("g")))
+      .write.mode("overwrite").parquet(path)
+
+  /** Fold a batch into the counter zone WITHOUT rescanning the
+    * corpus — cellwise SUM is the Count-Min merge, so maintained ≡
+    * rebuilt bit-identically (the [[hllZoneApplyBatch]] discipline;
+    * spec-pinned). */
+  def cmZoneApplyBatch(s: SparkSession, path: String,
+                       batch: DataFrame): Unit = {
+    val merged = s.read.parquet(path)
+      .unionByName(cmCounters(
+        batch.select(Tokens.whitespace(col("text")).as("w"))
+          .where(size(col("w")) >= 3)
+          .select(explode(Tokens.ngramsOf(col("w"), 3)).as("g"))))
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+      .collect() // constant-bounded: ≤ d·w rows
+    import scala.jdk.CollectionConverters._
+    val out = s.createDataFrame(
+      merged.toSeq.asJava,
+      s.read.parquet(path).schema)
+    out.write.mode("overwrite").parquet(path)
+  }
+
   /** The per-(source, reg) register relation of a documents
     * relation — the mergeable state both the zone maintenance and
     * [[hllDistinct]] derive from. */
@@ -278,10 +380,26 @@ object Sketches {
       |    FROM documents)
       |  WHERE len(w) >= 3)""".stripMargin
 
+  /** The GLOBAL (un-sourced) shingle stream in DuckDB — [[shingles]]. */
+  private val gramSql: String =
+    raw"""tok AS MATERIALIZED (
+      |  SELECT unnest([array_to_string(w[i+1:i+3], ' ')
+      |    for i in range(0, len(w) - 2)]) AS g
+      |  FROM (SELECT
+      |      string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+      |    FROM documents)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  /** The salted row-r bucket of shingle expression `e` in DuckDB. */
+  private def cmBucketSql(r: String, e: String): String =
+    s"CAST((('0x' || substr(md5(CAST($r AS VARCHAR) || ':' || $e), " +
+      s"1, 15))::BIGINT % $CmW) AS INT)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_kmv_distinct" -> (kmvDistinct _),
     "q179_hll_distinct" -> (hllDistinct _),
-    "q183_kmv_source_jaccard" -> (kmvSourceJaccard _))
+    "q183_kmv_source_jaccard" -> (kmvSourceJaccard _),
+    "q197_cm_sketch" -> (cmSketchFreq _))
 
   val oracle: Map[String, String] = Map(
     "q178_kmv_distinct" ->
@@ -385,5 +503,29 @@ object Sketches {
          |  est_jaccard, exact_jaccard,
          |  abs(est_jaccard - exact_jaccard) <= 0.25 AS within_bound
          |FROM f ORDER BY source_a, source_b
+         |""".stripMargin,
+    "q197_cm_sketch" ->
+      s"""WITH $gramSql,
+         |cnt AS MATERIALIZED (
+         |  SELECT t.r, ${cmBucketSql("t.r", "g")} AS bucket,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM tok CROSS JOIN range($CmD) t(r)
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM tok GROUP BY 1),
+         |top AS (SELECT g, n_exact FROM ex
+         |        ORDER BY n_exact DESC, g LIMIT $CmTop),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+         |est AS (
+         |  SELECT top.g, top.n_exact, min(c) AS est
+         |  FROM top CROSS JOIN range($CmD) t(r)
+         |  JOIN cnt ON cnt.r = t.r
+         |    AND cnt.bucket = ${cmBucketSql("t.r", "top.g")}
+         |  GROUP BY 1, 2)
+         |SELECT g, n_exact, est, est - n_exact AS overcount,
+         |  (est >= n_exact AND CAST(est - n_exact AS DOUBLE)
+         |    <= ${CmBound / CmW} * CAST(n_total AS DOUBLE))
+         |    AS within_bound
+         |FROM est, tot ORDER BY n_exact DESC, g
          |""".stripMargin)
 }

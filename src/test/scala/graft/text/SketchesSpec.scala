@@ -118,6 +118,36 @@ class SketchesSpec extends SparkSpec {
     assert(fromZone == fromQuery, "zone summary drifted from q179")
   }
 
+  test("cm sketch: estimates dominate exact counts and witnesses hold") {
+    val rows = Sketches.cmSketchFreq(spark, sf()).collect()
+    assert(rows.length == Sketches.CmTop)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n_exact"),
+        s"count-min undercounted: $r") // structural guarantee
+      assert(r.getAs[Boolean]("within_bound"), s"cm bound broken: $r")
+    }
+    // the report is in descending exact-frequency order
+    val ex = rows.map(_.getAs[Long]("n_exact")).toSeq
+    assert(ex == ex.sorted.reverse)
+  }
+
+  test("cm zone: incrementally maintained ≡ rebuilt (sum is the merge)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val full = java.nio.file.Files.createTempDirectory("cm_full").toString
+    val inc = java.nio.file.Files.createTempDirectory("cm_inc").toString
+    Sketches.cmZoneBuild(docs, full)
+    Sketches.cmZoneBuild(docs.where(col("doc_id") % 2 === 0), inc)
+    Sketches.cmZoneApplyBatch(spark, inc,
+      docs.where(col("doc_id") % 2 =!= 0))
+    def zone(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(zone(inc) == zone(full),
+      "maintained cm zone drifted from full rebuild")
+    // total sketch state stays within the constant d·w bound
+    assert(zone(full).size <= Sketches.CmD * Sketches.CmW)
+  }
+
   test("q178/q179 witnesses hold at spec SF and schemas agree") {
     val kmv = Sketches.kmvDistinct(spark, sf()).collect()
     val hll = Sketches.hllDistinct(spark, sf()).collect()
