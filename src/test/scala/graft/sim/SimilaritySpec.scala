@@ -192,6 +192,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q198 graph walk: recall floor pinned, results reachable and ranked") {
+    val rows = Similarity.graphSearch(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok"),
+        s"walk recall ${r.getAs[Double]("recall_overall")} below " +
+          s"${Similarity.WalkRecallFloor}")
+      assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id"),
+        "walk returned the query itself")
+    }
+    // per-query contract: exactly k results, ranks 1..k, scores
+    // non-increasing under the rank order
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to Similarity.GraphK))
+      val scores = sorted.map(_.getAs[Double]("approx_cos")).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // every result lies within WalkRounds hops of the entry set —
+    // the walk cannot fabricate unreachable nodes
+    val edges = Similarity.knnGraph(spark, sf())
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    // recompute the true reachable set from the SAME entry rule
+    import org.apache.spark.sql.functions._
+    val entryIds = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"),
+        graft.dedup.Md5Prefix.h(
+          concat(lit("walk-entry:"), col("vec_id").cast("string")))
+          .as("eh"))
+      .orderBy(col("eh"), col("vec_id"))
+      .limit(Similarity.WalkEntries)
+      .collect().map(_.getLong(0)).toSet
+    var reach = entryIds
+    (1 to Similarity.WalkRounds).foreach { _ =>
+      reach = reach ++ reach.flatMap(n => edges.getOrElse(n, Set.empty))
+    }
+    rows.foreach { r =>
+      assert(reach.contains(r.getAs[Long]("neighbor_id")),
+        s"unreachable result ${r.getAs[Long]("neighbor_id")}")
+    }
+  }
+
   test("q156 semantic dedup: closure of thresholded graph edges") {
     val labels = Similarity.semanticDedup(spark, sf()).collect()
       .map(r => (r.getAs[Long]("vec_id"),
