@@ -29,7 +29,8 @@ object SparkEntry {
       ops.Quality.queries ++ ops.Blocklist.queries ++
       text.Bpe.queries ++ sim.KMeans.queries ++ sim.Spectral.queries ++
       text.Sketches.queries ++ sim.Pq.queries ++
-      text.TextVectors.queries ++ ops.Fuzzy.queries
+      text.TextVectors.queries ++ ops.Fuzzy.queries ++
+      text.RetrievalEval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       ops.Quality.oracle ++ ops.Blocklist.oracle ++
       text.Bpe.oracle ++ sim.KMeans.oracle ++ sim.Spectral.oracle ++
       text.Sketches.oracle ++ sim.Pq.oracle ++
-      text.TextVectors.oracle ++ ops.Fuzzy.oracle
+      text.TextVectors.oracle ++ ops.Fuzzy.oracle ++
+      text.RetrievalEval.oracle
 }

@@ -165,7 +165,7 @@ object CorpusStats {
 
   /** The chunk relation materialized once ([[graft.util.Scratch]]);
     * q106 and q113 consume the stored copy from both plan branches. */
-  private def chunkZone(s: SparkSession, dir: String): DataFrame =
+  private[text] def chunkZone(s: SparkSession, dir: String): DataFrame =
     // memoized per application: q106 and q113 (and re-runs) share the
     // same deterministic chunking of the same corpus
     graft.util.Scratch.memo(s, "cdc-chunks", s"cdc-chunks:$dir")(
@@ -1105,7 +1105,7 @@ object CorpusStats {
   /** Shared CDC-chunking CTE prefix (documents → per-token chunk_idx)
     * for the q106/q113 oracles — one spelling of boundary placement so
     * the two can never drift. */
-  private val cdcCtes: String =
+  private[text] val cdcCtes: String =
     raw"""WITH d AS (
       |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS arr
       |  FROM documents),

@@ -391,4 +391,22 @@ class PlanAuditSpec extends SparkSpec {
       "nfc_normalize project fell out of whole-stage codegen:\n" +
         finalPlan)
   }
+
+  test("q199: the pair scan streams the CORPUS and builds the query " +
+    "zone — never the inverse") {
+    val plan = planOf("q199_retrieval_eval")
+    // the non-equi pair join must be a nested loop building the RIGHT
+    // (query-zone) side; BuildLeft would broadcast the corpus vectors
+    // and stream ~|queries| rows on a handful of tasks (measured ~3×
+    // slower at sf0.1, OOM at corpus scale)
+    assert(plan.contains("BroadcastNestedLoopJoin Inner, BuildRight") ||
+      plan.contains("BroadcastNestedLoopJoin BuildRight") ||
+      "BroadcastNestedLoopJoin [^,\\n]*BuildRight".r
+        .findFirstIn(plan).isDefined,
+      "pair scan lost its build-right shape:\n" + plan)
+    assert(!plan.contains("BuildLeft"),
+      "corpus side became the broadcast build side:\n" + plan)
+    assert(!plan.contains("CartesianProduct"),
+      "pair scan degraded to a cartesian shuffle:\n" + plan)
+  }
 }
