@@ -120,6 +120,46 @@ object Fuzzy {
       .orderBy("id_a", "id_b")
   }
 
+  /** Delta-mode edit-distance join: NEW batch rows against the
+    * standing corpus only — incremental record linkage (the q115
+    * delta-near-dedup discipline: intra-corpus pairs are never
+    * generated, so an ingest batch costs O(|batch|·len^τ) keys, not
+    * a corpus re-pairing). Orientation is preserved (batch_key,
+    * corpus_key); identical names across the boundary surface at
+    * distance 0. */
+  def deltaEditDistanceJoin(s: SparkSession, corpus: DataFrame,
+                            batch: DataFrame, idCol: String,
+                            nameCol: String,
+                            maxEdits: Int = MaxEdits): DataFrame = {
+    def fam(rel: DataFrame) = rel.where(col(nameCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(nameCol).as("name"))
+      .groupBy(col("name"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+    def keys(f: DataFrame) = f.select(col("name"))
+      .select(col("name"),
+        explode(expr(delKeysExpr("name", maxEdits))).as("k"))
+    val bf = fam(batch)
+    val cf = fam(corpus)
+    val cand = keys(bf).select(col("name").as("nb"), col("k"))
+      .join(keys(cf).select(col("name").as("nc"), col("k")), "k")
+      .select(col("nb"), col("nc"))
+      .distinct()
+    cand.where(levenshtein(col("nb"), col("nc")) <= maxEdits)
+      .join(bf.select(col("name").as("nb"), col("members").as("mb")),
+        "nb")
+      .join(cf.select(col("name").as("nc"), col("members").as("mc")),
+        "nc")
+      .select(col("nb"), col("nc"),
+        explode(col("mb")).as("batch_key"), col("mc"),
+        levenshtein(col("nb"), col("nc")).cast("long").as("dist"))
+      .select(col("nb").as("name_batch"), col("nc").as("name_corpus"),
+        col("batch_key"), explode(col("mc")).as("corpus_key"),
+        col("dist"))
+      .select(col("batch_key"), col("corpus_key"), col("name_batch"),
+        col("name_corpus"), col("dist"))
+      .orderBy("batch_key", "corpus_key")
+  }
+
   /** q196: edit-distance ≤ 1 self-join on customer names — the
     * near-identical-key report (sequential zero-padded TPC-H names
     * make a dense one-typo pair space, a worst case the blocking
@@ -130,8 +170,42 @@ object Fuzzy {
       .withColumnRenamed("id_a", "custkey_a")
       .withColumnRenamed("id_b", "custkey_b")
 
+  /** q200: incremental record linkage — the 1-in-20 customer slice
+    * as the arriving batch, the rest as the standing corpus. */
+  def fuzzyDeltaJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    deltaEditDistanceJoin(s,
+      cust.where(col("c_custkey") % 20 =!= 0),
+      cust.where(col("c_custkey") % 20 === 0),
+      "c_custkey", "c_name", MaxEdits)
+  }
+
+  /** q201: fuzzy ENTITY clusters — the q98 dedup arc on the fuzzy
+    * pair graph: edit-distance pairs over part names (exact
+    * duplicates at distance 0, one-typo variants at 1) fold into
+    * connected components with a min-id canonical record per
+    * entity. Same star-contraction CC operator, same survivor
+    * contract, same recursive-CTE oracle closure as every cluster
+    * family (q98/q126/q167/q193). */
+  def fuzzyClusters(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("p_partkey"),
+        col("p_name"))
+    val pairs = editDistanceJoin(s, part, "p_partkey", "p_name",
+        MaxEdits)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val labels = graft.dedup.Dedup.connectedComponents(pairs)
+    part.join(labels, part("p_partkey") === labels("id"), "left")
+      .select(col("p_partkey"), col("p_name"),
+        coalesce(col("label"), col("p_partkey")).as("entity_id"))
+      .withColumn("canonical", col("p_partkey") === col("entity_id"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q196_fuzzy_name_join" -> (fuzzyNameJoin _))
+    "q196_fuzzy_name_join" -> (fuzzyNameJoin _),
+    "q200_fuzzy_delta_join" -> (fuzzyDeltaJoin _),
+    "q201_fuzzy_clusters" -> (fuzzyClusters _))
 
   val oracle: Map[String, String] = Map(
     // brute force: the blocking must be invisible
@@ -143,5 +217,34 @@ object Fuzzy {
          |  ON a.c_custkey < b.c_custkey
          |WHERE levenshtein(a.c_name, b.c_name) <= $MaxEdits
          |ORDER BY custkey_a, custkey_b
+         |""".stripMargin,
+    "q200_fuzzy_delta_join" ->
+      s"""SELECT b.c_custkey AS batch_key, c.c_custkey AS corpus_key,
+         |  b.c_name AS name_batch, c.c_name AS name_corpus,
+         |  CAST(levenshtein(b.c_name, c.c_name) AS BIGINT) AS dist
+         |FROM customer b JOIN customer c
+         |  ON b.c_custkey % 20 = 0 AND c.c_custkey % 20 <> 0
+         |WHERE levenshtein(b.c_name, c.c_name) <= $MaxEdits
+         |ORDER BY batch_key, corpus_key
+         |""".stripMargin,
+    // brute-force pair graph closed with the q98-family recursive
+    // CTE; min-id canonical per entity
+    "q201_fuzzy_clusters" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.p_partkey AS i, b.p_partkey AS j
+         |  FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+         |  WHERE levenshtein(a.p_name, b.p_name) <= $MaxEdits),
+         |e(src, dst) AS (
+         |  SELECT i, j FROM p UNION ALL SELECT j, i FROM p),
+         |reach(id, label) AS (
+         |  SELECT p_partkey, p_partkey FROM part
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id),
+         |lab AS (
+         |  SELECT id, min(label) AS entity_id FROM reach GROUP BY id)
+         |SELECT p.p_partkey, p.p_name, lab.entity_id,
+         |  (p.p_partkey = lab.entity_id) AS canonical
+         |FROM part p JOIN lab ON lab.id = p.p_partkey
+         |ORDER BY p.p_partkey
          |""".stripMargin)
 }

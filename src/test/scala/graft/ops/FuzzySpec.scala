@@ -79,6 +79,48 @@ class FuzzySpec extends SparkSpec {
     assert(two == Seq(2L))
   }
 
+  test("delta join: batch×corpus pairs only, oriented, brute-force equal") {
+    import spark.implicits._
+    val corpus = Seq((1L, "spark"), (2L, "flink"), (3L, "sprk"))
+      .toDF("id", "name")
+    val batch = Seq((10L, "spark"), (11L, "flunk"), (12L, "presto"))
+      .toDF("id", "name")
+    val got = Fuzzy.deltaEditDistanceJoin(spark, corpus, batch,
+        "id", "name", 1)
+      .select("batch_key", "corpus_key", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute truth: (10,1,0 exact across boundary) (10,3,1) (11,2,1)
+    assert(got == Set((10L, 1L, 0L), (10L, 3L, 1L), (11L, 2L, 1L)))
+    // no intra-batch or intra-corpus pair can appear
+    assert(got.forall { case (b, c, _) => b >= 10 && c < 10 })
+  }
+
+  test("q201 clusters: closure of brute-force pairs, canonical = min id") {
+    import spark.implicits._
+    val rows = Fuzzy.fuzzyClusters(spark, sf()).collect()
+    val parts = graft.Tables.load(spark, sf(), "part")
+      .select(col("p_partkey").cast("long"), col("p_name"))
+      .as[(Long, String)].collect()
+    // independent union-find over brute-force lev<=1 pairs
+    val parent = scala.collection.mutable.Map(parts.map(p => p._1 -> p._1): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    for ((ia, na) <- parts; (ib, nb) <- parts if ia < ib && lev(na, nb) <= 1) {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parts.map(p => p._1 -> find(p._1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("p_partkey")
+      assert(r.getAs[Long]("entity_id") == want(id),
+        s"entity drift at $id")
+      assert(r.getAs[Boolean]("canonical") == (want(id) == id))
+    }
+    // real structure at spec SF: fewer entities than parts
+    assert(want.values.toSet.size < parts.length)
+  }
+
   test("q196 matches engine-side brute force on the sf0.001 customers") {
     import spark.implicits._
     val cust = graft.Tables.load(spark, sf(), "customer")
