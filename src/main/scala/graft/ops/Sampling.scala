@@ -365,7 +365,79 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Sample size and estimator slack of q202. At least PrioK+1
+    * weighted docs must exist (true from sf0.001 up); the witness is
+    * |Σ max(w,τ) / Σ w − 1| ≤ [[PrioBound]] — priority sampling's
+    * total estimator concentrates far tighter at k = 25 on this
+    * corpus; the slack absorbs any SF. */
+  val PrioK = 25
+  val PrioBound = 0.5
+
+  /** q202: PRIORITY SAMPLING (Duffield–Lund–Thorup 2007) — k docs
+    * weighted by token count, the "pick a token-representative
+    * subsample without replacement" primitive (size-biased QA
+    * samples, weighted eval panels). Priority = w / u with u the
+    * salted 30-bit hash mapped to (0,1] — fully deterministic, so
+    * both engines replay the sample AND the Horvitz–Thompson total
+    * estimate bit-for-bit. The estimator: τ = (k+1)-th priority;
+    * each sampled doc estimates max(w, τ); Σ estimates ≈ Σ w —
+    * emitted with the exact total as the gate-affordable audit and
+    * a pinned relative-error witness (the q178 discipline). The
+    * w ≥ τ branch sums exact BIGINTs; τ enters ONCE as a double
+    * ratio of exact integers (num = w·2³⁰, den = hash+1 — BIGINT-
+    * safe to w ≈ 8·10⁸ tokens per doc).
+    *
+    * Scale shape: one corpus scan → global top-(k+1) by a per-row
+    * sort key (TakeOrdered — no full sort, no window over the
+    * corpus); everything after runs on k+1 rows. */
+  def prioritySample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.util.Tokens.whitespace(col("text"))).cast("long")
+          .as("wc"))
+      .where(col("wc") >= 1)
+    val pri = docs
+      .select(col("doc_id"), col("wc"),
+        (graft.dedup.Md5Prefix.h(
+          concat(lit("prio:"), col("doc_id").cast("string")))
+          % lit(1073741824L) + lit(1L)).as("hd"))
+      .withColumn("num", col("wc") * lit(1073741824L))
+      .withColumn("priority",
+        col("num").cast("double") / col("hd").cast("double"))
+    val top = pri.orderBy(col("priority").desc, col("doc_id"))
+      .limit(PrioK + 1)
+    // window over ≤ k+1 rows — bounded by construction
+    val ranked = top.withColumn("rank", row_number().over(
+      Window.orderBy(col("priority").desc, col("doc_id"))))
+    val tau = ranked.where(col("rank") === PrioK + 1)
+      .select(col("num").as("tnum"), col("hd").as("tden"))
+    val sample = ranked.where(col("rank") <= PrioK)
+    val est = sample.crossJoin(broadcast(tau))
+      .agg(
+        sum(when(col("wc") * col("tden") >= col("tnum"), col("wc"))
+          .otherwise(0L)).as("big_sum"),
+        sum(when(col("wc") * col("tden") >= col("tnum"), 0L)
+          .otherwise(1L)).as("n_small"),
+        max(col("tnum")).as("tnum"), max(col("tden")).as("tden"))
+      .select((col("big_sum").cast("double") +
+        col("n_small").cast("double") *
+          (col("tnum").cast("double") / col("tden").cast("double")))
+        .as("est_total_tokens"))
+    val tot = docs.agg(sum(col("wc")).as("true_total_tokens"))
+    sample
+      .select(col("doc_id"), col("wc").as("n_tokens"),
+        col("priority"), col("rank"))
+      .crossJoin(broadcast(est))
+      .crossJoin(broadcast(tot))
+      .withColumn("within_bound",
+        abs(col("est_total_tokens") /
+          col("true_total_tokens").cast("double") - 1.0) <= PrioBound)
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_priority_sample" -> ((s: SparkSession, d: String) =>
+      prioritySample(s, d)),
     "q160_temperature_mix" -> ((s: SparkSession, d: String) =>
       temperatureMix(s, d)),
     "q146_seeded_shuffle" -> ((s: SparkSession, d: String) =>
@@ -389,6 +461,47 @@ object Sampling {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q202_priority_sample" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))
+        |      AS BIGINT) AS wc
+        |  FROM documents),
+        |dd AS (SELECT doc_id, wc FROM d WHERE wc >= 1),
+        |pri AS (
+        |  SELECT doc_id, wc,
+        |    ('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 1073741824 + 1 AS hd,
+        |    wc * 1073741824 AS num
+        |  FROM dd),
+        |p2 AS (
+        |  SELECT doc_id, wc, hd, num,
+        |    CAST(num AS DOUBLE) / CAST(hd AS DOUBLE) AS priority
+        |  FROM pri),
+        |rk AS (
+        |  SELECT *, row_number() OVER
+        |    (ORDER BY priority DESC, doc_id) AS rank
+        |  FROM p2),
+        |tau AS (SELECT num AS tnum, hd AS tden FROM rk
+        |        WHERE rank = ${PrioK + 1}),
+        |smp AS (SELECT * FROM rk WHERE rank <= $PrioK),
+        |est AS (
+        |  SELECT CAST(sum(CASE WHEN smp.wc * tau.tden >= tau.tnum
+        |      THEN smp.wc ELSE 0 END) AS DOUBLE)
+        |    + CAST(sum(CASE WHEN smp.wc * tau.tden >= tau.tnum
+        |        THEN 0 ELSE 1 END) AS DOUBLE)
+        |      * (CAST(max(tau.tnum) AS DOUBLE)
+        |         / CAST(max(tau.tden) AS DOUBLE)) AS est_total_tokens
+        |  FROM smp, tau),
+        |tot AS (SELECT CAST(sum(wc) AS BIGINT) AS true_total_tokens
+        |        FROM dd)
+        |SELECT smp.doc_id, smp.wc AS n_tokens, smp.priority, smp.rank,
+        |  est.est_total_tokens, tot.true_total_tokens,
+        |  abs(est.est_total_tokens
+        |    / CAST(tot.true_total_tokens AS DOUBLE) - 1.0)
+        |    <= $PrioBound AS within_bound
+        |FROM smp, est, tot ORDER BY rank
+        |""".stripMargin,
     "q160_temperature_mix" ->
       raw"""WITH d AS (
         |  SELECT source,

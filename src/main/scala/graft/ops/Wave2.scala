@@ -140,6 +140,23 @@ object Wave2 {
   /** q72: JSON-lines source round-trip — `orders` through JSON and
     * back under the explicit schema; timestamps surface as epoch ms so
     * the comparison is integer-exact. */
+  /** q204: ORC write→read round trip — the third columnar surface
+    * next to q71's CSV and q72's JSON (Spark's built-in ORC writer;
+    * types survive natively, so no schema re-imposition is needed —
+    * read-side schema comes from the ORC footer). The read is
+    * filtered to prove ORC predicate pushdown is live on the served
+    * copy (PushedFilters pinned in PlanAuditSpec). */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+    val out = scratch(dir, "orc_part")
+    p.write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .where(col("p_size") >= 25)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"), col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
   def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
     val out = scratch(dir, "json_orders")
@@ -237,6 +254,7 @@ object Wave2 {
     "q68_setops_all"    -> (setOpsAll _),
     "q69_unpivot"       -> (unpivotMeasures _),
     "q71_csv_roundtrip" -> (csvRoundtrip _),
+    "q204_orc_roundtrip" -> (orcRoundtrip _),
     "q72_json_roundtrip" -> (jsonRoundtrip _),
     "q73_string_agg"    -> (stringAgg _),
     "q74_bool_agg"      -> (boolAgg _))
@@ -334,6 +352,9 @@ object Wave2 {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  epoch_ms(o_orderdate) AS odate_ms, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q204_orc_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        |FROM part WHERE p_size >= 25 ORDER BY p_partkey""".stripMargin,
     "q73_string_agg" ->
       """SELECT c_nationkey,
         |  string_agg(c_name, ',' ORDER BY c_name) AS names,

@@ -752,6 +752,55 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q203: triangle census of the kNN graph — per-node triangle
+    * counts and local clustering coefficients plus the global count
+    * (the third graph-analytics member next to q180's PageRank and
+    * the CC family): high clustering marks tight semantic
+    * neighborhoods (candidate near-dup pockets), low clustering
+    * marks hub/bridge vectors. Edges are the q155 graph symmetrized
+    * to distinct (min, max) pairs; each triangle x<y<z is counted
+    * once by the standard edge-iterator two-join (Schank & Wagner
+    * 2005); the only doubles are the final coefficient ratios.
+    *
+    * Scale shape: on a k-bounded graph the triangle join is
+    * O(n·k²) — degree is capped by construction, so the classic
+    * skew-killer of triangle counting (celebrity nodes) cannot
+    * occur; joins are edge-keyed shuffles, unhinted. */
+  def triangleStats(s: SparkSession, dir: String): DataFrame = {
+    val e = knnGraphZone(s, dir)
+      .select(least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+      .distinct()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val tot = tri.agg(count(lit(1)).as("global_triangles"))
+    corpus(s, dir).select(col("vec_id").as("id"))
+      .join(deg, Seq("id"), "left")
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .crossJoin(broadcast(tot))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          lit(2.0) * col("n_triangles").cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("id"), col("degree"), col("n_triangles"),
+        col("clustering"), col("global_triangles"))
+      .orderBy("id")
+  }
+
   /** q156: semantic dedup (SemDeDup-shaped) — embedding-space
     * duplicate pruning driven by the kNN graph: a graph edge scoring
     * approx_cos ≥ τ (q52's 0.45) joins its endpoints into one
@@ -971,6 +1020,7 @@ object Similarity {
     "q155_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "q168_knn_banded_witness" -> (knnBandedWitness _),
     "q198_graph_search" -> (graphSearch _),
+    "q203_triangle_stats" -> (triangleStats _),
     "q156_semantic_dedup" -> (semanticDedup _),
     // the BUILD→WRITE→SERVE round trip under the hash gate: probe-all
     // from the cell-partitioned zone ≡ brute force (the q53 contract,
@@ -1368,6 +1418,49 @@ object Similarity {
          |  recall_overall >= $WalkRecallFloor AS recall_ok
          |FROM fl, tot
          |ORDER BY query_id, rank""".stripMargin,
+    // symmetrized distinct edges → edge-iterator two-join (each
+    // x<y<z once) → per-node explode + degree → coefficient ratios
+    "q203_triangle_stats" ->
+      s"""WITH $knnEdgesSql,
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(query_id, neighbor_id) AS a,
+         |    greatest(query_id, neighbor_id) AS b
+         |  FROM edges
+         |),
+         |tri AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1
+         |  JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+         |),
+         |pn AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT x AS id FROM tri UNION ALL
+         |        SELECT y FROM tri UNION ALL
+         |        SELECT z FROM tri)
+         |  GROUP BY 1
+         |),
+         |dg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1
+         |),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS global_triangles
+         |        FROM tri)
+         |SELECT v.vec_id AS id,
+         |  coalesce(dg.degree, 0) AS degree,
+         |  coalesce(pn.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN coalesce(dg.degree, 0) >= 2
+         |    THEN 2.0 * CAST(coalesce(pn.n_triangles, 0) AS DOUBLE)
+         |      / CAST(coalesce(dg.degree, 0)
+         |          * (coalesce(dg.degree, 0) - 1) AS DOUBLE)
+         |    ELSE 0.0 END AS clustering,
+         |  tot.global_triangles
+         |FROM embeddings v
+         |LEFT JOIN dg ON dg.id = v.vec_id
+         |LEFT JOIN pn ON pn.id = v.vec_id
+         |CROSS JOIN tot
+         |ORDER BY id""".stripMargin,
     // graph edges above τ, symmetrized, closed with the q98-family
     // recursive CTE; min-id survivor per component
     "q156_semantic_dedup" ->

@@ -392,6 +392,14 @@ class PlanAuditSpec extends SparkSpec {
         finalPlan)
   }
 
+  test("q204: the ORC read side pushes the size predicate into the scan") {
+    val plan = planOf("q204_orc_roundtrip")
+    assert(plan.contains("Scan orc"), "expected an ORC scan:\n" + plan)
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(p_size,25\\).*"),
+      "size predicate not pushed to the ORC scan:\n" + plan)
+  }
+
   test("q199: the pair scan streams the CORPUS and builds the query " +
     "zone — never the inverse") {
     val plan = planOf("q199_retrieval_eval")

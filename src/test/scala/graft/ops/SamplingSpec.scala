@@ -475,4 +475,22 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("q202 priority sample: exact k, ordered, estimator witness holds") {
+    val rows = Sampling.prioritySample(spark, sf()).collect()
+    assert(rows.length == Sampling.PrioK, s"got ${rows.length} rows")
+    assert(rows.map(_.getAs[Int]("rank")).toSeq ==
+      (1 to Sampling.PrioK))
+    val pris = rows.map(_.getAs[Double]("priority")).toSeq
+    assert(pris.zip(pris.tail).forall { case (a, b) => a >= b },
+      "priorities not non-increasing under rank order")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"estimator left the pinned bound: $r")
+      assert(r.getAs[Long]("n_tokens") >= 1)
+    }
+    // Horvitz–Thompson sanity: the estimate can never fall below the
+    // exact token mass of the sample itself
+    val est = rows.head.getAs[Double]("est_total_tokens")
+    assert(est >= rows.map(_.getAs[Long]("n_tokens")).sum.toDouble - 1e-9)
+  }
 }

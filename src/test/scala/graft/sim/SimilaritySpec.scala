@@ -237,6 +237,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q203 triangles: brute-force equal at spec SF, invariants hold") {
+    val rows = Similarity.triangleStats(spark, sf()).collect()
+    val global = rows.head.getAs[Long]("global_triangles")
+    // each triangle contributes to exactly three nodes
+    assert(rows.map(_.getAs[Long]("n_triangles")).sum == 3 * global)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("clustering")
+      assert(c >= 0.0 && c <= 1.0 + 1e-12, s"coefficient out of range: $r")
+    }
+    // independent brute force over the same symmetrized edge set
+    val und = Similarity.knnGraph(spark, sf())
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val nbrs = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = und.toSeq.map { case (a, b) =>
+      nbrs(a).intersect(nbrs(b)).count(c => c > b)
+    }.sum
+    assert(global == brute, s"got $global triangles, brute $brute")
+  }
+
   test("q156 semantic dedup: closure of thresholded graph edges") {
     val labels = Similarity.semanticDedup(spark, sf()).collect()
       .map(r => (r.getAs[Long]("vec_id"),
