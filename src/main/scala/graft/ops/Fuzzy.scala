@@ -45,7 +45,7 @@ object Fuzzy {
     * obtainable by deleting ≤ τ characters. The inner lambda guards
     * empty strings because Spark's `sequence(1, 0)` DESCENDS (it
     * would fabricate [1, 0]) instead of yielding an empty array. */
-  private[ops] def delKeysExpr(src: String, maxEdits: Int): String = {
+  private[graft] def delKeysExpr(src: String, maxEdits: Int): String = {
     def del1(x: String, v: String): String =
       s"if(length($x) < 1, array(), transform(sequence(1, length($x)), " +
         s"$v -> concat(substr($x, 1, $v - 1), " +

@@ -79,7 +79,7 @@ object Similarity {
     * BIGINT arithmetic, bit-identical to the aggregate(zip_with(...))
     * spelling it replaces (pinned in Int8DotSpec); callers must have
     * run GraftFunctions.register(spark) first. */
-  private def int8DotCol(a: Column, b: Column): Column =
+  private[sim] def int8DotCol(a: Column, b: Column): Column =
     call_function("int8_dot", a, b)
 
   /** 16-bit SRP signature of an embedding column. */

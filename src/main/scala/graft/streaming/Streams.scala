@@ -437,6 +437,46 @@ object Streams {
     *
     * Output adds `bloom_hit` (route to quarantine + exact check) and
     * `admitted`. */
+  /** Streaming FUZZY admission: flag records whose `name` is within
+    * edit distance ≤ `maxEdits` of any name on a bounded reference
+    * list (typo-squatted usernames, near-variant banned titles) —
+    * the streaming face of the q196 family. Stateless: the reference
+    * collapses to two broadcast-constant arrays (its deletion-
+    * neighborhood keys and its raw names); per record, the cheap
+    * `arrays_overlap` on deletion keys gates the exact per-reference
+    * `levenshtein` scan (the q157 bloom→exact discipline — the key
+    * prefilter is COMPLETE by the SymSpell guarantee, so a record
+    * with no key overlap provably has no match and skips the scan).
+    * Admission is decided by the EXACT check, never the prefilter
+    * (the round-6 Blocklist ruling). Reference must be bounded
+    * (constant-folded into the plan); a corpus-sized reference
+    * belongs in the batch join ([[graft.ops.Fuzzy.deltaEditDistanceJoin]]). */
+  def fuzzyAdmission(stream: DataFrame, reference: DataFrame,
+                     nameCol: String = "name",
+                     maxEdits: Int = 1): DataFrame = {
+    val refNames = reference.select(col(nameCol).cast("string"))
+      .where(col(nameCol).isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted
+    val keysOf = graft.ops.Fuzzy.delKeysExpr(nameCol, maxEdits)
+    // reference keys computed ONCE via the same expr the stream
+    // applies per record — one spelling, no drift
+    val refKeyArr = {
+      import reference.sparkSession.implicits._
+      refNames.toSeq.toDF(nameCol)
+        .select(explode(expr(keysOf)).as("k")).distinct()
+        .collect().map(_.getString(0)).sorted
+    }
+    stream
+      .withColumn("key_hit",
+        arrays_overlap(expr(keysOf),
+          array(refKeyArr.map(lit(_)): _*)))
+      .withColumn("fuzzy_match",
+        col("key_hit") && exists(
+          array(refNames.map(lit(_)): _*),
+          rn => levenshtein(col(nameCol), rn) <= maxEdits))
+      .withColumn("admitted", !col("fuzzy_match"))
+  }
+
   def blocklistAdmission(stream: DataFrame,
                          blockedTexts: DataFrame): DataFrame = {
     import graft.dedup.Md5Prefix

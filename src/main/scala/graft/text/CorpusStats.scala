@@ -1060,13 +1060,51 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** The q185 per-doc relation memoized: q185 and q205 both read the
+    * stored copy (the ≥2-consumer materialize rule). */
+  private def trigramPpl(s: SparkSession, dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "trigram-ppl", s"trigram-ppl:$dir")(
+      trigramLm(s, dir))
+
+  /** q205: perplexity BUCKETS — CCNet's head/middle/tail split
+    * (Wenzek et al. 2020: rank each source's documents by LM score
+    * and cut into terciles; the buckets drive mixing/filtering
+    * decisions). Ranking is per-source on the q185 mean-bits score
+    * with doc_id tie-break; the tercile cut is exact integer
+    * arithmetic (rank·3 vs n), no percentile approximation.
+    *
+    * Scale shape: the window is keyed BY SOURCE (corpus-partitioned,
+    * never global); counts are a partial agg joined back; the scored
+    * relation streams from the memoized q185 zone. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val ppl = trigramPpl(s, dir)
+      .select(col("doc_id"), col("n_trigrams"), col("mean_bits"))
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val r = ppl.join(src, "doc_id")
+      .withColumn("ppl_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("mean_bits"), col("doc_id"))))
+    val cnt = r.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    r.join(cnt, "source")
+      .select(col("doc_id"), col("source"), col("n_trigrams"),
+        col("mean_bits"), col("ppl_rank"),
+        when(col("ppl_rank") * 3 <= col("n"), "head")
+          .when(col("ppl_rank") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_ppl_buckets" -> ((s: SparkSession, d: String) =>
+      pplBuckets(s, d)),
     "q171_dsir_weights" -> ((s: SparkSession, d: String) =>
       dsirWeights(s, d)),
     "q172_bigram_lm" -> ((s: SparkSession, d: String) =>
       bigramLm(s, d)),
     "q185_trigram_backoff" -> ((s: SparkSession, d: String) =>
-      trigramLm(s, d)),
+      trigramPpl(s, d).orderBy("doc_id")),
     "q153_ict_pairs" -> ((s: SparkSession, d: String) =>
       ictPairs(s, d)),
     "q149_repetition_filter" -> ((s: SparkSession, d: String) =>
@@ -1126,6 +1164,62 @@ object CorpusStats {
       |    CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
       |      AS chunk_idx
       |  FROM f)""".stripMargin
+
+  /** The q185 model+scoring CTE chain shared with q205 - one
+    * spelling of the trigram LM so the bucket query can never
+    * drift from the score it buckets. */
+  private val trigramSqlCtes: String =
+    raw"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, lang,
+        |    unnest([{'x1': w[i+1], 'x2': w[i+2], 'y': w[i+3]}
+        |      for i in range(0, len(w) - 2)], recursive := true)
+        |  FROM d WHERE len(w) >= 3),
+        |bg AS (
+        |  SELECT unnest([{'bx': w[i+1], 'by': w[i+2]}
+        |      for i in range(0, len(w) - 1)], recursive := true)
+        |  FROM d WHERE lang = 'en' AND len(w) >= 2),
+        |c3 AS (
+        |  SELECT x1, x2, y, CAST(count(*) AS BIGINT) AS cxyz
+        |  FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+        |cctx AS (
+        |  SELECT x1, x2, CAST(sum(cxyz) AS BIGINT) AS cctx
+        |  FROM c3 GROUP BY 1, 2),
+        |c2m AS (
+        |  SELECT bx, by, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT bx, CAST(sum(cxy) AS BIGINT) AS cx
+        |       FROM c2m GROUP BY 1),
+        |cu AS (SELECT by, CAST(sum(cxy) AS BIGINT) AS cy
+        |       FROM c2m GROUP BY 1),
+        |t AS (SELECT CAST(sum(cy) AS BIGINT) AS tt FROM cu),
+        |sc AS (
+        |  SELECT tg.doc_id, tg.lang,
+        |    CAST(CASE
+        |      WHEN c3.cxyz IS NOT NULL
+        |        THEN length(bin(cctx.cctx)) - length(bin(c3.cxyz))
+        |      WHEN c2m.cxy IS NOT NULL
+        |        THEN 2 + length(bin(c1.cx)) - length(bin(c2m.cxy))
+        |      WHEN cu.cy IS NOT NULL
+        |        THEN 4 + length(bin(t.tt)) - length(bin(cu.cy))
+        |      ELSE 4 + length(bin(t.tt)) END AS BIGINT) AS bits
+        |  FROM tg
+        |  LEFT JOIN c3 ON tg.x1 = c3.x1 AND tg.x2 = c3.x2
+        |    AND tg.y = c3.y
+        |  LEFT JOIN cctx ON tg.x1 = cctx.x1 AND tg.x2 = cctx.x2
+        |  LEFT JOIN c2m ON tg.x2 = c2m.bx AND tg.y = c2m.by
+        |  LEFT JOIN c1 ON tg.x2 = c1.bx
+        |  LEFT JOIN cu ON tg.y = cu.by
+        |  CROSS JOIN t),
+        |ppl AS (
+        |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |    CAST(sum(bits) AS BIGINT) AS sum_bits,
+        |    CAST(sum(bits) AS BIGINT) / CAST(count(*) AS BIGINT)
+        |      AS mean_bits
+        |  FROM sc GROUP BY doc_id, lang)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q171_dsir_weights" ->
@@ -1197,56 +1291,26 @@ object CorpusStats {
         |    AS mean_bits
         |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "q185_trigram_backoff" ->
-      raw"""WITH d AS (
-        |  SELECT doc_id, lang,
-        |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
-        |  FROM documents),
-        |tg AS (
-        |  SELECT doc_id, lang,
-        |    unnest([{'x1': w[i+1], 'x2': w[i+2], 'y': w[i+3]}
-        |      for i in range(0, len(w) - 2)], recursive := true)
-        |  FROM d WHERE len(w) >= 3),
-        |bg AS (
-        |  SELECT unnest([{'bx': w[i+1], 'by': w[i+2]}
-        |      for i in range(0, len(w) - 1)], recursive := true)
-        |  FROM d WHERE lang = 'en' AND len(w) >= 2),
-        |c3 AS (
-        |  SELECT x1, x2, y, CAST(count(*) AS BIGINT) AS cxyz
-        |  FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
-        |cctx AS (
-        |  SELECT x1, x2, CAST(sum(cxyz) AS BIGINT) AS cctx
-        |  FROM c3 GROUP BY 1, 2),
-        |c2m AS (
-        |  SELECT bx, by, CAST(count(*) AS BIGINT) AS cxy
-        |  FROM bg GROUP BY 1, 2),
-        |c1 AS (SELECT bx, CAST(sum(cxy) AS BIGINT) AS cx
-        |       FROM c2m GROUP BY 1),
-        |cu AS (SELECT by, CAST(sum(cxy) AS BIGINT) AS cy
-        |       FROM c2m GROUP BY 1),
-        |t AS (SELECT CAST(sum(cy) AS BIGINT) AS tt FROM cu),
-        |sc AS (
-        |  SELECT tg.doc_id, tg.lang,
-        |    CAST(CASE
-        |      WHEN c3.cxyz IS NOT NULL
-        |        THEN length(bin(cctx.cctx)) - length(bin(c3.cxyz))
-        |      WHEN c2m.cxy IS NOT NULL
-        |        THEN 2 + length(bin(c1.cx)) - length(bin(c2m.cxy))
-        |      WHEN cu.cy IS NOT NULL
-        |        THEN 4 + length(bin(t.tt)) - length(bin(cu.cy))
-        |      ELSE 4 + length(bin(t.tt)) END AS BIGINT) AS bits
-        |  FROM tg
-        |  LEFT JOIN c3 ON tg.x1 = c3.x1 AND tg.x2 = c3.x2
-        |    AND tg.y = c3.y
-        |  LEFT JOIN cctx ON tg.x1 = cctx.x1 AND tg.x2 = cctx.x2
-        |  LEFT JOIN c2m ON tg.x2 = c2m.bx AND tg.y = c2m.by
-        |  LEFT JOIN c1 ON tg.x2 = c1.bx
-        |  LEFT JOIN cu ON tg.y = cu.by
-        |  CROSS JOIN t)
-        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_trigrams,
-        |  CAST(sum(bits) AS BIGINT) AS sum_bits,
-        |  CAST(sum(bits) AS BIGINT) / CAST(count(*) AS BIGINT)
-        |    AS mean_bits
-        |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+      (trigramSqlCtes +
+        "\nSELECT doc_id, lang, n_trigrams, sum_bits, mean_bits" +
+        "\nFROM ppl ORDER BY doc_id"),
+    "q205_ppl_buckets" ->
+      (trigramSqlCtes + raw""",
+        |src AS (SELECT doc_id, source FROM documents),
+        |r AS (
+        |  SELECT p.doc_id, s.source, p.n_trigrams, p.mean_bits,
+        |    row_number() OVER (PARTITION BY s.source
+        |      ORDER BY p.mean_bits, p.doc_id) AS ppl_rank
+        |  FROM ppl p JOIN src s ON s.doc_id = p.doc_id),
+        |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |        FROM r GROUP BY 1)
+        |SELECT r.doc_id, r.source, r.n_trigrams, r.mean_bits,
+        |  r.ppl_rank,
+        |  CASE WHEN r.ppl_rank * 3 <= cnt.n THEN 'head'
+        |       WHEN r.ppl_rank * 3 <= 2 * cnt.n THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r JOIN cnt ON cnt.source = r.source
+        |ORDER BY r.doc_id""".stripMargin),
     // the n<2/n<3 CASE arms mirror Tokens.ngramsOf's whole-text
     // fallback for short docs exactly
     "q149_repetition_filter" ->

@@ -343,6 +343,42 @@ class StreamsSpec extends SparkSpec {
     assert(!rows(13L)._1 && rows(13L)._2)
   }
 
+  test("streaming fuzzy admission: one-typo names blocked by the exact check") {
+    import org.apache.spark.sql.functions.col
+    val in = Files.createTempDirectory("fuzzy_in").toString
+    val ckpt = Files.createTempDirectory("fuzzy_ckpt").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("name", StringType)))
+    def row(id: Long, name: String) =
+      s"""{"doc_id":$id,"name":"$name"}"""
+    import spark.implicits._
+    val reference = Seq("banned_user", "spamlord").toDF("name")
+    // b1: exact hit + clean; b2: one-typo hit (insert) + key-colliding
+    // near-miss that the EXACT check must admit (shares a delete key
+    // path? no — distance 2, no shared key, must be admitted cheaply)
+    writeBatch(in, "b1.json", row(1, "banned_user"), row(2, "regular_joe"))
+    writeBatch(in, "b2.json", row(3, "spam_lord"), row(4, "bannedXuserX"))
+    val stream = Streams.rateLimitedStream(spark, in, docSchema,
+      maxFilesPerTrigger = 1)
+    val out = Streams.fuzzyAdmission(stream, reference)
+    val q = out.writeStream.format("memory").queryName("fuzzyadm")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("fuzzyadm").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("fuzzy_match"), r.getAs[Boolean]("admitted")))
+      .toMap
+    assert(rows.size == 4)
+    assert(rows(1L) == (true, false), "exact reference hit must block")
+    assert(rows(3L) == (true, false), "one-insert typo must block")
+    assert(rows(2L) == (false, true))
+    assert(rows(4L) == (false, true), "distance-2 stays admitted at tau=1")
+  }
+
   test("append-mode replay ≡ batch mirror: closed windows only, late data per watermark") {
     // The append-mode CONTRACT, replayed deterministically: the same
     // tumblingCounts operator over (a) a stream split into four

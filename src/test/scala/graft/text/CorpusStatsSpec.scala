@@ -138,4 +138,26 @@ class CorpusStatsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("keep") == (wsum >= 0))
     }
   }
+
+  test("q205 ppl buckets: terciles balanced per source, ordered by score") {
+    val rows = CorpusStats.pplBuckets(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val n = rs.length
+      val sizes = rs.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.length).toMap
+      // exact tercile cut: |head| = ⌊n/3⌋, |head|+|middle| = ⌊2n/3⌋
+      assert(sizes.getOrElse("head", 0) == n / 3, s"$src head $sizes")
+      assert(sizes.getOrElse("head", 0) + sizes.getOrElse("middle", 0)
+        == 2 * n / 3, s"$src middle $sizes")
+      // bucket boundaries respect the score order
+      val sorted = rs.sortBy(r =>
+        (r.getAs[Double]("mean_bits"), r.getAs[Long]("doc_id")))
+      val seq = sorted.map(_.getAs[String]("bucket")).toSeq
+      val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+      assert(seq.map(order).zip(seq.tail.map(order))
+        .forall { case (a, b) => a <= b },
+        s"$src buckets out of score order: $seq")
+    }
+  }
 }
