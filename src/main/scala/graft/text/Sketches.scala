@@ -308,6 +308,74 @@ object Sketches {
     out.write.mode("overwrite").parquet(path)
   }
 
+  /** Hashed-bucket count and drift flag threshold of q206. */
+  val DriftBuckets = 4096
+  val DriftTau = 0.5
+
+  /** q206: CORPUS DRIFT monitor — total-variation distance between
+    * the token distributions of two ingest epochs per source (the
+    * "did this crawl batch change character" dashboard; epoch here =
+    * the doc_id parity split, the repo's split-stability idiom — in
+    * production the epoch column comes from the ingest zone). Tokens
+    * hash into [[DriftBuckets]] buckets (the q171 bounded-state
+    * discipline: the comparison state is ≤ 2·4096 BIGINTs per source
+    * at ANY corpus size), and TV distance is spelled EXACTLY:
+    * ½ Σ_b |p_a(b) − p_b(b)| = Σ_b |n_a·N_B − n_b·N_A| / (2·N_A·N_B)
+    * — the numerator is an exact BIGINT sum (safe to ~10⁶-token
+    * buckets × 10¹²-token epochs), the division is ONE final double.
+    * A source with an empty epoch reports NULL drift (no
+    * distribution to compare), never an infinity. */
+  def tokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+      .join(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source")), "doc_id")
+    tokenDriftOf(toks)
+  }
+
+  /** df-level core of q206 over a (doc_id, w, source) relation —
+    * exposed for spec-level planted-drift corpora. */
+  private[text] def tokenDriftOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .where(size(col("w")) >= 1)
+      // salted-hash epoch split, NOT doc_id parity: this generator
+      // assigns sources in doc_id blocks, so parity would leave one
+      // epoch empty per source (all-NULL report); the hash split is
+      // the q102 split-stability idiom and decorrelates from any id
+      // layout
+      .select(col("source"),
+        (graft.dedup.Md5Prefix.h(
+          concat(lit("drift:"), col("doc_id").cast("string"))) % 2)
+          .as("epoch"),
+        explode(col("w")).as("tok"))
+      .select(col("source"), col("epoch"),
+        (graft.dedup.Md5Prefix.h(col("tok")) % DriftBuckets)
+          .cast("int").as("bucket"))
+    val cells = toks.groupBy(col("source"), col("bucket"))
+      .agg(sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("nb"))
+    // numerator needs both totals per row — one source-keyed join
+    val tots = cells.groupBy(col("source"))
+      .agg(sum(col("na")).as("na_total"), sum(col("nb")).as("nb_total"),
+        count(lit(1)).as("n_buckets_hit"))
+    val num = cells.join(tots, "source")
+      .groupBy(col("source"))
+      .agg(sum(abs(col("na") * col("nb_total") -
+        col("nb") * col("na_total"))).as("tv_num"))
+    tots.join(num, "source")
+      .select(col("source"), col("na_total"), col("nb_total"),
+        col("n_buckets_hit"),
+        when(col("na_total") > 0 && col("nb_total") > 0,
+          col("tv_num").cast("double") /
+            (lit(2.0) * col("na_total").cast("double") *
+              col("nb_total").cast("double"))).as("tv_drift"))
+      .withColumn("drifted",
+        when(col("tv_drift").isNotNull, col("tv_drift") > DriftTau))
+      .orderBy("source")
+  }
+
   /** The per-(source, reg) register relation of a documents
     * relation — the mergeable state both the zone maintenance and
     * [[hllDistinct]] derive from. */
@@ -399,7 +467,8 @@ object Sketches {
     "q178_kmv_distinct" -> (kmvDistinct _),
     "q179_hll_distinct" -> (hllDistinct _),
     "q183_kmv_source_jaccard" -> (kmvSourceJaccard _),
-    "q197_cm_sketch" -> (cmSketchFreq _))
+    "q197_cm_sketch" -> (cmSketchFreq _),
+    "q206_token_drift" -> (tokenDrift _))
 
   val oracle: Map[String, String] = Map(
     "q178_kmv_distinct" ->
@@ -527,5 +596,46 @@ object Sketches {
          |    <= ${CmBound / CmW} * CAST(n_total AS DOUBLE))
          |    AS within_bound
          |FROM est, tot ORDER BY n_exact DESC, g
-         |""".stripMargin)
+         |""".stripMargin,
+    "q206_token_drift" ->
+      (raw"""WITH tok AS (
+         |  SELECT source,
+         |    ('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
+         |      1, 15))::BIGINT % 2 AS epoch,
+         |    CAST((('0x' || substr(md5(t), 1, 15))::BIGINT
+         |      % """.stripMargin + DriftBuckets + raw""") AS INT) AS bucket
+         |  FROM (SELECT doc_id, source,
+         |      unnest(string_split_regex(trim(text),
+         |        '[ \t\n\v\f\r]+')) AS t
+         |    FROM documents WHERE text IS NOT NULL)),
+         |cells AS (
+         |  SELECT source, bucket,
+         |    CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nb
+         |  FROM tok GROUP BY 1, 2),
+         |tots AS (
+         |  SELECT source, CAST(sum(na) AS BIGINT) AS na_total,
+         |    CAST(sum(nb) AS BIGINT) AS nb_total,
+         |    CAST(count(*) AS BIGINT) AS n_buckets_hit
+         |  FROM cells GROUP BY 1),
+         |num AS (
+         |  SELECT c.source,
+         |    CAST(sum(abs(c.na * t.nb_total - c.nb * t.na_total))
+         |      AS BIGINT) AS tv_num
+         |  FROM cells c JOIN tots t ON t.source = c.source
+         |  GROUP BY 1),
+         |f AS (
+         |  SELECT t.source, na_total, nb_total, n_buckets_hit,
+         |    CASE WHEN na_total > 0 AND nb_total > 0
+         |      THEN CAST(tv_num AS DOUBLE)
+         |        / (2.0 * CAST(na_total AS DOUBLE)
+         |           * CAST(nb_total AS DOUBLE)) END AS tv_drift
+         |  FROM tots t JOIN num ON num.source = t.source)
+         |SELECT source, na_total, nb_total, n_buckets_hit, tv_drift,
+         |  CASE WHEN tv_drift IS NOT NULL
+         |    THEN tv_drift > """.stripMargin + DriftTau + raw""" END AS drifted
+         |FROM f ORDER BY source
+         |""".stripMargin))
 }

@@ -148,6 +148,42 @@ class SketchesSpec extends SparkSpec {
     assert(zone(full).size <= Sketches.CmD * Sketches.CmW)
   }
 
+  test("token drift: identical halves ≈ 0, disjoint vocabularies = 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pick doc ids per hash-epoch so the planted corpora control
+    // which epoch each doc lands in
+    def epochOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"drift:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2
+    }
+    val e0 = (0L until 100L).filter(epochOf(_) == 0).take(10)
+    val e1 = (0L until 100L).filter(epochOf(_) == 1).take(10)
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "source")
+        .select(col("doc_id"),
+          graft.util.Tokens.whitespace(col("text")).as("w"),
+          col("source"))
+    // same: both epochs draw the identical token string
+    val same = mk((e0 ++ e1).map(id => (id, "alpha beta gamma", "s")))
+    val sameTv = Sketches.tokenDriftOf(same).collect().head
+    assert(sameTv.getAs[Double]("tv_drift") == 0.0)
+    assert(!sameTv.getAs[Boolean]("drifted"))
+    // disjoint: epoch vocabularies never overlap → TV = 1
+    val disj = mk(e0.map(id => (id, "alpha beta", "s")) ++
+      e1.map(id => (id, "delta epsilon", "s")))
+    val dTv = Sketches.tokenDriftOf(disj).collect().head
+    assert(math.abs(dTv.getAs[Double]("tv_drift") - 1.0) < 1e-12,
+      s"disjoint TV ${dTv.getAs[Double]("tv_drift")}")
+    assert(dTv.getAs[Boolean]("drifted"))
+    // one empty epoch → NULL report, not infinity
+    val empty = mk(e0.map(id => (id, "alpha", "s")))
+    val eTv = Sketches.tokenDriftOf(empty).collect().head
+    assert(eTv.isNullAt(eTv.fieldIndex("tv_drift")))
+  }
+
   test("q178/q179 witnesses hold at spec SF and schemas agree") {
     val kmv = Sketches.kmvDistinct(spark, sf()).collect()
     val hll = Sketches.hllDistinct(spark, sf()).collect()
