@@ -734,6 +734,32 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
 
+  /** q207: QUALITY-AWARE survivor selection — keep the highest-
+    * quality member of each near-dup cluster instead of the min-id
+    * one (the real curation choice: among clones of a page, keep
+    * the best-scoring copy; RefinedWeb/FineWeb keep-best rule). The
+    * quality signal is q154's linear score sum (docs with no tokens
+    * score 0); survivor = first doc under (quality DESC, doc_id) per
+    * cluster — pure window spelling, identical in both engines.
+    *
+    * Scale shape: pure consumer of the memoized q98 label zone and
+    * the q154 one-scan score; the window is cluster-keyed (bounded
+    * by the largest clone family, never corpus-wide). */
+  def bestSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val lab = clusterLabels(s, dir)
+    val q = graft.text.CorpusStats.linearQuality(s, dir)
+      .select(col("doc_id"), col("w_sum"))
+    val j = lab.join(q, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("w_sum"), lit(0L)).as("quality_sum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality_sum").desc, col("doc_id"))
+    j.withColumn("survivor_id", first(col("doc_id")).over(w))
+      .withColumn("keep_best", col("doc_id") === col("survivor_id"))
+      .orderBy("doc_id")
+  }
+
   /** q182: duplicate-cluster size distribution + corpus dedup ratio —
     * the observability report a dedup run is judged by (how much of
     * the corpus is clones, and in what family shapes: a few giant
@@ -1086,6 +1112,7 @@ object Dedup {
     "q115_delta_neardup" -> ((s: SparkSession, d: String) =>
       minhashDeltaPairs(s, d, hash = Md5Prefix)),
     "q98_dedup_clusters" -> (dedupClusters _),
+    "q207_best_survivor" -> (bestSurvivor _),
     "q182_cluster_histogram" -> (clusterHistogram _))
 
   /** The q36 pair derivation as a bare SQL body — shared by the q36
@@ -1140,18 +1167,27 @@ object Dedup {
   /** The q36-pairs → recursive-CTE min-label fixpoint — the ONE
     * clustering oracle, shared by q98 (batch) and q144 (incremental):
     * both Spark paths must produce this exact table. */
-  private lazy val ClustersOracleSql: String =
-    "WITH RECURSIVE p AS (\n" + JaccardPairsSql + "\n), " +
+  /** The q98 label derivation as CTEs ending in `lab(doc_id,
+    * cluster_id)` — q98's surface and q207's survivor pick read ONE
+    * spelling (the WinnowPairsCtes discipline). */
+  private lazy val ClusterLabelCtes: String =
+    "p AS (\n" + JaccardPairsSql + "\n), " +
       """e(src, dst) AS (
       |  SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p
       |), reach(id, label) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
-      |)
-      |SELECT id AS doc_id, min(label) AS cluster_id,
-      |  (id = min(label)) AS keep
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+      |), lab AS (
+      |  SELECT id AS doc_id, min(label) AS cluster_id
+      |  FROM reach GROUP BY id
+      |)""".stripMargin
+
+  private lazy val ClustersOracleSql: String =
+    "WITH RECURSIVE " + ClusterLabelCtes +
+      """
+      |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS keep
+      |FROM lab ORDER BY doc_id""".stripMargin
 
   /** The q37/q38 oracles replay the ENTIRE pipeline in DuckDB SQL —
     * shingling, md5-prefix hashing, signatures, banding, candidate
@@ -1254,6 +1290,30 @@ object Dedup {
     "q36_jaccard_pairs" ->
       (JaccardPairsSql + "\nORDER BY id1, id2"),
     "q98_dedup_clusters" -> ClustersOracleSql,
+    // labels CTE + q154's score sum + the survivor window
+    "q207_best_survivor" ->
+      ("WITH RECURSIVE " + ClusterLabelCtes + raw""",
+        |tokq AS (
+        |  SELECT doc_id,
+        |    CAST(sum(('0x' || substr(md5(tok), 1, 15))::BIGINT
+        |      % 2001 - 1000) AS BIGINT) AS w_sum
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split_regex(trim(text),
+        |        '[ \t\n\v\f\r]+')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT lab.doc_id, lab.cluster_id,
+        |    coalesce(tokq.w_sum, 0) AS quality_sum
+        |  FROM lab LEFT JOIN tokq ON tokq.doc_id = lab.doc_id),
+        |f AS (
+        |  SELECT doc_id, cluster_id, quality_sum,
+        |    first_value(doc_id) OVER (PARTITION BY cluster_id
+        |      ORDER BY quality_sum DESC, doc_id) AS survivor_id
+        |  FROM j)
+        |SELECT doc_id, cluster_id, quality_sum, survivor_id,
+        |  (doc_id = survivor_id) AS keep_best
+        |FROM f ORDER BY doc_id""".stripMargin),
     // the q98 label fixpoint wrapped as a subquery (one spelling),
     // folded to the size histogram + corpus dedup ratio
     "q182_cluster_histogram" ->

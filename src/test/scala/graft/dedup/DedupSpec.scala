@@ -363,4 +363,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q207: the survivor is its cluster's quality maximum, one per cluster") {
+    val rows = Dedup.bestSurvivor(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // exactly one keeper per cluster; every keeper dominates its
+    // cluster under (quality DESC, doc_id) — checked independently
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (c, rs) =>
+      val keepers = rs.filter(_.getAs[Boolean]("keep_best"))
+      assert(keepers.length == 1, s"cluster $c has ${keepers.length}")
+      val best = rs.minBy(r =>
+        (-r.getAs[Long]("quality_sum"), r.getAs[Long]("doc_id")))
+      assert(keepers.head.getAs[Long]("doc_id") ==
+        best.getAs[Long]("doc_id"), s"cluster $c keeper drifted")
+      rs.foreach(r => assert(r.getAs[Long]("survivor_id") ==
+        best.getAs[Long]("doc_id")))
+    }
+    // same partition as q98: cluster ids agree row for row
+    val q98 = Dedup.dedupClusters(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    rows.foreach(r => assert(
+      q98(r.getAs[Long]("doc_id")) == r.getAs[Long]("cluster_id")))
+  }
 }
