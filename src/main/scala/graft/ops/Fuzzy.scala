@@ -175,11 +175,19 @@ object Fuzzy {
     * near-identical-key report (sequential zero-padded TPC-H names
     * make a dense one-typo pair space, a worst case the blocking
     * must absorb). */
+  /** The customer-name pair relation memoized — q196's surface and
+    * q208's edge view read the stored copy (≥2-consumer rule). */
+  private[graft] def customerPairZone(s: SparkSession,
+                                      dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "fuzzy-pairs", s"fuzzy-pairs:$dir")(
+      editDistanceJoin(s, Tables.load(s, dir, "customer"),
+        "c_custkey", "c_name", MaxEdits))
+
   def fuzzyNameJoin(s: SparkSession, dir: String): DataFrame =
-    editDistanceJoin(s, Tables.load(s, dir, "customer"),
-      "c_custkey", "c_name", MaxEdits)
+    customerPairZone(s, dir)
       .withColumnRenamed("id_a", "custkey_a")
       .withColumnRenamed("id_b", "custkey_b")
+      .orderBy("custkey_a", "custkey_b")
 
   /** q200: incremental record linkage — the 1-in-20 customer slice
     * as the arriving batch, the rest as the standing corpus. */

@@ -56,11 +56,66 @@ object SqlSurface {
          |GROUP BY n_name ORDER BY n_name""".stripMargin)
   }
 
+  /** Depth cap of the q208 walk enumeration. */
+  val ReachDepth = 3
+
+  /** q208: RECURSIVE SQL surface (Spark 4's `WITH RECURSIVE` /
+    * UnionLoop) — BFS distance from customer 0 through the one-typo
+    * name graph, issued as a recursive SQL string over a registered
+    * edge view. The recursion itself is the surface under test: the
+    * edge relation comes from the blocked [[Fuzzy.editDistanceJoin]]
+    * (a brute-force SQL edge derivation would be name² levenshtein —
+    * the thing the operator exists to avoid), registered as a view
+    * the SQL text walks. UNION ALL + depth guard + `min(lvl)` keeps
+    * the walk semantics engine-portable (no reliance on either
+    * engine's recursive-UNION dedup rules); walk volume is bounded
+    * by degreeᵈᵉᵖᵗʰ from ONE seed.
+    *
+    * The oracle runs the IDENTICAL recursive text over its own
+    * (brute-force) edge CTE. */
+  def sqlRecursiveReach(s: SparkSession, dir: String): DataFrame = {
+    Fuzzy.customerPairZone(s, dir)
+      .select("id_a", "id_b")
+      .createOrReplaceTempView("typo_edges")
+    s.sql(
+      s"""WITH RECURSIVE reach(id, lvl) AS (
+         |  SELECT CAST(0 AS BIGINT) AS id, 0 AS lvl
+         |  UNION ALL
+         |  SELECT CASE WHEN e.id_a = r.id THEN e.id_b ELSE e.id_a END,
+         |    r.lvl + 1
+         |  FROM reach r JOIN typo_edges e
+         |    ON e.id_a = r.id OR e.id_b = r.id
+         |  WHERE r.lvl < $ReachDepth
+         |)
+         |SELECT id, CAST(min(lvl) AS BIGINT) AS hops
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_sql_surface" -> (sqlTopRevenue _),
+    "q208_recursive_sql" -> (sqlRecursiveReach _),
     "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    // identical recursive text; edges from the brute-force spelling
+    "q208_recursive_sql" ->
+      s"""WITH RECURSIVE typo_edges AS (
+         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         |  FROM customer a JOIN customer b
+         |    ON a.c_custkey < b.c_custkey
+         |  WHERE levenshtein(a.c_name, b.c_name) <= ${Fuzzy.MaxEdits}
+         |),
+         |reach(id, lvl) AS (
+         |  SELECT CAST(0 AS BIGINT) AS id, 0 AS lvl
+         |  UNION ALL
+         |  SELECT CASE WHEN e.id_a = r.id THEN e.id_b ELSE e.id_a END,
+         |    r.lvl + 1
+         |  FROM reach r JOIN typo_edges e
+         |    ON e.id_a = r.id OR e.id_b = r.id
+         |  WHERE r.lvl < $ReachDepth
+         |)
+         |SELECT id, CAST(min(lvl) AS BIGINT) AS hops
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q83_join_hints" ->
       s"""SELECT /*+ BROADCAST(nation), SHUFFLE_MERGE(orders) */
          |  n_name, count(*) AS n_orders,
