@@ -160,6 +160,25 @@ object CoreParity {
       get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** q209: the VARIANT semi-structured type (new in Spark 4) —
+    * `parse_json` → binary variant column → typed `variant_get`
+    * path extraction, with the try_/missing-path null contract
+    * exercised alongside. The variant itself never leaves the plan
+    * (it is an engine-internal encoding); the EXTRACTED values are
+    * the cross-engine surface, replayed in DuckDB's JSON path
+    * functions. At 100 TB the variant encoding is the point: one
+    * parse at ingest, then typed sub-field access with predicate
+    * pushdown instead of per-query string re-parsing. */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "int").as("k"),
+        variant_get(col("v"), "$.k", "string").as("k_str"),
+        try_variant_get(col("v"), "$.missing", "int").as("absent"),
+        is_variant_null(col("v")).as("v_is_null"))
+      .orderBy("event_id")
+
   /** S1: deterministic sample-N scan (the reference's 100-row inference
     * sample, agent-schema/app.py:181). */
   def sampleLimit(s: SparkSession, dir: String): DataFrame =
@@ -176,6 +195,7 @@ object CoreParity {
     "q05_guarded_ratio_cap"-> (guardedRatioCap _),
     "q06_decode_status"    -> (decodeStatus _),
     "q07_json_extract"     -> (jsonExtract _),
+    "q209_variant_extract" -> (variantExtract _),
     "q08_sample_limit"     -> (sampleLimit _))
 
   val oracle: Map[String, String] = Map(
@@ -213,5 +233,16 @@ object CoreParity {
         |FROM events ORDER BY event_id""".stripMargin,
     "q08_sample_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY ALL LIMIT 100""".stripMargin)
+        |ORDER BY ALL LIMIT 100""".stripMargin,
+    // the variant is engine-internal; the extracted values are the
+    // surface — JSON path replay. A null props row would extract all
+    // NULLs in both engines; is_variant_null is about the JSON value
+    // `null`, which this generator never emits (gate pins FALSE).
+    "q209_variant_extract" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS INTEGER) AS k,
+        |  props->>'$.k' AS k_str,
+        |  CAST(props->>'$.missing' AS INTEGER) AS absent,
+        |  (json_type(props::JSON) = 'NULL') AS v_is_null
+        |FROM events ORDER BY event_id""".stripMargin)
 }
