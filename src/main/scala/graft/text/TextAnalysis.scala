@@ -79,6 +79,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q210: LANGUAGE-ID EVAL — row-normalized confusion matrix of the
+    * q32 classifier against the corpus truth label, plus overall
+    * accuracy (the classifier-audit the q181 ROC family does for the
+    * quality score, done for langid): one (truth, pred)-keyed count
+    * agg, per-class totals joined back, two final double ratios over
+    * exact integers. The labeled slice a real pipeline evaluates on
+    * is a sample; here the whole corpus carries labels. */
+  def langidEval(s: SparkSession, dir: String): DataFrame = {
+    val pred = langId(s, dir).select(col("doc_id"), col("lang_pred"))
+    val truth = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("lang"), lit("??")).as("lang"))
+    val cm = pred.join(truth, "doc_id")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val tr = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_truth"))
+    val acc = cm.agg(
+      (sum(when(col("lang") === col("lang_pred"), col("n"))
+        .otherwise(0L)).cast("double") /
+        sum(col("n")).cast("double")).as("accuracy"))
+    cm.join(tr, "lang")
+      .crossJoin(broadcast(acc))
+      .select(col("lang"), col("lang_pred"), col("n"), col("n_truth"),
+        (col("n").cast("double") / col("n_truth").cast("double"))
+          .as("frac"),
+        col("accuracy"))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** q33: canonical fingerprint (sorted distinct lowercase tokens,
     * md5) — the normalize-and-hash doc identity used for fuzzy dedup
     * blocking. */
@@ -273,6 +301,7 @@ object TextAnalysis {
     "q30_token_stats"   -> (tokenStats _),
     "q31_quality_score" -> (qualityScore _),
     "q32_langid"        -> (langId _),
+    "q210_langid_eval"  -> (langidEval _),
     "q33_fingerprint"   -> (fingerprint _),
     "q87_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q88_pii_redact"    -> (piiRedact _),
@@ -296,6 +325,21 @@ object TextAnalysis {
       |  + (len(list_distinct(string_split_regex(trim(text), '[ \t\n\v\f\r]+')))
       |     / len(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))) * 0.3""".stripMargin
 
+  /** The q32 prediction CASE — shared with q210 so the eval can
+    * never drift from the classifier it scores. */
+  private val LangPredCaseSql: String =
+    """  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+      |    WHEN len(regexp_extract_all(text, '\b(the|of|and)\b')) >=
+      |      GREATEST(len(regexp_extract_all(text, '\b(le|la|et|les)\b')),
+      |               len(regexp_extract_all(text, '\b(el|los|las|y)\b')),
+      |               len(regexp_extract_all(text, '\b(der|die|und|das)\b'))) THEN 'en'
+      |    WHEN len(regexp_extract_all(text, '\b(le|la|et|les)\b')) >=
+      |      GREATEST(len(regexp_extract_all(text, '\b(el|los|las|y)\b')),
+      |               len(regexp_extract_all(text, '\b(der|die|und|das)\b'))) THEN 'fr'
+      |    WHEN len(regexp_extract_all(text, '\b(el|los|las|y)\b')) >=
+      |      len(regexp_extract_all(text, '\b(der|die|und|das)\b')) THEN 'es'
+      |    ELSE 'de' END AS lang_pred""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q95_token_freq" ->
       """SELECT t.tok, count(*) AS n
@@ -315,19 +359,34 @@ object TextAnalysis {
         |  """.stripMargin + qualitySql + """ AS quality
         |FROM documents ORDER BY doc_id""".stripMargin),
     "q32_langid" ->
-      """SELECT doc_id,
-        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
-        |    WHEN len(regexp_extract_all(text, '\b(the|of|and)\b')) >=
-        |      GREATEST(len(regexp_extract_all(text, '\b(le|la|et|les)\b')),
-        |               len(regexp_extract_all(text, '\b(el|los|las|y)\b')),
-        |               len(regexp_extract_all(text, '\b(der|die|und|das)\b'))) THEN 'en'
-        |    WHEN len(regexp_extract_all(text, '\b(le|la|et|les)\b')) >=
-        |      GREATEST(len(regexp_extract_all(text, '\b(el|los|las|y)\b')),
-        |               len(regexp_extract_all(text, '\b(der|die|und|das)\b'))) THEN 'fr'
-        |    WHEN len(regexp_extract_all(text, '\b(el|los|las|y)\b')) >=
-        |      len(regexp_extract_all(text, '\b(der|die|und|das)\b')) THEN 'es'
-        |    ELSE 'de' END AS lang_pred
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      ("SELECT doc_id,\n" + LangPredCaseSql +
+        "\nFROM documents ORDER BY doc_id"),
+    // q32's prediction CTE joined to the truth label: row-normalized
+    // confusion matrix + overall accuracy (exact integer counts, two
+    // final double ratios)
+    "q210_langid_eval" ->
+      ("""WITH pred AS (
+        |  SELECT doc_id,
+        |""".stripMargin + LangPredCaseSql + """
+        |  FROM documents),
+        |j AS (
+        |  SELECT coalesce(d.lang, '??') AS lang, p.lang_pred
+        |  FROM pred p JOIN documents d ON d.doc_id = p.doc_id),
+        |cm AS (
+        |  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM j GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_truth
+        |  FROM cm GROUP BY 1),
+        |acc AS (
+        |  SELECT CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS accuracy
+        |  FROM cm)
+        |SELECT cm.lang, cm.lang_pred, cm.n, tr.n_truth,
+        |  CAST(cm.n AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS frac,
+        |  acc.accuracy
+        |FROM cm JOIN tr ON tr.lang = cm.lang CROSS JOIN acc
+        |ORDER BY cm.lang, cm.lang_pred""".stripMargin),
     "q33_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
