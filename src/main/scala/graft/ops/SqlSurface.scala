@@ -91,12 +91,36 @@ object SqlSurface {
          |FROM reach GROUP BY id ORDER BY id""".stripMargin)
   }
 
+  /** The q211 text — IDENTICAL in both engines (comma + LATERAL is
+    * the portable spelling; Spark decorrelates the ORDER BY/LIMIT
+    * subquery into a ranked join). */
+  private val LateralSql: String =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey
+      |  LIMIT 2
+      |) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
+
+  /** q211: LATERAL correlated subquery — top-2 customers by balance
+    * per nation as a correlated ORDER BY/LIMIT subquery, the SQL
+    * spelling of per-group top-k (the q15/q100 operators' front-end
+    * face). One SQL string, both engines. */
+  def sqlLateralTopN(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(LateralSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_sql_surface" -> (sqlTopRevenue _),
     "q208_recursive_sql" -> (sqlRecursiveReach _),
+    "q211_lateral_topn" -> (sqlLateralTopN _),
     "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    "q211_lateral_topn" -> LateralSql,
     // identical recursive text; edges from the brute-force spelling
     "q208_recursive_sql" ->
       s"""WITH RECURSIVE typo_edges AS (
