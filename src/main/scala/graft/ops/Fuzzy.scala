@@ -66,7 +66,7 @@ object Fuzzy {
     * the exact distance. Null names never match (both engines'
     * levenshtein(NULL) is NULL → filtered). */
   /** (name → sorted member ids) of a non-null-name relation. */
-  private def famOf(rel: DataFrame, idCol: String,
+  private[ops] def famOf(rel: DataFrame, idCol: String,
                     nameCol: String): DataFrame =
     rel.where(col(nameCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(nameCol).as("name"))
@@ -76,7 +76,7 @@ object Fuzzy {
   /** DISTINCT-NAME matched pairs (na < nb, dist ≤ τ) — the collapsed
     * core every fuzzy consumer derives from (pair expansion for the
     * join surface, rep-level CC for the cluster surface). */
-  private def nameMatches(s: SparkSession, fam: DataFrame,
+  private[ops] def nameMatches(s: SparkSession, fam: DataFrame,
                           maxEdits: Int): DataFrame = {
     val keys = fam.select(col("name"))
       .repartition(s.sparkContext.defaultParallelism)

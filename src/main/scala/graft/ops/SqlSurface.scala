@@ -74,21 +74,34 @@ object SqlSurface {
     * The oracle runs the IDENTICAL recursive text over its own
     * (brute-force) edge CTE. */
   def sqlRecursiveReach(s: SparkSession, dir: String): DataFrame = {
-    Fuzzy.customerPairZone(s, dir)
-      .select("id_a", "id_b")
-      .createOrReplaceTempView("typo_edges")
+    registerViews(s, dir)
+    // DISTINCT-NAME edges, not member-expanded pairs: typo distance
+    // is a property of the NAME, and walk volume on the name graph is
+    // degree^depth of DISTINCT names — the member-expanded graph
+    // decuples degree under a 10×-clone corpus and CUBES it through
+    // the UNION ALL walk (measured: q208 hung >10 min at sf1 on the
+    // expanded edges; name-level finishes with the pack). Members
+    // inherit their name's hop via the final join.
+    Fuzzy.nameMatches(s,
+        Fuzzy.famOf(Tables.load(s, dir, "customer"),
+          "c_custkey", "c_name"),
+        Fuzzy.MaxEdits)
+      .select("na", "nb")
+      .createOrReplaceTempView("typo_name_edges")
     s.sql(
-      s"""WITH RECURSIVE reach(id, lvl) AS (
-         |  SELECT CAST(0 AS BIGINT) AS id, 0 AS lvl
+      s"""WITH RECURSIVE reach(name, lvl) AS (
+         |  SELECT c_name AS name, 0 AS lvl FROM customer
+         |  WHERE c_custkey = 0
          |  UNION ALL
-         |  SELECT CASE WHEN e.id_a = r.id THEN e.id_b ELSE e.id_a END,
+         |  SELECT CASE WHEN e.na = r.name THEN e.nb ELSE e.na END,
          |    r.lvl + 1
-         |  FROM reach r JOIN typo_edges e
-         |    ON e.id_a = r.id OR e.id_b = r.id
+         |  FROM reach r JOIN typo_name_edges e
+         |    ON e.na = r.name OR e.nb = r.name
          |  WHERE r.lvl < $ReachDepth
          |)
-         |SELECT id, CAST(min(lvl) AS BIGINT) AS hops
-         |FROM reach GROUP BY id ORDER BY id""".stripMargin)
+         |SELECT c.c_custkey AS id, CAST(min(r.lvl) AS BIGINT) AS hops
+         |FROM reach r JOIN customer c ON c.c_name = r.name
+         |GROUP BY c.c_custkey ORDER BY id""".stripMargin)
   }
 
   /** The q211 text — IDENTICAL in both engines (comma + LATERAL is
@@ -123,23 +136,24 @@ object SqlSurface {
     "q211_lateral_topn" -> LateralSql,
     // identical recursive text; edges from the brute-force spelling
     "q208_recursive_sql" ->
-      s"""WITH RECURSIVE typo_edges AS (
-         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-         |  FROM customer a JOIN customer b
-         |    ON a.c_custkey < b.c_custkey
+      s"""WITH RECURSIVE typo_name_edges AS (
+         |  SELECT DISTINCT a.c_name AS na, b.c_name AS nb
+         |  FROM customer a JOIN customer b ON a.c_name < b.c_name
          |  WHERE levenshtein(a.c_name, b.c_name) <= ${Fuzzy.MaxEdits}
          |),
-         |reach(id, lvl) AS (
-         |  SELECT CAST(0 AS BIGINT) AS id, 0 AS lvl
+         |reach(name, lvl) AS (
+         |  SELECT c_name AS name, 0 AS lvl FROM customer
+         |  WHERE c_custkey = 0
          |  UNION ALL
-         |  SELECT CASE WHEN e.id_a = r.id THEN e.id_b ELSE e.id_a END,
+         |  SELECT CASE WHEN e.na = r.name THEN e.nb ELSE e.na END,
          |    r.lvl + 1
-         |  FROM reach r JOIN typo_edges e
-         |    ON e.id_a = r.id OR e.id_b = r.id
+         |  FROM reach r JOIN typo_name_edges e
+         |    ON e.na = r.name OR e.nb = r.name
          |  WHERE r.lvl < $ReachDepth
          |)
-         |SELECT id, CAST(min(lvl) AS BIGINT) AS hops
-         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+         |SELECT c.c_custkey AS id, CAST(min(r.lvl) AS BIGINT) AS hops
+         |FROM reach r JOIN customer c ON c.c_name = r.name
+         |GROUP BY c.c_custkey ORDER BY id""".stripMargin,
     "q83_join_hints" ->
       s"""SELECT /*+ BROADCAST(nation), SHUFFLE_MERGE(orders) */
          |  n_name, count(*) AS n_orders,
