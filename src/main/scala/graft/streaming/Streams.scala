@@ -510,14 +510,18 @@ object Streams {
         .select(explode(expr(keysOf)).as("k")).distinct()
         .collect().map(_.getString(0)).sorted
     }
+    // null-name records match nothing and ADMIT (coalesce, not
+    // propagate: a NULL admitted would silently drop the record in
+    // any downstream `where(admitted)` — the batch operators'
+    // null-coalesce discipline)
     stream
       .withColumn("key_hit",
-        arrays_overlap(expr(keysOf),
-          array(refKeyArr.map(lit(_)): _*)))
+        coalesce(arrays_overlap(expr(keysOf),
+          array(refKeyArr.map(lit(_)): _*)), lit(false)))
       .withColumn("fuzzy_match",
-        col("key_hit") && exists(
+        col("key_hit") && coalesce(exists(
           array(refNames.map(lit(_)): _*),
-          rn => levenshtein(col(nameCol), rn) <= maxEdits))
+          rn => levenshtein(col(nameCol), rn) <= maxEdits), lit(false)))
       .withColumn("admitted", !col("fuzzy_match"))
   }
 

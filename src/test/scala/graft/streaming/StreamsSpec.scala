@@ -392,7 +392,8 @@ class StreamsSpec extends SparkSpec {
     // near-miss that the EXACT check must admit (shares a delete key
     // path? no — distance 2, no shared key, must be admitted cheaply)
     writeBatch(in, "b1.json", row(1, "banned_user"), row(2, "regular_joe"))
-    writeBatch(in, "b2.json", row(3, "spam_lord"), row(4, "bannedXuserX"))
+    writeBatch(in, "b2.json", row(3, "spam_lord"), row(4, "bannedXuserX"),
+      """{"doc_id":5,"name":null}""")
     val stream = Streams.rateLimitedStream(spark, in, docSchema,
       maxFilesPerTrigger = 1)
     val out = Streams.fuzzyAdmission(stream, reference)
@@ -406,11 +407,13 @@ class StreamsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Boolean]("fuzzy_match"), r.getAs[Boolean]("admitted")))
       .toMap
-    assert(rows.size == 4)
+    assert(rows.size == 5)
     assert(rows(1L) == (true, false), "exact reference hit must block")
     assert(rows(3L) == (true, false), "one-insert typo must block")
     assert(rows(2L) == (false, true))
     assert(rows(4L) == (false, true), "distance-2 stays admitted at tau=1")
+    // a null name matches nothing and ADMITS (never a NULL verdict)
+    assert(rows(5L) == (false, true), "null name must coalesce to admit")
   }
 
   test("append-mode replay ≡ batch mirror: closed windows only, late data per watermark") {
