@@ -400,6 +400,20 @@ class PlanAuditSpec extends SparkSpec {
       "size predicate not pushed to the ORC scan:\n" + plan)
   }
 
+  test("q196: fuzzy candidates come from key-equality joins only") {
+    val plan = planOf("q196_fuzzy_name_join")
+    // the SymSpell blocking's whole point: candidate generation must
+    // never degrade to a non-equi name² comparison
+    assert(!plan.contains("CartesianProduct"),
+      "fuzzy join degraded to a cartesian:\n" + plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "fuzzy join degraded to a nested loop:\n" + plan)
+    // and no user hint forces a broadcast of a corpus-derived side
+    assert(!graft.SparkEntry.queries("q196_fuzzy_name_join")(spark, sf())
+      .queryExecution.logical.toString.contains("UnresolvedHint"),
+      "user hint found in the fuzzy join plan")
+  }
+
   test("q199: the pair scan streams the CORPUS and builds the query " +
     "zone — never the inverse") {
     val plan = planOf("q199_retrieval_eval")
