@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.util.Exact
@@ -82,21 +83,35 @@ object SqlSurface {
     // the UNION ALL walk (measured: q208 hung >10 min at sf1 on the
     // expanded edges; name-level finishes with the pack). Members
     // inherit their name's hop via the final join.
-    Fuzzy.nameMatches(s,
-        Fuzzy.famOf(Tables.load(s, dir, "customer"),
-          "c_custkey", "c_name"),
-        Fuzzy.MaxEdits)
-      .select("na", "nb")
-      .createOrReplaceTempView("typo_name_edges")
+    // the edge derivation MUST land in a zone before the recursion:
+    // UnionLoop re-evaluates the anchor's views once per iteration,
+    // so an unmaterialized blocking join would re-run depth× (measured
+    // 3.4 s → 33 s at sf0.1 without the zone). Symmetrized (src, dst)
+    // form so every iteration is an EQUI join on src.
+    graft.util.Scratch.memo(s, "fuzzy-name-edges",
+        s"fuzzy-name-edges:$dir") {
+      // distinct name pairs straight off the q196 pair zone (one
+      // blocking join per application — q196 and q208 share it);
+      // same-name (distance-0) rows would be self-loops that only
+      // multiply walks, so they drop
+      val m = Fuzzy.customerPairZone(s, dir)
+        .select( // normalize: the zone orients names by MEMBER id
+          org.apache.spark.sql.functions.least(
+            col("name_a"), col("name_b")).as("na"),
+          org.apache.spark.sql.functions.greatest(
+            col("name_a"), col("name_b")).as("nb"))
+        .where(col("na") =!= col("nb"))
+        .distinct()
+      m.select(col("na").as("src"), col("nb").as("dst"))
+        .unionByName(m.select(col("nb").as("src"), col("na").as("dst")))
+    }.createOrReplaceTempView("typo_name_edges")
     s.sql(
       s"""WITH RECURSIVE reach(name, lvl) AS (
          |  SELECT c_name AS name, 0 AS lvl FROM customer
          |  WHERE c_custkey = 0
          |  UNION ALL
-         |  SELECT CASE WHEN e.na = r.name THEN e.nb ELSE e.na END,
-         |    r.lvl + 1
-         |  FROM reach r JOIN typo_name_edges e
-         |    ON e.na = r.name OR e.nb = r.name
+         |  SELECT e.dst, r.lvl + 1
+         |  FROM reach r JOIN typo_name_edges e ON e.src = r.name
          |  WHERE r.lvl < $ReachDepth
          |)
          |SELECT c.c_custkey AS id, CAST(min(r.lvl) AS BIGINT) AS hops
@@ -136,19 +151,20 @@ object SqlSurface {
     "q211_lateral_topn" -> LateralSql,
     // identical recursive text; edges from the brute-force spelling
     "q208_recursive_sql" ->
-      s"""WITH RECURSIVE typo_name_edges AS (
+      s"""WITH RECURSIVE np AS MATERIALIZED (
          |  SELECT DISTINCT a.c_name AS na, b.c_name AS nb
          |  FROM customer a JOIN customer b ON a.c_name < b.c_name
          |  WHERE levenshtein(a.c_name, b.c_name) <= ${Fuzzy.MaxEdits}
+         |),
+         |typo_name_edges(src, dst) AS (
+         |  SELECT na, nb FROM np UNION ALL SELECT nb, na FROM np
          |),
          |reach(name, lvl) AS (
          |  SELECT c_name AS name, 0 AS lvl FROM customer
          |  WHERE c_custkey = 0
          |  UNION ALL
-         |  SELECT CASE WHEN e.na = r.name THEN e.nb ELSE e.na END,
-         |    r.lvl + 1
-         |  FROM reach r JOIN typo_name_edges e
-         |    ON e.na = r.name OR e.nb = r.name
+         |  SELECT e.dst, r.lvl + 1
+         |  FROM reach r JOIN typo_name_edges e ON e.src = r.name
          |  WHERE r.lvl < $ReachDepth
          |)
          |SELECT c.c_custkey AS id, CAST(min(r.lvl) AS BIGINT) AS hops
