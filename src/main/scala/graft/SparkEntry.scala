@@ -30,7 +30,7 @@ object SparkEntry {
       text.Bpe.queries ++ sim.KMeans.queries ++ sim.Spectral.queries ++
       text.Sketches.queries ++ sim.Pq.queries ++
       text.TextVectors.queries ++ ops.Fuzzy.queries ++
-      text.RetrievalEval.queries
+      text.RetrievalEval.queries ++ ops.Mining.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +48,5 @@ object SparkEntry {
       text.Bpe.oracle ++ sim.KMeans.oracle ++ sim.Spectral.oracle ++
       text.Sketches.oracle ++ sim.Pq.oracle ++
       text.TextVectors.oracle ++ ops.Fuzzy.oracle ++
-      text.RetrievalEval.oracle
+      text.RetrievalEval.oracle ++ ops.Mining.oracle
 }

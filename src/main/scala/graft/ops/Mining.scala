@@ -1,0 +1,291 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus mining and governance audits — four operator families a
+  * training-data pipeline runs over the curated corpus once the
+  * per-document gates (q149/q154/q157) have done their work:
+  *
+  *   - '''Pareto front''' (q212): the skyline of documents that are
+  *     not dominated on (length, quality) — the classic "best
+  *     trade-off set" OLAP operator (Börzsönyi et al., ICDE 2001),
+  *     spelled as a two-level distributed prefix-max instead of the
+  *     quadratic dominance join the textbook definition implies.
+  *   - '''Bitmap-distinct rollup''' (q213): per-slice exact distinct
+  *     counts via Spark's `bitmap_construct_agg`/`bitmap_or_agg`
+  *     partial aggregation — the at-scale spelling of
+  *     `count(DISTINCT …)` where the shuffle carries fixed-size
+  *     bitmaps instead of the raw value stream.
+  *   - '''k-anonymity audit''' (q214): quasi-identifier group sizes
+  *     and the at-risk flag per record — the governance check a
+  *     corpus with user-derived metadata must pass before export
+  *     (Sweeney, IJUFKS 2002).
+  *   - '''Association rules''' (q215): support/confidence/lift over
+  *     within-document token co-occurrence with Apriori candidate
+  *     pruning (Agrawal & Srikant, VLDB 1994) — the "what co-occurs
+  *     with what" corpus diagnostic.
+  *
+  * Reference anchor: the reference's analytics surface is aggregate
+  * reporting over curated tables (`dags/taxi_transform_dag.py:88-100`,
+  * the summary rollup); these are the corpus-scale members of that
+  * family.
+  */
+object Mining {
+
+  /** q214's anonymity threshold: groups smaller than K are at risk. */
+  val K = 5
+
+  /** q215's thresholds, spelled as exact integer cross-multiplies so
+    * both engines compare identically: support ≥ 10% of docs
+    * (`n_ab*10 ≥ N`), confidence ≥ 0.6 (`n_ab*5 ≥ 3*n_a`), lift > 1
+    * (`n_ab*N > n_a*n_b`). Relative — not absolute — support is what
+    * makes the same query meaningful at every SF. */
+  val SupPctX10 = 10
+
+  /** q212: Pareto front of documents on (n_chars ↑, w_sum ↑) — a doc
+    * is ON the front iff no other doc is ≥ in both dimensions and
+    * strictly greater in at least one (ties survive together). The
+    * quality dimension is the q154 linear-classifier score, so the
+    * front is "the longest documents that are also the
+    * highest-scoring" — the set a curation team inspects first.
+    *
+    * Scale shape — the textbook spelling is a quadratic dominance
+    * self-join; this one never compares documents pairwise. Dominance
+    * against the strictly-longer region reduces to a PREFIX MAX of
+    * per-length max-quality over descending length, computed in two
+    * levels: per-length maxima roll up into 256-char buckets (tiny
+    * unpartitioned window over the bucket histogram, the q159 rule),
+    * and the within-bucket exclusive prefix max runs under
+    * `partitionBy(bucket)` — so no window ever sees more than one
+    * bucket's distinct lengths and the whole plan is
+    * groupBy-partial-agg + two bounded windows + one key-equality
+    * join back to the docs. Same-length dominance is the per-length
+    * max itself. The oracle spells the quadratic NOT EXISTS
+    * definition — the sweep must be invisible. */
+  def paretoFront(s: SparkSession, dir: String): DataFrame = {
+    val qual = graft.text.CorpusStats.linearQuality(s, dir)
+      .select(col("doc_id"), col("w_sum"))
+    val pts = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .join(qual, "doc_id") // inner: token-less docs carry no score
+    val perX = pts.groupBy(col("n_chars"))
+      .agg(max(col("w_sum")).as("mx"))
+      .withColumn("b", expr("n_chars div 256"))
+    val perB = perX.groupBy(col("b")).agg(max(col("mx")).as("mb"))
+    // ≤ (max n_chars)/256 buckets: the one intentionally-unpartitioned
+    // window runs over the bucket histogram, never over documents
+    val wB = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cb = perB.withColumn("cb", max(col("mb")).over(wB))
+      .select(col("b"), col("cb"))
+    val wX = Window.partitionBy(col("b")).orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // hi = max quality among STRICTLY longer docs (cross-bucket prefix
+    // ∨ within-bucket exclusive prefix); Long.MinValue = "no longer
+    // doc exists" (w_sum ≥ −1000·n_tokens keeps real scores far above)
+    val cx = perX.join(cb, "b")
+      .withColumn("wx", max(col("mx")).over(wX))
+      .select(col("n_chars"), col("mx"),
+        greatest(coalesce(col("cb"), lit(Long.MinValue)),
+          coalesce(col("wx"), lit(Long.MinValue))).as("hi"))
+    pts.join(cx, "n_chars")
+      .select(col("doc_id"), col("n_chars"), col("w_sum"),
+        (!(col("hi") >= col("w_sum") || col("mx") > col("w_sum")))
+          .as("on_front"))
+      .orderBy("doc_id")
+  }
+
+  /** q213: per-event-type exact distinct users via BITMAP partial
+    * aggregation — `bitmap_construct_agg` builds a fixed 4 KB bitmap
+    * per (type, 32768-value bucket) map-side, `bitmap_count` +
+    * `sum` roll the buckets up, and `bitmap_or_agg` merges the same
+    * bitmaps ACROSS types for the global count — one derivation, two
+    * consumers, no raw-id shuffle anywhere. At 100 TB this is the
+    * distinct-count spelling that survives: the shuffle volume is
+    * #groups × #occupied-buckets × 4 KB, independent of row count
+    * (`count(DISTINCT)` expands every row into the shuffle). The
+    * oracle spells plain `count(DISTINCT …)` — the bitmaps must be
+    * exact, not approximate. */
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .where(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"))
+    val perBucket = ev
+      .groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("buck"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"),
+        count(lit(1)).as("n_ev"))
+    val perType = perBucket.groupBy(col("event_type"))
+      .agg(sum(col("n_ev")).as("n_events"),
+        sum(expr("bitmap_count(bm)")).as("n_users"))
+    val global = perBucket.groupBy(col("buck"))
+      .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+      .agg(sum(col("c")).as("n_users_all"))
+    perType.crossJoin(broadcast(global)) // 1-row constant relation
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("n_users_all"))
+      .orderBy("event_type")
+  }
+
+  /** q214: k-anonymity audit over the quasi-identifier
+    * (source, lang, 256-char length bin) — every document annotated
+    * with its QI-group size and the at-risk flag (group < K). A
+    * record in a small QI group is re-identifiable by those
+    * attributes alone; the export step suppresses or generalizes
+    * at-risk rows.
+    *
+    * Scale shape: ONE window partitioned by the QI columns — a single
+    * key shuffle, no join, no second scan; NULL lang forms its own
+    * group in both engines' PARTITION BY. */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("n_chars div 256").as("len_bin"))
+    val w = Window.partitionBy(col("source"), col("lang"), col("len_bin"))
+    d.withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("at_risk", col("group_size") < k)
+      .orderBy("doc_id")
+  }
+
+  /** q215: association rules over within-document token
+    * co-occurrence — directional rules `antecedent → consequent` with
+    * exact support / confidence / lift, thresholded by integer
+    * cross-multiplies ([[SupPctX10]]) so both engines keep identical
+    * rows. Items are the DISTINCT tokens of a document (set
+    * semantics, the market-basket model).
+    *
+    * Scale shape — Apriori pruning, losslessly: any rule passing
+    * `n_ab*10 ≥ N` has both item supports ≥ N/10, so the pair
+    * self-join runs only over tokens that survive the frequent-item
+    * semi-join — per-document pair fan-out is bounded by the
+    * FREQUENT vocabulary per doc, not the raw token count. The pair
+    * derivation shuffles by doc_id (key-equality); the item-count
+    * joins are vocabulary-keyed and hint-free (vocabulary grows with
+    * the corpus — AQE decides, the q36 discipline); only the 1-row
+    * doc-count relation rides a broadcast. The oracle spells the
+    * UNPRUNED definition — the pruning must be invisible. */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val it = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.util.Tokens.whitespace(col("text")).as("w")))
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .distinct()
+    val nRel = Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val ic = it.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val fr = ic.crossJoin(broadcast(nRel))
+      .where(col("c") * SupPctX10 >= col("n_docs"))
+      .select(col("tok"), col("c"))
+    val itF = it.join(fr.select(col("tok")), "tok")
+    val pairs = itF.as("a")
+      .join(itF.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("ta"), col("b.tok").as("tb"))
+      .agg(count(lit(1)).as("cab"))
+    val bi = pairs.select(col("ta").as("antecedent"),
+        col("tb").as("consequent"), col("cab"))
+      .unionByName(pairs.select(col("tb").as("antecedent"),
+        col("ta").as("consequent"), col("cab")))
+    bi.join(fr.select(col("tok").as("antecedent"), col("c").as("n_a")),
+        "antecedent")
+      .join(fr.select(col("tok").as("consequent"), col("c").as("n_b")),
+        "consequent")
+      .crossJoin(broadcast(nRel))
+      .where(col("cab") * SupPctX10 >= col("n_docs") &&
+        col("cab") * 5 >= col("n_a") * 3 &&
+        col("cab") * col("n_docs") > col("n_a") * col("n_b"))
+      .select(col("antecedent"), col("consequent"),
+        col("cab").as("n_ab"), col("n_a"), col("n_b"), col("n_docs"),
+        (col("cab").cast("double") / col("n_a").cast("double"))
+          .as("conf"),
+        ((col("cab") * col("n_docs")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_pareto_front"   -> (paretoFront _),
+    "q213_bitmap_distinct" -> (bitmapDistinct _),
+    "q214_k_anonymity"    -> ((s: SparkSession, d: String) =>
+      kAnonymity(s, d)),
+    "q215_assoc_rules"    -> (assocRules _))
+
+  val oracle: Map[String, String] = Map(
+    // quadratic NOT EXISTS dominance — the definition the distributed
+    // sweep must reproduce; the score subtree is the q154 oracle
+    // embedded verbatim (the q166 no-drift discipline)
+    "q212_pareto_front" ->
+      s"""WITH dq AS MATERIALIZED (
+         |  SELECT * FROM (
+         |${graft.text.CorpusStats.oracle("q154_linear_quality")}
+         |  ) q154),
+         |p AS MATERIALIZED (
+         |  SELECT d.doc_id, d.n_chars, dq.w_sum
+         |  FROM documents d JOIN dq ON dq.doc_id = d.doc_id)
+         |SELECT p.doc_id, p.n_chars, p.w_sum,
+         |  NOT EXISTS (SELECT 1 FROM p q
+         |    WHERE q.n_chars >= p.n_chars AND q.w_sum >= p.w_sum
+         |      AND (q.n_chars > p.n_chars OR q.w_sum > p.w_sum))
+         |    AS on_front
+         |FROM p ORDER BY p.doc_id""".stripMargin,
+    "q213_bitmap_distinct" ->
+      """WITH t AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_all
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  t.n_users_all
+        |FROM events, t WHERE user_id IS NOT NULL
+        |GROUP BY event_type, t.n_users_all
+        |ORDER BY event_type""".stripMargin,
+    "q214_k_anonymity" ->
+      s"""SELECT doc_id, source, lang, n_chars // 256 AS len_bin,
+         |  CAST(count(*) OVER
+         |    (PARTITION BY source, lang, n_chars // 256) AS BIGINT)
+         |    AS group_size,
+         |  count(*) OVER
+         |    (PARTITION BY source, lang, n_chars // 256) < $K
+         |    AS at_risk
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the UNPRUNED definition: every pair of co-occurring tokens,
+    // thresholded at the end — the Apriori semi-join must be invisible
+    "q215_assoc_rules" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS tok
+        |  FROM documents),
+        |it AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM tok),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |ic AS MATERIALIZED (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY 1),
+        |pr AS (
+        |  SELECT a.tok AS ta, b.tok AS tb, CAST(count(*) AS BIGINT) AS cab
+        |  FROM it a JOIN it b
+        |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2),
+        |bi AS (
+        |  SELECT ta AS antecedent, tb AS consequent, cab FROM pr
+        |  UNION ALL
+        |  SELECT tb, ta, cab FROM pr)
+        |SELECT bi.antecedent, bi.consequent, bi.cab AS n_ab,
+        |  fa.c AS n_a, fb.c AS n_b, n.n_docs,
+        |  CAST(bi.cab AS DOUBLE) / CAST(fa.c AS DOUBLE) AS conf,
+        |  CAST(bi.cab * n.n_docs AS DOUBLE)
+        |    / CAST(fa.c * fb.c AS DOUBLE) AS lift
+        |FROM bi
+        |JOIN ic fa ON fa.tok = bi.antecedent
+        |JOIN ic fb ON fb.tok = bi.consequent
+        |CROSS JOIN n
+        |WHERE bi.cab * 10 >= n.n_docs
+        |  AND bi.cab * 5 >= 3 * fa.c
+        |  AND bi.cab * n.n_docs > fa.c * fb.c
+        |ORDER BY bi.antecedent, bi.consequent""".stripMargin)
+}

@@ -30,7 +30,8 @@ class SparkEntrySpec extends AnyFunSuite {
       ops.Quality.queries, ops.Blocklist.queries, text.Bpe.queries,
       sim.KMeans.queries, sim.Spectral.queries, text.Sketches.queries,
       sim.Pq.queries, text.TextVectors.queries,
-      ops.Fuzzy.queries, text.RetrievalEval.queries)
+      ops.Fuzzy.queries, text.RetrievalEval.queries,
+      ops.Mining.queries)
     val all = parts.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")

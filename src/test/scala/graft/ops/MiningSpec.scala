@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic contracts of the q212–q215 mining/governance operators
+  * (the oracle gate checks cross-engine equality; these check the
+  * DEFINITIONS against brute force and the operators' invariants). */
+class MiningSpec extends SparkSpec {
+
+  test("q212: sweep front equals brute-force dominance") {
+    val rows = Mining.paretoFront(spark, sf())
+      .select("doc_id", "n_chars", "w_sum", "on_front").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val pts = rows.map(r => (r._2, r._3))
+    rows.foreach { case (id, x, y, flag) =>
+      val dominated = pts.exists { case (qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y)
+      }
+      assert(flag == !dominated, s"doc $id: on_front=$flag")
+    }
+    // the front is never empty: the doc maximizing (x, then y) is
+    // undominated by construction
+    assert(rows.exists(_._4))
+  }
+
+  test("q212: duplicated extreme points survive together (tie rule)") {
+    // two docs equal on BOTH dims dominate each other under neither
+    // arm of the strict clause — both must stay on the front
+    val rows = Mining.paretoFront(spark, sf()).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byPoint = rows.groupBy(r => (r._1, r._2))
+    byPoint.values.foreach { grp =>
+      assert(grp.map(_._3).distinct.size == 1,
+        "identical points must share one verdict")
+    }
+  }
+
+  test("q213: bitmap rollup equals exact count(DISTINCT)") {
+    val got = Mining.bitmapDistinct(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .where(col("user_id").isNotNull)
+    val exactBy = ev.groupBy("event_type")
+      .agg(count(lit(1)), countDistinct(col("user_id"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val allUsers = ev.select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(got.nonEmpty)
+    got.foreach { case (t, nEv, nU, nAll) =>
+      assert((nEv, nU) == exactBy(t), s"type $t")
+      assert(nAll == allUsers)
+    }
+    assert(got.map(_._1).toSet == exactBy.keySet)
+  }
+
+  test("q214: group sizes are exact and the flag is the threshold") {
+    val out = Mining.kAnonymity(spark, sf()).collect()
+      .map(r => ((Option(r.getString(1)), Option(r.getString(2)),
+        r.getLong(3)), r.getLong(4), r.getBoolean(5)))
+    val sizes = out.groupBy(_._1).map { case (k, vs) => (k, vs.length.toLong) }
+    out.foreach { case (qi, gs, risk) =>
+      assert(gs == sizes(qi), s"group $qi size")
+      assert(risk == (gs < Mining.K))
+    }
+    // audit covers every document exactly once
+    val n = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(out.length.toLong == n)
+  }
+
+  test("q215: Apriori pruning is lossless vs the unpruned definition") {
+    val pruned = Mining.assocRules(spark, sf())
+      .select("antecedent", "consequent", "n_ab").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // unpruned: every co-occurring pair, thresholded at the end only
+    val it = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.util.Tokens.whitespace(col("text"))).as("tok"))
+      .distinct()
+    val n = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    val ic = it.groupBy("tok").agg(count(lit(1)).as("c"))
+    val pairs = it.as("a")
+      .join(it.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("ta"), col("b.tok").as("tb"))
+      .agg(count(lit(1)).as("cab"))
+    val bi = pairs.select(col("ta").as("x"), col("tb").as("y"), col("cab"))
+      .unionByName(pairs.select(col("tb").as("x"), col("ta").as("y"),
+        col("cab")))
+    val full = bi
+      .join(ic.select(col("tok").as("x"), col("c").as("ca")), "x")
+      .join(ic.select(col("tok").as("y"), col("c").as("cb")), "y")
+      .where(col("cab") * Mining.SupPctX10 >= lit(n) &&
+        col("cab") * 5 >= col("ca") * 3 &&
+        col("cab") * lit(n) > col("ca") * col("cb"))
+      .select(col("x"), col("y"), col("cab")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pruned == full)
+    assert(pruned.nonEmpty)
+  }
+
+  test("q215: rule invariants (support, confidence, lift, bounds)") {
+    val n = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    val rows = Mining.assocRules(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ab, a, b, nd) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nd == n)
+      assert(ab <= math.min(a, b)) // co-occurrence ≤ item supports
+      assert(ab * Mining.SupPctX10 >= nd)
+      assert(ab * 5 >= a * 3)
+      assert(ab * nd > a * b)
+      assert(math.abs(r.getDouble(6) - ab.toDouble / a) == 0.0)
+      assert(math.abs(
+        r.getDouble(7) - (ab * nd).toDouble / (a * b)) == 0.0)
+    }
+  }
+}
