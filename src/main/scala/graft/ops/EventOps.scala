@@ -114,7 +114,10 @@ object EventOps {
     * never opened (plan audit in PLANS.md). The zone write is
     * idempotent per scale factor (skipped when present), so the gate
     * measures the CONSUMER, not the one-time materialization. */
-  def partitionPruned(s: SparkSession, dir: String): DataFrame = {
+  /** The day-partitioned events zone (built once per scale dir,
+    * staging+rename publish) — shared by the static-pruning (q86) and
+    * dynamic-pruning (q217) consumers. */
+  private[ops] def eventsByDayZone(s: SparkSession, dir: String): String = {
     val zone = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
       s"events_by_day_${Integer.toHexString(dir.hashCode)}"
     val p = new org.apache.hadoop.fs.Path(zone)
@@ -135,9 +138,43 @@ object EventOps {
         sys.error(s"could not publish events zone at $zone")
       fs.delete(staging, true)
     }
+    zone
+  }
+
+  def partitionPruned(s: SparkSession, dir: String): DataFrame = {
+    val zone = eventsByDayZone(s, dir)
     s.read.parquet(zone)
       .where(col("event_date").between("2024-01-10", "2024-01-12"))
       .groupBy(col("event_date").cast("string").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
+  /** q217: DYNAMIC partition pruning — q86's static 3-day predicate
+    * replaced by a dimension only known at runtime: the even-count
+    * days of the raw events table (a HAVING on a non-key column, so
+    * constraint propagation CANNOT turn it into a static fact-side
+    * filter). The optimizer inserts a `dynamicpruning` subquery into
+    * the zone scan's PartitionFilters — day directories that fail the
+    * runtime dim are never opened (pinned in PlanAuditSpec). This is
+    * the at-scale join shape for "fact partitioned by date ⋈ the
+    * dates some other computation selected": without DPP the zone
+    * scan reads all days and discards rows post-join.
+    *
+    * The dim derivation is one partial-agg scan of raw events; the
+    * join is a broadcast of ≤ #days rows the DPP subquery reuses. */
+  def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    val zone = eventsByDayZone(s, dir)
+    val dim = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") % 2 === 0)
+      .select(col("d"))
+    val fact = s.read.parquet(zone)
+    fact.join(dim, fact("event_date") === dim("d"))
+      .groupBy(col("event_date").cast("string").as("day"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(D)).cast("double").as("sum_value"))
       .orderBy("day", "event_type")
@@ -333,6 +370,7 @@ object EventOps {
     "q62_asof_join"       -> (asofLastClick _),
     "q63_range_join"      -> (rangeJoinClicks _),
     "q86_partition_prune" -> (partitionPruned _),
+    "q217_dpp_join" -> (dppJoin _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -377,6 +415,15 @@ object EventOps {
         |  AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 600000 AND epoch_ms(p.ts)
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin,
+    "q217_dpp_join" ->
+      """WITH dim AS (
+        |  SELECT ts::DATE AS d FROM events
+        |  GROUP BY 1 HAVING count(*) % 2 = 0)
+        |SELECT CAST(ts::DATE AS VARCHAR) AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN dim ON ts::DATE = dim.d
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q86_partition_prune" ->
       """SELECT CAST(ts::DATE AS VARCHAR) AS day, event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

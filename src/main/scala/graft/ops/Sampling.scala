@@ -435,7 +435,53 @@ object Sampling {
       .orderBy("rank")
   }
 
+  /** q216: globally-consecutive stable id assignment WITHOUT a global
+    * window — the export-time numbering every sharded corpus needs
+    * (sample indices, TFRecord keys). `row_number() OVER (ORDER BY
+    * doc_id)` is the semantic contract (and the oracle), but its plan
+    * moves the corpus through ONE partition; this spelling is the
+    * classic distributed alternative: range-partition by the order
+    * key, sort within partitions, count per partition (a
+    * partition-count collect — ≤ numParts longs on the driver, the
+    * bloom-words bounded-driver rule), then assign offset + local
+    * position in a second pass over the SAME shuffled RDD (the
+    * shuffle files are reused — the count pass's exchange is not
+    * re-paid).
+    *
+    * Output is boundary-invariant: ids depend only on the global
+    * order, not on where the sampled range boundaries land, so the
+    * numbering is deterministic even though `repartitionByRange`
+    * samples — and identical for ANY numParts (spec-pinned at 8 vs
+    * 32). This is the one operator family where `mapPartitions` is
+    * the right tool (per-partition imperative position counting);
+    * everything before it stays in the declarative plan. */
+  def stableIds(s: SparkSession, dir: String,
+                numParts: Int = 32): DataFrame = {
+    val ranged = Tables.load(s, dir, "documents").select(col("doc_id"))
+      .repartitionByRange(numParts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val rdd = ranged.rdd.map(_.getLong(0))
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+        Iterator.single((i, it.size.toLong))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(1L)(_ + _) // 1-based, row_number parity
+    val ids = rdd.mapPartitionsWithIndex { (i, it) =>
+      var k = offsets(i)
+      it.map { d =>
+        val r = org.apache.spark.sql.Row(d, k); k += 1L; r
+      }
+    }
+    s.createDataFrame(ids, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("uid",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_stable_ids" -> ((s: SparkSession, d: String) =>
+      stableIds(s, d)),
     "q202_priority_sample" -> ((s: SparkSession, d: String) =>
       prioritySample(s, d)),
     "q160_temperature_mix" -> ((s: SparkSession, d: String) =>
@@ -461,6 +507,11 @@ object Sampling {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the semantic contract the offset machinery must reproduce
+    "q216_stable_ids" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS uid
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q202_priority_sample" ->
       raw"""WITH d AS (
         |  SELECT doc_id,

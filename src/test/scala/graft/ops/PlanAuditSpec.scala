@@ -36,6 +36,14 @@ class PlanAuditSpec extends SparkSpec {
       "expected PartitionFilters on event_date:\n" + plan)
   }
 
+  test("q217: the zone scan carries a dynamicpruning partition filter") {
+    val plan = planOf("q217_dpp_join")
+    assert(plan.matches(
+      "(?s).*PartitionFilters: \\[[^\\]]*dynamicpruning[^\\]]*\\].*"),
+      "expected a DPP subquery in the zone scan's PartitionFilters:\n" +
+        plan)
+  }
+
   test("q37: the signature pipeline plans exactly one documents scan") {
     val plan = planOf("q37_minhash_lsh")
     val scans = "Scan parquet".r.findAllIn(plan).length

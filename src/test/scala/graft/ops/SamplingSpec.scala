@@ -493,4 +493,24 @@ class SamplingSpec extends SparkSpec {
     val est = rows.head.getAs[Double]("est_total_tokens")
     assert(est >= rows.map(_.getAs[Long]("n_tokens")).sum.toDouble - 1e-9)
   }
+
+  test("q216: ids are the contiguous 1..n rank of doc_id") {
+    val rows = Sampling.stableIds(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(rows.length.toLong == n)
+    assert(rows.map(_._2).toSeq == (1L to n).toSeq) // contiguous, 1-based
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.map(_._2).toSeq == (1L to n).toSeq,
+      "uid order must be doc_id order")
+  }
+
+  test("q216: numbering is partition-count invariant") {
+    // boundaries move when numParts changes; the assigned ids must not
+    val a = Sampling.stableIds(spark, sf(), numParts = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Sampling.stableIds(spark, sf(), numParts = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
 }
