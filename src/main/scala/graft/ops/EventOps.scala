@@ -180,6 +180,41 @@ object EventOps {
       .orderBy("day", "event_type")
   }
 
+  /** q218: SCD Type-2 interval build — the warehouse pattern for
+    * "what was this entity's state over time": each user's event
+    * stream collapses into validity intervals of constant
+    * event_type, consecutive duplicates merged (gaps-and-islands:
+    * null-safe change flag → running sum → island id), each island
+    * closed by the NEXT island's start (`lead`), the last one open
+    * (`is_current`). This is how a dimension table tracks history
+    * under updates — the batch spelling of CDC apply.
+    *
+    * Scale shape: three user-partitioned windows + one (user, island)
+    * rollup — every step shuffles on the entity key only; no window
+    * ever spans users, so the plan shards with the key space. */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val c = e.withColumn("chg",
+      when(!(lag(col("event_type"), 1).over(wSeq) <=> col("event_type")),
+        1L).otherwise(0L))
+    val i = c.withColumn("island", sum(col("chg")).over(
+      wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val g = i.groupBy(col("user_id"), col("island"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ms")).as("valid_from_ms"),
+        count(lit(1)).as("n_events"))
+    val wI = Window.partitionBy(col("user_id")).orderBy(col("island"))
+    g.withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(wI))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .select(col("user_id"), col("event_type"), col("valid_from_ms"),
+        col("valid_to_ms"), col("is_current"), col("n_events"))
+      .orderBy("user_id", "valid_from_ms")
+  }
+
   /** q119: forward fill (last observation carried forward) — the
     * time-series gap repair every sensor/metrics pipeline runs: null
     * readings take the most recent non-null value for the same key.
@@ -371,6 +406,7 @@ object EventOps {
     "q63_range_join"      -> (rangeJoinClicks _),
     "q86_partition_prune" -> (partitionPruned _),
     "q217_dpp_join" -> (dppJoin _),
+    "q218_scd2_intervals" -> (scd2Intervals _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -415,6 +451,31 @@ object EventOps {
         |  AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 600000 AND epoch_ms(p.ts)
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin,
+    "q218_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, ms, event_id,
+        |    CASE WHEN lag(event_type) OVER w
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |i AS (
+        |  SELECT user_id, event_type, ms,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM c),
+        |g AS (
+        |  SELECT user_id, island, min(event_type) AS event_type,
+        |    CAST(min(ms) AS BIGINT) AS valid_from_ms,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, event_type, valid_from_ms,
+        |  lead(valid_from_ms) OVER wi AS valid_to_ms,
+        |  lead(valid_from_ms) OVER wi IS NULL AS is_current,
+        |  n_events
+        |FROM g WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+        |ORDER BY user_id, valid_from_ms""".stripMargin,
     "q217_dpp_join" ->
       """WITH dim AS (
         |  SELECT ts::DATE AS d FROM events

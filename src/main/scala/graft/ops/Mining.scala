@@ -211,7 +211,50 @@ object Mining {
       .orderBy("antecedent", "consequent")
   }
 
+  /** q219: right-to-be-forgotten erasure over a merge-on-read zone —
+    * the read path of [[graft.sinks.MergeOnRead]] under the gate. A
+    * slim documents table becomes the zone base; an erasure batch
+    * tombstones every doc_id ≡ 0 (mod 97) (O(|keys|), no base
+    * rewrite); a later upsert restores the even half of the erased
+    * keys with an amended source — proving tombstones hide base rows
+    * AND that later epochs win over tombstones. The reconciled view
+    * must equal the oracle's plain set algebra over `documents`.
+    *
+    * The zone is built once per scale dir under a staging directory
+    * and published by rename (the q86 crash-safe idiom: the read
+    * path never sees a half-built chain). Scale shape: the reconcile
+    * is MergeOnRead's one key-partitioned window; erase and restore
+    * cost O(batch) writes regardless of corpus size. */
+  def erasureScrub(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.MergeOnRead
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
+      s"mor_erasure_${Integer.toHexString(dir.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val staging = new org.apache.hadoop.fs.Path(root + ".staging")
+      fs.delete(staging, true)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      MergeOnRead.init(s, staging.toString, docs)
+      MergeOnRead.delete(s, staging.toString,
+        docs.where(col("doc_id") % 97 === 0).select(col("doc_id")),
+        Seq("doc_id"))
+      MergeOnRead.merge(s, staging.toString,
+        docs.where(col("doc_id") % 97 === 0 && col("doc_id") % 2 === 0)
+          .withColumn("source", lit("restored")),
+        Seq("doc_id"))
+      if (!fs.rename(staging, p) && !fs.exists(p))
+        sys.error(s"could not publish erasure zone at $root")
+      fs.delete(staging, true)
+    }
+    MergeOnRead.read(s, root, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_erasure_scrub"  -> (erasureScrub _),
     "q212_pareto_front"   -> (paretoFront _),
     "q213_bitmap_distinct" -> (bitmapDistinct _),
     "q214_k_anonymity"    -> ((s: SparkSession, d: String) =>
@@ -219,6 +262,15 @@ object Mining {
     "q215_assoc_rules"    -> (assocRules _))
 
   val oracle: Map[String, String] = Map(
+    // erase-then-restore as plain set algebra: survivors keep their
+    // source; the restored half comes back amended
+    "q219_erasure_scrub" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 97 <> 0
+        |UNION ALL
+        |SELECT doc_id, 'restored' AS source, n_chars FROM documents
+        |WHERE doc_id % 97 = 0 AND doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
     // quadratic NOT EXISTS dominance — the definition the distributed
     // sweep must reproduce; the score subtree is the q154 oracle
     // embedded verbatim (the q166 no-drift discipline)

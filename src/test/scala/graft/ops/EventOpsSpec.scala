@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Semantic contracts of the SCD Type-2 interval build (q218) — the
+  * oracle gate proves cross-engine equality; these prove the
+  * INTERVAL ALGEBRA: islands partition the stream, intervals chain
+  * without gaps or overlaps, and consecutive islands really changed
+  * state. */
+class EventOpsSpec extends SparkSpec {
+
+  private lazy val rows = EventOps.scd2Intervals(spark, sf()).collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      r.getBoolean(4), r.getLong(5)))
+
+  test("q218: islands partition the event stream exactly") {
+    val total = spark.read.parquet(s"${sf()}/events.parquet").count()
+    assert(rows.map(_._6).sum == total)
+    assert(rows.forall(_._6 >= 1))
+  }
+
+  test("q218: intervals chain per user — each closes at the next start") {
+    rows.groupBy(_._1).foreach { case (u, ivs) =>
+      val seq = ivs.sortBy(_._3)
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $u: gap or overlap")
+          // a merged island means consecutive intervals differ in state
+          assert(a._2 != b._2, s"user $u: un-merged duplicate state")
+        case _ => ()
+      }
+      // exactly one open (current) interval per user, and it is the last
+      assert(seq.count(_._5) == 1)
+      assert(seq.last._5 && seq.last._4.isEmpty)
+      assert(seq.init.forall(iv => !iv._5 && iv._4.nonEmpty))
+    }
+  }
+}

@@ -102,6 +102,29 @@ class MiningSpec extends SparkSpec {
     assert(pruned.nonEmpty)
   }
 
+  test("q219: the epoch chain time-travels — erase then restore") {
+    import graft.sinks.MergeOnRead
+    // the gate query builds (or finds) the zone; epochs are then
+    // directly inspectable: asOf=0 is the untouched base, asOf=1 has
+    // the erasure applied but not yet the restore
+    Mining.erasureScrub(spark, sf()).count() // ensure the zone exists
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
+      s"mor_erasure_${Integer.toHexString(sf().hashCode)}"
+    val base = spark.read.parquet(s"${sf()}/documents.parquet")
+    val n = base.count()
+    val erased = base.where(org.apache.spark.sql.functions
+      .col("doc_id") % 97 === 0).count()
+    val restored = base.where(org.apache.spark.sql.functions
+      .col("doc_id") % 97 === 0 &&
+      org.apache.spark.sql.functions.col("doc_id") % 2 === 0).count()
+    assert(MergeOnRead.read(spark, root, Seq("doc_id"), asOf = 0L)
+      .count() == n)
+    assert(MergeOnRead.read(spark, root, Seq("doc_id"), asOf = 1L)
+      .count() == n - erased)
+    assert(MergeOnRead.read(spark, root, Seq("doc_id"))
+      .count() == n - erased + restored)
+  }
+
   test("q215: rule invariants (support, confidence, lift, bounds)") {
     val n = spark.read.parquet(s"${sf()}/documents.parquet").count()
     val rows = Mining.assocRules(spark, sf()).collect()
