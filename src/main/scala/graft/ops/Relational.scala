@@ -220,7 +220,29 @@ object Relational {
       .agg(count(lit(1)))
       .orderBy("l_returnflag")
 
+  /** q220: relational DIVISION — "which users performed EVERY event
+    * type" (suppliers-supplying-all-parts, the classic ÷ operator).
+    * The textbook spelling is double-NOT-EXISTS (the oracle); the
+    * scalable plan is count-matching: distinct (user, type) pairs →
+    * per-user distinct-type count = global distinct-type count. One
+    * pair-distinct shuffle + one user rollup; the divisor cardinality
+    * rides a 1-row broadcast. The equivalence (set containment ⇔
+    * cardinality match over distinct pairs) is exactly what the hash
+    * gate certifies. */
+  def relationalDivision(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val k = ev.agg(countDistinct(col("event_type")).as("k"))
+    ev.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("nt"))
+      .crossJoin(broadcast(k))
+      .where(col("nt") === col("k"))
+      .select(col("user_id"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_relational_division" -> (relationalDivision _),
     "q10_groupby_agg"      -> (groupbyAgg _),
     "q11_broadcast_join"   -> (broadcastJoinAgg _),
     "q12_multi_join"       -> (multiJoinRevenue _),
@@ -240,6 +262,17 @@ object Relational {
     "q25_pivot"            -> (pivotStatus _))
 
   val oracle: Map[String, String] = Map(
+    // the textbook double-NOT-EXISTS division the count-match plan
+    // must reproduce
+    "q220_relational_division" ->
+      """SELECT DISTINCT e.user_id FROM events e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (SELECT DISTINCT event_type FROM events) t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM events e2
+        |    WHERE e2.user_id = e.user_id
+        |      AND e2.event_type = t.event_type))
+        |ORDER BY user_id""".stripMargin,
     "q10_groupby_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${Exact.sqlDsum("l_quantity")} AS sum_qty,

@@ -141,13 +141,38 @@ object SqlSurface {
     s.sql(LateralSql)
   }
 
+  /** q221's one query text: named parameter markers (`:minBal`,
+    * `:seg`) — the SQL-injection-safe front door Spark 4's
+    * `sql(text, args)` exposes. The oracle is the SAME text with the
+    * literals substituted, so the gate proves binding ≡ inlining. */
+  private val ParamSqlText =
+    """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_bal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_acctbal > :minBal AND c.c_mktsegment = :seg
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  /** q221: parameterized SQL — the text carries named markers, the
+    * values bind at execution (typed literals in the plan, never
+    * string-spliced). Same optimization as inline literals: the bound
+    * predicate still reaches PushedFilters. */
+  def sqlParameterized(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(ParamSqlText, Map("minBal" -> 1000, "seg" -> "BUILDING"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_param_sql" -> (sqlParameterized _),
     "q90_sql_surface" -> (sqlTopRevenue _),
     "q208_recursive_sql" -> (sqlRecursiveReach _),
     "q211_lateral_topn" -> (sqlLateralTopN _),
     "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    // the identical text with the parameters inlined as literals
+    "q221_param_sql" -> ParamSqlText
+      .replace(":minBal", "1000").replace(":seg", "'BUILDING'"),
     "q211_lateral_topn" -> LateralSql,
     // identical recursive text; edges from the brute-force spelling
     "q208_recursive_sql" ->

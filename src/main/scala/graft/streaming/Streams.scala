@@ -89,6 +89,31 @@ object Streams {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join: like [[purchaseClickJoin]], but a
+    * purchase with NO click in its window still emits — with null
+    * click columns — once the click-side watermark has passed the
+    * purchase's match window, i.e. once no future click could still
+    * match. That deferred null emission is the semantic heart of
+    * streaming outer joins: the row is held in state exactly as long
+    * as a match remains possible, then released. State on both sides
+    * stays bounded by the same watermark + range condition as the
+    * inner variant. */
+  def purchaseClickJoinOuter(events: DataFrame,
+                             watermark: String = "30 minutes"): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "leftOuter")
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream
     * broadcast-joins the (small) static dimension — no streaming state
     * at all, the dimension is re-resolved per batch so a dimension

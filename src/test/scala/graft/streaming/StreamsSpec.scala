@@ -85,6 +85,47 @@ class StreamsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq(2L))
   }
 
+  test("outer stream-stream join: unmatched purchase emits nulls " +
+    "only after the watermark closes its window") {
+    val in = Files.createTempDirectory("stream_join_outer").toString
+    writeBatch(in, "b1.json",
+      """{"event_id":1,"ts":"2024-01-01T00:15:00Z","user_id":5,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:20:00Z","user_id":5,"event_type":"purchase","value":9.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:20:00Z","user_id":6,"event_type":"purchase","value":9.0}""")
+    // one file per trigger so each later file is its OWN batch — the
+    // watermark only advances at batch boundaries, and the outer
+    // join's null row is released by that advancement
+    def oneFileStream = spark.readStream.format("json").schema(schema)
+      .option("maxFilesPerTrigger", "1").load(in)
+    Streams.runToMemory(Streams.purchaseClickJoinOuter(oneFileStream),
+      "outer1", OutputMode.Append)
+    val matched = spark.table("outer1").collect()
+    // the matched pair flows immediately; purchase 3 (no click) is
+    // still held — a future click could match it
+    assert(matched.map(_.getAs[Long]("p_id")).toSeq == Seq(2L))
+    assert(matched.head.getAs[java.sql.Timestamp]("c_ts") != null)
+    // watermark advancers on BOTH sides (the global watermark is the
+    // MIN of the per-side watermarks — a click-only advancer would
+    // leave the purchase side, and so the join state, frozen): 02:00
+    // moves wm to 01:30 > purchase-3's window end; the third batch
+    // flushes the eviction
+    writeBatch(in, "b2.json",
+      """{"event_id":8,"ts":"2024-01-01T02:00:00Z","user_id":9,"event_type":"click","value":1.0}""",
+      """{"event_id":18,"ts":"2024-01-01T02:00:00Z","user_id":9,"event_type":"purchase","value":1.0}""")
+    writeBatch(in, "b3.json",
+      """{"event_id":9,"ts":"2024-01-01T03:00:00Z","user_id":9,"event_type":"click","value":1.0}""",
+      """{"event_id":19,"ts":"2024-01-01T03:00:00Z","user_id":9,"event_type":"purchase","value":1.0}""")
+    Streams.runToMemory(Streams.purchaseClickJoinOuter(oneFileStream),
+      "outer2", OutputMode.Append)
+    val rows = spark.table("outer2").collect()
+      .map(r => (r.getAs[Long]("p_id"),
+        Option(r.getAs[java.sql.Timestamp]("c_ts"))))
+    assert(rows.toSet.contains((2L,
+      Some(java.sql.Timestamp.valueOf("2024-01-01 00:15:00")))))
+    // the unmatched purchase is now out with NULL click columns
+    assert(rows.toSet.contains((3L, None)))
+  }
+
   test("streaming parquet sink with checkpoint resumes exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     val in = Files.createTempDirectory("stream_pq_in").toString
