@@ -192,10 +192,16 @@ object EventOps {
     * Scale shape: three user-partitioned windows + one (user, island)
     * rollup — every step shuffles on the entity key only; no window
     * ever spans users, so the plan shards with the key space. */
-  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "events")
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_millis(col("ts")).as("ms"))
+        unix_millis(col("ts")).as("ms")))
+
+  /** The q218 transform over any (user_id, event_id, event_type, ms)
+    * relation — [[graft.sinks.Scd2Maintain]] reuses it on the touched
+    * subset so the incremental fold can never drift from the batch
+    * spelling. */
+  private[graft] def scd2Of(e: DataFrame): DataFrame = {
     val wSeq = Window.partitionBy(col("user_id"))
       .orderBy(col("ms"), col("event_id"))
     val c = e.withColumn("chg",
@@ -213,6 +219,37 @@ object EventOps {
       .select(col("user_id"), col("event_type"), col("valid_from_ms"),
         col("valid_to_ms"), col("is_current"), col("n_events"))
       .orderBy("user_id", "valid_from_ms")
+  }
+
+  /** q223: the incrementally-MAINTAINED q218 — the interval zone built
+    * by [[graft.sinks.Scd2Maintain]] from three interleaved ingest
+    * batches (sliced by `event_id % 3`, so every batch is heavily
+    * out-of-order relative to event time) must produce bit-identical
+    * intervals to the one-shot batch build: the gate runs the SAME
+    * oracle string as q218. Zone built once per scale dir
+    * (staging+rename publish). */
+  def scd2Maintained(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
+      s"scd2_${Integer.toHexString(dir.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val staging = new org.apache.hadoop.fs.Path(root + ".staging")
+      fs.delete(staging, true)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+      graft.sinks.Scd2Maintain.init(s, staging.toString,
+        ev.where(col("event_id") % 3 === 0))
+      graft.sinks.Scd2Maintain.applyBatch(s, staging.toString,
+        ev.where(col("event_id") % 3 === 1))
+      graft.sinks.Scd2Maintain.applyBatch(s, staging.toString,
+        ev.where(col("event_id") % 3 === 2))
+      if (!fs.rename(staging, p) && !fs.exists(p))
+        sys.error(s"could not publish scd2 zone at $root")
+      fs.delete(staging, true)
+    }
+    graft.sinks.Scd2Maintain.read(s, root)
   }
 
   /** q119: forward fill (last observation carried forward) — the
@@ -407,12 +444,41 @@ object EventOps {
     "q86_partition_prune" -> (partitionPruned _),
     "q217_dpp_join" -> (dppJoin _),
     "q218_scd2_intervals" -> (scd2Intervals _),
+    "q223_scd2_maintained" -> (scd2Maintained _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
     "q129_outliers"       -> (outliers _),
     "q130_time_weighted"  -> (timeWeightedAvg _),
     "q136_nearest_event"  -> (nearestClick _))
+
+  /** The q218 interval-build SQL — one spelling shared by the batch
+    * gate (q218) and the maintained-zone gate (q223). */
+  private val Scd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_type, ms, event_id,
+      |    CASE WHEN lag(event_type) OVER w
+      |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |i AS (
+      |  SELECT user_id, event_type, ms,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM c),
+      |g AS (
+      |  SELECT user_id, island, min(event_type) AS event_type,
+      |    CAST(min(ms) AS BIGINT) AS valid_from_ms,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, event_type, valid_from_ms,
+      |  lead(valid_from_ms) OVER wi AS valid_to_ms,
+      |  lead(valid_from_ms) OVER wi IS NULL AS is_current,
+      |  n_events
+      |FROM g WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+      |ORDER BY user_id, valid_from_ms""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q60_tumbling_hourly" ->
@@ -451,31 +517,10 @@ object EventOps {
         |  AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 600000 AND epoch_ms(p.ts)
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin,
-    "q218_scd2_intervals" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
-        |  FROM events),
-        |c AS (
-        |  SELECT user_id, event_type, ms, event_id,
-        |    CASE WHEN lag(event_type) OVER w
-        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
-        |i AS (
-        |  SELECT user_id, event_type, ms,
-        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |  FROM c),
-        |g AS (
-        |  SELECT user_id, island, min(event_type) AS event_type,
-        |    CAST(min(ms) AS BIGINT) AS valid_from_ms,
-        |    CAST(count(*) AS BIGINT) AS n_events
-        |  FROM i GROUP BY 1, 2)
-        |SELECT user_id, event_type, valid_from_ms,
-        |  lead(valid_from_ms) OVER wi AS valid_to_ms,
-        |  lead(valid_from_ms) OVER wi IS NULL AS is_current,
-        |  n_events
-        |FROM g WINDOW wi AS (PARTITION BY user_id ORDER BY island)
-        |ORDER BY user_id, valid_from_ms""".stripMargin,
+    "q218_scd2_intervals" -> Scd2Sql,
+    // the maintained zone is gated by the IDENTICAL oracle — the
+    // incremental fold must be invisible
+    "q223_scd2_maintained" -> Scd2Sql,
     "q217_dpp_join" ->
       """WITH dim AS (
         |  SELECT ts::DATE AS d FROM events

@@ -162,7 +162,30 @@ object SqlSurface {
     s.sql(ParamSqlText, Map("minBal" -> 1000, "seg" -> "BUILDING"))
   }
 
+  /** q222: session variables — the other Spark 4 way to template a
+    * query: `DECLARE VARIABLE` + `SET VAR` put typed state in the
+    * session catalog and the query text references it bare, exactly
+    * like a prepared report a BI layer re-runs with fresh knobs.
+    * The oracle inlines the values (the q221 binding ≡ inlining
+    * contract); `DECLARE OR REPLACE` keeps the call idempotent per
+    * session. */
+  def sqlSessionVars(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql("DECLARE OR REPLACE VARIABLE min_bal DOUBLE DEFAULT 0.0")
+    s.sql("DECLARE OR REPLACE VARIABLE seg STRING DEFAULT ''")
+    s.sql("SET VAR min_bal = 1000.0")
+    s.sql("SET VAR seg = 'BUILDING'")
+    s.sql(
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > min_bal AND c.c_mktsegment = seg
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_sql_vars" -> (sqlSessionVars _),
     "q221_param_sql" -> (sqlParameterized _),
     "q90_sql_surface" -> (sqlTopRevenue _),
     "q208_recursive_sql" -> (sqlRecursiveReach _),
@@ -173,6 +196,9 @@ object SqlSurface {
     // the identical text with the parameters inlined as literals
     "q221_param_sql" -> ParamSqlText
       .replace(":minBal", "1000").replace(":seg", "'BUILDING'"),
+    // same report with the session-variable knobs inlined
+    "q222_sql_vars" -> ParamSqlText
+      .replace(":minBal", "1000.0").replace(":seg", "'BUILDING'"),
     "q211_lateral_topn" -> LateralSql,
     // identical recursive text; edges from the brute-force spelling
     "q208_recursive_sql" ->

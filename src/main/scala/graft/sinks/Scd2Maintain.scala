@@ -1,0 +1,118 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Incrementally-maintained SCD Type-2 zone — the IVM companion of
+  * [[graft.ops.EventOps.scd2Intervals]] (q218), following the
+  * [[IndexMaintain]] touched-blocks pattern: raw events append into a
+  * bucket-partitioned epoch chain, and each ingest batch recomputes
+  * intervals ONLY for the users the batch touches, merging the result
+  * into a [[MergeOnRead]] table that stores one row per user (the
+  * interval list as an array column — so the MERGE contract "one row
+  * per key" holds exactly).
+  *
+  * Cost per batch: O(touched users' event history), not O(corpus) —
+  * the recompute reads only the touched users' bucket directories
+  * (a literal `bucket IN (…)` over ≤ [[Buckets]] values prunes at the
+  * directory level, pinned in Scd2MaintainSpec) and the merge writes
+  * one delta epoch of |touched users| rows. Out-of-order batches are
+  * handled by construction: the recompute always folds the user's
+  * FULL raw history, so arrival order cannot matter — the spec
+  * interleaves slices by event_id to prove it.
+  *
+  * The interval transform itself is [[graft.ops.EventOps.scd2Of]] —
+  * the SAME code the q218 gate runs, so the maintained zone can never
+  * drift from the batch spelling (q223 is gated by the identical
+  * oracle string as q218).
+  */
+object Scd2Maintain {
+
+  /** User-hash directory fan-out of the raw-events zone. */
+  val Buckets = 64
+
+  private def eventsRoot(root: String) = s"$root/events"
+  private def ivRoot(root: String) = s"$root/intervals"
+
+  private def fs(s: SparkSession, p: String) =
+    new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def withBucket(batch: DataFrame): DataFrame =
+    batch.withColumn("bucket", pmod(col("user_id"), lit(Buckets)))
+
+  private def nextEpoch(s: SparkSession, root: String): Long = {
+    val er = new Path(eventsRoot(root))
+    val f = fs(s, root)
+    if (!f.exists(er)) 1L
+    else f.listStatus(er).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .maxOption.getOrElse(0L) + 1L
+  }
+
+  private def appendEvents(s: SparkSession, root: String,
+                           batch: DataFrame): Unit =
+    withBucket(batch)
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket")
+      .parquet(s"${eventsRoot(root)}/epoch=${nextEpoch(s, root)}")
+
+  /** One row per user: the interval list packed as a sorted array —
+    * the shape that makes interval replacement a single-key MERGE. */
+  private def pack(iv: DataFrame): DataFrame =
+    iv.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        col("valid_from_ms"), col("valid_to_ms"), col("event_type"),
+        col("is_current"), col("n_events")))).as("ivs"))
+
+  /** Create the zone: `events` (user_id, event_id, event_type, ms)
+    * becomes epoch 1 of the raw chain and the full interval build
+    * becomes the merge-on-read base. */
+  def init(s: SparkSession, root: String, events: DataFrame): Unit = {
+    appendEvents(s, root, events)
+    MergeOnRead.init(s, ivRoot(root),
+      pack(graft.ops.EventOps.scd2Of(events)))
+  }
+
+  /** The touched users' full raw history — the ONLY corpus read a
+    * batch pays. Bucket pruning happens at the directory level
+    * (`bucket` is a partition column; the `isin` list is ≤ Buckets
+    * literals), then the semi-join trims to exactly the touched
+    * users inside those buckets. */
+  private[graft] def touchedEvents(s: SparkSession, root: String,
+                                   users: DataFrame): DataFrame = {
+    val buckets = users
+      .select(pmod(col("user_id"), lit(Buckets)).as("b")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ Buckets values
+    s.read.option("basePath", eventsRoot(root))
+      .parquet(eventsRoot(root))
+      .where(col("bucket").isin(buckets.toIndexedSeq: _*))
+      .join(users.select(col("user_id")), Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ms"))
+  }
+
+  /** Ingest one batch: append raw, recompute the touched users'
+    * intervals from their full history, MERGE — O(touched), the
+    * arrival order of batches is irrelevant by construction. */
+  def applyBatch(s: SparkSession, root: String,
+                 batch: DataFrame): Unit = {
+    appendEvents(s, root, batch)
+    val users = batch.select(col("user_id")).distinct()
+    MergeOnRead.merge(s, ivRoot(root),
+      pack(graft.ops.EventOps.scd2Of(touchedEvents(s, root, users))),
+      Seq("user_id"))
+  }
+
+  /** The reconciled interval view, unpacked back to one row per
+    * interval — the exact q218 output contract. */
+  def read(s: SparkSession, root: String): DataFrame =
+    MergeOnRead.read(s, ivRoot(root), Seq("user_id"))
+      .select(col("user_id"), explode(col("ivs")).as("iv"))
+      .select(col("user_id"), col("iv.event_type").as("event_type"),
+        col("iv.valid_from_ms").as("valid_from_ms"),
+        col("iv.valid_to_ms").as("valid_to_ms"),
+        col("iv.is_current").as("is_current"),
+        col("iv.n_events").as("n_events"))
+      .orderBy("user_id", "valid_from_ms")
+}

@@ -36,6 +36,15 @@ class PlanAuditSpec extends SparkSpec {
       "expected PartitionFilters on event_date:\n" + plan)
   }
 
+  test("q15: per-group top-k prunes below the shuffle (WindowGroupLimit)") {
+    // the rank<=k filter must become a WindowGroupLimit so each map
+    // task forwards only k rows per group into the window exchange —
+    // without it the full corpus shuffles just to be discarded
+    val plan = planOf("q15_window_topk")
+    assert(plan.contains("WindowGroupLimit"),
+      "expected WindowGroupLimit rank pushdown:\n" + plan)
+  }
+
   test("q217: the zone scan carries a dynamicpruning partition filter") {
     val plan = planOf("q217_dpp_join")
     assert(plan.matches(
