@@ -252,6 +252,39 @@ object EventOps {
     graft.sinks.Scd2Maintain.read(s, root)
   }
 
+  /** q224: point-in-time (temporal) join — each probe resolves to the
+    * q218 validity interval CONTAINING its timestamp: the "what was
+    * the dimension state when this fact happened" join every SCD2
+    * table exists to answer. Probes are the events shifted +30 s, so
+    * containment, boundary (`from ≤ t`), and the open last interval
+    * (`valid_to IS NULL`) all get exercised; every probe lands in
+    * exactly one interval because intervals partition
+    * [first event, ∞) per user.
+    *
+    * Scale shape: ONE user-keyed equi-join with the interval
+    * containment as a residual predicate — per-user interval lists
+    * are small (bounded by that user's state changes), so the
+    * residual scan is cheap and nothing non-equi ever drives the
+    * join. */
+  def pitJoin(s: SparkSession, dir: String): DataFrame = {
+    val probes = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        (unix_millis(col("ts")) + 30000L).as("t"))
+    val iv = scd2Intervals(s, dir)
+      .select(col("user_id"), col("event_type").as("state_type"),
+        col("valid_from_ms"), col("valid_to_ms"))
+    probes.as("p").join(iv.as("i"),
+        col("p.user_id") === col("i.user_id") &&
+          col("i.valid_from_ms") <= col("p.t") &&
+          (col("i.valid_to_ms").isNull ||
+            col("p.t") < col("i.valid_to_ms")))
+      .select(col("p.event_id").as("event_id"),
+        col("p.user_id").as("user_id"), col("p.t").as("t"),
+        col("i.state_type").as("state_type"),
+        col("i.valid_from_ms").as("valid_from_ms"))
+      .orderBy("event_id")
+  }
+
   /** q119: forward fill (last observation carried forward) — the
     * time-series gap repair every sensor/metrics pipeline runs: null
     * readings take the most recent non-null value for the same key.
@@ -445,6 +478,7 @@ object EventOps {
     "q217_dpp_join" -> (dppJoin _),
     "q218_scd2_intervals" -> (scd2Intervals _),
     "q223_scd2_maintained" -> (scd2Maintained _),
+    "q224_pit_join" -> (pitJoin _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -521,6 +555,19 @@ object EventOps {
     // the maintained zone is gated by the IDENTICAL oracle — the
     // incremental fold must be invisible
     "q223_scd2_maintained" -> Scd2Sql,
+    // the interval relation is the q218 oracle embedded verbatim
+    "q224_pit_join" ->
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, epoch_ms(ts) + 30000 AS t
+         |  FROM events)
+         |SELECT p.event_id, p.user_id, p.t,
+         |  i.event_type AS state_type, i.valid_from_ms
+         |FROM p JOIN (
+         |$Scd2Sql
+         |) i ON i.user_id = p.user_id
+         |  AND i.valid_from_ms <= p.t
+         |  AND (i.valid_to_ms IS NULL OR p.t < i.valid_to_ms)
+         |ORDER BY p.event_id""".stripMargin,
     "q217_dpp_join" ->
       """WITH dim AS (
         |  SELECT ts::DATE AS d FROM events

@@ -253,7 +253,51 @@ object Mining {
       .orderBy("doc_id")
   }
 
+  /** q225's digest fan-out (and the probe payload): 64 buckets of
+    * XOR-folded row hashes. */
+  val DigestBuckets = 64
+
+  /** q225: anti-entropy zone digest — the cross-replica consistency
+    * check a 100 TB deployment runs instead of row-by-row compare:
+    * per key-bucket, XOR-fold a deterministic row hash (XOR is
+    * order-independent and cannot overflow — a SUM of 60-bit hashes
+    * would wrap differently per engine). Two copies agree iff all
+    * [[DigestBuckets]] (digest, n_rows) pairs agree — comparing a
+    * corpus costs one scan per side plus a 64-row exchange.
+    *
+    * The query digests `documents` AND a freshly parquet-round-
+    * tripped physical copy, emitting the per-bucket match witness
+    * (pinned TRUE by the gate): digest determinism and round-trip
+    * fidelity in one relation. The oracle recomputes the digest
+    * arithmetic from the table — the copy column equals it by
+    * definition there, which is exactly the claim. */
+  def zoneDigest(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
+    def digestOf(df: DataFrame): DataFrame =
+      df.select(pmod(col("doc_id"), lit(DigestBuckets)).as("bucket"),
+          Md5Prefix.h(concat_ws("|", col("doc_id").cast("string"),
+            col("source"), col("n_chars").cast("string"))).as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val copyPath = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_zone_v1/digest_copy_${Integer.toHexString(dir.hashCode)}"
+    src.write.mode("overwrite").parquet(copyPath)
+    val copy = s.read.parquet(copyPath)
+    digestOf(src).as("a")
+      .join(digestOf(copy).as("b"), Seq("bucket"))
+      .select(col("bucket"), col("a.n_rows").as("n_rows"),
+        col("a.digest").as("digest"),
+        col("b.n_rows").as("copy_n_rows"),
+        col("b.digest").as("copy_digest"),
+        (col("a.n_rows") === col("b.n_rows") &&
+          col("a.digest") === col("b.digest")).as("match_ok"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_zone_digest"    -> (zoneDigest _),
     "q219_erasure_scrub"  -> (erasureScrub _),
     "q212_pareto_front"   -> (paretoFront _),
     "q213_bitmap_distinct" -> (bitmapDistinct _),
@@ -262,6 +306,23 @@ object Mining {
     "q215_assoc_rules"    -> (assocRules _))
 
   val oracle: Map[String, String] = Map(
+    // digest arithmetic recomputed from the table; the copy columns
+    // equal it by definition — which is exactly the witness claim
+    "q225_zone_digest" ->
+      s"""WITH d AS (
+         |  SELECT doc_id % $DigestBuckets AS bucket,
+         |    ('0x' || substr(md5(concat_ws('|',
+         |      CAST(doc_id AS VARCHAR), source,
+         |      CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT AS h
+         |  FROM documents),
+         |g AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |    bit_xor(h) AS digest
+         |  FROM d GROUP BY 1)
+         |SELECT bucket, n_rows, digest,
+         |  n_rows AS copy_n_rows, digest AS copy_digest,
+         |  true AS match_ok
+         |FROM g ORDER BY bucket""".stripMargin,
     // erase-then-restore as plain set algebra: survivors keep their
     // source; the restored half comes back amended
     "q219_erasure_scrub" ->

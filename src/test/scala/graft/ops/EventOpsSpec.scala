@@ -20,6 +20,27 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.forall(_._6 >= 1))
   }
 
+  test("q224: each probe resolves to the latest state at its time") {
+    import org.apache.spark.sql.functions._
+    val got = EventOps.pitJoin(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    val ev = graft.Tables.load(spark, sf(), "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.length == ev.length) // every probe matched exactly once
+    val byUser = ev.groupBy(_._2)
+    got.foreach { case (eid, u, t, state) =>
+      // brute force: the event_type of the LATEST event ≤ t (ties on
+      // ms broken by event_id, matching the interval build's order)
+      val latest = byUser(u).filter(_._4 <= t)
+        .maxBy(e => (e._4, e._1))._3
+      assert(state == latest, s"probe $eid")
+    }
+  }
+
   test("q218: intervals chain per user — each closes at the next start") {
     rows.groupBy(_._1).foreach { case (u, ivs) =>
       val seq = ivs.sortBy(_._3)

@@ -125,6 +125,27 @@ class MiningSpec extends SparkSpec {
       .count() == n - erased + restored)
   }
 
+  test("q225: a one-row tamper flips exactly its bucket's digest") {
+    import graft.dedup.Md5Prefix
+    val src = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def dig(df: org.apache.spark.sql.DataFrame) = df
+      .select(pmod(col("doc_id"), lit(Mining.DigestBuckets))
+          .as("bucket"),
+        Md5Prefix.h(concat_ws("|", col("doc_id").cast("string"),
+          col("source"), col("n_chars").cast("string"))).as("h"))
+      .groupBy("bucket").agg(expr("bit_xor(h)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clean = dig(src)
+    val victim = src.select(min(col("doc_id"))).head.getLong(0)
+    val tampered = dig(src.withColumn("n_chars",
+      when(col("doc_id") === victim, col("n_chars") + 1)
+        .otherwise(col("n_chars"))))
+    val diff = clean.keySet.filter(b => clean(b) != tampered(b))
+    assert(diff == Set(victim % Mining.DigestBuckets),
+      s"tamper must flip exactly one bucket, got $diff")
+  }
+
   test("q215: rule invariants (support, confidence, lift, bounds)") {
     val n = spark.read.parquet(s"${sf()}/documents.parquet").count()
     val rows = Mining.assocRules(spark, sf()).collect()
