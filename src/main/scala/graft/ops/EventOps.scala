@@ -285,6 +285,38 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** q227: ORDERED funnel with step deadlines — view → click →
+    * purchase where each step must land within 30 minutes of the
+    * previous step's time (q127 counts unordered step membership;
+    * this is the sequential-pattern version product analytics
+    * actually mean by "funnel"). Step times are earliest-qualifying
+    * (min), so the result is deterministic and the chain is the
+    * greedy parse of the user's stream.
+    *
+    * Scale shape: one user-keyed rollup per step, each joined to the
+    * previous step's 1-row-per-user relation on the key — three
+    * key-equality shuffles, no windows, no self-join fan-out. */
+  def orderedFunnel(s: SparkSession, dir: String,
+                    windowMs: Long = 1800000L): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+      .where(col("ms") >= col("t1") && col("ms") <= col("t1") + windowMs)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+      .where(col("ms") >= col("t2") && col("ms") <= col("t2") + windowMs)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .otherwise(1L).as("reached"))
+      .orderBy("user_id")
+  }
+
   /** q119: forward fill (last observation carried forward) — the
     * time-series gap repair every sensor/metrics pipeline runs: null
     * readings take the most recent non-null value for the same key.
@@ -479,6 +511,8 @@ object EventOps {
     "q218_scd2_intervals" -> (scd2Intervals _),
     "q223_scd2_maintained" -> (scd2Maintained _),
     "q224_pit_join" -> (pitJoin _),
+    "q227_ordered_funnel" -> ((s: SparkSession, d: String) =>
+      orderedFunnel(s, d)),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -555,6 +589,32 @@ object EventOps {
     // the maintained zone is gated by the IDENTICAL oracle — the
     // incremental fold must be invisible
     "q223_scd2_maintained" -> Scd2Sql,
+    "q227_ordered_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (
+        |  SELECT user_id, CAST(min(ms) AS BIGINT) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, CAST(min(ms) AS BIGINT) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.ms >= s1.t1 AND e.ms <= s1.t1 + 1800000
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, CAST(min(ms) AS BIGINT) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ms >= s2.t2 AND e.ms <= s2.t2 + 1800000
+        |  GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |    WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+        |    AS reached
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     // the interval relation is the q218 oracle embedded verbatim
     "q224_pit_join" ->
       s"""WITH p AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -227,6 +227,15 @@ object Mining {
     * cost O(batch) writes regardless of corpus size. */
   def erasureScrub(s: SparkSession, dir: String): DataFrame = {
     import graft.sinks.MergeOnRead
+    MergeOnRead.read(s, erasureZone(s, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** The erase-then-restore zone (built once per scale dir; q219 and
+    * q226 both consume it). */
+  private[ops] def erasureZone(s: SparkSession, dir: String): String = {
+    import graft.sinks.MergeOnRead
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
       s"mor_erasure_${Integer.toHexString(dir.hashCode)}"
     val p = new org.apache.hadoop.fs.Path(root)
@@ -248,9 +257,7 @@ object Mining {
         sys.error(s"could not publish erasure zone at $root")
       fs.delete(staging, true)
     }
-    MergeOnRead.read(s, root, Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .orderBy("doc_id")
+    root
   }
 
   /** q225's digest fan-out (and the probe payload): 64 buckets of
@@ -296,7 +303,56 @@ object Mining {
       .orderBy("bucket")
   }
 
+  /** q226: INCREMENTALLY-maintained zone digest — q225's anti-entropy
+    * state kept fresh without ever re-digesting the table. XOR is its
+    * own inverse, so each [[graft.sinks.MergeOnRead.diff]] epoch folds
+    * in O(changed keys): a delete XORs the before-row hash back out,
+    * an insert XORs the after-row hash in, an update XORs both. The
+    * query digests ONLY the epoch-0 base directly, then derives the
+    * current zone's digest purely from diff folds across the erasure
+    * zone's epochs — while the oracle re-digests the reconciled view
+    * from scratch (the q219 oracle embedded verbatim). Fold ≡
+    * recompute is the gate.
+    *
+    * Buckets XOR-cancelled to emptiness are dropped (`n_rows > 0`) to
+    * mirror the recompute's absent groups. At 100 TB: digest upkeep
+    * costs O(batch) per ingest instead of an O(corpus) rescan. */
+  def digestMaintained(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
+    import graft.sinks.MergeOnRead
+    val root = erasureZone(s, dir)
+    def h(docId: Column, source: Column, nChars: Column): Column =
+      Md5Prefix.h(concat_ws("|", docId.cast("string"), source,
+        nChars.cast("string")))
+    val state0 = MergeOnRead.read(s, root, Seq("doc_id"), asOf = 0L)
+      .select(pmod(col("doc_id"), lit(DigestBuckets)).as("bucket"),
+        lit(1L).as("dn"),
+        h(col("doc_id"), col("source"), col("n_chars")).as("dx"))
+    val eps = MergeOnRead.epochs(s, root)
+    val folds = (0L +: eps).zip(eps).map { case (from, to) =>
+      MergeOnRead.diff(s, root, Seq("doc_id"), from, to)
+        .select(pmod(col("doc_id"), lit(DigestBuckets)).as("bucket"),
+          when(col("op") === "insert", 1L)
+            .when(col("op") === "delete", -1L).otherwise(0L).as("dn"),
+          when(col("op") === "insert",
+            h(col("doc_id"), col("after.source"), col("after.n_chars")))
+            .when(col("op") === "delete",
+              h(col("doc_id"), col("before.source"),
+                col("before.n_chars")))
+            .otherwise(
+              h(col("doc_id"), col("before.source"), col("before.n_chars"))
+                .bitwiseXOR(h(col("doc_id"), col("after.source"),
+                  col("after.n_chars")))).as("dx"))
+    }
+    (state0 +: folds).reduce(_ unionByName _)
+      .groupBy(col("bucket"))
+      .agg(sum(col("dn")).as("n_rows"), expr("bit_xor(dx)").as("digest"))
+      .where(col("n_rows") > 0)
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_digest_maintained" -> (digestMaintained _),
     "q225_zone_digest"    -> (zoneDigest _),
     "q219_erasure_scrub"  -> (erasureScrub _),
     "q212_pareto_front"   -> (paretoFront _),
@@ -306,6 +362,27 @@ object Mining {
     "q215_assoc_rules"    -> (assocRules _))
 
   val oracle: Map[String, String] = Map(
+    // the oracle re-digests the reconciled view FROM SCRATCH (q219's
+    // oracle embedded verbatim) — the Spark side must reach the same
+    // relation purely by XOR-folding per-epoch diffs
+    "q226_digest_maintained" ->
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT * FROM (
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id % 97 <> 0
+         |UNION ALL
+         |SELECT doc_id, 'restored' AS source, n_chars FROM documents
+         |WHERE doc_id % 97 = 0 AND doc_id % 2 = 0
+         |  ) t),
+         |d AS (
+         |  SELECT doc_id % $DigestBuckets AS bucket,
+         |    ('0x' || substr(md5(concat_ws('|',
+         |      CAST(doc_id AS VARCHAR), source,
+         |      CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT AS h
+         |  FROM v)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  bit_xor(h) AS digest
+         |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin,
     // digest arithmetic recomputed from the table; the copy columns
     // equal it by definition — which is exactly the witness claim
     "q225_zone_digest" ->

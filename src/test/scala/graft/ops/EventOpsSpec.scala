@@ -41,6 +41,28 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q227: funnel steps are ordered, inside deadline, and greedy") {
+    import org.apache.spark.sql.functions._
+    val rows = EventOps.orderedFunnel(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t1 = r.getLong(1)
+      val t2 = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val t3 = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val reached = r.getLong(4)
+      assert(t3.isEmpty || t2.nonEmpty) // no step skipping
+      t2.foreach(t => assert(t >= t1 && t <= t1 + 1800000L))
+      t3.foreach(t => assert(t >= t2.get && t <= t2.get + 1800000L))
+      assert(reached ==
+        (if (t3.nonEmpty) 3L else if (t2.nonEmpty) 2L else 1L))
+    }
+    // one row per user with a view event — the funnel's entry gate
+    val nViewUsers = graft.Tables.load(spark, sf(), "events")
+      .where(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(rows.length.toLong == nViewUsers)
+  }
+
   test("q218: intervals chain per user — each closes at the next start") {
     rows.groupBy(_._1).foreach { case (u, ivs) =>
       val seq = ivs.sortBy(_._3)
