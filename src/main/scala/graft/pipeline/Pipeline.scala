@@ -48,6 +48,29 @@ object Pipeline {
     spark.read.parquet(path).count()
   }
 
+  /** [[materialize]] with the row count OBSERVED during the write
+    * (`Dataset.observe` accumulates on the executors as rows stream
+    * to the sink) instead of re-scanned afterwards — at 100 TB the
+    * post-insert COUNT(*) is a full second read of everything just
+    * written. The reference's recount stays available as an AUDIT
+    * (`auditRecount = true` re-reads and cross-checks — the gate mode;
+    * production turns it off and keeps the free observed metric). */
+  def materializeObserved(spark: SparkSession, df: DataFrame,
+                          path: String,
+                          auditRecount: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (auditRecount) {
+      val back = spark.read.parquet(path).count()
+      require(back == n,
+        s"sink recount $back != observed $n — corrupt write at $path")
+    }
+    n
+  }
+
   /** C1: validate → transform → summarize, fail-fast (reference chain
     * dags/taxi_transform_dag.py:102-105). */
   def run(spark: SparkSession,

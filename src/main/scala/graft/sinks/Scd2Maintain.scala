@@ -104,6 +104,58 @@ object Scd2Maintain {
       Seq("user_id"))
   }
 
+  /** Epoch-dir namespace offset for stream batches, so retried
+    * foreachBatch ids can never collide with [[applyBatch]]'s
+    * sequential epochs. */
+  private val StreamEpochBase = 1000L
+
+  /** [[applyBatch]] keyed by a CALLER-supplied batch id — the
+    * foreachBatch retry contract. The raw-events commit is the
+    * idempotency marker and runs LAST: a batch whose marker exists is
+    * skipped entirely (returns false); a crash after the interval
+    * MERGE but before the marker makes the retry re-merge the same
+    * rows, which converges (a later epoch re-asserting identical
+    * values leaves the reconciled view unchanged). So the zone is
+    * exactly-once in effect under at-least-once delivery. */
+  def applyBatchIdempotent(s: SparkSession, root: String,
+                           batch: DataFrame, batchId: Long): Boolean = {
+    val marker = new Path(
+      s"${eventsRoot(root)}/epoch=${StreamEpochBase + batchId}")
+    val f = fs(s, root)
+    if (f.exists(marker)) false
+    else {
+      val b = batch.persist() // read twice: recompute + marker commit
+      try {
+        val users = b.select(col("user_id")).distinct()
+        // touched history = committed zone events ∪ this (uncommitted)
+        // batch — the batch is not in the chain until the marker lands
+        val ev = touchedEvents(s, root, users)
+          .unionByName(b.select(col("user_id"), col("event_id"),
+            col("event_type"), col("ms")))
+        MergeOnRead.merge(s, ivRoot(root),
+          pack(graft.ops.EventOps.scd2Of(ev)), Seq("user_id"))
+        withBucket(b)
+          .write.mode(SaveMode.ErrorIfExists).partitionBy("bucket")
+          .parquet(marker.toString)
+      } finally b.unpersist()
+      true
+    }
+  }
+
+  /** Drive the zone from a stream: every micro-batch folds through
+    * [[applyBatchIdempotent]] under its batch id. */
+  def streamApply(s: SparkSession, root: String,
+                  stream: DataFrame, checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        applyBatchIdempotent(s, root, df, id); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The reconciled interval view, unpacked back to one row per
     * interval — the exact q218 output contract. */
   def read(s: SparkSession, root: String): DataFrame =

@@ -30,6 +30,18 @@ class PipelineSpec extends SparkSpec {
       events.where("event_type = 'click'").count())
   }
 
+  test("observed materialize counts in-flight and matches the audit") {
+    val out = Files.createTempDirectory("graft_obs").toString + "/docs"
+    val docs = Tables.load(spark, sf(), "documents")
+    val n = Pipeline.materializeObserved(spark, docs, out)
+    assert(n == docs.count()) // observed during the single write pass
+    assert(n == spark.read.parquet(out).count())
+    // audit-off mode still returns the true count (the 100 TB path)
+    val out2 = Files.createTempDirectory("graft_obs2").toString + "/docs"
+    assert(Pipeline.materializeObserved(spark, docs, out2,
+      auditRecount = false) == n)
+  }
+
   test("cached table reuse: second read plans an in-memory scan") {
     val t = Tables.load(spark, sf(), "nation")
     t.createOrReplaceTempView("cache_probe")

@@ -30,6 +30,32 @@ class Scd2MaintainSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streamed micro-batches fold to the batch build, idempotently") {
+    val root = Files.createTempDirectory("scd2_stream").toString + "/z"
+    val ev = rawEvents
+    Scd2Maintain.init(spark, root, ev.where(col("event_id") % 3 === 0))
+    // remaining slices arrive as a 2-file stream, one file per batch
+    val in = Files.createTempDirectory("scd2_stream_in").toString
+    ev.where(col("event_id") % 3 === 1).coalesce(1)
+      .write.json(s"$in/f1")
+    ev.where(col("event_id") % 3 === 2).coalesce(1)
+      .write.json(s"$in/f2")
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(s"$in/f*")
+    val ckpt = Files.createTempDirectory("scd2_stream_ck").toString
+    Scd2Maintain.streamApply(spark, root, stream, ckpt)
+    val got = Scd2Maintain.read(spark, root).collect().map(_.toSeq)
+    val want = graft.ops.EventOps.scd2Intervals(spark, sf())
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    // a redelivered batch id is a no-op: marker found, view unchanged
+    val replay = ev.where(col("event_id") % 3 === 1)
+    assert(!Scd2Maintain.applyBatchIdempotent(spark, root, replay, 0L))
+    val after = Scd2Maintain.read(spark, root).collect().map(_.toSeq)
+    assert(after.toSeq == want.toSeq)
+  }
+
   test("a one-user batch touches one bucket and writes one merge row") {
     val root = Files.createTempDirectory("scd2_touch").toString + "/z"
     val ev = rawEvents
