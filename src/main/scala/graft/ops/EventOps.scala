@@ -317,6 +317,59 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** q228: event transition matrix — per-user next-event pairs
+    * (lag/lead sequence model) rolled into (from, to) counts and
+    * row-normalized probabilities: the first-order Markov base of
+    * "what happens after X" product analytics and next-event
+    * features. One user-partitioned window + one pair rollup; the
+    * probability normalizer is a tiny window over the ≤|types|²
+    * pair relation (the q159 tiny-window rule). */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val pairs = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("n_from", sum(col("n")).over(wf))
+      .withColumn("prob",
+        col("n").cast("double") / col("n_from").cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q229: A/B experiment analysis — a deterministic 50/50 user
+    * split (salted md5 arithmetic, the q102 assignment discipline:
+    * content-independent, replayable in both engines) and the
+    * per-arm scorecard an experimentation pipeline reads: exposed
+    * users, converters, purchase volume (exact decimal sum), and the
+    * two ratios as single final double divisions. The assignment is
+    * pure map-side column math on the scan. */
+  def abAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .withColumn("arm",
+        Md5Prefix.h(concat(lit("ab:"), col("user_id").cast("string")))
+          % 2)
+    ev.groupBy(col("arm"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "purchase",
+          col("user_id"))).as("n_converters"),
+        sum(when(col("event_type") === "purchase", lit(1L))
+          .otherwise(0L)).as("n_purchases"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(D)).otherwise(lit(0).cast(D)))
+          .cast("double").as("purchase_value"))
+      .withColumn("conv_rate",
+        col("n_converters").cast("double") / col("n_users").cast("double"))
+      .orderBy("arm")
+  }
+
   /** q119: forward fill (last observation carried forward) — the
     * time-series gap repair every sensor/metrics pipeline runs: null
     * readings take the most recent non-null value for the same key.
@@ -513,6 +566,8 @@ object EventOps {
     "q224_pit_join" -> (pitJoin _),
     "q227_ordered_funnel" -> ((s: SparkSession, d: String) =>
       orderedFunnel(s, d)),
+    "q228_transition_matrix" -> (transitionMatrix _),
+    "q229_ab_analysis" -> (abAnalysis _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -589,6 +644,44 @@ object EventOps {
     // the maintained zone is gated by the IDENTICAL oracle — the
     // incremental fold must be invisible
     "q223_scd2_maintained" -> Scd2Sql,
+    "q228_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ms, event_id) AS to_type
+        |  FROM e),
+        |g AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS n_from,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+        |    AS prob
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
+    "q229_ab_analysis" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 2 AS arm
+        |  FROM events)
+        |SELECT arm, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+        |    THEN user_id END) AS BIGINT) AS n_converters,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS purchase_value,
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+        |    THEN user_id END) AS DOUBLE)
+        |    / CAST(count(DISTINCT user_id) AS DOUBLE) AS conv_rate
+        |FROM e GROUP BY arm ORDER BY arm""".stripMargin,
     "q227_ordered_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),

@@ -241,7 +241,25 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q230: customer-order-count distribution (the TPC-H Q13 shape) —
+    * the canonical DOUBLE aggregation: per-customer order counts
+    * (left join keeps zero-order customers), then the histogram of
+    * those counts. Two key-partitioned rollups; the second one runs
+    * over the |customers|-row relation whose group domain is tiny. */
+  def custDist(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select(col("c_custkey"))
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_custdist" -> (custDist _),
     "q220_relational_division" -> (relationalDivision _),
     "q10_groupby_agg"      -> (groupbyAgg _),
     "q11_broadcast_join"   -> (broadcastJoinAgg _),
@@ -262,6 +280,15 @@ object Relational {
     "q25_pivot"            -> (pivotStatus _))
 
   val oracle: Map[String, String] = Map(
+    "q230_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT)
+        |    AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     // the textbook double-NOT-EXISTS division the count-match plan
     // must reproduce
     "q220_relational_division" ->
