@@ -190,6 +190,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q215/q212: vocabulary- and length-keyed joins stay hint-free") {
+    // the frequent-item relation (q215) and the per-length max
+    // relation (q212) both grow with the corpus — the no-hint rule
+    // applies: AQE decides broadcast vs shuffle at runtime. The only
+    // sanctioned hints are the 1-row constant relations.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq("q215" -> Mining.assocRules(spark, sf()),
+      "q212" -> Mining.paretoFront(spark, sf())).foreach {
+      case (name, df) =>
+        val hinted = df.queryExecution.optimizedPlan.collect {
+          case j: Join
+            if j.hint.leftHint.exists(_.strategy.isDefined) ||
+              j.hint.rightHint.exists(_.strategy.isDefined) =>
+            // 1-row aggregates (the n_docs / divisor relations) are
+            // the sanctioned constant broadcasts
+            j
+        }.filterNot { j =>
+          Seq(j.left, j.right).exists(side =>
+            side.maxRows.exists(_ <= 1L))
+        }
+        assert(hinted.isEmpty,
+          s"$name: strategy hint on a corpus-growing join: $hinted")
+    }
+  }
+
   test("cluster family: NO user broadcast hint on any corpus-derived join") {
     // Every connected-component label join used to carry a forced
     // broadcast(labels): (id, label) over edge-participating docs is
