@@ -244,7 +244,25 @@ object Wave2 {
       .orderBy("event_type")
   }
 
+  /** q231: the custom DataSource V2 path under the hash gate — an
+    * aggregate over [[graft.sources.SeqSource]] with a range filter
+    * (pushed into the source: out-of-range partitions are never
+    * planned — SeqSourceSpec pins the count) and column pruning. The
+    * oracle replays the synthetic sequence via DuckDB `range()`, so
+    * the whole custom-source read path — schema, pushdown arithmetic,
+    * partition slicing, row materialization — is cross-engine
+    * certified like any parquet-backed operator. */
+  def dsv2Source(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("n", "100000").option("parts", "8").load()
+      .where(col("id") >= 20000 && col("id") < 60000)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("sq")).as("sum_sq"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy("tag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_dsv2_source" -> (dsv2Source _),
     "q75_try_cast"      -> (tryCastSurface _),
     "q76_gap_fill"      -> (gapFillDaily _),
     "q77_typed_agg"     -> (typedAgg _),
@@ -260,6 +278,17 @@ object Wave2 {
     "q74_bool_agg"      -> (boolAgg _))
 
   val oracle: Map[String, String] = Map(
+    // the synthetic sequence replayed via range(): same id domain,
+    // same derived columns, same filter — engine-independent truth
+    "q231_dsv2_source" ->
+      """SELECT CAST(id % 7 AS VARCHAR) AS tag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum((id * id) % 97) AS BIGINT) AS sum_sq,
+        |  CAST(min(id) AS BIGINT) AS min_id,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM range(100000) t(id)
+        |WHERE id >= 20000 AND id < 60000
+        |GROUP BY 1 ORDER BY tag""".stripMargin,
     "q75_try_cast" ->
       """SELECT o_orderkey,
         |  TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,

@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A minimal DataSource V2 TableProvider — the extension seam a
+  * 100 TB deployment uses to mount bespoke storage (feature stores,
+  * internal record formats) as first-class Spark tables, with the two
+  * pushdowns that make custom sources viable at scale:
+  *
+  *   - '''filter pushdown''' ([[SupportsPushDownFilters]]): range
+  *     predicates on `id` shrink the planned input partitions — the
+  *     source-side analog of parquet row-group skipping, visible in
+  *     the scan description and pinned in SeqSourceSpec;
+  *   - '''column pruning''' ([[SupportsPushDownRequiredColumns]]):
+  *     readers materialize only the projected fields.
+  *
+  * The table itself is a deterministic synthetic sequence
+  * (`id ∈ [0, n)`, `sq = (id·id) mod 97`, `tag = id mod 7` as text)
+  * so every query over it is DuckDB-replayable via `range(n)` — the
+  * custom-source path runs under the same hash gate as every other
+  * operator (q231).
+  *
+  * Usage: `spark.read.format("graft.sources.SeqSource")
+  * .option("n", …).option("parts", …).load()`.
+  */
+class SeqSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeqSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SeqTable(
+      properties.asScala.getOrElse("n", "1000").toLong,
+      properties.asScala.getOrElse("parts", "8").toInt)
+}
+
+object SeqSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sq", LongType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+
+  /** Test hook: how many partitions the LAST scan actually planned
+    * after range pruning (single-JVM; good enough for the spec pin). */
+  @volatile var lastPlannedPartitions: Int = -1
+}
+
+private[sources] class SeqTable(n: Long, parts: Int)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft_seq($n)"
+  override def schema(): StructType = SeqSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeqScanBuilder(n, parts)
+}
+
+private[sources] class SeqScanBuilder(n: Long, parts: Int)
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = n - 1
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = SeqSource.Schema
+
+  /** Accept conjunctive range/equality atoms on `id`; everything else
+    * stays post-scan (returned as unsupported). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition {
+      case GreaterThan("id", _: Long) => true
+      case GreaterThanOrEqual("id", _: Long) => true
+      case LessThan("id", _: Long) => true
+      case LessThanOrEqual("id", _: Long) => true
+      case EqualTo("id", _: Long) => true
+      case _ => false
+    }
+    ours.foreach {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v - 1)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v)
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v)
+      case _ => ()
+    }
+    pushed = ours
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SeqScan(n, parts, lo, hi, required)
+}
+
+private[sources] class SeqScan(n: Long, parts: Int, lo: Long, hi: Long,
+                               required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_seq pushed=[${math.max(lo, 0)}..${math.min(hi, n - 1)}] " +
+      s"cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val step = math.max(1L, (n + parts - 1) / parts)
+    val planned = (0L until n by step).map(s => (s, math.min(s + step, n)))
+      // the pushdown payoff: chunks wholly outside [lo, hi] are never
+      // planned — the custom-source analog of partition pruning
+      .filter { case (s, e) => e > lo && s <= hi }
+      .map { case (s, e) =>
+        SeqPartition(math.max(s, lo), math.min(e, hi + 1)): InputPartition
+      }.toArray
+    SeqSource.lastPlannedPartitions = planned.length
+    planned
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required)
+}
+
+private[sources] case class SeqPartition(start: Long, end: Long)
+  extends InputPartition
+
+private[sources] class SeqReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SeqPartition]
+    new PartitionReader[InternalRow] {
+      private var cur = sp.start - 1
+      private val fields = required.fieldNames
+      override def next(): Boolean = { cur += 1; cur < sp.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "id" => cur
+          case "sq" => (cur * cur) % 97L
+          case "tag" => UTF8String.fromString((cur % 7L).toString)
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The DSv2 source's pushdown contracts: range filters prune planned
+  * partitions, column pruning reaches the reader, and the unfiltered
+  * read is complete. */
+class SeqSourceSpec extends SparkSpec {
+
+  private def seq(n: Long, parts: Int) =
+    spark.read.format("graft.sources.SeqSource")
+      .option("n", n.toString).option("parts", parts.toString).load()
+
+  test("range pushdown prunes planned partitions") {
+    SeqSource.lastPlannedPartitions = -1
+    val n = seq(100000L, 8)
+      .where(col("id") >= 20000L && col("id") < 60000L).count()
+    assert(n == 40000L)
+    // [20000, 60000) over 8×12500 chunks touches chunks 1..4 only
+    assert(SeqSource.lastPlannedPartitions == 4,
+      s"planned ${SeqSource.lastPlannedPartitions} partitions")
+    SeqSource.lastPlannedPartitions = -1
+    assert(seq(100000L, 8).where(col("id") === 7L).count() == 1L)
+    assert(SeqSource.lastPlannedPartitions == 1) // point lookup: 1 chunk
+  }
+
+  test("pushdown is visible in the scan and pruning reaches the reader") {
+    val df = seq(1000L, 4).where(col("id") >= 100L).select(col("tag"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[100..999]"), plan)
+    assert(plan.contains("cols=id,tag") || plan.contains("cols=tag"),
+      plan) // id may survive for the residual filter; sq must not
+    assert(!plan.contains("cols=id,sq,tag"), plan)
+  }
+
+  test("unfiltered read is the complete, exact sequence") {
+    val rows = seq(500L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 500)
+    assert(rows.map(_._1).sorted.toSeq == (0L until 500L))
+    rows.foreach { case (id, sq, tag) =>
+      assert(sq == (id * id) % 97)
+      assert(tag == (id % 7).toString)
+    }
+  }
+}
