@@ -296,12 +296,123 @@ object Spectral {
          |  FROM nodes n LEFT JOIN f$k f ON f.id = n.id)""".stripMargin
     }.mkString(",\n")
 
+  /** q232's peel threshold and round budget. The peel runs on the
+    * MUTUAL kNN graph (edge kept iff both directions exist) — the
+    * symmetrized union is degenerate for k-core on a kNN graph
+    * (out-degree is k by construction, so every node clears any
+    * threshold ≤ k and none clears k+2: measured all-or-nothing at
+    * sf0.01), while reciprocity varies per node (degrees 1..GraphK
+    * here) and is the structure mutual-kNN clustering methods
+    * actually peel. The Spark loop peels UNTIL STABLE (the survivor
+    * set is monotone-shrinking, so an unchanged count IS the
+    * fixpoint) and refuses loudly past [[CoreRounds]]; the oracle
+    * unrolls exactly [[CoreRounds]] rounds — legal because peel
+    * rounds past the fixpoint are no-ops, so both spellings meet at
+    * the true k-core. */
+  val CoreK = 3
+  val CoreRounds = 16
+
+  /** q232: k-core decomposition of the kNN graph — iterative peeling
+    * (Seidman 1983): drop every node with fewer than K neighbors
+    * among the survivors, simultaneously, until stable. The dense
+    * core is the graph-curation counterpart of the q107/q156 cluster
+    * consumers: embedding hubs keep, sparse periphery flags. Runs on
+    * the MUTUAL edge relation of the q155 zone (see [[CoreK]] for why
+    * the symmetrized union is the wrong graph here), so the graph
+    * family shares one zone derivation.
+    *
+    * Scale shape: each round is two src/dst semi-joins + one degree
+    * rollup, all key-partitioned on node id (the q180 iterate shape);
+    * the survivor relation only shrinks. CRITICAL iteration rule: the
+    * survivor set feeds TWO joins per round, so the lineage would
+    * recompute 2^rounds times if left lazy — each round's survivors
+    * (and the shared undirected relation) are materialized with an
+    * eager localCheckpoint, the single-app spelling of the
+    * ClusterMaint per-round zone write (the q208 UnionLoop lesson).
+    * Emits every node with its membership flag and in-core degree. */
+  def kCore(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.knnGraphZone(s, dir)
+    // mutual edges: one self-join on the reversed pair — symmetric by
+    // construction, so no union/distinct pass is needed
+    val und = e.as("a").join(e.as("b"),
+        col("a.query_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.query_id"), "left_semi")
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint(true) // consumed 2× per round — derive ONCE
+    val nodes = corpus(s, dir).select(col("vec_id").as("id"))
+    def coreDeg(alive: DataFrame): DataFrame = und
+      .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var alive = nodes.localCheckpoint(true)
+    var prev = alive.count()
+    var stable = false
+    var round = 0
+    while (!stable) {
+      round += 1
+      require(round <= CoreRounds,
+        s"k-core peel not stable after $CoreRounds rounds — raise " +
+          "CoreRounds (oracle unroll) to match")
+      alive = coreDeg(alive).where(col("d") >= CoreK)
+        .select(col("src").as("id"))
+        .localCheckpoint(true) // truncate: alive is read twice next round
+      val n = alive.count()
+      stable = n == prev // monotone-shrinking ⇒ equal count = fixpoint
+      prev = n
+    }
+    val finalDeg = coreDeg(alive)
+      .select(col("src").as("id"), col("d").as("deg_core"))
+    nodes.join(alive.withColumn("in_core", lit(true)), Seq("id"), "left")
+      .join(finalDeg, Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        coalesce(col("deg_core"), lit(0L)).as("deg_core"))
+      .orderBy("vec_id")
+  }
+
+  /** The unrolled peel rounds as DuckDB CTEs — generated from the
+    * SAME constants the Spark loop uses. */
+  private def coreIterSql: String =
+    (1 to CoreRounds).map { r =>
+      s"""d$r AS (
+         |  SELECT u.src AS id, CAST(count(*) AS BIGINT) AS d
+         |  FROM und u
+         |  JOIN a${r - 1} x ON x.id = u.src
+         |  JOIN a${r - 1} y ON y.id = u.dst
+         |  GROUP BY 1),
+         |a$r AS MATERIALIZED (SELECT id FROM d$r WHERE d >= $CoreK)"""
+        .stripMargin
+    }.mkString(",\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_kcore" -> (kCore _),
     "q176_embedding_covariance" -> (covarianceMatrix _),
     "q177_pca_project" -> (pcaProject _),
     "q180_pagerank_centrality" -> (pagerankCentrality _))
 
   val oracle: Map[String, String] = Map(
+    "q232_kcore" ->
+      s"""WITH ${Similarity.knnEdgesSql},
+         |und AS MATERIALIZED (
+         |  SELECT e1.query_id AS src, e1.neighbor_id AS dst
+         |  FROM edges e1 JOIN edges e2
+         |    ON e2.query_id = e1.neighbor_id
+         |   AND e2.neighbor_id = e1.query_id),
+         |nodes AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),
+         |a0 AS MATERIALIZED (SELECT id FROM nodes),
+         |$coreIterSql,
+         |df AS (
+         |  SELECT u.src AS id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM und u
+         |  JOIN a$CoreRounds x ON x.id = u.src
+         |  JOIN a$CoreRounds y ON y.id = u.dst
+         |  GROUP BY 1)
+         |SELECT n.id AS vec_id, (a.id IS NOT NULL) AS in_core,
+         |  coalesce(df.deg, CAST(0 AS BIGINT)) AS deg_core
+         |FROM nodes n
+         |LEFT JOIN a$CoreRounds a ON a.id = n.id
+         |LEFT JOIN df ON df.id = n.id
+         |ORDER BY vec_id""".stripMargin,
     "q176_embedding_covariance" ->
       s"""WITH $covSql
          |SELECT i, j, n, s_i, s_j, s_ij FROM cov ORDER BY i, j

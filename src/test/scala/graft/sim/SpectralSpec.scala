@@ -125,6 +125,34 @@ class SpectralSpec extends SparkSpec {
       s"guard must explain the escape hatch: ${e.getMessage}")
   }
 
+  test("q232: the peel reaches the true maximal k-core") {
+    import org.apache.spark.sql.functions._
+    val out = Spectral.kCore(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val core = out.filter(_._2).map(_._1).toSet
+    assert(core.nonEmpty && core.size < out.length,
+      "peel must be non-trivial on this corpus")
+    // independent mutual-edge derivation
+    val e = Similarity.knnGraphZone(spark, sf())
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = e.filter { case (a, b) => e.contains((b, a)) }
+    def coreDeg(v: Long): Int =
+      mutual.count { case (a, b) => a == v && core.contains(b) }
+    out.foreach { case (v, in, d) =>
+      if (in) {
+        assert(d == coreDeg(v), s"node $v deg_core")
+        assert(d >= Spectral.CoreK, s"core node $v under threshold")
+      } else {
+        // maximality — which also PROVES the 8 rounds converged: a
+        // non-core node with ≥ K core neighbors would extend the core
+        assert(coreDeg(v) < Spectral.CoreK,
+          s"non-core node $v could join the core — peel not converged")
+        assert(d == 0L)
+      }
+    }
+  }
+
   test("q176 plan: one scan, no join (map-side pair expansion only)") {
     val plan = Spectral.covarianceMatrix(spark, sf())
       .queryExecution.executedPlan.toString
