@@ -261,7 +261,29 @@ object Wave2 {
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
       .orderBy("tag")
 
+  /** q233: the DSv2 WRITE path under the gate — slim documents pushed
+    * through [[graft.sources.ManifestSink]]'s task/driver two-phase
+    * commit (8 hash partitions), then the committed `manifest.json`
+    * read back: its file count, row total, and XOR digest must equal
+    * the DuckDB-side aggregate of the same payload. Every layer of
+    * the sink — row encoding, per-task digest, temp+rename task
+    * commit, driver manifest commit — sits under the hash check. */
+  def manifestSink(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
+      s"manifest_sink_${Integer.toHexString(dir.hashCode)}"
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartition(8, col("doc_id"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("overwrite").save()
+    s.read.json(s"$out/manifest.json")
+      .select(col("n_files").cast("long").as("n_files"),
+        col("total_rows").cast("long").as("total_rows"),
+        col("total_digest").cast("long").as("total_digest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_manifest_sink" -> (manifestSink _),
     "q231_dsv2_source" -> (dsv2Source _),
     "q75_try_cast"      -> (tryCastSurface _),
     "q76_gap_fill"      -> (gapFillDaily _),
@@ -278,6 +300,16 @@ object Wave2 {
     "q74_bool_agg"      -> (boolAgg _))
 
   val oracle: Map[String, String] = Map(
+    // the manifest totals replayed from the payload: 8 non-empty hash
+    // partitions, exact row count, XOR of the q225 row-hash spelling
+    "q233_manifest_sink" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS total_rows,
+        |  bit_xor(('0x' || substr(md5(concat_ws('|',
+        |    CAST(doc_id AS VARCHAR), source,
+        |    CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT)
+        |    AS total_digest
+        |FROM documents""".stripMargin,
     // the synthetic sequence replayed via range(): same id domain,
     // same derived columns, same filter — engine-independent truth
     "q231_dsv2_source" ->
