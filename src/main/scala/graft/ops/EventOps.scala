@@ -54,6 +54,31 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** q234: the BUILT-IN `session_window` spelling of q61 — sessions
+    * merge while each event arrives strictly inside the previous
+    * event's [ts, ts+gap) window (so a gap of EXACTLY 30 min starts a
+    * new session — one notch stricter than q61's `diff > gap` manual
+    * rule, and the reason the two queries are gated separately). The
+    * oracle replays the gaps-and-islands spelling with the `>= gap`
+    * break, and the output carries BOTH the built-in window bounds
+    * and the manual min/max — `w_start_ms = start_ms` and
+    * `w_end_ms = last_ms + gap` are the cross-spelling witnesses.
+    *
+    * Scale shape: one user-keyed session aggregation — Spark's native
+    * session operator does the merge without a window function. */
+  def sessionWindowBuiltin(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("last_ms"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("w_start_ms"),
+        unix_millis(col("w.end")).as("w_end_ms"),
+        col("n_events"), col("start_ms"), col("last_ms"))
+      .orderBy("user_id", "start_ms")
+
   /** q62: as-of join — for each 'error' event, the most recent 'click'
     * timestamp of the same user at or before it. Implemented as ONE
     * pass: order each user's events by time with clicks sorting before
@@ -568,6 +593,7 @@ object EventOps {
       orderedFunnel(s, d)),
     "q228_transition_matrix" -> (transitionMatrix _),
     "q229_ab_analysis" -> (abAnalysis _),
+    "q234_session_builtin" -> (sessionWindowBuiltin _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -644,6 +670,29 @@ object EventOps {
     // the maintained zone is gated by the IDENTICAL oracle — the
     // incremental fold must be invisible
     "q223_scd2_maintained" -> Scd2Sql,
+    "q234_session_builtin" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |      OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |i AS (
+        |  SELECT user_id, ms,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM c),
+        |g AS (
+        |  SELECT user_id, sess,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(min(ms) AS BIGINT) AS start_ms,
+        |    CAST(max(ms) AS BIGINT) AS last_ms
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, start_ms AS w_start_ms,
+        |  last_ms + 1800000 AS w_end_ms,
+        |  n_events, start_ms, last_ms
+        |FROM g ORDER BY user_id, start_ms""".stripMargin,
     "q228_transition_matrix" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
