@@ -184,7 +184,39 @@ object SqlSurface {
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
   }
 
+  /** q235's one text: `GROUP BY ALL` / `ORDER BY ALL` — the
+    * shorthand both engines adopted (DuckDB invented it, Spark 3.4+
+    * implements it); one string, two engines, the q211 discipline. */
+  private val GroupByAllSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_qty
+      |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
+
+  def sqlGroupByAll(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(GroupByAllSql)
+  }
+
+  /** q236's one text: keyset-free pagination — `LIMIT … OFFSET …`
+    * under a total order (Spark 3.4+ SQL OFFSET). Deterministic only
+    * because the ORDER BY is a key; the scaladoc caveat every
+    * pagination user needs: OFFSET n still SORTS the full prefix, so
+    * deep pages cost O(offset) — keyset (`WHERE k > last`) is the
+    * 100 TB spelling, and q236 pins the semantics both share. */
+  private val PaginationSql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 40""".stripMargin
+
+  def sqlPagination(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(PaginationSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_group_by_all" -> (sqlGroupByAll _),
+    "q236_pagination" -> (sqlPagination _),
     "q222_sql_vars" -> (sqlSessionVars _),
     "q221_param_sql" -> (sqlParameterized _),
     "q90_sql_surface" -> (sqlTopRevenue _),
@@ -193,6 +225,8 @@ object SqlSurface {
     "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    "q235_group_by_all" -> GroupByAllSql,
+    "q236_pagination" -> PaginationSql,
     // the identical text with the parameters inlined as literals
     "q221_param_sql" -> ParamSqlText
       .replace(":minBal", "1000").replace(":seg", "'BUILDING'"),
