@@ -170,19 +170,29 @@ object Mining {
     * doc-count relation rides a broadcast. The oracle spells the
     * UNPRUNED definition — the pruning must be invisible. */
   def assocRules(s: SparkSession, dir: String): DataFrame = {
-    val it = graft.util.Scratch.memo(s, "span-tokens",
-      s"span-tokens:$dir")(
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.util.Tokens.whitespace(col("text")).as("w")))
-      .select(col("doc_id"), explode(col("w")).as("tok"))
-      .distinct()
+    // the item relation feeds FOUR consumers (item counts + both
+    // sides of the pair self-join + the frequent semi-join input) —
+    // the ≥3-consumer rule: materialize once or the whole
+    // tokenize→explode→distinct pipeline replays per consumer
+    // (measured: 17 corpus scans in the unmemoized plan)
+    val it = graft.util.Scratch.memo(s, "assoc-items",
+      s"assoc-items:$dir")(
+      graft.util.Scratch.memo(s, "span-tokens",
+        s"span-tokens:$dir")(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.util.Tokens.whitespace(col("text")).as("w")))
+        .select(col("doc_id"), explode(col("w")).as("tok"))
+        .distinct())
     val nRel = Tables.load(s, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
     val ic = it.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val fr = ic.crossJoin(broadcast(nRel))
-      .where(col("c") * SupPctX10 >= col("n_docs"))
-      .select(col("tok"), col("c"))
+    // frequent items feed three joins — same rule, vocab-sized zone
+    val fr = graft.util.Scratch.memo(s, "assoc-freq",
+      s"assoc-freq:$dir")(
+      ic.crossJoin(broadcast(nRel))
+        .where(col("c") * SupPctX10 >= col("n_docs"))
+        .select(col("tok"), col("c")))
     val itF = it.join(fr.select(col("tok")), "tok")
     val pairs = itF.as("a")
       .join(itF.as("b"),
