@@ -130,11 +130,66 @@ private[sources] class SeqScan(n: Long, parts: Int, lo: Long, hi: Long,
     new SeqReaderFactory(required)
 }
 
+/** Vector fill size for the columnar path. */
+private[sources] object SeqBatch { val Size = 4096 }
+
 private[sources] case class SeqPartition(start: Long, end: Long)
   extends InputPartition
 
 private[sources] class SeqReaderFactory(required: StructType)
   extends PartitionReaderFactory {
+
+  /** The source reads COLUMNAR: values are generated straight into
+    * on-heap column vectors in [[SeqBatch.Size]] chunks, so the scan
+    * enters the query as `ColumnarBatch`es and Spark inserts the one
+    * ColumnarToRow boundary where codegen wants rows — the vectorized
+    * contract a performant custom source implements ([[createReader]]
+    * stays as the row-based reference path, proven equal in
+    * SeqSourceSpec). */
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val sp = p.asInstanceOf[SeqPartition]
+    new PartitionReader[ColumnarBatch] {
+      private var cur = sp.start
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (cur >= sp.end) false
+        else {
+          val n = math.min(SeqBatch.Size.toLong, sp.end - cur).toInt
+          val vecs = required.fields.map(f =>
+            new OnHeapColumnVector(n, f.dataType))
+          var i = 0
+          while (i < n) {
+            val id = cur + i
+            required.fieldNames.zipWithIndex.foreach {
+              case ("id", c) => vecs(c).putLong(i, id)
+              case ("sq", c) => vecs(c).putLong(i, (id * id) % 97L)
+              case ("tag", c) =>
+                val b = (id % 7L).toString.getBytes("UTF-8")
+                vecs(c).putByteArray(i, b)
+              case _ => ()
+            }
+            i += 1
+          }
+          cur += n
+          batch = new ColumnarBatch(
+            vecs.map(v => v: org.apache.spark.sql.vectorized.ColumnVector),
+            n)
+          true
+        }
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit =
+        if (batch != null) { batch.close(); batch = null }
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SeqPartition]
     new PartitionReader[InternalRow] {

@@ -35,6 +35,19 @@ class SeqSourceSpec extends SparkSpec {
     assert(!plan.contains("cols=id,sq,tag"), plan)
   }
 
+  test("the scan is columnar and spans the batch boundary exactly") {
+    // n > one vector fill: values crossing the 4096 chunk edge must
+    // be seamless, and the plan must show the columnar boundary
+    val df = seq(10000L, 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      "expected a columnar scan boundary:\n" + plan)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 10000)
+    assert(rows.map(_._1).sorted.toSeq == (0L until 10000L))
+    rows.foreach { case (id, sq) => assert(sq == (id * id) % 97) }
+  }
+
   test("unfiltered read is the complete, exact sequence") {
     val rows = seq(500L, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
