@@ -384,13 +384,81 @@ object Spectral {
         .stripMargin
     }.mkString(",\n")
 
+  /** q237: Rand index between two INDEPENDENT clusterings of the same
+    * corpus — the q173 k-means topics vs the q107 SRP-LSH connected
+    * components: the standard "do two unsupervised views agree"
+    * diagnostic, and the pure-integer member of the clustering-eval
+    * family (agreement pairs need no logs: Rand = agreeing pairs /
+    * all pairs, from the contingency table's C(n,2) sums — every term
+    * exact BIGINT, ONE final double division).
+    *
+    * Scale shape: one vec-keyed join of the two label relations → a
+    * contingency rollup (≤ |k₁|·|k₂| rows) → constant-size sums; the
+    * label derivations ride their own memoized zones. */
+  def randIndex(s: SparkSession, dir: String): DataFrame = {
+    val a = graft.sim.KMeans.queries("q173_kmeans_topics")(s, dir)
+      .select(col("vec_id"), col("cluster").as("c1"))
+    val b = Similarity.queries("q107_embedding_clusters")(s, dir)
+      .select(col("vec_id"), col("cluster_id").as("c2"))
+    val ct = a.join(b, "vec_id")
+      .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("nij"))
+    val cells = ct.agg(sum(col("nij")).as("n"),
+      sum(expr("(nij * (nij - 1)) div 2")).as("s_cells"))
+    val rows = ct.groupBy(col("c1")).agg(sum(col("nij")).as("m"))
+      .agg(sum(expr("(m * (m - 1)) div 2")).as("s_rows"))
+    val cols = ct.groupBy(col("c2")).agg(sum(col("nij")).as("m"))
+      .agg(sum(expr("(m * (m - 1)) div 2")).as("s_cols"))
+    cells.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
+      .select(col("n"), col("s_cells"), col("s_rows"), col("s_cols"),
+        (expr("(n * (n - 1)) div 2") + lit(2L) * col("s_cells")
+          - col("s_rows") - col("s_cols")).as("n_agree"),
+        ((expr("(n * (n - 1)) div 2") + lit(2L) * col("s_cells")
+          - col("s_rows") - col("s_cols")).cast("double") /
+          expr("(n * (n - 1)) div 2").cast("double")).as("rand_index"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_rand_index" -> (randIndex _),
     "q232_kcore" -> (kCore _),
     "q176_embedding_covariance" -> (covarianceMatrix _),
     "q177_pca_project" -> (pcaProject _),
     "q180_pagerank_centrality" -> (pagerankCentrality _))
 
   val oracle: Map[String, String] = Map(
+    // both clusterings' EXISTING oracle strings embedded verbatim —
+    // the agreement metric cannot drift from its inputs
+    "q237_rand_index" ->
+      s"""WITH a AS MATERIALIZED (
+         |  SELECT vec_id, cluster AS c1 FROM (
+         |${graft.sim.KMeans.oracle("q173_kmeans_topics")}
+         |  ) qa),
+         |b AS MATERIALIZED (
+         |  SELECT vec_id, cluster_id AS c2 FROM (
+         |${Similarity.oracle("q107_embedding_clusters")}
+         |  ) qb),
+         |ct AS MATERIALIZED (
+         |  SELECT c1, c2, CAST(count(*) AS BIGINT) AS nij
+         |  FROM a JOIN b USING (vec_id) GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT CAST(sum(nij) AS BIGINT) AS n,
+         |    CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS s_cells
+         |  FROM ct),
+         |r AS (
+         |  SELECT CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS s_rows
+         |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS m FROM ct
+         |        GROUP BY c1) t),
+         |c AS (
+         |  SELECT CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS s_cols
+         |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS m FROM ct
+         |        GROUP BY c2) t)
+         |SELECT cells.n, cells.s_cells, r.s_rows, c.s_cols,
+         |  ((cells.n * (cells.n - 1)) // 2 + 2 * cells.s_cells
+         |    - r.s_rows - c.s_cols) AS n_agree,
+         |  CAST((cells.n * (cells.n - 1)) // 2 + 2 * cells.s_cells
+         |    - r.s_rows - c.s_cols AS DOUBLE)
+         |    / CAST((cells.n * (cells.n - 1)) // 2 AS DOUBLE)
+         |    AS rand_index
+         |FROM cells, r, c""".stripMargin,
     "q232_kcore" ->
       s"""WITH ${Similarity.knnEdgesSql},
          |und AS MATERIALIZED (
