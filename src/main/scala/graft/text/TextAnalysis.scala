@@ -296,7 +296,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q238: readability scoring (Flesch reading ease) — the classic
+    * curation feature CCNet-style pipelines bucket documents by. All
+    * three inputs are EXACT integers from engine-parallel string
+    * surgery: words = whitespace tokens; sentences = maximal
+    * `[.!?]+` runs (floored at 1 so headless fragments score);
+    * syllables ≈ vowel groups (the standard cheap proxy), counted as
+    * len(runs→one char) − len(runs→empty). The score itself is the
+    * ONE final double expression (same literal constants, same
+    * operation tree → bit-identical IEEE in both engines); docs with
+    * zero words score NULL rather than dividing by zero.
+    *
+    * Scale shape: pure map-side column math on the documents scan —
+    * no shuffle at all before the output sort. */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val words = size(graft.util.Tokens.whitespace(col("text")))
+    val sentRuns = length(regexp_replace(t, "[.!?]+", "."))
+      .minus(length(regexp_replace(t, "[.!?]", "")))
+    val sentences = greatest(sentRuns.cast("long"), lit(1L))
+    val vg = (length(regexp_replace(t, "[aeiouAEIOU]+", "V")) -
+      length(regexp_replace(t, "[aeiouAEIOU]+", ""))).cast("long")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), words.cast("long").as("n_words"),
+        sentences.as("n_sentences"), vg.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_readability" -> (readability _),
     "q95_token_freq"    -> (tokenFrequency _),
     "q30_token_stats"   -> (tokenStats _),
     "q31_quality_score" -> (qualityScore _),
@@ -341,6 +376,35 @@ object TextAnalysis {
       |    ELSE 'de' END AS lang_pred""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // length DIFFERENCES count regex runs, so UTF-16-unit vs
+    // codepoint length semantics cancel; DuckDB regexp_replace needs
+    // the explicit 'g' flag to match Spark's replace-all
+    "q238_readability" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))
+        |      AS nw,
+        |    coalesce(text, '') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |    CAST(greatest(
+        |      length(regexp_replace(t, '[.!?]+', '.', 'g'))
+        |        - length(regexp_replace(t, '[.!?]', '', 'g')),
+        |      1) AS BIGINT) AS n_sentences,
+        |    CAST(length(regexp_replace(t, '[aeiouAEIOU]+', 'V', 'g'))
+        |      - length(regexp_replace(t, '[aeiouAEIOU]+', '', 'g'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    CAST(206.835 AS DOUBLE)
+        |      - CAST(1.015 AS DOUBLE)
+        |        * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      - CAST(84.6 AS DOUBLE)
+        |        * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |  END AS flesch
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q95_token_freq" ->
       """SELECT t.tok, count(*) AS n
         |FROM documents, UNNEST(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS t(tok)
