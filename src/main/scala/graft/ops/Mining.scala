@@ -361,7 +361,41 @@ object Mining {
       .orderBy("bucket")
   }
 
+  /** q239: chi-square contingency cells for source × lang — the
+    * independence diagnostic behind "is language distribution uniform
+    * across crawl sources" (a skewed cell = a crawler or extraction
+    * bias to investigate). Emits each observed cell with its
+    * observed/expected counts and chi-square contribution; totals
+    * ride windows over the ≤|sources|·|langs| contingency relation
+    * (the q159 tiny-window rule), and the only doubles are two fixed
+    * expression trees over exact integers (`o·n − r·c` stays < 2⁵³,
+    * so the double carries it exactly).
+    *
+    * Scale shape: one corpus rollup to the contingency table;
+    * everything after runs on the tiny relation. */
+  def chiSquareCells(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ct = Tables.load(s, dir, "documents")
+      .select(col("source"), coalesce(col("lang"), lit("??")).as("lang"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val r = sum(col("o")).over(Window.partitionBy(col("source")))
+    val c = sum(col("o")).over(Window.partitionBy(col("lang")))
+    val n = sum(col("o")).over(Window.partitionBy())
+    val diff = (col("o") * col("n") - col("r") * col("c")).cast("double")
+    ct.withColumn("r", r).withColumn("c", c).withColumn("n", n)
+      .select(col("source"), col("lang"), col("o"), col("r"), col("c"),
+        col("n"),
+        ((col("r") * col("c")).cast("double") / col("n").cast("double"))
+          .as("expected"),
+        ((diff * diff) /
+          ((col("r") * col("c")).cast("double") * col("n").cast("double")))
+          .as("chi2_contrib"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_chisq_cells"    -> (chiSquareCells _),
     "q226_digest_maintained" -> (digestMaintained _),
     "q225_zone_digest"    -> (zoneDigest _),
     "q219_erasure_scrub"  -> (erasureScrub _),
@@ -372,6 +406,23 @@ object Mining {
     "q215_assoc_rules"    -> (assocRules _))
 
   val oracle: Map[String, String] = Map(
+    "q239_chisq_cells" ->
+      """WITH ct AS (
+        |  SELECT source, coalesce(lang, '??') AS lang,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, lang, o,
+        |    CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS r,
+        |    CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS c,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM ct)
+        |SELECT source, lang, o, r, c, n,
+        |  CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+        |  (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+        |    / (CAST(r * c AS DOUBLE) * CAST(n AS DOUBLE))
+        |    AS chi2_contrib
+        |FROM w ORDER BY source, lang""".stripMargin,
     // the oracle re-digests the reconciled view FROM SCRATCH (q219's
     // oracle embedded verbatim) — the Spark side must reach the same
     // relation purely by XOR-folding per-epoch diffs
