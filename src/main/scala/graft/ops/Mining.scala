@@ -394,7 +394,45 @@ object Mining {
       .orderBy("source", "lang")
   }
 
+  /** Benford expectations log10(1+1/d), d = 1..9, as LITERALS — the
+    * same decimal text renders the same double in both engines, which
+    * sidesteps any log10 ULP disagreement. */
+  val BenfordExpected: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** q240: Benford first-digit audit of the event values — the
+    * classic fabricated-numbers screen: naturally-occurring
+    * magnitudes follow log10(1+1/d); a synthetic or truncated feed
+    * does not (this generator's uniform-ish values won't either —
+    * the deviation columns are the point, not a pass/fail). Values
+    * enter as exact integer cents via `floor(value·100)` (floor,
+    * not cast: DuckDB rounds double→BIGINT casts while Spark
+    * truncates); the first digit is string surgery on the integer.
+    * One corpus rollup to ≤9 rows. */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    val obs = Tables.load(s, dir, "events")
+      .where(col("value").isNotNull && cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val exp = s.createDataFrame(BenfordExpected)
+      .toDF("digit", "expected_prop")
+    obs.join(exp, Seq("digit"))
+      .crossJoin(broadcast(obs.agg(sum(col("n")).as("n_total"))))
+      .select(col("digit"), col("n"), col("n_total"),
+        (col("n").cast("double") / col("n_total").cast("double"))
+          .as("prop"),
+        col("expected_prop"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_benford" -> (benfordDigits _),
     "q239_chisq_cells"    -> (chiSquareCells _),
     "q226_digest_maintained" -> (digestMaintained _),
     "q225_zone_digest"    -> (zoneDigest _),
@@ -405,7 +443,30 @@ object Mining {
       kAnonymity(s, d)),
     "q215_assoc_rules"    -> (assocRules _))
 
+  /** The Benford table as a VALUES relation, generated from
+    * [[BenfordExpected]] itself — the literals cannot drift. */
+  private def benfordValues: String =
+    BenfordExpected.map { case (d, p) =>
+      s"($d, CAST($p AS DOUBLE))"
+    }.mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    "q240_benford" ->
+      s"""WITH obs AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events
+         |  WHERE value IS NOT NULL
+         |    AND CAST(floor(value * 100) AS BIGINT) > 0
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM obs),
+         |e(digit, expected_prop) AS (VALUES $benfordValues)
+         |SELECT obs.digit, obs.n, t.n_total,
+         |  CAST(obs.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS prop,
+         |  e.expected_prop
+         |FROM obs JOIN e ON e.digit = obs.digit CROSS JOIN t
+         |ORDER BY obs.digit""".stripMargin,
     "q239_chisq_cells" ->
       """WITH ct AS (
         |  SELECT source, coalesce(lang, '??') AS lang,
