@@ -79,6 +79,38 @@ object EventOps {
         col("n_events"), col("start_ms"), col("last_ms"))
       .orderBy("user_id", "start_ms")
 
+  /** q241: per-group least-squares regression (value vs hour of day)
+    * — the `regr_slope`/`regr_intercept` family, spelled with EXACT
+    * accumulators instead of the built-ins' order-dependent float
+    * sums: Σx/Σx² are integers, Σy/Σxy are exact decimals (the
+    * [[graft.util.Exact]] discipline), and slope/intercept are final
+    * double expression trees over those exact aggregates — so the
+    * regression is hash-gateable where `regr_slope` itself is not.
+    * One partial-agg rollup per group; no second pass. */
+  def groupRegression(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("x"),
+        col("value").cast(D).as("y"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).cast(DecimalType(38, 2)).as("sy"),
+        sum(col("x") * col("y")).cast(DecimalType(38, 2)).as("sxy"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double"))
+      // exact-decimal accumulators EXIT as doubles (the q86 output
+      // rule — engines disagree on decimal wire types, not values)
+      .withColumn("sy", col("sy").cast("double"))
+      .withColumn("sxy", col("sxy").cast("double"))
+      .orderBy("event_type")
+  }
+
   /** q62: as-of join — for each 'error' event, the most recent 'click'
     * timestamp of the same user at or before it. Implemented as ONE
     * pass: order each user's events by time with clicks sorting before
@@ -594,6 +626,7 @@ object EventOps {
     "q228_transition_matrix" -> (transitionMatrix _),
     "q229_ab_analysis" -> (abAnalysis _),
     "q234_session_builtin" -> (sessionWindowBuiltin _),
+    "q241_group_regression" -> (groupRegression _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -670,6 +703,29 @@ object EventOps {
     // the maintained zone is gated by the IDENTICAL oracle — the
     // incremental fold must be invisible
     "q223_scd2_maintained" -> Scd2Sql,
+    "q241_group_regression" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+        |    CAST(value AS DECIMAL(18,2)) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+        |    CAST(sum(x * y) AS DECIMAL(38,2)) AS sxy
+        |  FROM e GROUP BY 1),
+        |s AS (
+        |  SELECT event_type, n, sx, sxx, sy, sxy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        |  FROM g)
+        |SELECT event_type, n, sx, sxx,
+        |  CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
     "q234_session_builtin" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
