@@ -285,7 +285,12 @@ object EventOps {
     * intervals to the one-shot batch build: the gate runs the SAME
     * oracle string as q218. Zone built once per scale dir
     * (staging+rename publish). */
-  def scd2Maintained(s: SparkSession, dir: String): DataFrame = {
+  def scd2Maintained(s: SparkSession, dir: String): DataFrame =
+    graft.sinks.Scd2Maintain.read(s, scd2Zone(s, dir))
+
+  /** The three-batch SCD2 zone (built once per scale dir; q223 and
+    * q242 both consume it). */
+  private[ops] def scd2Zone(s: SparkSession, dir: String): String = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
       s"scd2_${Integer.toHexString(dir.hashCode)}"
     val p = new org.apache.hadoop.fs.Path(root)
@@ -306,7 +311,38 @@ object EventOps {
         sys.error(s"could not publish scd2 zone at $root")
       fs.delete(staging, true)
     }
-    graft.sinks.Scd2Maintain.read(s, root)
+    root
+  }
+
+  /** q242's fixed valid-time probe: 2024-01-15T00:00:00Z. */
+  val BitemporalProbeMs = 1705276800000L
+
+  /** q242: BITEMPORAL query — "what state was each user in at
+    * valid-time T, as the warehouse KNEW IT after ingest epoch E".
+    * Valid time lives in the q218 intervals; transaction time is the
+    * zone's MergeOnRead epoch chain (epoch 0 = the first batch's
+    * base, epochs 1–2 = the out-of-order ingest merges), so the two
+    * time axes compose for free from machinery the zone already has.
+    * Early epochs genuinely REVISE history: epoch 0 only knows
+    * one-third of the events, so states at T differ per epoch — the
+    * defining bitemporal behavior, visible in the per-epoch counts.
+    *
+    * The oracle replays each epoch as the interval build over exactly
+    * the event slices that epoch had ingested (the same `scd2SqlFor`
+    * template — no drift), PIT-filtered at T. Scale shape: three
+    * epoch reads of the same zone (each one reconcile window) + tiny
+    * rollups. */
+  def bitemporal(s: SparkSession, dir: String): DataFrame = {
+    val root = scd2Zone(s, dir)
+    val T = lit(BitemporalProbeMs)
+    (0L to 2L).map { e =>
+      graft.sinks.Scd2Maintain.read(s, root, asOf = e)
+        .where(col("valid_from_ms") <= T &&
+          (col("valid_to_ms").isNull || T < col("valid_to_ms")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(e).as("epoch"), col("event_type"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy("epoch", "event_type")
   }
 
   /** q224: point-in-time (temporal) join — each probe resolves to the
@@ -627,6 +663,7 @@ object EventOps {
     "q229_ab_analysis" -> (abAnalysis _),
     "q234_session_builtin" -> (sessionWindowBuiltin _),
     "q241_group_regression" -> (groupRegression _),
+    "q242_bitemporal" -> (bitemporal _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -634,12 +671,14 @@ object EventOps {
     "q130_time_weighted"  -> (timeWeightedAvg _),
     "q136_nearest_event"  -> (nearestClick _))
 
-  /** The q218 interval-build SQL — one spelling shared by the batch
-    * gate (q218) and the maintained-zone gate (q223). */
-  private val Scd2Sql: String =
-    """WITH e AS (
+  /** The q218 interval-build SQL over an optionally-restricted event
+    * set — ONE template shared by the batch gate (q218), the
+    * maintained-zone gate (q223), and q242's per-epoch bitemporal
+    * replays, so the spellings cannot drift. */
+  private[ops] def scd2SqlFor(where: String): String =
+    s"""WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
-      |  FROM events),
+      |  FROM events$where),""".stripMargin + """
       |c AS (
       |  SELECT user_id, event_type, ms, event_id,
       |    CASE WHEN lag(event_type) OVER w
@@ -661,6 +700,8 @@ object EventOps {
       |  n_events
       |FROM g WINDOW wi AS (PARTITION BY user_id ORDER BY island)
       |ORDER BY user_id, valid_from_ms""".stripMargin
+
+  private val Scd2Sql: String = scd2SqlFor("")
 
   val oracle: Map[String, String] = Map(
     "q60_tumbling_hourly" ->
@@ -703,6 +744,22 @@ object EventOps {
     // the maintained zone is gated by the IDENTICAL oracle — the
     // incremental fold must be invisible
     "q223_scd2_maintained" -> Scd2Sql,
+    // each epoch = the interval build over exactly its ingested
+    // slices (the shared template), PIT-filtered at the probe
+    "q242_bitemporal" -> (Seq(
+      0 -> " WHERE event_id % 3 = 0",
+      1 -> " WHERE event_id % 3 <= 1",
+      2 -> "").map { case (e, w) =>
+        s"""SELECT CAST($e AS BIGINT) AS epoch, event_type,
+           |  CAST(count(*) AS BIGINT) AS n_users
+           |FROM (
+           |${scd2SqlFor(w)}
+           |) iv
+           |WHERE valid_from_ms <= $BitemporalProbeMs
+           |  AND (valid_to_ms IS NULL
+           |    OR $BitemporalProbeMs < valid_to_ms)
+           |GROUP BY event_type""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY epoch, event_type"),
     "q241_group_regression" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -157,9 +157,14 @@ object Scd2Maintain {
   }
 
   /** The reconciled interval view, unpacked back to one row per
-    * interval — the exact q218 output contract. */
-  def read(s: SparkSession, root: String): DataFrame =
-    MergeOnRead.read(s, ivRoot(root), Seq("user_id"))
+    * interval — the exact q218 output contract. `asOf` = TRANSACTION
+    * time travel (MergeOnRead epochs): the interval table as it was
+    * known after that ingest epoch — which, combined with the
+    * intervals' own valid-time columns, makes the zone BITEMPORAL
+    * (q242). */
+  def read(s: SparkSession, root: String,
+           asOf: Long = Long.MaxValue): DataFrame =
+    MergeOnRead.read(s, ivRoot(root), Seq("user_id"), asOf)
       .select(col("user_id"), explode(col("ivs")).as("iv"))
       .select(col("user_id"), col("iv.event_type").as("event_type"),
         col("iv.valid_from_ms").as("valid_from_ms"),
