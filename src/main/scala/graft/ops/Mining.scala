@@ -431,7 +431,41 @@ object Mining {
       .orderBy("digit")
   }
 
+  /** q243: EXACT Gini coefficient of per-document token counts — the
+    * inequality measure behind "is the token mass concentrated in a
+    * few giant documents" (drives packing and dedup priorities). The
+    * standard spelling needs a GLOBAL rank (single-partition sort);
+    * this one never ranks a document: lengths are bounded, so the
+    * rank-weighted sum folds over the VALUE HISTOGRAM — for value v
+    * with count c at cumulative offset o, Σ ranks·v =
+    * v·(c·o + c(c+1)/2), all exact integers (the q159 histogram
+    * rule; c(c+1) is even so the halving is exact). One doc rollup →
+    * a bounded histogram → a tiny cumulative window → one final
+    * double expression. Terms stay < 2⁶³ to ~10¹² docs at 10³
+    * tokens each; past that, widen to per-shard decimals (the q164
+    * caveat). */
+  def giniTokens(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = graft.text.CorpusStats.linearQuality(s, dir)
+      .select(col("n_tokens").as("v"))
+    val h = perDoc.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = h
+      .withColumn("o", sum(col("c")).over(w) - col("c"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("v") * col("c")).as("s"),
+        sum(col("v") * (col("c") * col("o") +
+          expr("(c * (c + 1)) div 2"))).as("si"))
+    a.select(col("n"), col("s"), col("si"),
+      ((lit(2L) * col("si")).cast("double") /
+        (col("n") * col("s")).cast("double")
+        - (col("n") + lit(1L)).cast("double") / col("n").cast("double"))
+        .as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_gini_tokens" -> (giniTokens _),
     "q240_benford" -> (benfordDigits _),
     "q239_chisq_cells"    -> (chiSquareCells _),
     "q226_digest_maintained" -> (digestMaintained _),
@@ -451,6 +485,33 @@ object Mining {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // same histogram fold; the doc token counts are the q154
+    // tokenization spelled verbatim
+    "q243_gini_tokens" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS tok
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS v
+        |  FROM tok GROUP BY 1),
+        |h AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |w AS (
+        |  SELECT v, c,
+        |    CAST(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |      AS BIGINT) AS o
+        |  FROM h),
+        |a AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(v * c) AS BIGINT) AS s,
+        |    CAST(sum(v * (c * o + (c * (c + 1)) // 2)) AS BIGINT) AS si
+        |  FROM w)
+        |SELECT n, s, si,
+        |  CAST(2 * si AS DOUBLE) / CAST(n * s AS DOUBLE)
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
     "q240_benford" ->
       s"""WITH obs AS (
          |  SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT)
