@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, posexplode, row_number, sum}
 
 import graft.Tables
 import graft.util.Exact
@@ -214,7 +214,64 @@ object SqlSurface {
     s.sql(PaginationSql)
   }
 
+  /** q244's generation budget. */
+  val DecodeSteps = 20
+
+  /** q244: greedy LM decoding as SQL — the argmax walk of a trigram
+    * model expressed relationally: `best_next(w1, w2) → w3` is a
+    * PRECOMPUTED argmax table (deterministic tie-break: count DESC,
+    * token ASC), so generation is pointer-following — exactly the
+    * q208 recursion shape, one equi-join per step, no aggregate in
+    * the recursive term. The seed is the corpus's most frequent
+    * bigram context; decoding stops at [[DecodeSteps]] or when the
+    * context was never seen. Greedy decode may cycle — the step bound
+    * is the contract, not a convergence claim.
+    *
+    * Both model tables land in Scratch zones before the recursion
+    * (the q208 UnionLoop rule: anchor views re-evaluate once per
+    * iteration — an unmaterialized trigram rollup would re-run
+    * depth×). The oracle inlines the same derivations as CTEs. */
+  def sqlGreedyDecode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.util.Tokens.whitespace(col("text")).as("w")))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "tok")))
+    def tri = tk.as("a")
+      .join(tk.as("b"), col("b.doc_id") === col("a.doc_id") &&
+        col("b.i") === col("a.i") + 1)
+      .join(tk.as("c"), col("c.doc_id") === col("a.doc_id") &&
+        col("c.i") === col("a.i") + 2)
+      .groupBy(col("a.tok").as("w1"), col("b.tok").as("w2"),
+        col("c.tok").as("w3"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.util.Scratch.memo(s, "lm-best-next", s"lm-best-next:$dir")(
+      tri.withColumn("rn", row_number().over(
+          Window.partitionBy(col("w1"), col("w2"))
+            .orderBy(col("cnt").desc, col("w3"))))
+        .where(col("rn") === 1).select(col("w1"), col("w2"), col("w3")))
+      .createOrReplaceTempView("lm_best_next")
+    graft.util.Scratch.memo(s, "lm-seed", s"lm-seed:$dir")(
+      tri.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("s"))
+        .orderBy(col("s").desc, col("w1"), col("w2")).limit(1)
+        .select(col("w1"), col("w2")))
+      .createOrReplaceTempView("lm_seed")
+    s.sql(
+      s"""WITH RECURSIVE gen(step, w1, w2) AS (
+         |  SELECT CAST(0 AS BIGINT) AS step, w1, w2 FROM lm_seed
+         |  UNION ALL
+         |  SELECT g.step + 1, g.w2, b.w3
+         |  FROM gen g JOIN lm_best_next b
+         |    ON b.w1 = g.w1 AND b.w2 = g.w2
+         |  WHERE g.step < $DecodeSteps
+         |)
+         |SELECT step, w1, w2 FROM gen ORDER BY step""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_greedy_decode" -> (sqlGreedyDecode _),
     "q235_group_by_all" -> (sqlGroupByAll _),
     "q236_pagination" -> (sqlPagination _),
     "q222_sql_vars" -> (sqlSessionVars _),
@@ -225,6 +282,43 @@ object SqlSurface {
     "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    // identical recursion; the model tables inlined as CTEs (1-based
+    // generate_subscripts vs 0-based posexplode only ever appears as
+    // i+1/i+2 offsets, which cancel)
+    "q244_greedy_decode" ->
+      raw"""WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS arr
+        |  FROM documents),
+        |t AS MATERIALIZED (
+        |  SELECT d.doc_id, u.i, u.tok
+        |  FROM d JOIN LATERAL (
+        |    SELECT unnest(arr) AS tok,
+        |      generate_subscripts(arr, 1) AS i) u ON true),
+        |tri AS MATERIALIZED (
+        |  SELECT a.tok AS w1, b.tok AS w2, c.tok AS w3,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t a
+        |  JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN t c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        |  GROUP BY 1, 2, 3),
+        |bn AS MATERIALIZED (
+        |  SELECT w1, w2, w3 FROM (
+        |    SELECT w1, w2, w3, row_number() OVER
+        |      (PARTITION BY w1, w2 ORDER BY cnt DESC, w3) AS rn
+        |    FROM tri) r WHERE rn = 1),
+        |sd AS MATERIALIZED (
+        |  SELECT w1, w2 FROM (
+        |    SELECT w1, w2, sum(cnt) AS s FROM tri GROUP BY 1, 2) g
+        |  ORDER BY s DESC, w1, w2 LIMIT 1),
+        |gen(step, w1, w2) AS (
+        |  SELECT CAST(0 AS BIGINT) AS step, w1, w2 FROM sd
+        |  UNION ALL
+        |  SELECT g.step + 1, g.w2, b.w3
+        |  FROM gen g JOIN bn b ON b.w1 = g.w1 AND b.w2 = g.w2
+        |  WHERE g.step < 20
+        |)
+        |SELECT step, w1, w2 FROM gen ORDER BY step""".stripMargin,
     "q235_group_by_all" -> GroupByAllSql,
     "q236_pagination" -> PaginationSql,
     // the identical text with the parameters inlined as literals
