@@ -270,7 +270,26 @@ object SqlSurface {
          |SELECT step, w1, w2 FROM gen ORDER BY step""".stripMargin)
   }
 
+  /** q245: the SQL `PIVOT` clause (q25 is the DataFrame spelling) —
+    * status × priority counts with an explicit IN list, the only
+    * PIVOT form that is deterministic (a discovered column set would
+    * depend on data order). DuckDB's PIVOT grammar differs, so the
+    * oracle spells the equivalent conditional aggregation — which is
+    * also exactly what Spark's analyzer rewrites PIVOT into. */
+  def sqlPivotClause(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderpriority FROM orders)
+        |PIVOT (CAST(count(*) AS BIGINT)
+        |  FOR o_orderpriority IN ('1-URGENT' AS urgent,
+        |    '2-HIGH' AS high, '3-MEDIUM' AS medium,
+        |    '4-NOT SPECIFIED' AS unspecified, '5-LOW' AS low))
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_sql_pivot" -> (sqlPivotClause _),
     "q244_greedy_decode" -> (sqlGreedyDecode _),
     "q235_group_by_all" -> (sqlGroupByAll _),
     "q236_pagination" -> (sqlPagination _),
@@ -282,6 +301,21 @@ object SqlSurface {
     "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    // the conditional-aggregation desugaring of the PIVOT clause
+    "q245_sql_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS unspecified,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // identical recursion; the model tables inlined as CTEs (1-based
     // generate_subscripts vs 0-based posexplode only ever appears as
     // i+1/i+2 offsets, which cancel)
