@@ -985,30 +985,41 @@ object Dedup {
     * partitions); the pair join is fingerprint-bucketed, so candidate
     * volume tracks shared content, and density is self-limiting
     * (~2/(w+1) of grams become fingerprints). */
+  /** The selected winnow fingerprints WITH their earliest window
+    * position per (doc, fp) — one zone shared by the q161 pair count
+    * and the q246 pair EXPLANATION, so the spellings cannot drift. */
+  private def winnowFps(s: SparkSession, dir: String, k: Int,
+                        win: Int): DataFrame =
+    graft.util.Scratch.memo(s, "winnow-fps",
+      s"winnow-fps:$dir:$k:$win") {
+      val docs = graft.util.Scratch.memo(s, "span-tokens",
+        s"span-tokens:$dir")(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.util.Tokens.whitespace(col("text")).as("w")))
+      // the size guard keeps ngramsOf in its sliding branch only: docs
+      // shorter than k emit NO fingerprints (both engines)
+      val grams = docs.where(size(col("w")) >= k)
+        .select(col("doc_id"),
+          posexplode(graft.util.Tokens.ngramsOf(col("w"), k))
+            .as(Seq("p", "g")))
+        .select(col("doc_id"), col("p"), Md5Prefix.h(col("g")).as("gh"))
+      val wspec = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(0, win - 1)
+      grams
+        .withColumn("ng",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("fp", min(col("gh")).over(wspec))
+        // FULL windows only; a doc with fewer than `win` grams keeps
+        // its p=0 window (the frame clips to the doc → global min)
+        .where(col("p") <= col("ng") - win || col("p") === 0)
+        .groupBy(col("doc_id"), col("fp"))
+        .agg(min(col("p")).cast("long").as("p"))
+    }
+
   def winnowPairs(s: SparkSession, dir: String, k: Int = 5,
                   win: Int = 4, minShared: Int = 2): DataFrame = {
-    val docs = graft.util.Scratch.memo(s, "span-tokens",
-      s"span-tokens:$dir")(
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.util.Tokens.whitespace(col("text")).as("w")))
-    // the size guard keeps ngramsOf in its sliding branch only: docs
-    // shorter than k emit NO fingerprints (both engines)
-    val grams = docs.where(size(col("w")) >= k)
-      .select(col("doc_id"),
-        posexplode(graft.util.Tokens.ngramsOf(col("w"), k))
-          .as(Seq("p", "g")))
-      .select(col("doc_id"), col("p"), Md5Prefix.h(col("g")).as("gh"))
-    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(0, win - 1)
-    val fps = grams
-      .withColumn("ng",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("fp", min(col("gh")).over(wspec))
-      // FULL windows only; a doc with fewer than `win` grams keeps
-      // its p=0 window (the frame clips to the whole doc → global min)
-      .where(col("p") <= col("ng") - win || col("p") === 0)
-      .select(col("doc_id"), col("fp")).distinct()
+    val fps = winnowFps(s, dir, k, win).select(col("doc_id"), col("fp"))
     fps.as("x").join(fps.as("y"),
         col("x.fp") === col("y.fp") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1016,6 +1027,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .orderBy("id1", "id2")
+  }
+
+  /** q246: near-dup EXPLANATION — for every q161 pair, the actual
+    * shared winnowing fingerprints with each document's earliest
+    * window position: the "show me WHY these two were flagged" audit
+    * a curation reviewer (or an appeals process) reads, and the MOSS
+    * output format's relational form. Positions point the reviewer at
+    * the matching spans directly — no re-scan of the texts.
+    *
+    * Scale shape: the same fp-equality self-join as q161 (fingerprint
+    * equality IS the blocking) re-read from the shared zone, semi-
+    * joined to the qualifying pairs — output is bounded by
+    * Σ shared-fp per flagged pair, which q161 already bounds. */
+  def winnowExplain(s: SparkSession, dir: String, k: Int = 5,
+                    win: Int = 4): DataFrame = {
+    val fps = winnowFps(s, dir, k, win)
+    val pairs = winnowPairs(s, dir, k, win)
+      .select(col("id1"), col("id2"))
+    fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        col("x.fp").as("fp"), col("x.p").as("p1"), col("y.p").as("p2"))
+      .join(pairs, Seq("id1", "id2"), "left_semi")
+      .orderBy("id1", "id2", "fp")
   }
 
   /** q165: LSH precision self-audit — the engine verifying its own
@@ -1099,6 +1135,8 @@ object Dedup {
     "q167_winnow_clusters" -> (winnowClusters _),
     "q161_winnow_pairs" -> ((s: SparkSession, d: String) =>
       winnowPairs(s, d)),
+    "q246_winnow_explain" -> ((s: SparkSession, d: String) =>
+      winnowExplain(s, d)),
     "q34_dedup_exact"   -> (exactGroups _),
     "q138_leakage_split" -> (leakageSafeSplit _),
     "q139_source_overlap" -> (sourceOverlap _),
@@ -1265,6 +1303,22 @@ object Dedup {
       ("WITH " + WinnowPairsCtes + raw"""
         |SELECT id1, id2, n_shared FROM wp
         |ORDER BY id1, id2""".stripMargin),
+    // the same CTE chain, with per-(doc, fp) earliest positions and
+    // the qualifying-pair semi-join — the q161 spelling extended, not
+    // re-derived
+    "q246_winnow_explain" ->
+      ("WITH " + WinnowPairsCtes + raw""",
+        |selp AS (
+        |  SELECT doc_id, fp, CAST(min(p) AS BIGINT) AS p FROM f
+        |  WHERE p <= ng - 4 OR p = 0 GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT x.doc_id AS id1, y.doc_id AS id2, x.fp,
+        |    x.p AS p1, y.p AS p2
+        |  FROM selp x JOIN selp y
+        |    ON x.fp = y.fp AND x.doc_id < y.doc_id)
+        |SELECT ex.id1, ex.id2, ex.fp, ex.p1, ex.p2
+        |FROM ex JOIN wp ON wp.id1 = ex.id1 AND wp.id2 = ex.id2
+        |ORDER BY ex.id1, ex.id2, ex.fp""".stripMargin),
     // the winnow pair CTEs closed with the q98-family recursive CTE
     "q167_winnow_clusters" ->
       ("WITH RECURSIVE " + WinnowPairsCtes + raw""",
