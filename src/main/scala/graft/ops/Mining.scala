@@ -464,7 +464,34 @@ object Mining {
         .as("gini"))
   }
 
+  /** q247: split-uniformity audit — the q239 chi-square machinery
+    * pointed at the q102 hash split: cells of (split × source) with
+    * expected counts and contributions. A content-independent split
+    * must be independent of source; a hot cell here means the split
+    * hash is leaking corpus structure into train/val/test — the audit
+    * every leakage-sensitive pipeline runs before trusting its
+    * holdout. Same tiny-relation shape as q239. */
+  def splitUniformity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ct = Sampling.hashSplit(s, dir)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val diff = (col("o") * col("n") - col("r") * col("c")).cast("double")
+    ct.withColumn("r", sum(col("o")).over(Window.partitionBy(col("split"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("source"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .select(col("split"), col("source"), col("o"), col("r"), col("c"),
+        col("n"),
+        ((col("r") * col("c")).cast("double") / col("n").cast("double"))
+          .as("expected"),
+        ((diff * diff) /
+          ((col("r") * col("c")).cast("double") * col("n").cast("double")))
+          .as("chi2_contrib"))
+      .orderBy("split", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_split_uniformity" -> (splitUniformity _),
     "q243_gini_tokens" -> (giniTokens _),
     "q240_benford" -> (benfordDigits _),
     "q239_chisq_cells"    -> (chiSquareCells _),
@@ -485,6 +512,27 @@ object Mining {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the q102 split spelling embedded verbatim + the q239 cell math
+    "q247_split_uniformity" ->
+      s"""WITH sp AS MATERIALIZED (
+         |  SELECT * FROM (
+         |${Sampling.oracle("q102_hash_split")}
+         |  ) t),
+         |ct AS (
+         |  SELECT split, source, CAST(count(*) AS BIGINT) AS o
+         |  FROM sp GROUP BY 1, 2),
+         |w AS (
+         |  SELECT split, source, o,
+         |    CAST(sum(o) OVER (PARTITION BY split) AS BIGINT) AS r,
+         |    CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS c,
+         |    CAST(sum(o) OVER () AS BIGINT) AS n
+         |  FROM ct)
+         |SELECT split, source, o, r, c, n,
+         |  CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+         |  (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+         |    / (CAST(r * c AS DOUBLE) * CAST(n AS DOUBLE))
+         |    AS chi2_contrib
+         |FROM w ORDER BY split, source""".stripMargin,
     // same histogram fold; the doc token counts are the q154
     // tokenization spelled verbatim
     "q243_gini_tokens" ->
