@@ -490,7 +490,43 @@ object Mining {
       .orderBy("split", "source")
   }
 
+  /** q248: the corpus health dashboard — six scalar vitals in one
+    * (metric, value) relation: corpus size, mean document length,
+    * exact-duplicate rate, English share, q154 keep rate, and the
+    * q243 token Gini. This is the single pane a corpus team watches
+    * per ingest epoch; every number is an integer-exact aggregate
+    * with at most one final division, and the Gini rides its own
+    * gated derivation so the dashboard cannot drift from the
+    * detailed views. Scale shape: a handful of independent one-scan
+    * rollups unioned as 1-row relations. */
+  def corpusHealth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val metrics = Seq(
+      docs.agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("n_docs").as("metric"), col("value")),
+      graft.text.CorpusStats.linearQuality(s, dir)
+        .agg((sum(col("n_tokens")).cast("double") /
+          count(lit(1)).cast("double")).as("value"))
+        .select(lit("mean_tokens").as("metric"), col("value")),
+      graft.text.CorpusStats.linearQuality(s, dir)
+        .agg((sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("value"))
+        .select(lit("keep_rate_quality").as("metric"), col("value")),
+      docs.agg((lit(1.0) -
+        countDistinct(md5(col("text"))).cast("double") /
+          count(lit(1)).cast("double")).as("value"))
+        .select(lit("exact_dup_rate").as("metric"), col("value")),
+      docs.agg((sum(when(col("lang") === "en", 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("value"))
+        .select(lit("pct_en").as("metric"), col("value")),
+      giniTokens(s, dir)
+        .select(lit("gini_tokens").as("metric"),
+          col("gini").as("value")))
+    metrics.reduce(_ unionByName _).orderBy("metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_corpus_health" -> (corpusHealth _),
     "q247_split_uniformity" -> (splitUniformity _),
     "q243_gini_tokens" -> (giniTokens _),
     "q240_benford" -> (benfordDigits _),
@@ -512,6 +548,63 @@ object Mining {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // each vital as a scalar subquery; the Gini embeds the q243
+    // oracle verbatim, the quality parts the q154 tokenization
+    "q248_corpus_health" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM tok),
+        |q AS MATERIALIZED (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(wt) >= 0 AS keep
+        |  FROM w GROUP BY 1),
+        |gh AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT n_tokens AS v FROM q) GROUP BY 1),
+        |gw AS (
+        |  SELECT v, c,
+        |    CAST(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |      AS BIGINT) AS o
+        |  FROM gh),
+        |ga AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(v * c) AS BIGINT) AS s,
+        |    CAST(sum(v * (c * o + (c * (c + 1)) // 2)) AS BIGINT) AS si
+        |  FROM gw)
+        |SELECT * FROM (
+        |  SELECT 'exact_dup_rate' AS metric,
+        |    1.0 - CAST((SELECT count(DISTINCT md5(text)) FROM documents)
+        |      AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS value
+        |  UNION ALL
+        |  SELECT 'gini_tokens',
+        |    CAST(2 * si AS DOUBLE) / CAST(n * s AS DOUBLE)
+        |      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |  FROM ga
+        |  UNION ALL
+        |  SELECT 'keep_rate_quality',
+        |    CAST((SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END) FROM q)
+        |      AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM q) AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'mean_tokens',
+        |    CAST((SELECT sum(n_tokens) FROM q) AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM q) AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'n_docs',
+        |    CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'pct_en',
+        |    CAST((SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      FROM documents) AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM documents) AS DOUBLE)) t
+        |ORDER BY metric""".stripMargin,
     // the q102 split spelling embedded verbatim + the q239 cell math
     "q247_split_uniformity" ->
       s"""WITH sp AS MATERIALIZED (
