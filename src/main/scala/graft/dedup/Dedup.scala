@@ -931,6 +931,29 @@ object Dedup {
       .withColumn("split", graft.ops.Sampling.splitOf(col("bucket")))
       .orderBy("doc_id")
 
+  /** q249: leakage-safe K-FOLD assignment — q138's discipline applied
+    * to cross-validation: the fold is a hash of the CLUSTER id (salted
+    * so fold and split stay independent draws), never of the doc, so
+    * a near-dup family can never straddle a fold boundary and inflate
+    * CV scores. Emits per doc its cluster, fold, and the family size
+    * (the reviewer's "how correlated is my fold really" column). One
+    * label derivation (the shared cluster zone) + map-side fold math
+    * + a tiny per-cluster size rollup joined back. */
+  def clusterFolds(s: SparkSession, dir: String,
+                   k: Int = 5): DataFrame = {
+    val lab = clusterLabels(s, dir)
+    val sizes = lab.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    lab
+      .withColumn("fold",
+        Md5Prefix.h(concat(lit("fold:"), col("cluster_id").cast("string")))
+          % k)
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("fold"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** q139: cross-source near-dup overlap matrix — which sources
     * duplicate each other (mirror crawls, re-scraped dumps): the q37
     * MinHash-LSH pairs grouped by their (source, source) combination
@@ -1137,6 +1160,8 @@ object Dedup {
       winnowPairs(s, d)),
     "q246_winnow_explain" -> ((s: SparkSession, d: String) =>
       winnowExplain(s, d)),
+    "q249_cluster_folds" -> ((s: SparkSession, d: String) =>
+      clusterFolds(s, d)),
     "q34_dedup_exact"   -> (exactGroups _),
     "q138_leakage_split" -> (leakageSafeSplit _),
     "q139_source_overlap" -> (sourceOverlap _),
@@ -1396,6 +1421,28 @@ object Dedup {
     "q144_incremental_clusters" -> ClustersOracleSql,
     // q98's recursive-CTE labels + q102's md5-prefix bucket math,
     // applied to the LABEL — the whole leakage guarantee in one line
+    // the q138 label chain with the salted cluster-fold hash and the
+    // family-size rollup
+    "q249_cluster_folds" ->
+      ("WITH RECURSIVE p AS (\n" + JaccardPairsSql + "\n), " +
+        """e(src, dst) AS (
+        |  SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p
+        |), reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+        |), lab AS MATERIALIZED (
+        |  SELECT id AS doc_id, min(label) AS cluster_id
+        |  FROM reach GROUP BY id
+        |), sz AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM lab GROUP BY 1)
+        |SELECT lab.doc_id, lab.cluster_id,
+        |  ('0x' || substr(md5('fold:' || CAST(lab.cluster_id AS VARCHAR)),
+        |    1, 15))::BIGINT % 5 AS fold,
+        |  sz.cluster_size
+        |FROM lab JOIN sz USING (cluster_id)
+        |ORDER BY lab.doc_id""".stripMargin),
     "q138_leakage_split" ->
       ("WITH RECURSIVE p AS (\n" + JaccardPairsSql + "\n), " +
         """e(src, dst) AS (

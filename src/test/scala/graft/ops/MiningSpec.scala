@@ -146,6 +146,44 @@ class MiningSpec extends SparkSpec {
       s"tamper must flip exactly one bucket, got $diff")
   }
 
+  test("q243: histogram-folded Gini equals the sorted definition") {
+    val row = Mining.giniTokens(spark, sf()).head
+    val gini = row.getDouble(3)
+    assert(gini >= 0.0 && gini < 1.0)
+    // brute force: sort values, Gini = 2Σi·x(i)/(nΣx) − (n+1)/n
+    val xs = graft.text.CorpusStats.linearQuality(spark, sf())
+      .select("n_tokens").collect().map(_.getLong(0)).sorted
+    val n = xs.length.toLong
+    val s = xs.sum
+    val si = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val want = 2.0 * si / (n.toDouble * s) - (n + 1.0) / n
+    assert(math.abs(gini - want) < 1e-12)
+  }
+
+  test("q239/q247: contingency cells are complete and consistent") {
+    Seq(Mining.chiSquareCells(spark, sf()),
+      Mining.splitUniformity(spark, sf())).foreach { df =>
+      val rows = df.collect()
+      val n = rows.head.getLong(5)
+      assert(rows.map(_.getLong(2)).sum == n) // Σo = n
+      rows.foreach { r =>
+        assert(r.getDouble(7) >= 0.0) // contributions non-negative
+        assert(r.getLong(3) <= n && r.getLong(4) <= n)
+      }
+    }
+  }
+
+  test("q249: near-dup families never straddle a fold") {
+    val rows = graft.dedup.Dedup.clusterFolds(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 5))
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $c split across folds")
+      assert(members.forall(_._4 == members.length))
+    }
+  }
+
   test("q215: rule invariants (support, confidence, lift, bounds)") {
     val n = spark.read.parquet(s"${sf()}/documents.parquet").count()
     val rows = Mining.assocRules(spark, sf()).collect()
