@@ -126,6 +126,35 @@ class StreamsSpec extends SparkSpec {
     assert(rows.toSet.contains((3L, None)))
   }
 
+  test("native session_window works under a streaming watermark") {
+    // the q234 batch operator's streaming twin: sessions close (and
+    // emit, in append mode) once the watermark passes their end
+    val in = Files.createTempDirectory("stream_sess").toString
+    writeBatch(in, "b1.json",
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:10:00Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":3,"ts":"2024-01-01T01:30:00Z","user_id":1,"event_type":"click","value":1.0}""")
+    writeBatch(in, "b2.json",
+      """{"event_id":9,"ts":"2024-01-01T06:00:00Z","user_id":9,"event_type":"click","value":1.0}""")
+    writeBatch(in, "b3.json",
+      """{"event_id":10,"ts":"2024-01-01T07:00:00Z","user_id":9,"event_type":"click","value":1.0}""")
+    import org.apache.spark.sql.functions._
+    def oneFile = spark.readStream.format("json").schema(schema)
+      .option("maxFilesPerTrigger", "1").load(in)
+    val agg = oneFile
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    Streams.runToMemory(agg, "sess_out", OutputMode.Append)
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")))
+    // user 1: events at 00:00/00:10 merge (gap 10m), 01:30 is its own
+    // session — both closed by the later batches' watermark
+    assert(rows.toSet.contains((1L, 2L)))
+    assert(rows.toSet.contains((1L, 1L)))
+  }
+
   test("streaming parquet sink with checkpoint resumes exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     val in = Files.createTempDirectory("stream_pq_in").toString
