@@ -107,9 +107,23 @@ private[sources] class SeqScanBuilder(n: Long, parts: Int)
 
 private[sources] class SeqScan(n: Long, parts: Int, lo: Long, hi: Long,
                                required: StructType)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Post-pushdown statistics ([[SupportsReportStatistics]]): row
+    * count and bytes for the PRUNED range, so Catalyst sizes joins
+    * against this source from real numbers — a filtered slice under
+    * the broadcast threshold auto-broadcasts with NO user hint
+    * (spec-pinned), exactly how a bespoke 100 TB source earns good
+    * plans. ~24 bytes/row: two longs + a short string. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, math.min(hi, n - 1) - math.max(lo, 0L) + 1)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * 24L)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
   override def description(): String =
     s"graft_seq pushed=[${math.max(lo, 0)}..${math.min(hi, n - 1)}] " +
       s"cols=${required.fieldNames.mkString(",")}"

@@ -48,6 +48,20 @@ class SeqSourceSpec extends SparkSpec {
     rows.foreach { case (id, sq) => assert(sq == (id * id) % 97) }
   }
 
+  test("reported statistics drive an unhinted broadcast join") {
+    // a pushed-down slice reports its PRUNED row count/bytes, so the
+    // planner broadcasts the small side with no user hint — the
+    // stats seam a custom source needs for good join plans
+    val big = seq(200000L, 8)
+    val small = seq(200000L, 8).where(col("id") < 50L)
+      .select(col("id"), col("sq").as("small_sq"))
+    val joined = big.join(small, "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected a stats-driven broadcast:\n" + plan)
+    assert(joined.count() == 50L)
+  }
+
   test("unfiltered read is the complete, exact sequence") {
     val rows = seq(500L, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
