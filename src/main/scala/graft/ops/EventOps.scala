@@ -111,6 +111,59 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** q250: seasonal-naive forecast evaluation — the baseline every
+    * traffic-forecasting effort must beat, evaluated exactly:
+    * predict each (type, date, hour) count as the SAME HOUR YESTERDAY
+    * and score it against the one-step naive (previous hour) on a
+    * DENSE date×hour grid (missing cells count as 0 — absent-hour
+    * semantics must be explicit or the two baselines disagree on
+    * coverage). Absolute errors of integer counts sum exactly; the
+    * MASE-style ratio is the one final division. First date (no
+    * yesterday) and hour 0 of the first date (no previous hour) are
+    * excluded from their respective error sums symmetrically via the
+    * grid join.
+    *
+    * Scale shape: one events rollup → a dense |dates|·24·|types|
+    * grid (generated, tiny) left-joined to counts → two lag joins on
+    * the grid only. */
+  def seasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        hour(col("ts")).cast("long").as("h"))
+    val counts = ev.groupBy(col("event_type"), col("d"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val dates = ev.select(col("d")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val grid = dates.crossJoin(types)
+      .crossJoin(s.range(0, 24).select(col("id").as("h")))
+      .join(counts, Seq("event_type", "d", "h"), "left")
+      .select(col("event_type"), col("d"), col("h"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val g = grid.withColumn("t",
+        datediff(col("d"), lit("1970-01-01")).cast("long") * 24 + col("h"))
+      .select(col("event_type"), col("t"), col("c")) // absolute hour idx
+    val seas = g.as("a").join(g.as("b"),
+        col("b.event_type") === col("a.event_type") &&
+          col("b.t") === col("a.t") - 24)
+      .select(col("a.event_type").as("event_type"),
+        abs(col("a.c") - col("b.c")).as("e"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("e")).as("sae_seasonal"), count(lit(1)).as("n_seasonal"))
+    val naive = g.as("a").join(g.as("b"),
+        col("b.event_type") === col("a.event_type") &&
+          col("b.t") === col("a.t") - 1)
+      .select(col("a.event_type").as("event_type"),
+        abs(col("a.c") - col("b.c")).as("e"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("e")).as("sae_naive1"), count(lit(1)).as("n_naive1"))
+    seas.join(naive, "event_type")
+      .withColumn("mase_x_ratio",
+        (col("sae_seasonal").cast("double") * col("n_naive1").cast("double"))
+          / (col("sae_naive1").cast("double") *
+            col("n_seasonal").cast("double")))
+      .orderBy("event_type")
+  }
+
   /** q62: as-of join — for each 'error' event, the most recent 'click'
     * timestamp of the same user at or before it. Implemented as ONE
     * pass: order each user's events by time with clicks sorting before
@@ -664,6 +717,7 @@ object EventOps {
     "q234_session_builtin" -> (sessionWindowBuiltin _),
     "q241_group_regression" -> (groupRegression _),
     "q242_bitemporal" -> (bitemporal _),
+    "q250_seasonal_naive" -> (seasonalNaive _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -760,6 +814,44 @@ object EventOps {
            |    OR $BitemporalProbeMs < valid_to_ms)
            |GROUP BY event_type""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY epoch, event_type"),
+    "q250_seasonal_naive" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts::DATE AS d,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+        |  FROM events),
+        |cts AS (
+        |  SELECT event_type, d, h, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2, 3),
+        |grid AS MATERIALIZED (
+        |  SELECT t.event_type, dd.d, hh.h,
+        |    CAST(coalesce(cts.c, 0) AS BIGINT) AS c,
+        |    CAST((dd.d - DATE '1970-01-01') AS BIGINT) * 24 + hh.h AS t
+        |  FROM (SELECT DISTINCT d FROM ev) dd
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT unnest(range(0, 24)) AS h) hh
+        |  LEFT JOIN cts ON cts.event_type = t.event_type
+        |    AND cts.d = dd.d AND cts.h = hh.h),
+        |seas AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sae_seasonal,
+        |    CAST(count(*) AS BIGINT) AS n_seasonal
+        |  FROM grid a JOIN grid b
+        |    ON b.event_type = a.event_type AND b.t = a.t - 24
+        |  GROUP BY 1),
+        |nv AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sae_naive1,
+        |    CAST(count(*) AS BIGINT) AS n_naive1
+        |  FROM grid a JOIN grid b
+        |    ON b.event_type = a.event_type AND b.t = a.t - 1
+        |  GROUP BY 1)
+        |SELECT seas.event_type, seas.sae_seasonal, seas.n_seasonal,
+        |  nv.sae_naive1, nv.n_naive1,
+        |  (CAST(seas.sae_seasonal AS DOUBLE) * CAST(nv.n_naive1 AS DOUBLE))
+        |    / (CAST(nv.sae_naive1 AS DOUBLE)
+        |      * CAST(seas.n_seasonal AS DOUBLE)) AS mase_x_ratio
+        |FROM seas JOIN nv USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q241_group_regression" ->
       """WITH e AS (
         |  SELECT event_type,
