@@ -1000,7 +1000,27 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q251's report size. */
+  val OutlierM = 25
+
+  /** q251: embedding outliers by k-th-neighbor similarity — the
+    * classic kNN anomaly score (Ramaswamy et al., SIGMOD 2000): a
+    * vector whose 5th-nearest neighbor is still far away sits in
+    * empty space — mislabeled, corrupt, or genuinely novel content a
+    * curation pass inspects first. Reads the rank-k row straight off
+    * the shared q155 graph zone (the score is a fixed double
+    * expression over exact int8 dots) and takes the BOTTOM-[[OutlierM]]
+    * via the distributed heap (TakeOrdered — no global sort). */
+  def knnOutliers(s: SparkSession, dir: String): DataFrame =
+    knnGraphZone(s, dir)
+      .where(col("rank") === GraphK)
+      .select(col("query_id").as("vec_id"),
+        col("approx_cos").as("kth_cos"))
+      .orderBy(col("kth_cos").asc, col("vec_id"))
+      .limit(OutlierM)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_knn_outliers" -> (knnOutliers _),
     "q175_semantic_decontam" -> ((s: SparkSession, d: String) =>
       semanticDecontam(s, d)),
     "q148_hard_negatives" -> ((s: SparkSession, d: String) =>
@@ -1198,6 +1218,11 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q251_knn_outliers" ->
+      s"""WITH $knnGraphCtesSql
+         |SELECT query_id AS vec_id, approx_cos AS kth_cos
+         |FROM ranked WHERE rank = $GraphK
+         |ORDER BY kth_cos ASC, vec_id LIMIT $OutlierM""".stripMargin,
     "q175_semantic_decontam" ->
       s"""WITH $int8CtesSql,
          |ev0 AS (
