@@ -126,7 +126,10 @@ object EventOps {
     * Scale shape: one events rollup → a dense |dates|·24·|types|
     * grid (generated, tiny) left-joined to counts → two lag joins on
     * the grid only. */
-  def seasonalNaive(s: SparkSession, dir: String): DataFrame = {
+  /** The dense (event_type, absolute-hour, count) grid — missing
+    * hours as explicit zeros — shared by the q250 forecast eval and
+    * the q252 anomaly scan. */
+  private def hourlyGrid(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
       .select(col("event_type"), to_date(col("ts")).as("d"),
         hour(col("ts")).cast("long").as("h"))
@@ -134,14 +137,17 @@ object EventOps {
       .agg(count(lit(1)).as("c"))
     val dates = ev.select(col("d")).distinct()
     val types = ev.select(col("event_type")).distinct()
-    val grid = dates.crossJoin(types)
+    dates.crossJoin(types)
       .crossJoin(s.range(0, 24).select(col("id").as("h")))
       .join(counts, Seq("event_type", "d", "h"), "left")
-      .select(col("event_type"), col("d"), col("h"),
+      .select(col("event_type"),
+        (datediff(col("d"), lit("1970-01-01")).cast("long") * 24 +
+          col("h")).as("t"),
         coalesce(col("c"), lit(0L)).as("c"))
-    val g = grid.withColumn("t",
-        datediff(col("d"), lit("1970-01-01")).cast("long") * 24 + col("h"))
-      .select(col("event_type"), col("t"), col("c")) // absolute hour idx
+  }
+
+  def seasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val g = hourlyGrid(s, dir)
     val seas = g.as("a").join(g.as("b"),
         col("b.event_type") === col("a.event_type") &&
           col("b.t") === col("a.t") - 24)
@@ -162,6 +168,36 @@ object EventOps {
           / (col("sae_naive1").cast("double") *
             col("n_seasonal").cast("double")))
       .orderBy("event_type")
+  }
+
+  /** q252: trailing z-score anomaly scan — each hour's count scored
+    * against its preceding 24 hours per event type: the on-call
+    * "traffic spike/drop" detector. The statistic is EXACT up to two
+    * IEEE operations: z = (24c − Σ) / √(24Σx² − Σ²) with every term
+    * under the division/sqrt an exact integer, and IEEE-754 `sqrt`
+    * is correctly rounded in both engines, so even the square root
+    * gates bit-for-bit. Zero-variance windows score NULL (flagged
+    * false); only full 24-hour windows score at all.
+    *
+    * Scale shape: one window per event type over the dense hourly
+    * grid — bounded by the time range, not the corpus. */
+  def countAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+      .rowsBetween(-24, -1)
+    hourlyGrid(s, dir)
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sw", sum(col("c")).over(w))
+      .withColumn("ssw", sum(col("c") * col("c")).over(w))
+      .where(col("nw") === 24)
+      .withColumn("z",
+        when(lit(24L) * col("ssw") - col("sw") * col("sw") > 0,
+          (lit(24L) * col("c") - col("sw")).cast("double") /
+            sqrt((lit(24L) * col("ssw") - col("sw") * col("sw"))
+              .cast("double"))))
+      .select(col("event_type"), col("t"), col("c"), col("sw"),
+        col("ssw"), col("z"),
+        coalesce(abs(col("z")) > 3.0, lit(false)).as("anomalous"))
+      .orderBy("event_type", "t")
   }
 
   /** q62: as-of join — for each 'error' event, the most recent 'click'
@@ -718,6 +754,7 @@ object EventOps {
     "q241_group_regression" -> (groupRegression _),
     "q242_bitemporal" -> (bitemporal _),
     "q250_seasonal_naive" -> (seasonalNaive _),
+    "q252_count_anomaly" -> (countAnomaly _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -814,6 +851,41 @@ object EventOps {
            |    OR $BitemporalProbeMs < valid_to_ms)
            |GROUP BY event_type""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY epoch, event_type"),
+    "q252_count_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts::DATE AS d,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+        |  FROM events),
+        |cts AS (
+        |  SELECT event_type, d, h, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT t.event_type,
+        |    CAST((dd.d - DATE '1970-01-01') AS BIGINT) * 24 + hh.h AS t,
+        |    CAST(coalesce(cts.c, 0) AS BIGINT) AS c
+        |  FROM (SELECT DISTINCT d FROM ev) dd
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT unnest(range(0, 24)) AS h) hh
+        |  LEFT JOIN cts ON cts.event_type = t.event_type
+        |    AND cts.d = dd.d AND cts.h = hh.h),
+        |win AS (
+        |  SELECT event_type, t, c,
+        |    CAST(count(*) OVER w AS BIGINT) AS nw,
+        |    CAST(sum(c) OVER w AS BIGINT) AS sw,
+        |    CAST(sum(c * c) OVER w AS BIGINT) AS ssw
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY t
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT event_type, t, c, sw, ssw,
+        |    CASE WHEN 24 * ssw - sw * sw > 0 THEN
+        |      CAST(24 * c - sw AS DOUBLE)
+        |        / sqrt(CAST(24 * ssw - sw * sw AS DOUBLE))
+        |    END AS z
+        |  FROM win WHERE nw = 24)
+        |SELECT event_type, t, c, sw, ssw, z,
+        |  coalesce(abs(z) > 3.0, false) AS anomalous
+        |FROM f ORDER BY event_type, t""".stripMargin,
     "q250_seasonal_naive" ->
       """WITH ev AS (
         |  SELECT event_type, ts::DATE AS d,
