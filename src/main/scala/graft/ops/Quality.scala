@@ -211,7 +211,27 @@ object Quality {
       .orderBy("source")
   }
 
+  /** q253: primary-key uniqueness audit — the third leg of the data
+    * contract next to q131's domain rules and q132's FK orphans:
+    * for each declared key, total rows, distinct keys, and the
+    * duplicate surplus. One distinct-rollup per table; the report is
+    * rows-minus-distinct, so a healthy corpus reads all zeros and a
+    * re-ingested batch shows up as surplus on sight. */
+  def pkAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, key: String): DataFrame =
+      Tables.load(s, dir, table)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(key)).as("n_keys"))
+        .select(lit(s"$table.$key").as("key"), col("n_rows"),
+          col("n_keys"), (col("n_rows") - col("n_keys")).as("n_dups"))
+    Seq(audit("customer", "c_custkey"), audit("orders", "o_orderkey"),
+      audit("documents", "doc_id"), audit("events", "event_id"),
+      audit("embeddings", "vec_id"))
+      .reduce(_ unionByName _).orderBy("key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_pk_audit"   -> (pkAudit _),
     "q131_dq_rules"   -> (dqRules _),
     "q166_curation_verdict" -> (curationVerdict _),
     "q181_quality_roc" -> (qualityRoc _),
@@ -219,6 +239,31 @@ object Quality {
     "q132_fk_orphans" -> (fkOrphans _))
 
   val oracle: Map[String, String] = Map(
+    "q253_pk_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.c_custkey' AS key,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+        |      AS n_dups
+        |  FROM customer
+        |  UNION ALL SELECT 'documents.doc_id', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT doc_id) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL SELECT 'embeddings.vec_id', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT vec_id) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT vec_id) AS BIGINT)
+        |  FROM embeddings
+        |  UNION ALL SELECT 'events.event_id', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT event_id) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+        |  FROM events
+        |  UNION ALL SELECT 'orders.o_orderkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |  FROM orders) t
+        |ORDER BY key""".stripMargin,
     // same offset-positive binning; the doc-score subtree is the q154
     // oracle's own spelling
     "q181_quality_roc" ->
