@@ -479,7 +479,43 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** q254: greedy budget-constrained source selection — the
+    * data-mixing knapsack: rank sources by quality DENSITY (q154
+    * weight mass per token) and admit them greedily while the
+    * cumulative tokens of better sources stay under half the corpus'
+    * token budget — the classic density-greedy approximation, made
+    * deterministic by the (density, source) tie-break. The budget
+    * test is integer (2·cum_before ≤ total); density is one final
+    * division per source. All selection logic runs on the
+    * |sources|-row rollup (tiny window). */
+  def budgetSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = graft.text.CorpusStats.linearQuality(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"))
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val bySource = perDoc.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens"),
+        sum(col("w_sum")).as("quality"))
+      .withColumn("density",
+        col("quality").cast("double") / col("tokens").cast("double"))
+    val total = bySource.agg(sum(col("tokens")).as("total_tokens"))
+    val w = Window.orderBy(col("density").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bySource.crossJoin(broadcast(total))
+      .withColumn("cum_before",
+        coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("picked",
+        col("cum_before") * 2 <= col("total_tokens"))
+      .select(col("source"), col("tokens"), col("quality"),
+        col("density"), col("cum_before"), col("total_tokens"),
+        col("picked"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_budget_select" -> (budgetSelect _),
     "q216_stable_ids" -> ((s: SparkSession, d: String) =>
       stableIds(s, d)),
     "q202_priority_sample" -> ((s: SparkSession, d: String) =>
@@ -507,6 +543,38 @@ object Sampling {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the q154 token/weight rollup per source + the greedy prefix
+    "q254_budget_select" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS tok
+        |  FROM documents),
+        |wt AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM tok),
+        |d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(wt) AS BIGINT) AS w_sum
+        |  FROM wt GROUP BY 1),
+        |bs AS (
+        |  SELECT doc.source, CAST(sum(d.n_tokens) AS BIGINT) AS tokens,
+        |    CAST(sum(d.w_sum) AS BIGINT) AS quality
+        |  FROM d JOIN documents doc ON doc.doc_id = d.doc_id
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM bs),
+        |r AS (
+        |  SELECT source, tokens, quality,
+        |    CAST(quality AS DOUBLE) / CAST(tokens AS DOUBLE) AS density,
+        |    CAST(coalesce(sum(tokens) OVER (
+        |      ORDER BY CAST(quality AS DOUBLE) / CAST(tokens AS DOUBLE)
+        |        DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM bs)
+        |SELECT r.source, r.tokens, r.quality, r.density, r.cum_before,
+        |  t.total_tokens, r.cum_before * 2 <= t.total_tokens AS picked
+        |FROM r CROSS JOIN t ORDER BY r.source""".stripMargin,
     // the semantic contract the offset machinery must reproduce
     "q216_stable_ids" ->
       """SELECT doc_id,
