@@ -316,7 +316,53 @@ object KMeans {
       .orderBy("cluster", "rank")
   }
 
+  /** q255's report depth. */
+  val TopicTerms = 5
+
+  /** q255: distinctive terms per k-means topic — the human-readable
+    * LABEL for each embedding cluster: tokens ranked by document-
+    * frequency lift (share of the topic's docs containing the token
+    * vs its corpus share; the synthetic corpus aligns vec_id with
+    * doc_id, the q148 correspondence). Lift ties break on the token,
+    * and only the top [[TopicTerms]] per topic survive. Counts are
+    * exact integers off the shared assoc-items zone; lift is one
+    * double per candidate; the rank window runs per topic over the
+    * vocabulary-sized relation. */
+  def topicTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = kmeansTopics(s, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val it = graft.util.Scratch.memo(s, "assoc-items",
+      s"assoc-items:$dir")(
+      graft.util.Scratch.memo(s, "span-tokens",
+        s"span-tokens:$dir")(
+        graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.util.Tokens.whitespace(col("text")).as("w")))
+        .select(col("doc_id"), explode(col("w")).as("tok"))
+        .distinct())
+    val dfTot = it.groupBy(col("tok")).agg(count(lit(1)).as("df_tot"))
+    val nDocs = lab.agg(count(lit(1)).as("n_docs"))
+    val sizes = lab.groupBy(col("cluster")).agg(count(lit(1)).as("size_c"))
+    val dfIn = it.join(lab, "doc_id")
+      .groupBy(col("cluster"), col("tok")).agg(count(lit(1)).as("df_in"))
+    val scored = dfIn.join(dfTot, "tok").join(sizes, "cluster")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift",
+        (col("df_in") * col("n_docs")).cast("double") /
+          (col("df_tot") * col("size_c")).cast("double"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("lift").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopicTerms)
+      .select(col("cluster"), col("rank"), col("tok"), col("df_in"),
+        col("df_tot"), col("size_c"), col("n_docs"), col("lift"))
+      .orderBy("cluster", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_topic_terms" -> ((s: SparkSession, d: String) =>
+      topicTerms(s, d)),
     "q173_kmeans_topics" -> ((s: SparkSession, d: String) =>
       kmeansTopics(s, d)),
     "q174_cluster_mix" -> ((s: SparkSession, d: String) =>
@@ -325,6 +371,40 @@ object KMeans {
       farthestPerTopic(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the k-means CTE prefix + the q154 tokenization, lift-ranked
+    "q255_topic_terms" -> (kmeansOracleSql +
+      raw"""
+        |, lab AS MATERIALIZED (
+        |  SELECT vec_id AS doc_id, cid AS cluster
+        |  FROM af WHERE rn = 1),
+        |it AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+'))
+        |        AS tok
+        |    FROM documents) t),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_tot
+        |        FROM it GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM lab),
+        |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size_c
+        |       FROM lab GROUP BY 1),
+        |dfi AS (
+        |  SELECT lab.cluster, it.tok, CAST(count(*) AS BIGINT) AS df_in
+        |  FROM it JOIN lab USING (doc_id) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dfi.cluster, dfi.tok, dfi.df_in, dft.df_tot,
+        |    sz.size_c, nd.n_docs,
+        |    CAST(dfi.df_in * nd.n_docs AS DOUBLE)
+        |      / CAST(dft.df_tot * sz.size_c AS DOUBLE) AS lift
+        |  FROM dfi JOIN dft USING (tok) JOIN sz USING (cluster)
+        |  CROSS JOIN nd),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+        |    ORDER BY lift DESC, tok) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT cluster, rank, tok, df_in, df_tot, size_c, n_docs, lift
+        |FROM rk WHERE rank <= 5
+        |ORDER BY cluster, rank""".stripMargin),
     "q173_kmeans_topics" -> (kmeansOracleSql +
       """
         |SELECT vec_id, cid AS cluster, d2 AS dist2
