@@ -1019,7 +1019,40 @@ object Similarity {
       .orderBy(col("kth_cos").asc, col("vec_id"))
       .limit(OutlierM)
 
+  /** q256: text↔embedding ALIGNMENT audit — do the q37 MinHash text
+    * near-dup pairs also look close in embedding space? Each pair is
+    * rescored with the exact int8 dot (the q143 kernel; vec_id aligns
+    * with doc_id in this corpus, the q148 correspondence) and the
+    * audit reports only ORDER-INDEPENDENT statistics — pair count,
+    * how many score a positive cosine, min and max — because a mean
+    * of floats would hash differently per summation order (the
+    * discipline that keeps every gate exact). Two signal families
+    * agreeing is the cross-check a curation pipeline wants before
+    * trusting either alone.
+    *
+    * Scale shape: the pair relation is the existing bucketed LSH
+    * derivation; vectors re-attach by id (unhinted); one rollup. */
+  def textEmbedAlign(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // int8_dot
+    val pairs = graft.dedup.Dedup
+      .minhashLshPairs(s, dir, hash = graft.dedup.Md5Prefix)
+      .select(col("id1"), col("id2"))
+    val qz = quantizedZone(s, dir)
+    val cos = pairs
+      .join(qz.select(col("vec_id").as("id1"), col("q_vec").as("v1"),
+        col("q_scale").as("s1")), "id1")
+      .join(qz.select(col("vec_id").as("id2"), col("q_vec").as("v2"),
+        col("q_scale").as("s2")), "id2")
+      .select((int8DotCol(col("v1"), col("v2")).cast("double") *
+        col("s1").cast("double") * col("s2").cast("double") /
+        lit(16129.0)).as("cos"))
+    cos.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("cos") > 0.0, 1L).otherwise(0L)).as("n_pos_cos"),
+      min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_text_embed_align" -> (textEmbedAlign _),
     "q251_knn_outliers" -> (knnOutliers _),
     "q175_semantic_decontam" -> ((s: SparkSession, d: String) =>
       semanticDecontam(s, d)),
@@ -1218,6 +1251,26 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the q37 pair oracle embedded verbatim; vectors re-attached as
+    // the c/q aliases the shared int8 dot spelling expects
+    "q256_text_embed_align" ->
+      s"""WITH $int8CtesSql,
+         |pr AS MATERIALIZED (
+         |  SELECT id1, id2 FROM (
+         |${graft.dedup.Dedup.oracle("q37_minhash_lsh")}
+         |  ) t),
+         |sc AS (
+         |  SELECT CAST($int8DotSql AS DOUBLE)
+         |    * CAST(c.q_scale AS DOUBLE) * CAST(q.q_scale AS DOUBLE)
+         |    / 16129.0 AS cos
+         |  FROM pr
+         |  JOIN codes c ON c.vec_id = pr.id1
+         |  JOIN codes q ON q.vec_id = pr.id2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN cos > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos_cos,
+         |  min(cos) AS min_cos, max(cos) AS max_cos
+         |FROM sc""".stripMargin,
     "q251_knn_outliers" ->
       s"""WITH $knnGraphCtesSql
          |SELECT query_id AS vec_id, approx_cos AS kth_cos
