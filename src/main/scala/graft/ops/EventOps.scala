@@ -200,6 +200,26 @@ object EventOps {
       .orderBy("event_type", "t")
   }
 
+  /** q257: top user journeys — the most common 3-step event paths
+    * (q228's transition matrix is first-order; this is the path-level
+    * report product analytics reads to see what users actually DO):
+    * two leads per user stream → path rollup → top-10 via the
+    * distributed heap with a full-path tie-break. */
+  def topPaths(s: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("s2", lead(col("event_type"), 1).over(w))
+      .withColumn("s3", lead(col("event_type"), 2).over(w))
+      .where(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(topN)
+  }
+
   /** q62: as-of join — for each 'error' event, the most recent 'click'
     * timestamp of the same user at or before it. Implemented as ONE
     * pass: order each user's events by time with clicks sorting before
@@ -755,6 +775,8 @@ object EventOps {
     "q242_bitemporal" -> (bitemporal _),
     "q250_seasonal_naive" -> (seasonalNaive _),
     "q252_count_anomaly" -> (countAnomaly _),
+    "q257_top_paths" -> ((s: SparkSession, d: String) =>
+      topPaths(s, d)),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -851,6 +873,19 @@ object EventOps {
            |    OR $BitemporalProbeMs < valid_to_ms)
            |GROUP BY event_type""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY epoch, event_type"),
+    "q257_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin,
     "q252_count_anomaly" ->
       """WITH ev AS (
         |  SELECT event_type, ts::DATE AS d,
