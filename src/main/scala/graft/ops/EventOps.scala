@@ -220,6 +220,46 @@ object EventOps {
       .limit(topN)
   }
 
+  /** q258: time-decay attribution — every purchase's value credited
+    * across the user's clicks in the preceding 24 h with
+    * exponentially decaying weight, spelled EXACTLY: the per-hour
+    * half-life weight is the integer `1 << (23 − hours_ago)` (shift
+    * semantics agree across engines), the per-purchase normalizer is
+    * a purchase-keyed window sum of those integers, and the credit
+    * share is the one final double division per pair. The q63 bucket
+    * machinery keeps the click join an equi-join (user, 24 h bucket)
+    * with the range as a residual — no inequality-driven join. */
+  def decayAttribution(s: SparkSession, dir: String): DataFrame = {
+    val winMs = 86400000L // 24 h window, bucket width
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ms").as("p_ms"),
+        floor(col("value") * 100).cast("long").as("value_cents"),
+        (col("ms") / winMs).cast("long").as("bucket"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ms").as("c_ms"),
+        explode(array((col("ms") / winMs).cast("long"),
+          (col("ms") / winMs).cast("long") + 1)).as("bucket"))
+    val pairs = purchases.join(clicks,
+        purchases("user_id") === clicks("c_user") &&
+          purchases("bucket") === clicks("bucket") &&
+          col("c_ms") >= col("p_ms") - winMs && col("c_ms") < col("p_ms"))
+      .withColumn("h", expr("(p_ms - c_ms) div 3600000"))
+      .withColumn("w",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(23 - h AS INT))"))
+    val byPurchase = Window.partitionBy(col("p_id"))
+    pairs
+      .withColumn("total_w", sum(col("w")).over(byPurchase))
+      .select(col("p_id"), col("c_id"), col("value_cents"), col("h"),
+        col("w"), col("total_w"),
+        (col("w").cast("double") / col("total_w").cast("double"))
+          .as("credit"))
+      .orderBy("p_id", "c_id")
+  }
+
   /** q62: as-of join — for each 'error' event, the most recent 'click'
     * timestamp of the same user at or before it. Implemented as ONE
     * pass: order each user's events by time with clicks sorting before
@@ -777,6 +817,7 @@ object EventOps {
     "q252_count_anomaly" -> (countAnomaly _),
     "q257_top_paths" -> ((s: SparkSession, d: String) =>
       topPaths(s, d)),
+    "q258_decay_attribution" -> (decayAttribution _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -873,6 +914,31 @@ object EventOps {
            |    OR $BitemporalProbeMs < valid_to_ms)
            |GROUP BY event_type""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY epoch, event_type"),
+    "q258_decay_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+        |    value
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id AS p_id, user_id, ms AS p_ms,
+        |    CAST(floor(value * 100) AS BIGINT) AS value_cents
+        |  FROM ev WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, ms AS c_ms
+        |  FROM ev WHERE event_type = 'click'),
+        |pr AS (
+        |  SELECT p.p_id, c.c_id, p.value_cents,
+        |    CAST((p.p_ms - c.c_ms) // 3600000 AS BIGINT) AS h
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.c_ms >= p.p_ms - 86400000 AND c.c_ms < p.p_ms),
+        |w AS (
+        |  SELECT *, CAST(1 << CAST(23 - h AS INT) AS BIGINT) AS w
+        |  FROM pr)
+        |SELECT p_id, c_id, value_cents, h, w,
+        |  CAST(sum(w) OVER (PARTITION BY p_id) AS BIGINT) AS total_w,
+        |  CAST(w AS DOUBLE)
+        |    / CAST(sum(w) OVER (PARTITION BY p_id) AS DOUBLE) AS credit
+        |FROM w ORDER BY p_id, c_id""".stripMargin,
     "q257_top_paths" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
