@@ -525,7 +525,47 @@ object Mining {
     metrics.reduce(_ unionByName _).orderBy("metric")
   }
 
+  /** q259: rolling 7-day active users (WAU) — EXACT, at scale: the
+    * naive spelling explodes every user into every window it touches
+    * (7× the corpus through a distinct). Here each (day, 32768-user
+    * bucket) builds one bitmap (q213's partial agg), the 7-day union
+    * is `bitmap_or_agg` over a window PARTITIONED BY BUCKET — so the
+    * rolling state is per-bucket-bounded, never corpus-wide — and
+    * the day's WAU is the sum of per-bucket popcounts. The oracle
+    * spells the quadratic day×events containment join the bitmaps
+    * must reproduce. Dense day axis so windows mean calendar days,
+    * not observed-day ranks. */
+  def rollingWau(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+      .where(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val days = ev.select(col("d")).distinct()
+    val perBucket = ev
+      .groupBy(col("d"), expr("bitmap_bucket_number(user_id)").as("buck"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+        .as("bm"))
+      // dense (day × occupied bucket) grid: a bucket silent on a day
+      // must still carry its window history forward
+      .join(days.crossJoin(
+          ev.select(expr("bitmap_bucket_number(user_id)").as("buck"))
+            .distinct()),
+        Seq("d", "buck"), "right")
+    val w = Window.partitionBy(col("buck"))
+      .orderBy(datediff(col("d"), lit("1970-01-01")))
+      .rangeBetween(-6, 0)
+    perBucket
+      .withColumn("wbm", expr("bitmap_or_agg(bm)").over(w))
+      .select(col("d"), expr("bitmap_count(wbm)").as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("wau"))
+      // the q86 day-as-string output rule: engines disagree on the
+      // DATE wire type, not the value
+      .select(col("d").cast("string").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_rolling_wau" -> (rollingWau _),
     "q248_corpus_health" -> (corpusHealth _),
     "q247_split_uniformity" -> (splitUniformity _),
     "q243_gini_tokens" -> (giniTokens _),
@@ -548,6 +588,16 @@ object Mining {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the quadratic containment join the bitmap windows must match
+    "q259_rolling_wau" ->
+      """WITH ev AS (
+        |  SELECT ts::DATE AS d, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT d FROM ev)
+        |SELECT CAST(days.d AS VARCHAR) AS day,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS wau
+        |FROM days JOIN ev ON ev.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // each vital as a scalar subquery; the Gini embeds the q243
     // oracle verbatim, the quality parts the q154 tokenization
     "q248_corpus_health" ->
