@@ -564,7 +564,43 @@ object Mining {
       .orderBy("day")
   }
 
+  /** q260: engagement stickiness — DAU/WAU per day, the canonical
+    * "how often do weekly users show up daily" product metric, from
+    * the SAME per-bucket bitmap grid as q259: the day frame is the
+    * bitmap itself, the week frame the windowed OR, one ratio at the
+    * end. */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+      .where(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val days = ev.select(col("d")).distinct()
+    val perBucket = ev
+      .groupBy(col("d"), expr("bitmap_bucket_number(user_id)").as("buck"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+        .as("bm"))
+      .join(days.crossJoin(
+          ev.select(expr("bitmap_bucket_number(user_id)").as("buck"))
+            .distinct()),
+        Seq("d", "buck"), "right")
+    val w = Window.partitionBy(col("buck"))
+      .orderBy(datediff(col("d"), lit("1970-01-01")))
+      .rangeBetween(-6, 0)
+    perBucket
+      .withColumn("wbm", expr("bitmap_or_agg(bm)").over(w))
+      .select(col("d"),
+        coalesce(expr("bitmap_count(bm)"), lit(0L)).as("dc"),
+        expr("bitmap_count(wbm)").as("wc"))
+      .groupBy(col("d"))
+      .agg(sum(col("dc")).as("dau"), sum(col("wc")).as("wau"))
+      .select(col("d").cast("string").as("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_stickiness" -> (stickiness _),
     "q259_rolling_wau" -> (rollingWau _),
     "q248_corpus_health" -> (corpusHealth _),
     "q247_split_uniformity" -> (splitUniformity _),
@@ -588,6 +624,24 @@ object Mining {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q260_stickiness" ->
+      """WITH ev AS (
+        |  SELECT ts::DATE AS d, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT d FROM ev),
+        |dau AS (
+        |  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ev GROUP BY 1),
+        |wau AS (
+        |  SELECT days.d, CAST(count(DISTINCT ev.user_id) AS BIGINT)
+        |    AS wau
+        |  FROM days JOIN ev ON ev.d BETWEEN days.d - 6 AND days.d
+        |  GROUP BY 1)
+        |SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+        |    AS stickiness
+        |FROM dau JOIN wau ON wau.d = dau.d
+        |ORDER BY day""".stripMargin,
     // the quadratic containment join the bitmap windows must match
     "q259_rolling_wau" ->
       """WITH ev AS (
