@@ -129,7 +129,10 @@ object EventOps {
   /** The dense (event_type, absolute-hour, count) grid — missing
     * hours as explicit zeros — shared by the q250 forecast eval and
     * the q252 anomaly scan. */
-  private def hourlyGrid(s: SparkSession, dir: String): DataFrame = {
+  private def hourlyGrid(s: SparkSession, dir: String): DataFrame =
+    // ≥3 consumers (q250's two lag sides × a/b + q252): one zone, or
+    // the events rollup replays per consumer (12 scans measured)
+    graft.util.Scratch.memo(s, "hourly-grid", s"hourly-grid:$dir") {
     val ev = Tables.load(s, dir, "events")
       .select(col("event_type"), to_date(col("ts")).as("d"),
         hour(col("ts")).cast("long").as("h"))
