@@ -63,6 +63,33 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.length.toLong == nViewUsers)
   }
 
+  test("q250: dense-grid coverage makes the two baselines comparable") {
+    val rows = EventOps.seasonalNaive(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSeas, nN1) = (r.getLong(2), r.getLong(4))
+      // on a contiguous day range the seasonal join loses exactly the
+      // first 24 grid hours where the naive loses 1
+      assert(nSeas == nN1 - 23, s"${r.getString(0)}: $nSeas vs $nN1")
+      assert(r.getLong(1) >= 0 && r.getLong(3) >= 0)
+    }
+  }
+
+  test("q258: credit shares are a partition of each purchase") {
+    val rows = EventOps.decayAttribution(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, h, w, _) =>
+      assert(h >= 0 && h <= 23)
+      assert(w == (1L << (23 - h).toInt))
+    }
+    rows.groupBy(_._1).foreach { case (p, cs) =>
+      val total = cs.map(_._4).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"purchase $p credits $total")
+    }
+  }
+
   test("q218: intervals chain per user — each closes at the next start") {
     rows.groupBy(_._1).foreach { case (u, ivs) =>
       val seq = ivs.sortBy(_._3)
