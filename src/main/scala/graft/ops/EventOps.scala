@@ -263,6 +263,29 @@ object EventOps {
       .orderBy("p_id", "c_id")
   }
 
+  /** q261: inter-arrival analysis — per event type, the per-user gap
+    * statistics (count, exact millisecond sum, mean, and the
+    * events-per-hour rate a capacity planner reads): one lag window
+    * per user stream, integer gap sums, two final divisions. */
+  def interArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ms"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_gap_ms"),
+        max(col("gap")).as("max_gap_ms"))
+      .withColumn("mean_gap_ms",
+        col("sum_gap_ms").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("rate_per_hour",
+        (col("n_gaps") * lit(3600000L)).cast("double") /
+          col("sum_gap_ms").cast("double"))
+      .orderBy("event_type")
+  }
+
   /** q62: as-of join — for each 'error' event, the most recent 'click'
     * timestamp of the same user at or before it. Implemented as ONE
     * pass: order each user's events by time with clicks sorting before
@@ -821,6 +844,7 @@ object EventOps {
     "q257_top_paths" -> ((s: SparkSession, d: String) =>
       topPaths(s, d)),
     "q258_decay_attribution" -> (decayAttribution _),
+    "q261_interarrival" -> (interArrival _),
     "q119_forward_fill"   -> (forwardFill _),
     "q127_funnel"         -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q128_retention"      -> (retention _),
@@ -917,6 +941,25 @@ object EventOps {
            |    OR $BitemporalProbeMs < valid_to_ms)
            |GROUP BY event_type""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY epoch, event_type"),
+    "q261_interarrival" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, ms - lag(ms) OVER w AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY ms, event_id)),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap) AS BIGINT) AS sum_gap_ms,
+        |    CAST(max(gap) AS BIGINT) AS max_gap_ms
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps, sum_gap_ms, max_gap_ms,
+        |  CAST(sum_gap_ms AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |    AS mean_gap_ms,
+        |  CAST(n_gaps * 3600000 AS DOUBLE) / CAST(sum_gap_ms AS DOUBLE)
+        |    AS rate_per_hour
+        |FROM a ORDER BY event_type""".stripMargin,
     "q258_decay_attribution" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
