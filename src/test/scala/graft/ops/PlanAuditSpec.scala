@@ -248,6 +248,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q144: the incremental-cluster derivation carries no unbounded hint") {
+    // The round-7 residual: incrementalClusters seeded its label table
+    // via broadcast(base) where base = connectedComponents(oldEdges) —
+    // the edge-PARTICIPANT relation that is O(corpus) on a near-dup-
+    // heavy web corpus. The hint is gone; the ONLY sanctioned hinted
+    // build side left in this plan is applyEdgeBatch's driver-folded
+    // meta relation, which is a LocalRelation bounded by the batch
+    // contract (maxRows statically known). Anything scan-backed that
+    // carries a strategy hint fails here.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.dedup.Dedup.incrementalClusters(spark, sf())
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }.filterNot { j =>
+      // statically-bounded build side (driver-local meta) is legal
+      Seq(j.left, j.right).exists(_.maxRows.isDefined)
+    }
+    assert(hinted.isEmpty,
+      s"unbounded strategy-hinted join in q144 derivation: " +
+        hinted.map(_.hint.toString))
+  }
+
   test("q180/q182: graph/report consumers carry no strategy hints either") {
     // same discipline extended to the round-12 additions: PageRank's
     // per-iteration rank joins and the histogram's totals must be
