@@ -133,7 +133,16 @@ object EventOps {
     // ≥3 consumers (q250's two lag sides × a/b + q252): one zone, or
     // the events rollup replays per consumer (12 scans measured)
     graft.util.Scratch.memo(s, "hourly-grid", s"hourly-grid:$dir") {
-    val ev = Tables.load(s, dir, "events")
+      denseGridOf(Tables.load(s, dir, "events"))
+    }
+
+  /** The dense grid from any (event_type, ts) relation — the batch
+    * derivation of [[hourlyGrid]], shared with the streaming hourly-
+    * count zone ([[graft.streaming.HourlyCountMaint]]) so the
+    * monitoring stream and the batch scan can never drift. */
+  private[graft] def denseGridOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    val ev = events
       .select(col("event_type"), to_date(col("ts")).as("d"),
         hour(col("ts")).cast("long").as("h"))
     val counts = ev.groupBy(col("event_type"), col("d"), col("h"))
@@ -146,6 +155,24 @@ object EventOps {
       .select(col("event_type"),
         (datediff(col("d"), lit("1970-01-01")).cast("long") * 24 +
           col("h")).as("t"),
+        coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  /** Re-densify a SPARSE (event_type, t, c) count relation — missing
+    * hours of every observed (date × type) become explicit zeros,
+    * exactly the [[denseGridOf]] grid (a date is "observed" iff any
+    * type has an event in it, which is also when the batch grid
+    * includes it). The streaming readout path. */
+  private[graft] def densify(sparse: DataFrame): DataFrame = {
+    val s = sparse.sparkSession
+    // t ≥ 0 always (hours since epoch), so expr-div ≡ floor division
+    val dates = sparse.select(expr("t div 24").as("day")).distinct()
+    val types = sparse.select(col("event_type")).distinct()
+    dates.crossJoin(types)
+      .crossJoin(s.range(0, 24).select(col("id").as("h")))
+      .select(col("event_type"), (col("day") * 24 + col("h")).as("t"))
+      .join(sparse, Seq("event_type", "t"), "left")
+      .select(col("event_type"), col("t"),
         coalesce(col("c"), lit(0L)).as("c"))
   }
 
@@ -184,10 +211,15 @@ object EventOps {
     *
     * Scale shape: one window per event type over the dense hourly
     * grid — bounded by the time range, not the corpus. */
-  def countAnomaly(s: SparkSession, dir: String): DataFrame = {
+  def countAnomaly(s: SparkSession, dir: String): DataFrame =
+    anomalyOf(hourlyGrid(s, dir))
+
+  /** The q252 scoring over any dense (event_type, t, c) grid — shared
+    * by the batch gate and the streaming monitor's readout. */
+  private[graft] def anomalyOf(grid: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
       .rowsBetween(-24, -1)
-    hourlyGrid(s, dir)
+    grid
       .withColumn("nw", count(lit(1)).over(w))
       .withColumn("sw", sum(col("c")).over(w))
       .withColumn("ssw", sum(col("c") * col("c")).over(w))
@@ -575,10 +607,17 @@ object EventOps {
     * previous step's 1-row-per-user relation on the key — three
     * key-equality shuffles, no windows, no self-join fan-out. */
   def orderedFunnel(s: SparkSession, dir: String,
-                    windowMs: Long = 1800000L): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
+                    windowMs: Long = 1800000L): DataFrame =
+    orderedFunnelOf(Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("ms"))
+        unix_millis(col("ts")).as("ms")), windowMs)
+
+  /** The q227 transform over any (user_id, event_type, ms) relation —
+    * [[graft.streaming.Streams.funnelStream]]'s spec gates its keyed
+    * state machine against THIS spelling, so the streaming funnel can
+    * never drift from the batch parse. */
+  private[graft] def orderedFunnelOf(ev: DataFrame,
+                                     windowMs: Long): DataFrame = {
     val s1 = ev.where(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
     val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")

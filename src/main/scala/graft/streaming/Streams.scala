@@ -506,6 +506,80 @@ object Streams {
     *
     * Output adds `bloom_hit` (route to quarantine + exact check) and
     * `admitted`. */
+  /** Streaming ORDERED funnel — the q227 mirror: per-user keyed state
+    * machine tracking view → click → purchase with per-step deadlines
+    * (`windowMs` from the previous step), EXACT under out-of-order
+    * delivery. The batch parse is greedy-earliest (t1 = min view,
+    * t2 = min click in [t1, t1+w], t3 = min purchase in [t2, t2+w]),
+    * so late data can only move step times EARLIER — t1 is monotone
+    * non-increasing, hence t2 and t3 are too. That monotonicity is
+    * what bounds the state: a click > t1+w or a purchase > t2+w can
+    * never qualify later (the windows only move left), so candidates
+    * are pruned against the CURRENT bounds and the retained state is
+    * the in-window step candidates only. Candidates that precede the
+    * first view (or first qualifying click) are retained — an earlier
+    * view arriving late can still pull them into the window; a
+    * production deployment evicts them past its watermark horizon.
+    *
+    * Emits the user's current funnel row on every update, tagged with
+    * a per-user update sequence (`upd`) so a drain's FINAL row per
+    * user is identifiable; StreamsSpec pins that final state ≡
+    * [[graft.ops.EventOps.orderedFunnelOf]] over the same events for
+    * out-of-order batch splits. State is hash-partitioned by user in
+    * the state store at scale. */
+  def funnelStream(events: DataFrame,
+                   windowMs: Long = 1800000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Option[Long], List[Long], List[Long], Long),
+        (Long, Long, Option[Long], Option[Long], Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Option[Long], List[Long], List[Long], Long)]) =>
+          val (v0, c0, p0, upd0) = state.getOption
+            .getOrElse((Option.empty[Long], List.empty[Long],
+              List.empty[Long], 0L))
+          var t1 = v0
+          var clicks = c0
+          var purchases = p0
+          rows.foreach { case (_, et, ms) =>
+            et match {
+              case "view" => if (t1.forall(ms < _)) t1 = Some(ms)
+              case "click" => clicks ::= ms
+              case "purchase" => purchases ::= ms
+              case _ => ()
+            }
+          }
+          // prune against the current (monotone non-increasing)
+          // bounds, then derive the greedy step times
+          val t2 = t1.flatMap { a =>
+            clicks = clicks.filter(_ <= a + windowMs)
+            clicks.filter(_ >= a).minOption
+          }
+          val t3 = t2.flatMap { b =>
+            purchases = purchases.filter(_ <= b + windowMs)
+            purchases.filter(_ >= b).minOption
+          }
+          val upd = upd0 + 1
+          state.update((t1, clicks, purchases, upd))
+          t1 match {
+            case Some(a) =>
+              val reached =
+                if (t3.isDefined) 3L else if (t2.isDefined) 2L else 1L
+              Iterator((user, a, t2, t3, reached, upd))
+            case None => Iterator.empty // no view yet → no funnel row
+          }
+      }
+      .toDF("user_id", "t1", "t2", "t3", "reached", "upd")
+  }
+
   /** Streaming FUZZY admission: flag records whose `name` is within
     * edit distance ≤ `maxEdits` of any name on a bounded reference
     * list (typo-squatted usernames, near-variant banned titles) —

@@ -557,6 +557,116 @@ class StreamsSpec extends SparkSpec {
       (h0 + 8 * 3600000L, "click", 1L, 1.0)))
   }
 
+  test("funnel stream: keyed state machine ≡ batch greedy parse, out-of-order") {
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    val in = Files.createTempDirectory("funnel_in").toString
+    val ckpt = Files.createTempDirectory("funnel_ckpt").toString
+    def ev(id: Long, user: Long, et: String, hhmm: String) =
+      s"""{"event_id":$id,"ts":"2024-01-01T$hhmm:00Z","user_id":$user,"event_type":"$et","value":1.0}"""
+    // u1 full funnel; u2 click past the 30-min deadline; u3 purchase
+    // past the deadline; u4's VIEW arrives in the last file and must
+    // unlock the click+purchase seen earlier; u5's late EARLIER view
+    // pulls a click that preceded the first view into the window
+    writeBatch(in, "b1.json",
+      ev(1, 1, "view", "00:00"),
+      ev(2, 2, "view", "00:00"),
+      ev(3, 3, "view", "00:00"),
+      ev(4, 4, "click", "00:05"),
+      ev(5, 5, "view", "00:30"),
+      ev(6, 5, "click", "00:05"))
+    writeBatch(in, "b2.json",
+      ev(7, 1, "click", "00:10"),
+      ev(8, 2, "click", "00:40"),
+      ev(9, 3, "click", "00:10"),
+      ev(10, 4, "purchase", "00:10"),
+      ev(11, 3, "purchase", "00:55"))
+    writeBatch(in, "b3.json",
+      ev(12, 1, "purchase", "00:20"),
+      ev(13, 4, "view", "00:02"),
+      ev(14, 5, "view", "00:01"))
+    val out = Streams.funnelStream(
+      Streams.rateLimitedStream(spark, in, schema, maxFilesPerTrigger = 1))
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("user_id"), r.getAs[Long]("t1"),
+      if (r.isNullAt(r.fieldIndex("t2"))) None
+      else Some(r.getAs[Long]("t2")),
+      if (r.isNullAt(r.fieldIndex("t3"))) None
+      else Some(r.getAs[Long]("t3")),
+      r.getAs[Long]("reached"))
+    // final emission per user = max update sequence
+    val got = spark.table("funnel").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (_, rows) => key(rows.maxBy(_.getAs[Long]("upd"))) }
+      .toSet
+    val batch = graft.ops.EventOps.orderedFunnelOf(
+        spark.read.schema(schema).json(in)
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms")), 1800000L)
+      .collect().map(key).toSet
+    assert(got == batch,
+      s"stream funnel drifted from batch parse:\n$got\nvs\n$batch")
+    // the late-view unlocks really happened
+    val m0 = 1704067200000L // 2024-01-01T00:00Z
+    assert(got.contains((4L, m0 + 2 * 60000L, Some(m0 + 5 * 60000L),
+      Some(m0 + 10 * 60000L), 3L)))
+    assert(got.contains((5L, m0 + 60000L, Some(m0 + 5 * 60000L),
+      None, 2L)))
+  }
+
+  test("hourly-count maintenance: streamed anomaly scan ≡ batch q252") {
+    val in = Files.createTempDirectory("hcm_in").toString
+    val ckpt = Files.createTempDirectory("hcm_ckpt").toString
+    val root = Files.createTempDirectory("hcm_zone").toString + "/z"
+    // 30 hours of clicks with deterministic per-hour counts and a
+    // spike at hour 28 (clear anomaly); sparse 'view' hours exercise
+    // the re-densification zeros
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+    var id = 0L
+    for (h <- 0 until 30) {
+      val n = if (h == 28) 40 else 3 + (h % 5)
+      for (i <- 0 until n) {
+        id += 1
+        rows += s"""{"event_id":$id,"ts":"2024-01-${"%02d".format(1 + h / 24)}T${"%02d".format(h % 24)}:${"%02d".format(i % 60)}:00Z","user_id":${i % 7},"event_type":"click","value":1.0}"""
+      }
+    }
+    for (h <- Seq(2, 20)) {
+      id += 1
+      rows += s"""{"event_id":$id,"ts":"2024-01-01T${"%02d".format(h)}:00:00Z","user_id":1,"event_type":"view","value":1.0}"""
+    }
+    // three heavily out-of-order micro-batches (round-robin split)
+    rows.zipWithIndex.groupBy(_._2 % 3).foreach { case (k, rs) =>
+      writeBatch(in, s"b$k.json", rs.map(_._1).toSeq: _*)
+    }
+    val q = HourlyCountMaint.sink(
+      Streams.rateLimitedStream(spark, in, schema, maxFilesPerTrigger = 1),
+      root, ckpt)
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("event_type"), r.getAs[Long]("t"),
+      r.getAs[Long]("c"), r.getAs[Long]("sw"), r.getAs[Long]("ssw"),
+      if (r.isNullAt(r.fieldIndex("z"))) None
+      else Some(r.getAs[Double]("z")),
+      r.getAs[Boolean]("anomalous"))
+    val got = HourlyCountMaint.anomalies(spark, root).collect()
+      .map(key).toSet
+    val batch = graft.ops.EventOps.anomalyOf(
+        graft.ops.EventOps.denseGridOf(spark.read.schema(schema).json(in)))
+      .collect().map(key).toSet
+    assert(got == batch,
+      s"maintained anomaly scan drifted from batch q252")
+    // the planted hour-28 spike is flagged
+    // absolute hour 28 after 2024-01-01T00 (= day 19723 since epoch)
+    val spikeT = 19723L * 24 + 28
+    assert(got.exists { case (et, t, c, _, _, _, a) =>
+      et == "click" && t == spikeT && c == 40L && a })
+  }
+
   test("streaming HLL final state ≡ batch q179 sketch, any batch split") {
     val in = Files.createTempDirectory("hll_in").toString
     val ckpt = Files.createTempDirectory("hll_ckpt").toString
