@@ -235,6 +235,63 @@ object EventOps {
       .orderBy("event_type", "t")
   }
 
+  /** q266: RFM segmentation — the classic marketing rollup: each
+    * purchasing user scored 1–5 on Recency (last purchase day),
+    * Frequency (purchase count) and Monetary (lifetime cents), then
+    * segment counts. Scores are EXACT quintiles via the q159
+    * value-histogram method — (value, count) rollup, running count
+    * over the histogram, threshold = smallest value whose running
+    * count reaches ⌈q·n/5⌉ — never an `ntile` (a corpus-sized
+    * single-partition sort) and never a float percentile (engines
+    * disagree on interpolation). Frequency and monetary are
+    * log-bucketed by bit-length first (`length(bin(x))`, the shared
+    * cross-engine idiom) so their histogram domains are ≤64 rows by
+    * construction; recency's domain is the day range. Score = 1 +
+    * |thresholds strictly below| — pure integer logic, bit-identical
+    * across engines.
+    *
+    * Scale shape: one events scan → per-user rollup (user-keyed
+    * shuffle); three histograms whose windows run over BOUNDED
+    * domains (days / ≤64 bit-lengths — the q159 tiny-window rule);
+    * thresholds are 1-row constant broadcasts; scoring is map-side. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.load(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("rv"),
+        length(bin(count(lit(1)))).cast("long").as("fv"),
+        length(bin(sum(col("cents")).cast("long"))).cast("long")
+          .as("mv"))
+    val tot = u.agg(count(lit(1)).as("tot"))
+    def thresholds(c: String, p: String): DataFrame = {
+      val h = u.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      // bounded-domain histogram window (days / ≤64 bit-lengths)
+      val cum = h.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("v"))))
+      def t(pct: Int) =
+        min(when(col("cum") >= expr(s"(tot * $pct + 99) div 100"),
+          col("v"))).as(s"$p$pct")
+      cum.crossJoin(broadcast(tot))
+        .agg(t(20), t(40), t(60), t(80))
+    }
+    def score(c: String, p: String) =
+      (lit(1L) +
+        when(col(c) > col(s"${p}20"), 1L).otherwise(0L) +
+        when(col(c) > col(s"${p}40"), 1L).otherwise(0L) +
+        when(col(c) > col(s"${p}60"), 1L).otherwise(0L) +
+        when(col(c) > col(s"${p}80"), 1L).otherwise(0L)).as(s"${p}_score")
+    u.crossJoin(broadcast(thresholds("rv", "r")))
+      .crossJoin(broadcast(thresholds("fv", "f")))
+      .crossJoin(broadcast(thresholds("mv", "m")))
+      .select(score("rv", "r"), score("fv", "f"), score("mv", "m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** q257: top user journeys — the most common 3-step event paths
     * (q228's transition matrix is first-order; this is the path-level
     * report product analytics reads to see what users actually DO):
@@ -890,6 +947,7 @@ object EventOps {
     "q242_bitemporal" -> (bitemporal _),
     "q250_seasonal_naive" -> (seasonalNaive _),
     "q252_count_anomaly" -> (countAnomaly _),
+    "q266_rfm_segments" -> (rfmSegments _),
     "q257_top_paths" -> ((s: SparkSession, d: String) =>
       topPaths(s, d)),
     "q258_decay_attribution" -> (decayAttribution _),
@@ -1010,6 +1068,63 @@ object EventOps {
         |  CAST(n_gaps * 3600000 AS DOUBLE) / CAST(sum_gap_ms AS DOUBLE)
         |    AS rate_per_hour
         |FROM a ORDER BY event_type""".stripMargin,
+    "q266_rfm_segments" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS MATERIALIZED (
+        |  SELECT user_id, max(day) AS rv,
+        |    CAST(length(bin(CAST(count(*) AS BIGINT))) AS BIGINT) AS fv,
+        |    CAST(length(bin(CAST(sum(cents) AS BIGINT))) AS BIGINT)
+        |      AS mv
+        |  FROM p GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM u),
+        |rc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM
+        |  (SELECT rv AS v, count(*) AS cnt FROM u GROUP BY 1)),
+        |fc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM
+        |  (SELECT fv AS v, count(*) AS cnt FROM u GROUP BY 1)),
+        |mc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM
+        |  (SELECT mv AS v, count(*) AS cnt FROM u GROUP BY 1)),
+        |rt AS (SELECT
+        |  min(CASE WHEN cum >= (tot*20+99)//100 THEN v END) AS r20,
+        |  min(CASE WHEN cum >= (tot*40+99)//100 THEN v END) AS r40,
+        |  min(CASE WHEN cum >= (tot*60+99)//100 THEN v END) AS r60,
+        |  min(CASE WHEN cum >= (tot*80+99)//100 THEN v END) AS r80
+        |  FROM rc, tot),
+        |ft AS (SELECT
+        |  min(CASE WHEN cum >= (tot*20+99)//100 THEN v END) AS f20,
+        |  min(CASE WHEN cum >= (tot*40+99)//100 THEN v END) AS f40,
+        |  min(CASE WHEN cum >= (tot*60+99)//100 THEN v END) AS f60,
+        |  min(CASE WHEN cum >= (tot*80+99)//100 THEN v END) AS f80
+        |  FROM fc, tot),
+        |mt AS (SELECT
+        |  min(CASE WHEN cum >= (tot*20+99)//100 THEN v END) AS m20,
+        |  min(CASE WHEN cum >= (tot*40+99)//100 THEN v END) AS m40,
+        |  min(CASE WHEN cum >= (tot*60+99)//100 THEN v END) AS m60,
+        |  min(CASE WHEN cum >= (tot*80+99)//100 THEN v END) AS m80
+        |  FROM mc, tot),
+        |sc AS (
+        |  SELECT
+        |    1 + (CASE WHEN rv > r20 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rv > r40 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rv > r60 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN rv > r80 THEN 1 ELSE 0 END) AS r_score,
+        |    1 + (CASE WHEN fv > f20 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN fv > f40 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN fv > f60 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN fv > f80 THEN 1 ELSE 0 END) AS f_score,
+        |    1 + (CASE WHEN mv > m20 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN mv > m40 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN mv > m60 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN mv > m80 THEN 1 ELSE 0 END) AS m_score
+        |  FROM u, rt, ft, mt)
+        |SELECT CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM sc GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
     "q258_decay_attribution" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,

@@ -258,7 +258,35 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** q267's one text: min-cost supplier per part — the TPC-H Q2
+    * shape, spelled as a CORRELATED scalar aggregate subquery (the
+    * classic "row whose value equals its group's min" idiom a BI
+    * user writes). Catalyst decorrelates it into an aggregate +
+    * equi-join on l_partkey — same plan the hand-written two-step
+    * spelling gets, which is exactly what makes the surface safe at
+    * scale: no per-row re-execution survives optimization. Ties on
+    * the min price collapse to the smallest supplier key, so the
+    * output is deterministic. One string, two engines (the q235
+    * discipline); the price column is emitted verbatim (no double
+    * arithmetic), so the hash gates it. */
+  private val MinCostSql =
+    """SELECT l.l_partkey AS partkey,
+      |  CAST(min(l.l_suppkey) AS BIGINT) AS suppkey,
+      |  l.l_extendedprice AS min_price
+      |FROM lineitem l
+      |WHERE l.l_extendedprice = (
+      |  SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |  WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY l.l_partkey, l.l_extendedprice
+      |ORDER BY partkey""".stripMargin
+
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerViews(s, dir)
+    s.sql(MinCostSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_min_cost_supplier" -> (minCostSupplier _),
     "q230_custdist" -> (custDist _),
     "q220_relational_division" -> (relationalDivision _),
     "q10_groupby_agg"      -> (groupbyAgg _),
@@ -280,6 +308,7 @@ object Relational {
     "q25_pivot"            -> (pivotStatus _))
 
   val oracle: Map[String, String] = Map(
+    "q267_min_cost_supplier" -> MinCostSql,
     "q230_custdist" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
         |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT)

@@ -288,7 +288,99 @@ object SqlSurface {
         |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** q262's one text: `GROUP BY ROLLUP` — the subtotal/grand-total
+    * report every warehouse runs (day × type counts with per-type and
+    * overall rollup rows). One string, two engines (the q235/q211
+    * discipline): GROUPING() flags are cast to BIGINT and carried so
+    * rollup NULLs are distinguishable from data NULLs, and the ORDER
+    * BY coalesces the nullable keys — Spark sorts NULLs first,
+    * DuckDB last, so no nullable column may ever be a sort key (the
+    * SCD2 tie-break rule, applied to super-aggregates).
+    *
+    * Scale shape: Spark plans ROLLUP as ONE Expand (×3 here) + one
+    * partial-agg — the map-side combine absorbs the expansion before
+    * the exchange, so it shards like any groupBy. */
+  private val RollupSql =
+    """SELECT event_type, CAST(CAST(ts AS DATE) AS STRING) AS day,
+      |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+      |  CAST(GROUPING(CAST(CAST(ts AS DATE) AS STRING)) AS BIGINT)
+      |    AS g_day,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY ROLLUP(event_type, CAST(CAST(ts AS DATE) AS STRING))
+      |ORDER BY g_type, g_day, COALESCE(event_type, ''),
+      |  COALESCE(day, '')""".stripMargin
+
+  def sqlRollup(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(RollupSql)
+  }
+
+  /** q263's one text: `GROUP BY CUBE` over (source, lang) — all four
+    * grouping combinations in one pass (the marginals report). Same
+    * shared-text + GROUPING-flag + coalesced-sort discipline as
+    * [[RollupSql]]; the Expand factor is 2^dims = 4, still absorbed
+    * by the partial aggregate. */
+  private val CubeSql =
+    """SELECT source, lang,
+      |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+      |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY CUBE(source, lang)
+      |ORDER BY g_source, g_lang, COALESCE(source, ''),
+      |  COALESCE(lang, '')""".stripMargin
+
+  def sqlCube(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(CubeSql)
+  }
+
+  /** q264's one text: explicit `GROUPING SETS` — the general form
+    * ROLLUP/CUBE desugar into, exercised with a non-hierarchical set
+    * list ((source, lang), (lang), ()) that neither shorthand can
+    * express. */
+  private val GroupingSetsSql =
+    """SELECT source, lang,
+      |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+      |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents
+      |GROUP BY GROUPING SETS ((source, lang), (lang), ())
+      |ORDER BY g_source, g_lang, COALESCE(source, ''),
+      |  COALESCE(lang, '')""".stripMargin
+
+  def sqlGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(GroupingSetsSql)
+  }
+
+  /** q265: the SQL `UNPIVOT` clause (the PIVOT inverse, q245's
+    * sibling) — a wide per-source metrics row melts into (source,
+    * metric, val) long form, the shape a metrics store or chart
+    * ingests. DuckDB's UNPIVOT grammar differs, so the oracle spells
+    * the UNION ALL desugaring — exactly what Spark's analyzer
+    * rewrites UNPIVOT into (an Expand node: map-side, no shuffle
+    * beyond the metric rollup itself). */
+  def sqlUnpivot(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT source, metric, val FROM (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(max(n_chars) AS BIGINT) AS max_chars
+        |  FROM documents GROUP BY source)
+        |UNPIVOT (val FOR metric IN (n_docs, total_chars, max_chars))
+        |ORDER BY source, metric""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_sql_rollup" -> (sqlRollup _),
+    "q263_sql_cube" -> (sqlCube _),
+    "q264_grouping_sets" -> (sqlGroupingSets _),
+    "q265_sql_unpivot" -> (sqlUnpivot _),
     "q245_sql_pivot" -> (sqlPivotClause _),
     "q244_greedy_decode" -> (sqlGreedyDecode _),
     "q235_group_by_all" -> (sqlGroupByAll _),
@@ -301,6 +393,24 @@ object SqlSurface {
     "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    // shared texts — DuckDB runs the identical string
+    "q262_sql_rollup" -> RollupSql,
+    "q263_sql_cube" -> CubeSql,
+    "q264_grouping_sets" -> GroupingSetsSql,
+    // the UNION ALL desugaring of the UNPIVOT clause
+    "q265_sql_unpivot" ->
+      """WITH m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(max(n_chars) AS BIGINT) AS max_chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, metric, val FROM (
+        |  SELECT source, 'n_docs' AS metric, n_docs AS val FROM m
+        |  UNION ALL
+        |  SELECT source, 'total_chars', total_chars FROM m
+        |  UNION ALL
+        |  SELECT source, 'max_chars', max_chars FROM m)
+        |ORDER BY source, metric""".stripMargin,
     // the conditional-aggregation desugaring of the PIVOT clause
     "q245_sql_pivot" ->
       """SELECT o_orderstatus,

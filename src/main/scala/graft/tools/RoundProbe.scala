@@ -11,8 +11,12 @@ object RoundProbe {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q36_jaccard_pairs", "q98_dedup_clusters",
         "q144_incremental_clusters")
+    // SPARK_GRAFT_SHUFFLE scales partition count with data size (the
+    // 100 TB dial: per-task aggregation state shrinks with partition
+    // count, so larger SFs need more partitions, not more heap)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
