@@ -285,8 +285,57 @@ object Relational {
     s.sql(MinCostSql)
   }
 
+  /** The five-batch join-view zone (built once per scale dir): the
+    * orders ⋈ customer view folded through
+    * [[graft.sinks.JoinMaintain]] with deliberately out-of-order
+    * sides — odd-custkey customers arrive only AFTER two orders
+    * batches already referenced them (the late-arriving-dimension
+    * case: those orders wait in the bucketed fact store until the
+    * dim batch's pruned scan picks them up). */
+  private def joinViewZone(s: SparkSession, dir: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
+      s"joinview_${Integer.toHexString(dir.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val staging = new org.apache.hadoop.fs.Path(root + ".staging")
+      fs.delete(staging, true)
+      val o = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_orderstatus"))
+      val c = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val J = graft.sinks.JoinMaintain
+      J.init(s, staging.toString, o.where(col("o_orderkey") % 3 === 0),
+        c.where(col("custkey") % 2 === 0), "custkey")
+      J.applyFactBatch(s, staging.toString, "custkey",
+        o.where(col("o_orderkey") % 3 === 1))
+      J.applyDimBatch(s, staging.toString, "custkey",
+        c.where(col("custkey") % 2 === 1))
+      J.applyFactBatch(s, staging.toString, "custkey",
+        o.where(col("o_orderkey") % 3 === 2))
+      if (!fs.rename(staging, p) && !fs.exists(p))
+        sys.error(s"could not publish join view zone at $root")
+      fs.delete(staging, true)
+    }
+    root
+  }
+
+  /** q270: incrementally maintained JOIN view — read back the
+    * [[joinViewZone]] fold and prove it IS the one-shot
+    * orders ⋈ customer join (the oracle): the delta rule's
+    * exactly-one-emitter argument ([[graft.sinks.JoinMaintain]]),
+    * made hash-checkable. The IVM counterpart of q223's maintained
+    * SCD2 zone, for the join operator itself. */
+  def joinViewMaintained(s: SparkSession, dir: String): DataFrame =
+    graft.sinks.JoinMaintain.read(s, joinViewZone(s, dir))
+      .select(col("o_orderkey"), col("custkey"), col("c_name"),
+        col("o_orderstatus"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q267_min_cost_supplier" -> (minCostSupplier _),
+    "q270_join_view_maintained" -> (joinViewMaintained _),
     "q230_custdist" -> (custDist _),
     "q220_relational_division" -> (relationalDivision _),
     "q10_groupby_agg"      -> (groupbyAgg _),
@@ -309,6 +358,12 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q267_min_cost_supplier" -> MinCostSql,
+    // the one-shot join the five-batch IVM fold must equal
+    "q270_join_view_maintained" ->
+      """SELECT o.o_orderkey, c.c_custkey AS custkey, c.c_name,
+        |  o.o_orderstatus
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q230_custdist" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
         |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT)

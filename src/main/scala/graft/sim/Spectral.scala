@@ -384,6 +384,91 @@ object Spectral {
         .stripMargin
     }.mkString(",\n")
 
+  /** q268's round budget: exactly [[LpRounds]] synchronous rounds in
+    * BOTH engines. Unlike the k-core peel (monotone ⇒ fixpoint),
+    * synchronous majority propagation can oscillate on near-bipartite
+    * structure (Raghavan et al. 2007 §3), so "until stable" is not a
+    * well-defined contract — the deterministic variant is a FIXED
+    * round count, which also makes the oracle a finite unroll with no
+    * post-fixpoint-no-op argument needed. */
+  val LpRounds = 5
+
+  /** q268: label-propagation communities on the kNN graph (Raghavan
+    * et al. 2007, made deterministic): init label(v) = v; each round,
+    * every node simultaneously adopts the label carried by MOST of
+    * its neighbors, ties to the smallest label, isolated nodes keep
+    * their own; after [[LpRounds]] rounds, emit each node's community
+    * and its size. Communities differ from both existing clustering
+    * views: q107/q156 merge only near-DUPLICATES (edges above a
+    * similarity threshold), k-means partitions by centroid distance —
+    * LPA finds DENSITY regions of the same k-bounded graph the
+    * PageRank/k-core/triangle family already shares, completing the
+    * graph-analytics zone's consumer set.
+    *
+    * Runs on the symmetrized UNION of the q155 zone (every kNN
+    * relation votes, reciprocal or not — contrast [[kCore]], where
+    * the union graph is degenerate because out-degree is k by
+    * construction; majority VOTING has no such degeneracy).
+    *
+    * Scale shape: per round, one edge⋈label join + one (node, label)
+    * count + one per-node argmax — all key-partitioned with k-bounded
+    * fan-in (≤ 2k votes/node), never a corpus broadcast; round state
+    * is eagerly localCheckpoint-ed (the q232/q208 lineage rule).
+    * Deterministic argmax = row_number over (count DESC, label ASC),
+    * the shared cross-engine tie-break idiom. */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.knnGraphZone(s, dir)
+    val und = e.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"))
+      .union(e.select(col("neighbor_id").as("src"),
+        col("query_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // consumed once per round — derive ONCE
+    val nodes = corpus(s, dir).select(col("vec_id").as("id"))
+    var labels = nodes.withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpRounds) {
+      val votes = und
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val win = Window.partitionBy(col("src"))
+        .orderBy(col("cnt").desc, col("lbl"))
+      val best = votes.withColumn("rn", row_number().over(win))
+        .where(col("rn") === 1)
+        .select(col("src").as("id"), col("lbl").as("nlbl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true) // read twice next round + final sizes
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("vec_id"), col("lbl").as("community"),
+        col("csize"))
+      .orderBy("vec_id")
+  }
+
+  /** The unrolled propagation rounds as DuckDB CTEs — generated from
+    * the SAME [[LpRounds]] constant the Spark loop uses. */
+  private def lpIterSql: String =
+    (1 to LpRounds).map { r =>
+      s"""c$r AS (
+         |  SELECT u.src, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM und u JOIN l${r - 1} l ON l.id = u.dst
+         |  GROUP BY 1, 2),
+         |b$r AS (
+         |  SELECT src AS id, lbl FROM (
+         |    SELECT src, lbl, row_number() OVER (PARTITION BY src
+         |      ORDER BY cnt DESC, lbl) AS rn FROM c$r)
+         |  WHERE rn = 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT p.id, coalesce(b.lbl, p.lbl) AS lbl
+         |  FROM l${r - 1} p LEFT JOIN b$r b ON b.id = p.id)"""
+        .stripMargin
+    }.mkString(",\n")
+
   /** q237: Rand index between two INDEPENDENT clusterings of the same
     * corpus — the q173 k-means topics vs the q107 SRP-LSH connected
     * components: the standard "do two unsupervised views agree"
@@ -418,6 +503,7 @@ object Spectral {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_label_prop" -> (labelProp _),
     "q237_rand_index" -> (randIndex _),
     "q232_kcore" -> (kCore _),
     "q176_embedding_covariance" -> (covarianceMatrix _),
@@ -425,6 +511,21 @@ object Spectral {
     "q180_pagerank_centrality" -> (pagerankCentrality _))
 
   val oracle: Map[String, String] = Map(
+    "q268_label_prop" ->
+      s"""WITH ${Similarity.knnEdgesSql},
+         |und AS MATERIALIZED (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM edges
+         |  UNION
+         |  SELECT neighbor_id AS src, query_id AS dst FROM edges),
+         |l0 AS MATERIALIZED (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings),
+         |$lpIterSql,
+         |sz AS (
+         |  SELECT lbl, CAST(count(*) AS BIGINT) AS csize
+         |  FROM l$LpRounds GROUP BY 1)
+         |SELECT l.id AS vec_id, l.lbl AS community, sz.csize
+         |FROM l$LpRounds l JOIN sz ON sz.lbl = l.lbl
+         |ORDER BY vec_id""".stripMargin,
     // both clusterings' EXISTING oracle strings embedded verbatim —
     // the agreement metric cannot drift from its inputs
     "q237_rand_index" ->

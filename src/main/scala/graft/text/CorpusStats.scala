@@ -588,7 +588,12 @@ object CorpusStats {
     * k coverage positions each (k× a vanishing fraction — only
     * SHARED occurrences expand); survivors reassemble per doc via
     * the bounded collect_list-sort (q113's invariant). */
-  def exactSpanScrub(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** The tokenized corpus zone + cross-doc-covered positions shared
+    * by q145 (scrub) and q269 (span report): (docs, covered) where
+    * covered = DISTINCT (doc_id, pos) for every token position inside
+    * a k-gram that occurs verbatim in ANOTHER document. */
+  private def coveredPositions(s: SparkSession, dir: String,
+                               k: Int): (DataFrame, DataFrame) = {
     import graft.dedup.Md5Prefix
     val docs = graft.util.Scratch.memo(s, "span-tokens",
       s"span-tokens:$dir")(
@@ -610,6 +615,11 @@ object CorpusStats {
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(k - 1))).as("pos"))
       .distinct()
+    (docs, covered)
+  }
+
+  def exactSpanScrub(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val (docs, covered) = coveredPositions(s, dir, k)
     val tokens = docs
       .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
     val kept = tokens
@@ -627,6 +637,36 @@ object CorpusStats {
           .as("n_scrubbed"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
       .orderBy("doc_id")
+  }
+
+  /** q269: duplicated-span INVENTORY — the diagnostic report q145's
+    * scrub destroys on its way out: every MAXIMAL run of cross-doc-
+    * duplicated token positions per document, as (doc, start, end,
+    * length). This is what a curation engineer reads before turning
+    * the scrub on — where the boilerplate lives, how long the shared
+    * license headers are, which docs are near-total duplication —
+    * and it is exactly the "duplicate span" unit of Lee et al. 2021
+    * (§3: maximal repeated substrings), relational edition.
+    *
+    * Scale shape: the q145 coverage chain verbatim (shared span-
+    * tokens zone, 8-byte gram hashes, only SHARED occurrences
+    * explode), then gaps-and-islands per document — one doc-keyed
+    * window whose partition is bounded by document length (the q218
+    * SCD2 island idiom applied to token positions). */
+  def dupSpanReport(s: SparkSession, dir: String,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, covered) = coveredPositions(s, dir, k)
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    covered
+      .withColumn("grp", col("pos") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        max(col("pos")).cast("long").as("span_end"),
+        count(lit(1)).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_len"))
+      .orderBy("doc_id", "span_start")
   }
 
   /** q149: within-document repetition filter — the Gopher/MassiveText
@@ -1125,6 +1165,8 @@ object CorpusStats {
       freqItemsWitness(s, d)),
     "q145_exact_span_scrub" -> ((s: SparkSession, d: String) =>
       exactSpanScrub(s, d)),
+    "q269_dup_span_report" -> ((s: SparkSession, d: String) =>
+      dupSpanReport(s, d)),
     "q140_dup_grams"      -> ((s: SparkSession, d: String) =>
       dupGramFraction(s, d)),
     "q104_tfidf_terms"    -> ((s: SparkSession, d: String) =>
@@ -1519,6 +1561,32 @@ object CorpusStats {
         |FROM e, n WHERE cnt * 50 > n ORDER BY token""".stripMargin,
     // coverage replay: token at pos is scrubbed iff a cross-doc
     // shared 5-gram starts at any of pos-4..pos
+    // the q145 coverage CTE chain verbatim, then gaps-and-islands
+    "q269_dup_span_report" ->
+      raw"""WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([{'p': i,
+        |      'gh': ('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')),
+        |        1, 15))::BIGINT}
+        |    for i in range(0, len(w) - 4)], recursive := true)
+        |  FROM w WHERE len(w) >= 5),
+        |shared AS (
+        |  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.p + t.j AS pos
+        |  FROM g JOIN shared USING (gh) CROSS JOIN range(5) t(j)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS grp
+        |  FROM cov)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q145_exact_span_scrub" ->
       raw"""WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
