@@ -311,6 +311,33 @@ object Dedup {
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardZone(s, dir).orderBy("id1", "id2")
 
+  /** q274: dedup threshold sweep — the "how aggressive should the
+    * near-dup merge be" report a curation run reads before picking
+    * τ: for each candidate threshold on the 0.80–0.98 grid, how many
+    * verified pairs and how many distinct documents the merge would
+    * touch. Pure consumer of the memoized q36 pair zone (pairs carry
+    * a bit-identical one-division jaccard, so `>= τ` agrees across
+    * engines); the threshold grid is a 10-row constant relation — the
+    * sanctioned broadcast — and the doc side explodes each pair to
+    * its two members for the distinct-doc rollup.
+    *
+    * Scale shape: O(pairs × 10) filtered map-side against a
+    * LocalRelation, one (t)-keyed rollup; no corpus scan at all. */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val taus = s.range(10).select(col("id").as("t"),
+      ((lit(80) + lit(2) * col("id")).cast("double") / lit(100.0))
+        .as("tau"))
+    jaccardZone(s, dir)
+      .crossJoin(broadcast(taus))
+      .where(col("jaccard") >= col("tau"))
+      .select(col("t"), col("tau"),
+        explode(array(col("id1"), col("id2"))).as("doc"))
+      .groupBy(col("t"), col("tau"))
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs"))
+      .orderBy("t")
+  }
+
   // ---------------- MinHash + LSH (q37) ----------------
 
   val MinhashPerms = 32
@@ -1172,6 +1199,7 @@ object Dedup {
     "q144_incremental_clusters" -> (incrementalClusters _),
     "q35_dedup_keep_first" -> (keepFirst _),
     "q36_jaccard_pairs" -> (jaccardPairs _),
+    "q274_dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "q37_minhash_lsh"   -> ((s: SparkSession, d: String) =>
       minhashLshPairs(s, d, hash = Md5Prefix)),
     "q38_simhash"       -> ((s: SparkSession, d: String) =>
@@ -1372,6 +1400,20 @@ object Dedup {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q36_jaccard_pairs" ->
       (JaccardPairsSql + "\nORDER BY id1, id2"),
+    // the q36 pair relation × a 10-row threshold grid
+    "q274_dedup_threshold_sweep" ->
+      ("WITH p AS MATERIALIZED (\n" + JaccardPairsSql + "\n)," +
+        """
+          |taus AS (SELECT range AS t,
+          |  CAST(80 + 2 * range AS DOUBLE) / 100.0 AS tau
+          |  FROM range(10)),
+          |f AS (
+          |  SELECT taus.t, taus.tau, unnest([p.id1, p.id2]) AS doc
+          |  FROM p JOIN taus ON p.jaccard >= taus.tau)
+          |SELECT t, tau, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+          |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+          |FROM f GROUP BY t, tau
+          |ORDER BY t""".stripMargin),
     "q98_dedup_clusters" -> ClustersOracleSql,
     // labels CTE + q154's score sum + the survivor window
     "q207_best_survivor" ->

@@ -443,6 +443,55 @@ object Mining {
       .orderBy("digit")
   }
 
+  /** q277: higher-moment distribution statistics (variance, skewness,
+    * excess-free kurtosis) per group from EXACT integer power sums —
+    * the drift/shape screen a feature store runs next to means: one
+    * partial-agg scan accumulates n, Σv, Σv², Σv³, Σv⁴ as BIGINTs
+    * (l_quantity is a whole number ≤ 50, so Σv⁴ stays under 2⁶³ to
+    * ~10¹² rows per group; past that, widen to DECIMAL(38)
+    * accumulators and exit as doubles, the q241 rule), and every
+    * float is derived from those integers by the SAME IEEE
+    * expression tree in both engines — +,−,×,÷,sqrt are all
+    * correctly rounded, so the doubles gate bit-for-bit. `floor`
+    * (not a cast) integerizes: DuckDB rounds double→BIGINT casts
+    * while Spark truncates (the q240 rule).
+    *
+    * Scale shape: one map-side partial aggregate to |groups| rows;
+    * nothing else. The moment identities (m₂ = E[v²]−μ², Pearson
+    * m₃/m₂^1.5, m₄/m₂²) are evaluated on the tiny rollup. */
+  def momentStats(s: SparkSession, dir: String): DataFrame = {
+    val v = floor(col("l_quantity")).cast("long")
+    momentsOf(Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), v.as("v")), "l_returnflag")
+  }
+
+  /** The moment rollup on an arbitrary (grp, v) relation — exposed
+    * for MiningSpec's hand-computed symmetric-distribution contract. */
+  private[graft] def momentsOf(df: DataFrame, grp: String): DataFrame = {
+    val n = col("n").cast("double")
+    val mean = col("mean")
+    df
+      .groupBy(col(grp))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        sum(col("v") * col("v") * col("v")).as("s3"),
+        sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+      .withColumn("mean", col("s1").cast("double") / n)
+      .withColumn("m2", col("s2").cast("double") / n - mean * mean)
+      .withColumn("m3", col("s3").cast("double") / n
+        - lit(3.0) * mean * (col("s2").cast("double") / n)
+        + lit(2.0) * mean * mean * mean)
+      .withColumn("m4", col("s4").cast("double") / n
+        - lit(4.0) * mean * (col("s3").cast("double") / n)
+        + lit(6.0) * mean * mean * (col("s2").cast("double") / n)
+        - lit(3.0) * mean * mean * mean * mean)
+      .select(col(grp), col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"), mean, col("m2").as("variance"),
+        (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+        (col("m4") / (col("m2") * col("m2"))).as("kurtosis"))
+      .orderBy(grp)
+  }
+
   /** q243: EXACT Gini coefficient of per-document token counts — the
     * inequality measure behind "is the token mass concentrated in a
     * few giant documents" (drives packing and dedup priorities). The
@@ -612,6 +661,7 @@ object Mining {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_moment_stats" -> (momentStats _),
     "q260_stickiness" -> (stickiness _),
     "q259_rolling_wau" -> (rollingWau _),
     "q248_corpus_health" -> (corpusHealth _),
@@ -636,6 +686,41 @@ object Mining {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // identical IEEE expression trees over the exact power sums —
+    // lateral alias reuse (mean, m2…) is supported by DuckDB and
+    // mirrors the withColumn chain symbolically
+    "q277_moment_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s1,
+        |    CAST(sum(v * v) AS BIGINT) AS s2,
+        |    CAST(sum(v * v * v) AS BIGINT) AS s3,
+        |    CAST(sum(v * v * v * v) AS BIGINT) AS s4
+        |  FROM (SELECT l_returnflag,
+        |          CAST(floor(l_quantity) AS BIGINT) AS v
+        |        FROM lineitem)
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+        |  FROM s),
+        |mm AS (
+        |  SELECT *,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean
+        |      AS m2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 2.0 * mean * mean * mean AS m3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 4.0 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 6.0 * mean * mean
+        |        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM m)
+        |SELECT l_returnflag, n, s1, s2, s3, s4, mean,
+        |  m2 AS variance,
+        |  m3 / (m2 * sqrt(m2)) AS skewness,
+        |  m4 / (m2 * m2) AS kurtosis
+        |FROM mm ORDER BY l_returnflag""".stripMargin,
     "q260_stickiness" ->
       """WITH ev AS (
         |  SELECT ts::DATE AS d, user_id FROM events

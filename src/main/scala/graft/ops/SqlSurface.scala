@@ -376,7 +376,41 @@ object SqlSurface {
         |ORDER BY source, metric""".stripMargin)
   }
 
+  /** q271: the `IDENTIFIER()` clause (Spark 4) — parameterize the
+    * TABLE NAME itself, the half of query templating q221's value
+    * markers cannot do (a `:tbl` marker only binds VALUES; splicing a
+    * name into the text is the SQL-injection anti-pattern IDENTIFIER
+    * exists to replace: the argument is parsed as one identifier,
+    * never as SQL). The oracle inlines the resolved name — the q221
+    * binding ≡ inlining contract, applied to identifiers. */
+  def sqlIdentifier(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
+        |FROM IDENTIFIER(:tbl)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+      Map("tbl" -> "nation"))
+  }
+
+  /** q272: `EXECUTE IMMEDIATE` (Spark 4) — run query text held in a
+    * session variable: the stored-procedure-style dynamic SQL a
+    * warehouse control layer emits (q222's variables hold the KNOBS;
+    * this one holds the QUERY). The oracle runs the static text the
+    * variable contains — dynamic dispatch must be a pure indirection
+    * with zero semantic effect on the plan. */
+  def sqlExecuteImmediate(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql("DECLARE OR REPLACE VARIABLE qtext STRING DEFAULT ''")
+    s.sql("SET VAR qtext = " +
+      "'SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+      "AS sum_price FROM orders GROUP BY 1 ORDER BY 1'")
+    s.sql("EXECUTE IMMEDIATE qtext")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_sql_identifier" -> (sqlIdentifier _),
+    "q272_execute_immediate" -> (sqlExecuteImmediate _),
     "q262_sql_rollup" -> (sqlRollup _),
     "q263_sql_cube" -> (sqlCube _),
     "q264_grouping_sets" -> (sqlGroupingSets _),
@@ -393,6 +427,17 @@ object SqlSurface {
     "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    // the IDENTIFIER(:tbl) resolution, inlined
+    "q271_sql_identifier" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
+        |FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // the static text the qtext variable carries
+    "q272_execute_immediate" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // shared texts — DuckDB runs the identical string
     "q262_sql_rollup" -> RollupSql,
     "q263_sql_cube" -> CubeSql,

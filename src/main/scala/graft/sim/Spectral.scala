@@ -244,6 +244,129 @@ object Spectral {
     ranks
   }
 
+  /** q275/q276's trusted-seed rule: a document is a curation seed iff
+    * its salted 60-bit hash lands in residue 0 mod [[SeedMod]] — the
+    * q102 deterministic-hash-assignment discipline standing in for
+    * "the editorially vetted slice" (Wikipedia/reference docs in a
+    * web corpus). ≈5% of the corpus, decided row-locally. */
+  val SeedMod = 20
+  /** q275's relaxation budget: exactly this many synchronous
+    * min-plus rounds in BOTH engines — distance semantics are
+    * "within [[BfsRounds]] hops", a contract, not a fixpoint race. */
+  val BfsRounds = 4
+
+  private def seedPred(idCol: Column): Column = {
+    import graft.dedup.Md5Prefix
+    pmod(Md5Prefix.h(concat(idCol.cast("string"), lit("|seed"))),
+      lit(SeedMod.toLong)) === 0L
+  }
+
+  /** q275: hop distance to the nearest trusted seed over the
+    * (undirected) semantic kNN graph — the "how far is this document
+    * from vetted content" curation signal (GraphRank-style quality
+    * propagation in its simplest exact form: min-plus BFS). Null
+    * distance = not reachable within [[BfsRounds]] hops — at k-NN
+    * degree and ~5% seeds that tail IS the isolate signal, kept as
+    * null rather than a sentinel so downstream filters can't confuse
+    * "far" with a real hop count.
+    *
+    * Scale shape: the q268 undirected-edge derivation (≤ 2·k·n rows,
+    * derived once, localCheckpoint-ed); each round is one src-keyed
+    * join + one dst-keyed min rollup — the q180 iterate shape — and
+    * the frontier relation is n rows, never collected. All-integer
+    * min-plus arithmetic: nothing to drift cross-engine. */
+  def seedDistance(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.knnGraphZone(s, dir)
+    val und = e.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"))
+      .union(e.select(col("neighbor_id").as("src"),
+        col("query_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // consumed once per round — derive ONCE
+    val nodes = corpus(s, dir).select(col("vec_id").as("id"))
+    val dist0 = nodes
+      .select(col("id"), when(seedPred(col("id")), lit(0L)).as("d"))
+    bfsIterate(dist0, und)
+      .select(col("id").as("vec_id"),
+        seedPred(col("id")).as("is_seed"), col("d").as("hops"))
+      .orderBy("vec_id")
+  }
+
+  /** The fixed-round min-plus relaxation on an arbitrary seeded
+    * (id, d) frontier / undirected (src, dst) graph — exposed for
+    * SpectralSpec's path-graph contract. */
+  private[graft] def bfsIterate(dist0: DataFrame,
+                                und: DataFrame): DataFrame = {
+    var dist = dist0.localCheckpoint(true)
+    for (_ <- 1 to BfsRounds) {
+      val relax = und
+        .join(dist.where(col("d").isNotNull), col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("d") + lit(1L)).as("nd"))
+      dist = dist.join(relax, dist("id") === relax("dst"), "left")
+        .select(dist("id"),
+          // least() null semantics differ across engines — spell the
+          // three-way min explicitly and identically on both sides
+          when(col("d").isNull, col("nd"))
+            .when(col("nd").isNull, col("d"))
+            .otherwise(least(col("d"), col("nd"))).as("d"))
+        .localCheckpoint(true) // read twice next round
+    }
+    dist
+  }
+
+  /** q276: personalized PageRank from the seed set — q180's damped
+    * integer iteration with teleport mass restricted to the trusted
+    * seeds (Haveliwala 2002 topic-sensitive PageRank; the modern use
+    * is LLM-corpus quality weighting: rank mass flows out of vetted
+    * pages through semantic-similarity edges, and a document's PPR is
+    * its "proximity-weighted endorsement" — the CommonCrawl-vs-
+    * Wikipedia curation signal in exact arithmetic). Identical update
+    * shape to [[pagerankIterate]]; the only change is the base term:
+    * seeds get ⌊0.15·2¹⁶⌋, everyone else 0, so all mass traces back
+    * to the seed slice.
+    *
+    * Scale shape: exactly q180's — per round one src-keyed join and
+    * one dst-keyed partial-agg shuffle over the k·n edge relation,
+    * rank state n rows, never collected; the seed predicate is
+    * row-local hash arithmetic (no seed relation to join, let alone
+    * broadcast). Overflow: strictly below q180's bound (total mass
+    * only shrinks when teleport is restricted). */
+  def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnGraphZone(s, dir)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val nodes = corpus(s, dir)
+      .select(col("vec_id").as("id"), seedPred(col("vec_id")).as("seed"))
+    pprIterate(nodes, edges)
+      .select(col("id").as("vec_id"),
+        seedPred(col("id")).as("is_seed"), col("r").as("ppr_fp"))
+      .orderBy("vec_id")
+  }
+
+  /** The seed-teleport damped iteration on an arbitrary (id, seed) /
+    * (src, dst) graph — exposed for SpectralSpec's mass-locality
+    * contract. */
+  private[graft] def pprIterate(nodes: DataFrame,
+                                edges0: DataFrame): DataFrame = {
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val edgesD = edges0.join(deg, "src")
+    var ranks = nodes.select(col("id"),
+      when(col("seed"), lit(PrScale)).otherwise(0L).as("r"))
+    var it = 0
+    while (it < PrIters) {
+      val inflow = edgesD.join(ranks, edgesD("src") === ranks("id"))
+        .select(col("dst"), expr("r div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes
+        .join(inflow, nodes("id") === inflow("dst"), "left")
+        .select(nodes("id"),
+          (when(col("seed"), lit(PrBase)).otherwise(0L) +
+            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+      it += 1
+    }
+    ranks
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** The q176 relation as DuckDB CTE body (shared by both oracles).
@@ -294,6 +417,46 @@ object Spectral {
          |  SELECT n.id, $PrBase
          |    + (85 * coalesce(f.inflow, CAST(0 AS BIGINT))) // 100 AS r
          |  FROM nodes n LEFT JOIN f$k f ON f.id = n.id)""".stripMargin
+    }.mkString(",\n")
+
+  /** q275/q276's seed predicate as DuckDB text — generated from the
+    * SAME [[SeedMod]] constant and the shared Md5Prefix spelling. */
+  private def seedSqlFor(c: String): String =
+    s"(('0x' || substr(md5(CAST($c AS VARCHAR) || '|seed'), 1, 15))" +
+      s"::BIGINT % $SeedMod = 0)"
+
+  /** The unrolled min-plus BFS rounds (generated from [[BfsRounds]] —
+    * hop budget can never drift between engines). */
+  private def bfsIterSql: String =
+    (1 to BfsRounds).map { k =>
+      s"""rx$k AS (
+         |  SELECT u.dst AS id, CAST(min(d.d + 1) AS BIGINT) AS nd
+         |  FROM und u JOIN d${k - 1} d ON d.id = u.src
+         |  WHERE d.d IS NOT NULL GROUP BY 1),
+         |d$k AS MATERIALIZED (
+         |  SELECT p.id, CASE WHEN p.d IS NULL THEN r.nd
+         |    WHEN r.nd IS NULL THEN p.d
+         |    ELSE least(p.d, r.nd) END AS d
+         |  FROM d${k - 1} p LEFT JOIN rx$k r ON r.id = p.id)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  /** The unrolled PPR rounds — q180's [[prIterSql]] with the
+    * seed-restricted base term (same [[PrIters]]/[[PrBase]]). */
+  private def pprIterSql: String =
+    (1 to PrIters).map { k =>
+      s"""pf$k AS MATERIALIZED (
+         |  SELECT e.neighbor_id AS id,
+         |    CAST(sum(r.r // d.odeg) AS BIGINT) AS inflow
+         |  FROM edges e
+         |  JOIN p${k - 1} r ON r.id = e.query_id
+         |  JOIN deg d ON d.src = e.query_id
+         |  GROUP BY 1),
+         |p$k AS MATERIALIZED (
+         |  SELECT n.id, (CASE WHEN n.seed THEN CAST($PrBase AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END)
+         |    + (85 * coalesce(f.inflow, CAST(0 AS BIGINT))) // 100 AS r
+         |  FROM nodes n LEFT JOIN pf$k f ON f.id = n.id)""".stripMargin
     }.mkString(",\n")
 
   /** q232's peel threshold and round budget. The peel runs on the
@@ -417,7 +580,6 @@ object Spectral {
     * Deterministic argmax = row_number over (count DESC, label ASC),
     * the shared cross-engine tie-break idiom. */
   def labelProp(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Similarity.knnGraphZone(s, dir)
     val und = e.select(col("query_id").as("src"),
         col("neighbor_id").as("dst"))
@@ -426,6 +588,21 @@ object Spectral {
       .distinct()
       .localCheckpoint(true) // consumed once per round — derive ONCE
     val nodes = corpus(s, dir).select(col("vec_id").as("id"))
+    val labels = labelPropIterate(nodes, und)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("vec_id"), col("lbl").as("community"),
+        col("csize"))
+      .orderBy("vec_id")
+  }
+
+  /** The fixed-round propagation on an arbitrary (id) / undirected
+    * (src, dst) graph — exposed for SpectralSpec's two-clique
+    * contract. */
+  private[graft] def labelPropIterate(nodes: DataFrame,
+                                      und: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var labels = nodes.withColumn("lbl", col("id"))
       .localCheckpoint(true)
     for (_ <- 1 to LpRounds) {
@@ -442,12 +619,7 @@ object Spectral {
           coalesce(col("nlbl"), col("lbl")).as("lbl"))
         .localCheckpoint(true) // read twice next round + final sizes
     }
-    val sizes = labels.groupBy(col("lbl"))
-      .agg(count(lit(1)).as("csize"))
-    labels.join(sizes, "lbl")
-      .select(col("id").as("vec_id"), col("lbl").as("community"),
-        col("csize"))
-      .orderBy("vec_id")
+    labels
   }
 
   /** The unrolled propagation rounds as DuckDB CTEs — generated from
@@ -503,6 +675,8 @@ object Spectral {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_seed_distance" -> (seedDistance _),
+    "q276_personalized_pagerank" -> (personalizedPagerank _),
     "q268_label_prop" -> (labelProp _),
     "q237_rand_index" -> (randIndex _),
     "q232_kcore" -> (kCore _),
@@ -511,6 +685,36 @@ object Spectral {
     "q180_pagerank_centrality" -> (pagerankCentrality _))
 
   val oracle: Map[String, String] = Map(
+    "q275_seed_distance" ->
+      s"""WITH ${Similarity.knnEdgesSql},
+         |und AS MATERIALIZED (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM edges
+         |  UNION
+         |  SELECT neighbor_id AS src, query_id AS dst FROM edges),
+         |d0 AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |    CASE WHEN ${seedSqlFor("vec_id")}
+         |      THEN CAST(0 AS BIGINT) END AS d
+         |  FROM embeddings),
+         |$bfsIterSql
+         |SELECT id AS vec_id, ${seedSqlFor("id")} AS is_seed,
+         |  d AS hops
+         |FROM d$BfsRounds ORDER BY vec_id""".stripMargin,
+    "q276_personalized_pagerank" ->
+      s"""WITH ${Similarity.knnEdgesSql},
+         |nodes AS MATERIALIZED (
+         |  SELECT vec_id AS id, ${seedSqlFor("vec_id")} AS seed
+         |  FROM embeddings),
+         |deg AS MATERIALIZED (
+         |  SELECT query_id AS src, CAST(count(*) AS BIGINT) AS odeg
+         |  FROM edges GROUP BY 1),
+         |p0 AS MATERIALIZED (
+         |  SELECT id, CASE WHEN seed THEN CAST($PrScale AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS r FROM nodes),
+         |$pprIterSql
+         |SELECT n.id AS vec_id, n.seed AS is_seed, p.r AS ppr_fp
+         |FROM p$PrIters p JOIN nodes n ON n.id = p.id
+         |ORDER BY vec_id""".stripMargin,
     "q268_label_prop" ->
       s"""WITH ${Similarity.knnEdgesSql},
          |und AS MATERIALIZED (

@@ -389,7 +389,121 @@ object Postings {
       .orderBy("doc_id")
   }
 
+  /** q273's constants — shared with the oracle's unrolled chain. */
+  val HitsRounds = 4
+  /** Shift-normalization budget (bits): after every half-step the
+    * relation is right-shifted so its max fits [[HitsBits]] bits —
+    * the q177 power-iteration discipline, which is what keeps a
+    * normalization-hungry iteration (classic HITS renormalizes with
+    * a float 2-norm every round) inside exact integer arithmetic. */
+  val HitsBits = 20
+  /** Document-frequency band [2, cap]: singleton terms carry no
+    * linkage and stop-word terms would make the bipartite fan-in
+    * O(corpus) per term — the df cap is the q117/q199 candidate-
+    * bounding discipline applied to the graph itself. */
+  val HitsDfCap = 100
+
+  /** q273: HITS hubs on the doc↔term bipartite graph (Kleinberg
+    * 1999): auth(term) = Σ hub(docs containing it), hub(doc) =
+    * Σ auth(its terms), alternated [[HitsRounds]] times from uniform
+    * hubs — the query-independent "is this document a good cover of
+    * the discriminative vocabulary" score, and the bipartite sibling
+    * of q180's PageRank on the kNN graph. All arithmetic is exact
+    * integer: sums over 8-byte term hashes' edge lists, with
+    * bit-length shift normalization per half-step (see [[HitsBits]]).
+    *
+    * Scale shape: the edge relation is DISTINCT (doc, term-hash)
+    * df-banded to [2, [[HitsDfCap]]] — per-term fan-in is capped, so
+    * each half-step is one key-partitioned join + rollup (the q180
+    * iterate shape, alternating which side is the key); the 1-row
+    * shift relations are the sanctioned constant broadcasts; per-round
+    * state is localCheckpoint-ed (the q232 lineage rule). */
+  def hitsHubs(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val toks = graft.util.Scratch.memo(s, "lc-tokens",
+      s"lc-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Tokens.whitespace(lower(col("text"))).as("w")))
+    val pairs = toks
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .select(col("doc_id"), Md5Prefix.h(col("t")).as("th"))
+      .distinct()
+    val banded = pairs.groupBy(col("th"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= HitsDfCap)
+      .select(col("th"))
+    val edges = pairs.join(banded, "th")
+      .localCheckpoint(true) // consumed twice per round — derive ONCE
+    var hub = edges.select(col("doc_id")).distinct()
+      .withColumn("h", lit(1L << HitsBits))
+      .localCheckpoint(true)
+    for (_ <- 1 to HitsRounds) {
+      val authRaw = edges.join(hub, "doc_id")
+        .groupBy(col("th")).agg(sum(col("h")).as("a"))
+      val aSh = authRaw.agg(greatest(lit(0),
+        length(bin(max(col("a")))).cast("int") - lit(HitsBits))
+        .as("sh"))
+      val auth = authRaw.crossJoin(broadcast(aSh))
+        .select(col("th"), expr("shiftright(a, sh)").as("a"))
+      val hubRaw = edges.join(auth, "th")
+        .groupBy(col("doc_id")).agg(sum(col("a")).as("hr"))
+      val hSh = hubRaw.agg(greatest(lit(0),
+        length(bin(max(col("hr")))).cast("int") - lit(HitsBits))
+        .as("sh"))
+      hub = hubRaw.crossJoin(broadcast(hSh))
+        .select(col("doc_id"), expr("shiftright(hr, sh)").as("h"))
+        .localCheckpoint(true) // read twice next round
+    }
+    hub.select(col("doc_id"), col("h").as("hub_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** The unrolled HITS half-steps as DuckDB CTEs — generated from
+    * the SAME constants the Spark loop uses. */
+  private def hitsIterSql: String =
+    (1 to HitsRounds).map { r =>
+      s"""ar$r AS (
+         |  SELECT e.th, CAST(sum(h.h) AS BIGINT) AS a
+         |  FROM e JOIN h${r - 1} h USING (doc_id) GROUP BY 1),
+         |ash$r AS (SELECT greatest(0,
+         |  length(bin(max(a))) - $HitsBits) AS sh FROM ar$r),
+         |a$r AS MATERIALIZED (
+         |  SELECT th, a >> sh AS a FROM ar$r, ash$r),
+         |hr$r AS (
+         |  SELECT e.doc_id, CAST(sum(a.a) AS BIGINT) AS hr
+         |  FROM e JOIN a$r a USING (th) GROUP BY 1),
+         |hsh$r AS (SELECT greatest(0,
+         |  length(bin(max(hr))) - $HitsBits) AS sh FROM hr$r),
+         |h$r AS MATERIALIZED (
+         |  SELECT doc_id, hr >> sh AS h FROM hr$r, hsh$r)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  private[text] def hitsOracleSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') AS w
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS th
+      |  FROM (SELECT doc_id, unnest(w) AS t FROM w)),
+      |banded AS (
+      |  SELECT th FROM pairs GROUP BY th
+      |  HAVING count(*) >= 2 AND count(*) <= """.stripMargin +
+      s"""$HitsDfCap),
+      |e AS MATERIALIZED (
+      |  SELECT p.doc_id, p.th FROM pairs p JOIN banded USING (th)),
+      |h0 AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(${1L << HitsBits} AS BIGINT) AS h FROM e),
+      |$hitsIterSql
+      |SELECT doc_id, h AS hub_fp FROM h$HitsRounds
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_hits_hubs" -> (hitsHubs _),
     "q152_phrase_search" -> ((s: SparkSession, d: String) =>
       phraseSearch(s, d)),
     "q117_setsim_join" -> ((s: SparkSession, d: String) =>
@@ -402,6 +516,7 @@ object Postings {
       keywordSearch(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q273_hits_hubs" -> hitsOracleSql,
     // n_matches is INTEGER in the comprehension replay; the engine
     // side emits BIGINT — cast to match
     "q152_phrase_search" ->

@@ -201,4 +201,21 @@ class MiningSpec extends SparkSpec {
         r.getDouble(7) - (ab * nd).toDouble / (a * b)) == 0.0)
     }
   }
+
+  test("q277: moments of a symmetric distribution (hand-computed)") {
+    import spark.implicits._
+    // v = 1..4 per group: mean 2.5, m2 1.25, skew EXACTLY 0.0
+    // (every intermediate is IEEE-representable), kurtosis
+    // 2.5625 / (1.25 * 1.25)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L))
+      .toDF("g", "v")
+    val r = Mining.momentsOf(df, "g").collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 10L &&
+      r.getLong(3) == 30L && r.getLong(4) == 100L &&
+      r.getLong(5) == 354L)
+    assert(r.getDouble(6) == 2.5)
+    assert(r.getDouble(7) == 1.25)
+    assert(r.getDouble(8) == 0.0, s"symmetric => zero skew: $r")
+    assert(r.getDouble(9) == 2.5625 / (1.25 * 1.25))
+  }
 }

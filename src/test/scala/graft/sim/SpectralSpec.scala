@@ -153,11 +153,58 @@ class SpectralSpec extends SparkSpec {
     }
   }
 
+  test("q268: two bridged cliques converge to two communities") {
+    import spark.implicits._
+    // triangle {1,2,3}, triangle {10,11,12}, one bridge 3–10
+    val cliq = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val und = cliq.toDF("src", "dst")
+      .union(cliq.map(_.swap).toDF("src", "dst"))
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("id")
+    val got = Spectral.labelPropIterate(nodes, und)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced 5-round synchronous propagation with min tie-break
+    assert(Set(1L, 2L, 3L).map(got) == Set(1L),
+      s"left clique labels: $got")
+    assert(Set(10L, 11L, 12L).map(got) == Set(3L),
+      s"right clique labels: $got")
+  }
+
   test("q176 plan: one scan, no join (map-side pair expansion only)") {
     val plan = Spectral.covarianceMatrix(spark, sf())
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"pair expansion must not join:\n$plan")
     val scans = "FileScan|Scan parquet".r.findAllIn(plan).length
     assert(scans <= 1, s"expected a single corpus scan:\n$plan")
+  }
+
+  test("q275: path-graph hop distances with the round budget honored") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5, seed at 0; BfsRounds = 4 → node 5 unreached
+    val es = (0L to 4L).map(i => (i, i + 1))
+    val und = es.toDF("src", "dst")
+      .union(es.map(_.swap).toDF("src", "dst"))
+    val d0 = (0L to 5L).map(i =>
+      (i, if (i == 0L) Some(0L) else None)).toDF("id", "d")
+    val got = Spectral.bfsIterate(d0, und).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> 4L, 5L -> -1L), s"distances: $got")
+  }
+
+  test("q276: teleport mass stays on the seed side of a cut graph") {
+    import spark.implicits._
+    // two disjoint 2-cycles {1,2} and {10,11}; only node 1 is a seed
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val nodes = Seq((1L, true), (2L, false), (10L, false), (11L, false))
+      .toDF("id", "seed")
+    val got = Spectral.pprIterate(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 0L && got(11L) == 0L,
+      s"no seed mass may cross the cut: $got")
+    assert(got(1L) >= Spectral.PrBase, s"seed keeps its base: $got")
+    assert(got(2L) > 0L, s"mass flows along the seed cycle: $got")
   }
 }
