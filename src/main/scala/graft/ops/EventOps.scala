@@ -312,6 +312,99 @@ object EventOps {
       .limit(topN)
   }
 
+  /** q281's round budget — shared with the oracle's unrolled chain
+    * (a fixed-round contract, the q268 rule: "until converged" is
+    * not cross-engine reproducible; k synchronous steps are). */
+  val MarkovRounds = 8
+  /** q281's fixed-point scale (probability mass × 2¹⁶ per type). */
+  val MarkovScale = 1L << 16
+
+  /** q281: stationary distribution of q228's first-order Markov
+    * chain — where a user's event stream spends its long-run time,
+    * the steady-state companion to the transition matrix (the base
+    * of Markov engagement models and chain-based attribution). Power
+    * iteration in EXACT integer arithmetic: mass starts uniform at
+    * [[MarkovScale]] per type and each round routes π(i)·n(i,j) div
+    * n_from(i) along every observed transition — floor division
+    * leaks ≤|cells| units per round identically in both engines, so
+    * the fixpoint gates hash-exact (the q180 discipline applied to a
+    * row-normalized chain). Types with no outgoing transition drop
+    * their mass (absorbing-dangling); with a fixed round budget that
+    * too is deterministic and mirrored.
+    *
+    * Scale shape: ONE user-keyed window shuffle builds the ≤|types|²
+    * cell relation (q228's shape); all [[MarkovRounds]] iterations
+    * run on that tiny relation — joins and rollups over ≤|types|²
+    * rows, nothing returns to the corpus. */
+  def markovStationary(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val cells = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n"))
+        .over(Window.partitionBy(col("from_type"))))
+      .localCheckpoint(true) // consumed once per round — derive ONCE
+    val types = Tables.load(s, dir, "events")
+      .select(col("event_type").as("t")).distinct()
+    var pi = types.withColumn("m", lit(MarkovScale))
+    for (_ <- 1 to MarkovRounds) {
+      val flow = cells.join(pi, cells("from_type") === pi("t"))
+        .select(col("to_type"),
+          expr("(m * n) div n_from").as("c"))
+        .groupBy(col("to_type")).agg(sum(col("c")).as("inflow"))
+      pi = types.join(flow, types("t") === flow("to_type"), "left")
+        .select(col("t"),
+          coalesce(col("inflow"), lit(0L)).as("m"))
+    }
+    pi.select(col("t").as("event_type"), col("m").as("mass_fp"))
+      .orderBy("event_type")
+  }
+
+  /** The unrolled q281 power-iteration rounds as DuckDB CTEs —
+    * generated from the SAME constants the Spark loop uses. */
+  private def markovIterSql: String =
+    (1 to MarkovRounds).map { k =>
+      s"""fl$k AS (
+         |  SELECT c.to_type,
+         |    CAST(sum((p.m * c.n) // c.n_from) AS BIGINT) AS inflow
+         |  FROM cells c JOIN pi${k - 1} p ON p.t = c.from_type
+         |  GROUP BY 1),
+         |pi$k AS MATERIALIZED (
+         |  SELECT ty.t, coalesce(f.inflow, CAST(0 AS BIGINT)) AS m
+         |  FROM types ty LEFT JOIN fl$k f ON f.to_type = ty.t)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  private[ops] def markovStationarySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+       |  FROM events),
+       |p AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER
+       |      (PARTITION BY user_id ORDER BY ms, event_id) AS to_type
+       |  FROM e),
+       |g AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |cells AS MATERIALIZED (
+       |  SELECT from_type, to_type, n,
+       |    CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+       |      AS n_from
+       |  FROM g),
+       |types AS MATERIALIZED (
+       |  SELECT DISTINCT event_type AS t FROM events),
+       |pi0 AS MATERIALIZED (
+       |  SELECT t, CAST($MarkovScale AS BIGINT) AS m FROM types),
+       |$markovIterSql
+       |SELECT t AS event_type, m AS mass_fp
+       |FROM pi$MarkovRounds ORDER BY event_type""".stripMargin
+
   /** q258: time-decay attribution — every purchase's value credited
     * across the user's clicks in the preceding 24 h with
     * exponentially decaying weight, spelled EXACTLY: the per-hour
@@ -941,6 +1034,7 @@ object EventOps {
     "q227_ordered_funnel" -> ((s: SparkSession, d: String) =>
       orderedFunnel(s, d)),
     "q228_transition_matrix" -> (transitionMatrix _),
+    "q281_markov_stationary" -> (markovStationary _),
     "q229_ab_analysis" -> (abAnalysis _),
     "q234_session_builtin" -> (sessionWindowBuiltin _),
     "q241_group_regression" -> (groupRegression _),
@@ -1282,6 +1376,7 @@ object EventOps {
         |  last_ms + 1800000 AS w_end_ms,
         |  n_events, start_ms, last_ms
         |FROM g ORDER BY user_id, start_ms""".stripMargin,
+    "q281_markov_stationary" -> markovStationarySql,
     "q228_transition_matrix" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms

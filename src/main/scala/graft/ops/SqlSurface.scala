@@ -408,7 +408,84 @@ object SqlSurface {
     s.sql("EXECUTE IMMEDIATE qtext")
   }
 
+  /** q278: SQL scalar UDFs (Spark 4 `CREATE FUNCTION … RETURN expr`)
+    * — the warehouse-resident business-logic unit (the reference's
+    * SQL strings carry inlined formulas; a SQL UDF is that formula
+    * named once and reused). The body is pure SQL, so Catalyst
+    * INLINES it at analysis — the plan is identical to the spelled-
+    * out expression and whole-stage codegen applies unchanged; the
+    * oracle runs the inlined text (the q221/q271 binding ≡ inlining
+    * contract, applied to function bodies). Decimal accumulators
+    * inside, one double exit (the q241 rule). */
+  def sqlUdf(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+        |  price DOUBLE, disc DOUBLE)
+        |RETURNS DECIMAL(28,4)
+        |RETURN CAST(price AS DECIMAL(18,2))
+        |  * CAST(1.0 - disc AS DECIMAL(18,2))""".stripMargin)
+    // DECIMAL(28,4) holds the (18,2)×(18,2) product EXACTLY — a
+    // 2-decimal return type would round per row and the oracle's
+    // inlined product would not (the q241 exactness rule).
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** q282: SQL table UDFs (Spark 4 `CREATE FUNCTION … RETURNS TABLE`)
+    * — a parameterized view invoked in the FROM clause: the reusable
+    * query template as a catalog object rather than a string. Same
+    * inlining contract as q278: the body is analyzed into the plan,
+    * the oracle runs the body with the argument substituted. */
+  def sqlTableUdf(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION orders_of(
+        |  status STRING)
+        |RETURNS TABLE (o_orderpriority STRING, n_orders BIGINT)
+        |RETURN SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_orderstatus = status
+        |  GROUP BY o_orderpriority""".stripMargin)
+    s.sql(
+      """SELECT * FROM orders_of('F')
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** q279: string collations (Spark 4 `COLLATE UTF8_LCASE`) — case-
+    * insensitive comparison as a TYPE property instead of a wrapped
+    * `lower()` call, so equality, DISTINCT and the `=` predicate all
+    * honor it with no per-use rewriting. The probe relation doubles
+    * each nation name with its lowercase variant: binary-distinct
+    * sees both spellings, collated-distinct folds them, and a
+    * collated literal predicate matches both cases. The oracle IS
+    * the `lower()` desugaring — for ASCII data UTF8_LCASE equality
+    * is exactly lowercase equality, which is the cross-engine
+    * contract this query pins. */
+  def sqlCollation(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """WITH m AS (
+        |  SELECT n_name AS name FROM nation
+        |  UNION ALL
+        |  SELECT lower(n_name) FROM nation)
+        |SELECT
+        |  CAST(count(DISTINCT name) AS BIGINT) AS n_binary,
+        |  CAST(count(DISTINCT name COLLATE UTF8_LCASE) AS BIGINT)
+        |    AS n_ci,
+        |  CAST(sum(CASE WHEN name = ('france' COLLATE UTF8_LCASE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_france
+        |FROM m""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_sql_udf" -> (sqlUdf _),
+    "q279_sql_collation" -> (sqlCollation _),
+    "q282_sql_table_udf" -> (sqlTableUdf _),
     "q271_sql_identifier" -> (sqlIdentifier _),
     "q272_execute_immediate" -> (sqlExecuteImmediate _),
     "q262_sql_rollup" -> (sqlRollup _),
@@ -427,6 +504,32 @@ object SqlSurface {
     "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    // the SQL UDF body, inlined at the call site
+    "q278_sql_udf" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the table-UDF body with the argument substituted
+    "q282_sql_table_udf" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // UTF8_LCASE desugared to lower() — the ASCII contract
+    "q279_sql_collation" ->
+      """WITH m AS (
+        |  SELECT n_name AS name FROM nation
+        |  UNION ALL
+        |  SELECT lower(n_name) FROM nation)
+        |SELECT
+        |  CAST(count(DISTINCT name) AS BIGINT) AS n_binary,
+        |  CAST(count(DISTINCT lower(name)) AS BIGINT) AS n_ci,
+        |  CAST(sum(CASE WHEN lower(name) = 'france'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_france
+        |FROM m""".stripMargin,
     // the IDENTIFIER(:tbl) resolution, inlined
     "q271_sql_identifier" ->
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations

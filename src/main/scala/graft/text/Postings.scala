@@ -397,11 +397,18 @@ object Postings {
     * normalization-hungry iteration (classic HITS renormalizes with
     * a float 2-norm every round) inside exact integer arithmetic. */
   val HitsBits = 20
-  /** Document-frequency band [2, cap]: singleton terms carry no
-    * linkage and stop-word terms would make the bipartite fan-in
-    * O(corpus) per term — the df cap is the q117/q199 candidate-
-    * bounding discipline applied to the graph itself. */
-  val HitsDfCap = 100
+  /** Document-frequency band [2, ⌊pct·n_docs⌋/100]: singleton terms
+    * carry no linkage, and near-ubiquitous terms are stop-words whose
+    * bipartite fan-in approaches O(corpus) — the upper bound is
+    * CORPUS-RELATIVE (the CountVectorizer `max_df` discipline, and
+    * the only band that is non-degenerate at every scale: an absolute
+    * cap tuned for one corpus is empty or saturated at another). The
+    * threshold is exact integer arithmetic ((pct·n) div 100) computed
+    * from the same count in both engines. At 100 TB a production run
+    * would ALSO clamp with an absolute per-term fan-in cap (the
+    * q117/q199 candidate-bounding discipline); the relative band is
+    * the semantic contract, the absolute clamp an execution knob. */
+  val HitsDfPct = 95
 
   /** q273: HITS hubs on the doc↔term bipartite graph (Kleinberg
     * 1999): auth(term) = Σ hub(docs containing it), hub(doc) =
@@ -413,11 +420,31 @@ object Postings {
     * bit-length shift normalization per half-step (see [[HitsBits]]).
     *
     * Scale shape: the edge relation is DISTINCT (doc, term-hash)
-    * df-banded to [2, [[HitsDfCap]]] — per-term fan-in is capped, so
+    * df-banded (see [[HitsDfPct]]) — stop-word fan-in is excluded, so
     * each half-step is one key-partitioned join + rollup (the q180
     * iterate shape, alternating which side is the key); the 1-row
-    * shift relations are the sanctioned constant broadcasts; per-round
-    * state is localCheckpoint-ed (the q232 lineage rule). */
+    * shift/threshold relations are the sanctioned constant
+    * broadcasts; per-round state is localCheckpoint-ed (the q232
+    * lineage rule). */
+  /** Terms inside the [2, (pct·n_docs) div 100] df band from a
+    * distinct (doc_id, th) relation — the shared q273/q280 vertex
+    * set. The 1-row threshold is the sanctioned constant broadcast. */
+  private def dfBanded(s: SparkSession, dir: String,
+                       pairs: DataFrame): DataFrame = {
+    val cap = Tables.load(s, dir, "documents")
+      .agg(expr(s"($HitsDfPct * count(1)) div 100").as("cap"))
+    pairs.groupBy(col("th"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(cap))
+      .where(col("df") >= 2 && col("df") <= col("cap"))
+      .select(col("th"))
+  }
+
+  /** The df band as DuckDB HAVING text — same integer arithmetic. */
+  private def dfBandSql: String =
+    s"HAVING count(*) >= 2 AND count(*) <= " +
+      s"($HitsDfPct * (SELECT count(*) FROM documents)) // 100"
+
   def hitsHubs(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Md5Prefix
     val toks = graft.util.Scratch.memo(s, "lc-tokens",
@@ -429,10 +456,7 @@ object Postings {
       .select(col("doc_id"), explode(col("w")).as("t"))
       .select(col("doc_id"), Md5Prefix.h(col("t")).as("th"))
       .distinct()
-    val banded = pairs.groupBy(col("th"))
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= HitsDfCap)
-      .select(col("th"))
+    val banded = dfBanded(s, dir, pairs)
     val edges = pairs.join(banded, "th")
       .localCheckpoint(true) // consumed twice per round — derive ONCE
     var hub = edges.select(col("doc_id")).distinct()
@@ -491,8 +515,8 @@ object Postings {
       |  FROM (SELECT doc_id, unnest(w) AS t FROM w)),
       |banded AS (
       |  SELECT th FROM pairs GROUP BY th
-      |  HAVING count(*) >= 2 AND count(*) <= """.stripMargin +
-      s"""$HitsDfCap),
+      |  """.stripMargin +
+      s"""$dfBandSql),
       |e AS MATERIALIZED (
       |  SELECT p.doc_id, p.th FROM pairs p JOIN banded USING (th)),
       |h0 AS MATERIALIZED (
@@ -502,7 +526,148 @@ object Postings {
       |SELECT doc_id, h AS hub_fp FROM h$HitsRounds
       |ORDER BY doc_id""".stripMargin
 
+  /** q280's constants — shared with the oracle's unrolled chain. */
+  val TrRounds = 4
+  /** Fixed-point scale (rank mass × 2¹⁶ per term). */
+  val TrScale = 1L << 16
+  /** ⌊0.15 · 2¹⁶⌋ — the damping base term, integer floor in both
+    * engines. */
+  val TrBase = 15L * TrScale / 100L
+
+  /** q280: TextRank keyword scores (Mihalcea & Tarau 2004) — damped
+    * PageRank over the token CO-OCCURRENCE graph (adjacent-token
+    * pairs, window 2), the unsupervised keyword extractor an LLM
+    * curation pipeline runs for topic tagging and prompt mining.
+    * Same exact-integer discipline as q180/q276: ranks are 2¹⁶-scaled
+    * BIGINTs, each round routes r(u)·w(u,v) div wdeg(u) along the
+    * weighted edges and re-bases with ⌊0.15·2¹⁶⌋ + (85·inflow) div
+    * 100 — floor-division mass leak is identical in both engines, so
+    * the fixpoint gates hash-exact.
+    *
+    * Vertex set is df-banded (the q273 [[HitsDfPct]] rule): singleton
+    * terms can't rank and stop-word hubs would make the co-occurrence
+    * fan-in O(corpus) — the band is the semantic cap; production adds
+    * an absolute fan-in clamp on top.
+    *
+    * Scale shape: pair extraction is map-side over the shared
+    * lc-tokens zone (adjacent positions only — no within-doc
+    * quadratic); the edge relation is ≤ token-count rows rolled up to
+    * (th1, th2) weights; each round is one src-keyed join + one
+    * dst-keyed rollup over that edge relation (the q180 iterate
+    * shape); round state is localCheckpoint-ed (the q232 rule). */
+  def textrankTerms(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val toks = graft.util.Scratch.memo(s, "lc-tokens",
+      s"lc-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Tokens.whitespace(lower(col("text"))).as("w")))
+    // distinct (doc, term) for the df band + the hash→term names
+    val docTerm = toks
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .select(col("doc_id"), col("t"), Md5Prefix.h(col("t")).as("th"))
+      .distinct()
+    val banded = dfBanded(s, dir,
+      docTerm.select(col("doc_id"), col("th")))
+    val names = docTerm.join(banded, "th")
+      .groupBy(col("th")).agg(min(col("t")).as("term"))
+      .localCheckpoint(true) // nodes: consumed per round + at exit
+    // adjacent-pair occurrences, both directions, banded endpoints
+    val adj = toks.where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+      .where(col("p.a") =!= col("p.b"))
+      .select(Md5Prefix.h(col("p.a")).as("x"),
+        Md5Prefix.h(col("p.b")).as("y"))
+    val edges = adj.select(col("x"), col("y"))
+      .union(adj.select(col("y").as("x"), col("x").as("y")))
+      .join(banded.select(col("th").as("x")), "x")
+      .join(banded.select(col("th").as("y")), "y")
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("wt"))
+      .withColumn("wdeg", sum(col("wt"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("x"))))
+      .localCheckpoint(true) // consumed once per round — derive ONCE
+    var rank = names.select(col("th"), lit(TrScale).as("r"))
+    for (_ <- 1 to TrRounds) {
+      val inflow = edges.join(rank, edges("x") === rank("th"))
+        .select(col("y"), expr("(r * wt) div wdeg").as("c"))
+        .groupBy(col("y")).agg(sum(col("c")).as("inflow"))
+      rank = names.join(inflow, names("th") === inflow("y"), "left")
+        .select(names("th"),
+          (lit(TrBase) + expr(
+            "(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+        .localCheckpoint(true) // read twice next round
+    }
+    rank.join(names, "th")
+      .select(col("term"), col("r").as("rank_fp"))
+      .orderBy("term")
+  }
+
+  /** The unrolled TextRank rounds as DuckDB CTEs — generated from
+    * the SAME constants the Spark loop uses. */
+  private def trIterSql: String =
+    (1 to TrRounds).map { k =>
+      s"""tf$k AS (
+         |  SELECT e.y, CAST(sum((r.r * e.wt) // e.wdeg) AS BIGINT)
+         |    AS inflow
+         |  FROM edges e JOIN r${k - 1} r ON r.th = e.x GROUP BY 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT n.th, CAST($TrBase AS BIGINT)
+         |    + (85 * coalesce(f.inflow, CAST(0 AS BIGINT))) // 100
+         |    AS r
+         |  FROM names n LEFT JOIN tf$k f ON f.y = n.th)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  private[text] def textrankOracleSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') AS w
+      |  FROM documents),
+      |dt AS (
+      |  SELECT DISTINCT doc_id, t,
+      |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS th
+      |  FROM (SELECT doc_id, unnest(w) AS t FROM w)),
+      |banded AS MATERIALIZED (
+      |  SELECT th FROM dt GROUP BY th
+      |  """.stripMargin +
+      s"""$dfBandSql),
+      |names AS MATERIALIZED (
+      |  SELECT d.th, min(d.t) AS term
+      |  FROM dt d JOIN banded USING (th) GROUP BY d.th),
+      |adj AS (
+      |  SELECT unnest([{'a': w[i], 'b': w[i+1]}
+      |      for i in range(1, len(w)) if w[i] <> w[i+1]]) AS p
+      |  FROM w WHERE len(w) >= 2),
+      |ad AS (
+      |  SELECT ('0x' || substr(md5(p.a), 1, 15))::BIGINT AS x,
+      |    ('0x' || substr(md5(p.b), 1, 15))::BIGINT AS y
+      |  FROM adj),
+      |und AS (
+      |  SELECT x, y FROM ad
+      |  UNION ALL SELECT y AS x, x AS y FROM ad),
+      |ew AS (
+      |  SELECT u.x, u.y, CAST(count(*) AS BIGINT) AS wt
+      |  FROM und u
+      |  JOIN banded bx ON bx.th = u.x
+      |  JOIN banded by_ ON by_.th = u.y
+      |  GROUP BY 1, 2),
+      |edges AS MATERIALIZED (
+      |  SELECT x, y, wt,
+      |    CAST(sum(wt) OVER (PARTITION BY x) AS BIGINT) AS wdeg
+      |  FROM ew),
+      |r0 AS MATERIALIZED (
+      |  SELECT th, CAST($TrScale AS BIGINT) AS r FROM names),
+      |$trIterSql
+      |SELECT n.term, r.r AS rank_fp
+      |FROM r$TrRounds r JOIN names n ON n.th = r.th
+      |ORDER BY n.term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_textrank_terms" -> (textrankTerms _),
     "q273_hits_hubs" -> (hitsHubs _),
     "q152_phrase_search" -> ((s: SparkSession, d: String) =>
       phraseSearch(s, d)),
@@ -516,6 +681,7 @@ object Postings {
       keywordSearch(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q280_textrank_terms" -> textrankOracleSql,
     "q273_hits_hubs" -> hitsOracleSql,
     // n_matches is INTEGER in the comprehension replay; the engine
     // side emits BIGINT — cast to match

@@ -106,4 +106,15 @@ class EventOpsSpec extends SparkSpec {
       assert(seq.init.forall(iv => !iv._5 && iv._4.nonEmpty))
     }
   }
+  test("q281: stationary mass is conserved up to floor-division leak") {
+    val total = EventOps.markovStationary(spark, sf()).collect()
+      .map(_.getAs[Long]("mass_fp"))
+    assert(total.forall(_ >= 0L))
+    val types = total.length
+    // start mass = types * MarkovScale; each round can only leak
+    // (floor division + dangling states), never create
+    assert(total.sum <= types * EventOps.MarkovScale,
+      s"mass grew: ${total.sum}")
+    assert(total.sum > 0L, "all mass leaked - degenerate chain")
+  }
 }

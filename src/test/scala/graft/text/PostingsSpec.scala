@@ -185,4 +185,33 @@ class PostingsSpec extends SparkSpec {
         r.getAs[String]("positions")).toMap
     assert(aa == Map(3L -> "0,1"))
   }
+  test("q280: textrank ranks carry the damping base floor and the " +
+    "band excludes singletons") {
+    val r = Postings.textrankTerms(spark, sf()).collect()
+    assert(r.nonEmpty)
+    // every rank >= the teleport base (mass is never negative)
+    assert(r.forall(_.getAs[Long]("rank_fp") >= Postings.TrBase))
+    // vertex contract: no singleton term may appear
+    import spark.implicits._
+    val df = graft.Tables.load(spark, sf(), "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array_distinct(
+          graft.util.Tokens.whitespace(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.col("text"))))).as("t"))
+      .groupBy("t").count()
+      .where(org.apache.spark.sql.functions.col("count") === 1)
+      .select("t").as[String].collect().toSet
+    assert(r.map(_.getAs[String]("term")).toSet.intersect(df).isEmpty)
+  }
+
+  test("q273: hub scores stay within the shift-normalization budget") {
+    val r = Postings.hitsHubs(spark, sf()).collect()
+    assert(r.nonEmpty)
+    val hs = r.map(_.getAs[Long]("hub_fp"))
+    assert(hs.forall(_ >= 0L))
+    // after the final right-shift the max fits HitsBits bits
+    assert(hs.max < (1L << Postings.HitsBits),
+      s"max hub ${hs.max} exceeds 2^${Postings.HitsBits}")
+  }
 }
