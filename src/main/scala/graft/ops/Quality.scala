@@ -230,7 +230,60 @@ object Quality {
       .reduce(_ unionByName _).orderBy("key")
   }
 
+  /** q284's profiled column list — one source of truth for both the
+    * Spark spelling and the generated oracle text. */
+  val ProfileCols: Seq[String] = Seq("l_orderkey", "l_partkey",
+    "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+    "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+
+  /** q284: column profiler — the per-column (n_rows, n_null,
+    * n_distinct, uniqueness) inventory a catalog or DQ dashboard
+    * shows for every table (Great-Expectations-style profiling as
+    * one relational pass). All metrics are exact BIGINTs; the
+    * distinct counts compare NATIVE values (never stringified —
+    * double→VARCHAR formatting differs across engines).
+    *
+    * Scale shape: ONE scan; the multi-column COUNT(DISTINCT) is
+    * Catalyst's Expand (×|cols| row multiplication feeding partial
+    * aggs — the standard multi-distinct plan, map-side combined);
+    * the 1-row wide result melts to long form via a LocalRelation-
+    * driven stack, no second scan. At 100 TB you'd trade Expand for
+    * per-column HLL sketches (q179's family) if exactness weren't
+    * required; the exact spelling is the contract here. */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stack = ProfileCols.map { c =>
+      s"'$c', nn_$c, nd_$c"
+    }.mkString(", ")
+    wide.select(col("n_rows"), expr(
+        s"stack(${ProfileCols.size}, $stack) AS (column_name, n_notnull, n_distinct)"))
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_notnull")).as("n_null"),
+        col("n_distinct"),
+        (col("n_distinct") === col("n_notnull")).as("is_unique"))
+      .orderBy("column_name")
+  }
+
+  private[ops] def columnProfileSql: String = {
+    val arms = ProfileCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  count(DISTINCT $c) = count($c) AS is_unique
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"SELECT * FROM (\n$arms\n) ORDER BY column_name"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_column_profile" -> (columnProfile _),
     "q253_pk_audit"   -> (pkAudit _),
     "q131_dq_rules"   -> (dqRules _),
     "q166_curation_verdict" -> (curationVerdict _),
@@ -239,6 +292,7 @@ object Quality {
     "q132_fk_orphans" -> (fkOrphans _))
 
   val oracle: Map[String, String] = Map(
+    "q284_column_profile" -> columnProfileSql,
     "q253_pk_audit" ->
       """SELECT * FROM (
         |  SELECT 'customer.c_custkey' AS key,

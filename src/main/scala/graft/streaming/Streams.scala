@@ -580,6 +580,52 @@ object Streams {
       .toDF("user_id", "t1", "t2", "t3", "reached", "upd")
   }
 
+  /** Streaming first-order transition extraction — the live twin of
+    * [[graft.ops.EventOps.transitionMatrix]]/markovStationary's cell
+    * derivation: per user, every consecutive event-type pair is
+    * emitted as a (from_type, to_type) row the moment its successor
+    * arrives; a downstream rollup keeps the live transition counts
+    * (counts are additive, so the aggregation is the trivially
+    * incremental part). State per user is ONE (ms, event_id, type)
+    * triple — constant, never a buffer.
+    *
+    * Ordering contract: per-user IN-ORDER delivery (what a
+    * user-keyed Kafka topic partition guarantees and what the spec
+    * feeds); rows inside a micro-batch are sorted by (ms, event_id)
+    * before pairing, so batch-boundary placement is immaterial —
+    * StreamsSpec proves k-batch splits ≡ the batch window spelling.
+    * A fully out-of-order feed needs the batch operator (windows
+    * re-sort globally); this is the same contract split as
+    * funnelStream's monotone parse vs q227's batch sort. */
+  def transitionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String),
+        (Long, String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Long, Long, String)]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._4, r._2))
+          var last = state.getOption
+          val out = ordered.flatMap { case (_, id, et, ms) =>
+            val pair = last.map { case (_, _, prevType) =>
+              (user, prevType, et, ms)
+            }
+            last = Some((ms, id, et))
+            pair
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "from_type", "to_type", "ms")
+  }
+
   /** Streaming FUZZY admission: flag records whose `name` is within
     * edit distance ≤ `maxEdits` of any name on a bounded reference
     * list (typo-squatted usernames, near-variant banned titles) —

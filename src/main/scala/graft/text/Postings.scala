@@ -666,7 +666,105 @@ object Postings {
       |FROM r$TrRounds r JOIN names n ON n.th = r.th
       |ORDER BY n.term""".stripMargin
 
+  /** q283's constants — shared with the oracle text. */
+  val Bm25K = 10
+  /** Fixed-point scale for both the tf normalization and the idf. */
+  val Bm25Scale = 1L << 10
+  /** The gate's query terms (present in the synthetic vocabulary). */
+  val Bm25Query = Seq("spark", "hash", "stream")
+
+  /** q283: BM25 top-k retrieval (Robertson & Walker 1994) in EXACT
+    * integer arithmetic — the lexical-ranking baseline next to the
+    * embedding family (and the scorer a retrieval-eval harness like
+    * q199 would weight candidates with). Two integerizations, both
+    * documented deviations with the classic float formula as their
+    * monotone source:
+    *   - tf side: tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with k1=1.2,
+    *     b=0.75 is EXACTLY rational once scaled by 10·total_tokens —
+    *     numerator 22·tf·total, denominator 10·total·tf + 3·total +
+    *     9·dl·N — so the fixed-point value ((Scale·num) div den) is
+    *     bit-identical in both engines.
+    *   - idf side: the classic log((N−df+0.5)/(df+0.5)) is
+    *     transcendental (ln is NOT correctly rounded — a cross-engine
+    *     drift risk the float discipline forbids) and its bit-length
+    *     log2 floor is uniformly 0 on a high-df vocabulary; we rank
+    *     by the PRE-LOG ODDS (Scale·(2N−2df+1)) div (2df+1) — exact,
+    *     strictly monotone in the classic idf, never degenerate.
+    * Score = Σ_terms idf_fp·tfn_fp (2²⁰-scaled), ties broken by
+    * doc_id — a total order, so top-k gates hash-exact.
+    *
+    * Scale shape: the term filter hits the lc-tokens explode
+    * map-side (|terms| is a constant); tf is a (doc, term)-keyed
+    * rollup over matched occurrences only; df and the corpus stats
+    * are |terms|-row / 1-row relations (sanctioned broadcasts); the
+    * final top-k is the q15 WindowGroupLimit / TopK shape. Overflow:
+    * Scale·22·tf·total ≤ 2⁶³ up to ~10¹⁴ total tokens; past that,
+    * the q241 DECIMAL(38) escape. */
+  def bm25TopK(s: SparkSession, dir: String,
+               terms: Seq[String] = Bm25Query): DataFrame = {
+    val toks = graft.util.Scratch.memo(s, "lc-tokens",
+      s"lc-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Tokens.whitespace(lower(col("text"))).as("w")))
+    val dl = toks.select(col("doc_id"),
+      size(col("w")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("total"))
+    val tf = toks.select(col("doc_id"), explode(col("w")).as("t"))
+      .where(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t"))
+      .agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), "t") // |terms| rows — constant-bounded
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // 1 row — sanctioned
+      .select(col("doc_id"),
+        expr(s"(($Bm25Scale * (2*n - 2*df + 1)) div (2*df + 1)) * " +
+          s"(($Bm25Scale * 22 * tf * total) div " +
+          "(10 * total * tf + 3 * total + 9 * dl * n))").as("c"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score_fp"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(Bm25K)
+  }
+
+  private[text] def bm25OracleSql: String = {
+    val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    raw"""WITH w AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') AS w
+      |  FROM documents),
+      |dl AS MATERIALIZED (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+      |st AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dl) AS BIGINT) AS total FROM dl),
+      |tf AS MATERIALIZED (
+      |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS t FROM w)
+      |  """.stripMargin +
+      s"""WHERE t IN ($inList) GROUP BY 1, 2),
+      |df AS MATERIALIZED (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    (($Bm25Scale * (2*st.n - 2*df.df + 1)) // (2*df.df + 1)) *
+      |    (($Bm25Scale * 22 * tf.tf * st.total) //
+      |      (10*st.total*tf.tf + 3*st.total + 9*dl.dl*st.n)) AS c
+      |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id), st)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_fp,
+      |  CAST(count(*) AS BIGINT) AS n_terms
+      |FROM sc GROUP BY 1
+      |ORDER BY score_fp DESC, doc_id LIMIT $Bm25K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_bm25_topk" -> ((s: SparkSession, d: String) =>
+      bm25TopK(s, d)),
     "q280_textrank_terms" -> (textrankTerms _),
     "q273_hits_hubs" -> (hitsHubs _),
     "q152_phrase_search" -> ((s: SparkSession, d: String) =>
@@ -681,6 +779,7 @@ object Postings {
       keywordSearch(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q283_bm25_topk" -> bm25OracleSql,
     "q280_textrank_terms" -> textrankOracleSql,
     "q273_hits_hubs" -> hitsOracleSql,
     // n_matches is INTEGER in the comprehension replay; the engine

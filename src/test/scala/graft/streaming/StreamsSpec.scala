@@ -702,4 +702,65 @@ class StreamsSpec extends SparkSpec {
       s"stream-final sketch drifted from batch:\n$got\nvs\n$batch")
   }
 
+  test("transition stream: k time-ordered batches ≡ batch bigram counts") {
+    import org.apache.spark.sql.functions.{col, count, lit, unix_millis, lead}
+    import org.apache.spark.sql.expressions.Window
+    val in = Files.createTempDirectory("trans_in").toString
+    val ckpt = Files.createTempDirectory("trans_ckpt").toString
+    def ev(id: Long, user: Long, et: String, hhmm: String) =
+      s"""{"event_id":$id,"ts":"2024-01-01T$hhmm:00Z","user_id":$user,"event_type":"$et","value":1.0}"""
+    // batch boundaries cut INSIDE user sequences — the pair spanning
+    // the boundary must still be emitted (u1 view->click across
+    // b1/b2, u2 click->purchase across b2/b3); same-ms ties break by
+    // event_id (u3: ids 31,32 at 00:07)
+    writeBatch(in, "b1.json",
+      ev(1, 1, "view", "00:00"),
+      ev(31, 3, "view", "00:07"))
+    writeBatch(in, "b2.json",
+      ev(2, 1, "click", "00:05"),
+      ev(32, 3, "click", "00:07"),
+      ev(10, 2, "click", "00:06"))
+    writeBatch(in, "b3.json",
+      ev(3, 1, "purchase", "00:09"),
+      ev(11, 2, "purchase", "00:08"))
+    // the in-order-delivery contract is the FIXTURE's job: the file
+    // source orders by modification time, and same-ms writes tie —
+    // stamp strictly increasing mtimes (a user-keyed Kafka partition
+    // provides this ordering for real)
+    Seq("b1.json", "b2.json", "b3.json").zipWithIndex.foreach {
+      case (f, i) =>
+        Files.setLastModifiedTime(Paths.get(in, f),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 3000L + i * 1000L))
+    }
+    val out = Streams.transitionStream(
+      Streams.rateLimitedStream(spark, in, schema, maxFilesPerTrigger = 1))
+    val q = out.writeStream.format("memory").queryName("trans")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("trans")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the q228 batch spelling over the same files
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val batch = spark.read.schema(schema).json(in)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == batch,
+      s"stream transitions drifted from batch:\n$got\nvs\n$batch")
+    // the boundary-spanning pairs really exist
+    assert(got.contains(("view", "click")) &&
+      got.contains(("click", "purchase")))
+  }
 }
