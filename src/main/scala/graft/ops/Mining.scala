@@ -152,6 +152,31 @@ object Mining {
       .orderBy("doc_id")
   }
 
+  /** q287's diversity floor. */
+  val LDiv = 3
+
+  /** q287: l-diversity audit (Machanavajjhala et al. 2007) — q214's
+    * k-anonymity sibling one step stronger: a QI group can be large
+    * (k-anonymous) yet still leak if everyone in it shares the same
+    * SENSITIVE value, so each (source, len_bin) group is scored by
+    * how many distinct sensitive values (lang) it contains and
+    * flagged when below [[LDiv]]. Group-level report (not per-row
+    * like q214): the shape an export-review dashboard reads.
+    *
+    * Scale shape: one QI-keyed rollup with an exact COUNT(DISTINCT)
+    * per group — a single key shuffle (distinct folds into the
+    * partial agg); no window, no join. */
+  def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents")
+      .select(col("source"), expr("n_chars div 256").as("len_bin"),
+        col("lang"))
+      .groupBy(col("source"), col("len_bin"))
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col("lang")).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= LDiv)
+      .orderBy("source", "len_bin")
+  }
+
   /** q215: association rules over within-document token
     * co-occurrence — directional rules `antecedent → consequent` with
     * exact support / confidence / lift, thresholded by integer
@@ -662,6 +687,7 @@ object Mining {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q277_moment_stats" -> (momentStats _),
+    "q287_l_diversity" -> (lDiversity _),
     "q260_stickiness" -> (stickiness _),
     "q259_rolling_wau" -> (rollingWau _),
     "q248_corpus_health" -> (corpusHealth _),
@@ -961,6 +987,13 @@ object Mining {
         |FROM events, t WHERE user_id IS NOT NULL
         |GROUP BY event_type, t.n_users_all
         |ORDER BY event_type""".stripMargin,
+    "q287_l_diversity" ->
+      s"""SELECT source, n_chars // 256 AS len_bin,
+         |  CAST(count(*) AS BIGINT) AS group_size,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+         |  count(DISTINCT lang) >= $LDiv AS diverse
+         |FROM documents GROUP BY 1, 2
+         |ORDER BY source, len_bin""".stripMargin,
     "q214_k_anonymity" ->
       s"""SELECT doc_id, source, lang, n_chars // 256 AS len_bin,
          |  CAST(count(*) OVER

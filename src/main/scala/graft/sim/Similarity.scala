@@ -563,15 +563,31 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), signature(col("embedding")).as("sig"))
       .select(col("vec_id"), bandCols)
-    val buckets = banded.groupBy(col("band"), col("bandVal"))
-      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
-      .where(size(col("ids")) >= 2)
-    val cand = buckets
-      .select(col("ids"), explode(col("ids")).as("x"))
-      .select(col("x").as("query_id"),
-        explode(expr(
-          s"slice(filter(ids, y -> y != x), 1, $maxBucket)"))
-          .as("neighbor_id"))
+    // Candidate generation is a rank-windowed bounded join — NOT a
+    // collect_list + slice: the array spelling carries each bucket's
+    // full id array through two explodes (one UnsafeRow copy per
+    // output row), and the sf10 probe OOM'd exactly there on the
+    // clone-heavy corpus (thousand-member identical-signature
+    // buckets × multi-KB arrays). Here the partner side is pruned to
+    // rn ≤ cap+1 BEFORE the join, so a bucket of ANY size costs
+    // O(|bucket|·cap) narrow rows and no array ever materializes —
+    // the semantics (first cap sorted others per anchor) and the
+    // oracle text are unchanged.
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bandVal")).orderBy(col("vec_id"))
+    val bmem = banded.withColumn("rn", row_number().over(wB))
+    val partners = bmem
+      .where(col("rn") <= maxBucket + 1)
+      .select(col("band"), col("bandVal"),
+        col("vec_id").as("neighbor_id"), col("rn").as("brn"))
+    val cand = bmem
+      .select(col("band"), col("bandVal"),
+        col("vec_id").as("query_id"), col("rn").as("arn"))
+      .join(partners, Seq("band", "bandVal"))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        when(col("brn") < col("arn"), col("brn"))
+          .otherwise(col("brn") - 1) <= maxBucket)
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
     val all = quantizedZone(s, dir)
     val scored = cand

@@ -261,6 +261,55 @@ object Spectral {
       lit(SeedMod.toLong)) === 0L
   }
 
+  /** q285's constants. */
+  val RaScale = 1L << 16
+  val RaTopK = 100
+
+  /** q285: link prediction on the semantic kNN graph via the
+    * RESOURCE-ALLOCATION index (Zhou, Lü & Zhang 2009) — for every
+    * non-adjacent pair at distance 2, RA = Σ_{z ∈ N(x)∩N(y)} 1/deg(z),
+    * the "which documents should be neighbors but aren't" signal
+    * behind graph densification and retrieval-expansion. RA is chosen
+    * over Adamic–Adar deliberately: AA's 1/log deg is transcendental
+    * (not correctly rounded — the cross-engine drift the float
+    * discipline forbids), while RA's 1/deg is exactly rational —
+    * scaled to [[RaScale]] div deg, bit-identical in both engines.
+    * Common-neighbor count rides along; top-[[RaTopK]] by
+    * (ra_fp DESC, id1, id2) is a total order.
+    *
+    * Scale shape: two-hop enumeration through each middle vertex z
+    * costs deg(z)² — and on the k-bounded kNN graph deg ≤ 2k, so the
+    * candidate relation is ≤ (2k)²·n rows, key-partitioned by z (no
+    * self-join on an unbounded-degree graph: a web graph would need
+    * the q273 df-band discipline on hub vertices first). The
+    * existing-edge exclusion is one anti-join against the same edge
+    * zone. */
+  def linkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.knnGraphZone(s, dir)
+    val und = e.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"))
+      .union(e.select(col("neighbor_id").as("src"),
+        col("query_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // 4 consumers below — derive ONCE
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val cand = und.select(col("src").as("x"), col("dst").as("z"))
+      .join(und.select(col("src").as("z"), col("dst").as("y")), "z")
+      .where(col("x") < col("y"))
+    val scored = cand
+      .join(deg.select(col("src").as("z"), col("deg")), "z")
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr(s"$RaScale div deg")).as("ra_fp"))
+    scored
+      .join(und, scored("x") === und("src") && scored("y") === und("dst"),
+        "left_anti")
+      .select(col("x").as("id1"), col("y").as("id2"),
+        col("common_neighbors"), col("ra_fp"))
+      .orderBy(col("ra_fp").desc, col("id1"), col("id2"))
+      .limit(RaTopK)
+  }
+
   /** q275: hop distance to the nearest trusted seed over the
     * (undirected) semantic kNN graph — the "how far is this document
     * from vetted content" curation signal (GraphRank-style quality
@@ -641,6 +690,97 @@ object Spectral {
         .stripMargin
     }.mkString(",\n")
 
+  /** q288: modularity of the q268 label-propagation communities
+    * (Newman & Girvan 2004) — THE partition-quality score: per
+    * community c, Q_c = L_c/m − (d_c/2m)², all inputs exact BIGINTs
+    * over the undirected edge relation (intra2 counts each intra
+    * edge twice, m2 = 2m, so Q_c = (intra2/m2) − (dsum/m2)² is ONE
+    * final IEEE expression per row — the q277 exit rule). Together
+    * with q268 this closes the loop: the communities AND the number
+    * that says whether they are better than chance.
+    *
+    * Scale shape: the label relation (one q268 derivation) joins the
+    * edge relation twice (src- then dst-keyed — two key shuffles over
+    * ≤2kn rows); degree and community rollups are partial-agg shapes;
+    * the 1-row m2 total is the sanctioned constant broadcast. */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.knnGraphZone(s, dir)
+    val und = e.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"))
+      .union(e.select(col("neighbor_id").as("src"),
+        col("query_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // 3 consumers — derive ONCE
+    val nodes = corpus(s, dir).select(col("vec_id").as("id"))
+    val labels = labelPropIterate(nodes, und)
+      .localCheckpoint(true) // joined twice + sized
+    val m2 = und.agg(count(lit(1)).as("m2"))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dsum = labels.join(deg, labels("id") === deg("src"), "left")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("csize"),
+        sum(coalesce(col("deg"), lit(0L))).as("dsum"))
+    val intra = und
+      .join(labels.select(col("id").as("src"), col("lbl").as("ls")),
+        "src")
+      .join(labels.select(col("id").as("dst"), col("lbl").as("ld")),
+        "dst")
+      .where(col("ls") === col("ld"))
+      .groupBy(col("ls").as("lbl"))
+      .agg(count(lit(1)).as("intra2"))
+    dsum.join(intra, Seq("lbl"), "left")
+      .select(col("lbl"), col("csize"), col("dsum"),
+        coalesce(col("intra2"), lit(0L)).as("intra2"))
+      .crossJoin(broadcast(m2))
+      .select(col("lbl").as("community"), col("csize"),
+        col("intra2"), col("dsum"), col("m2"),
+        (col("intra2").cast("double") / col("m2").cast("double")
+          - (col("dsum").cast("double") / col("m2").cast("double"))
+          * (col("dsum").cast("double") / col("m2").cast("double")))
+          .as("q_c"))
+      .orderBy("community")
+  }
+
+  /** q289: degree assortativity of the kNN graph (Newman 2002) —
+    * Pearson correlation of endpoint degrees over the undirected
+    * edge list: positive = hubs link hubs (social-graph shape),
+    * negative = hubs link leaves (star/hub-spoke — what a
+    * boilerplate-heavy near-dup graph looks like). Exact power sums
+    * (n, Σx, Σy, Σx², Σy², Σxy — degrees are ≤2k-bounded so products
+    * are safe BIGINTs), ONE final IEEE expression (the q277 rule;
+    * sqrt is correctly rounded).
+    *
+    * Scale shape: degree rollup + two src/dst-keyed joins to tag
+    * each edge with its endpoint degrees, then one partial-agg
+    * reduction to a single row. */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.knnGraphZone(s, dir)
+    val und = e.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"))
+      .union(e.select(col("neighbor_id").as("src"),
+        col("query_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // degree + both tag joins — derive ONCE
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val tagged = und
+      .join(deg.select(col("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")),
+        "dst")
+    tagged
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"), col("sx"), col("sy"), col("sxx"),
+        col("syy"), col("sxy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))).as("r"))
+  }
+
   /** q237: Rand index between two INDEPENDENT clusterings of the same
     * corpus — the q173 k-means topics vs the q107 SRP-LSH connected
     * components: the standard "do two unsupervised views agree"
@@ -675,6 +815,9 @@ object Spectral {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_link_prediction" -> (linkPrediction _),
+    "q288_modularity" -> (modularity _),
+    "q289_assortativity" -> (assortativity _),
     "q275_seed_distance" -> (seedDistance _),
     "q276_personalized_pagerank" -> (personalizedPagerank _),
     "q268_label_prop" -> (labelProp _),
@@ -685,6 +828,89 @@ object Spectral {
     "q180_pagerank_centrality" -> (pagerankCentrality _))
 
   val oracle: Map[String, String] = Map(
+    "q288_modularity" ->
+      s"""WITH ${Similarity.knnEdgesSql},
+         |und AS MATERIALIZED (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM edges
+         |  UNION
+         |  SELECT neighbor_id AS src, query_id AS dst FROM edges),
+         |l0 AS MATERIALIZED (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings),
+         |$lpIterSql,
+         |m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM und GROUP BY 1),
+         |ds AS (
+         |  SELECT l.lbl, CAST(count(*) AS BIGINT) AS csize,
+         |    CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS dsum
+         |  FROM l$LpRounds l LEFT JOIN deg d ON d.src = l.id
+         |  GROUP BY 1),
+         |intra AS (
+         |  SELECT a.lbl, CAST(count(*) AS BIGINT) AS intra2
+         |  FROM und u
+         |  JOIN l$LpRounds a ON a.id = u.src
+         |  JOIN l$LpRounds b ON b.id = u.dst
+         |  WHERE a.lbl = b.lbl GROUP BY 1)
+         |SELECT ds.lbl AS community, ds.csize,
+         |  coalesce(i.intra2, CAST(0 AS BIGINT)) AS intra2,
+         |  ds.dsum, m2t.m2,
+         |  CAST(coalesce(i.intra2, 0) AS DOUBLE) / CAST(m2t.m2 AS DOUBLE)
+         |    - (CAST(ds.dsum AS DOUBLE) / CAST(m2t.m2 AS DOUBLE))
+         |    * (CAST(ds.dsum AS DOUBLE) / CAST(m2t.m2 AS DOUBLE))
+         |    AS q_c
+         |FROM ds LEFT JOIN intra i ON i.lbl = ds.lbl, m2t
+         |ORDER BY community""".stripMargin,
+    "q289_assortativity" ->
+      s"""WITH ${Similarity.knnEdgesSql},
+         |und AS MATERIALIZED (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM edges
+         |  UNION
+         |  SELECT neighbor_id AS src, query_id AS dst FROM edges),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM und GROUP BY 1),
+         |tg AS (
+         |  SELECT dx.deg AS x, dy.deg AS y
+         |  FROM und u
+         |  JOIN deg dx ON dx.src = u.src
+         |  JOIN deg dy ON dy.src = u.dst),
+         |sm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM tg)
+         |SELECT n, sx, sy, sxx, syy, sxy,
+         |  CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+         |FROM sm""".stripMargin,
+    "q285_link_prediction" ->
+      s"""WITH ${Similarity.knnEdgesSql},
+         |und AS MATERIALIZED (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM edges
+         |  UNION
+         |  SELECT neighbor_id AS src, query_id AS dst FROM edges),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM und GROUP BY 1),
+         |cand AS (
+         |  SELECT a.src AS x, a.dst AS z, b.dst AS y
+         |  FROM und a JOIN und b ON b.src = a.dst
+         |  WHERE a.src < b.dst),
+         |sc AS (
+         |  SELECT c.x, c.y,
+         |    CAST(count(*) AS BIGINT) AS common_neighbors,
+         |    CAST(sum($RaScale // d.deg) AS BIGINT) AS ra_fp
+         |  FROM cand c JOIN deg d ON d.src = c.z
+         |  GROUP BY 1, 2)
+         |SELECT sc.x AS id1, sc.y AS id2, common_neighbors, ra_fp
+         |FROM sc
+         |WHERE NOT EXISTS (SELECT 1 FROM und u
+         |  WHERE u.src = sc.x AND u.dst = sc.y)
+         |ORDER BY ra_fp DESC, id1, id2 LIMIT $RaTopK""".stripMargin,
     "q275_seed_distance" ->
       s"""WITH ${Similarity.knnEdgesSql},
          |und AS MATERIALIZED (

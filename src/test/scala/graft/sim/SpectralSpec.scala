@@ -207,4 +207,31 @@ class SpectralSpec extends SparkSpec {
     assert(got(1L) >= Spectral.PrBase, s"seed keeps its base: $got")
     assert(got(2L) > 0L, s"mass flows along the seed cycle: $got")
   }
+  test("q285: RA index on a square — diagonals score 2/deg, edges excluded") {
+    // cycle 1-2-3-4-1: the only distance-2 pairs are the diagonals
+    // (1,3) and (2,4), each with TWO common neighbors of degree 2
+    // -> ra_fp = 2 * (RaScale div 2) = RaScale; adjacent pairs must
+    // be anti-joined away even though they share middles
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum, expr}
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val und = es.toDF("src", "dst")
+      .union(es.map(_.swap).toDF("src", "dst"))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val cand = und.select(col("src").as("x"), col("dst").as("z"))
+      .join(und.select(col("src").as("z"), col("dst").as("y")), "z")
+      .where(col("x") < col("y"))
+    val scored = cand
+      .join(deg.select(col("src").as("z"), col("deg")), "z")
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"${Spectral.RaScale} div deg")).as("ra"))
+    val got = scored
+      .join(und, scored("x") === und("src") && scored("y") === und("dst"),
+        "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map((1L, 3L) -> ((2L, Spectral.RaScale)),
+      (2L, 4L) -> ((2L, Spectral.RaScale))), s"got: $got")
+  }
 }
