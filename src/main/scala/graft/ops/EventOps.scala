@@ -312,6 +312,36 @@ object EventOps {
       .limit(topN)
   }
 
+  /** q290's half-window (hours): the centered frame is t±[[MedHalf]]. */
+  val MedHalf = 12
+
+  /** q290: robust moving-median smoothing of the hourly count grid —
+    * the outlier-resistant baseline a monitoring stack prefers over
+    * the q252 mean/z-score when single spiky hours would drag a mean
+    * (a median ignores them). Median is the LOWER median of the
+    * centered 25-hour frame — rank (n+1) div 2 of the sorted frame —
+    * so every output is an exact BIGINT: no interpolation, nothing
+    * float, engines can't drift (DuckDB's median() interpolates even
+    * frames, so both sides spell the explicit sorted-list index
+    * instead). Deviation c − med rides along as the anomaly signal.
+    *
+    * Scale shape: one type-keyed RANGE window over the shared dense
+    * hourly-grid zone; the collected frame is ≤ 2·[[MedHalf]]+1
+    * values — a bounded array by CONSTRUCTION (constant window, not
+    * data-sized), which is what makes the collect admissible (the
+    * q168 lesson: never collect a data-sized bucket). */
+  def movingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+      .rangeBetween(-MedHalf, MedHalf)
+    hourlyGrid(s, dir)
+      .withColumn("frame", sort_array(collect_list(col("c")).over(w)))
+      .select(col("event_type"), col("t"), col("c"),
+        element_at(col("frame"),
+          expr("CAST((size(frame) + 1) div 2 AS INT)")).as("med"))
+      .withColumn("dev", col("c") - col("med"))
+      .orderBy("event_type", "t")
+  }
+
   /** q281's round budget — shared with the oracle's unrolled chain
     * (a fixed-round contract, the q268 rule: "until converged" is
     * not cross-engine reproducible; k synchronous steps are). */
@@ -1035,6 +1065,7 @@ object EventOps {
       orderedFunnel(s, d)),
     "q228_transition_matrix" -> (transitionMatrix _),
     "q281_markov_stationary" -> (markovStationary _),
+    "q290_moving_median" -> (movingMedian _),
     "q229_ab_analysis" -> (abAnalysis _),
     "q234_session_builtin" -> (sessionWindowBuiltin _),
     "q241_group_regression" -> (groupRegression _),
@@ -1377,6 +1408,33 @@ object EventOps {
         |  n_events, start_ms, last_ms
         |FROM g ORDER BY user_id, start_ms""".stripMargin,
     "q281_markov_stationary" -> markovStationarySql,
+    "q290_moving_median" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, ts::DATE AS d,
+         |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+         |  FROM events),
+         |cts AS (
+         |  SELECT event_type, d, h, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1, 2, 3),
+         |grid AS (
+         |  SELECT t.event_type,
+         |    CAST((dd.d - DATE '1970-01-01') AS BIGINT) * 24 + hh.h AS t,
+         |    CAST(coalesce(cts.c, 0) AS BIGINT) AS c
+         |  FROM (SELECT DISTINCT d FROM ev) dd
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+         |  CROSS JOIN (SELECT unnest(range(0, 24)) AS h) hh
+         |  LEFT JOIN cts ON cts.event_type = t.event_type
+         |    AND cts.d = dd.d AND cts.h = hh.h),
+         |fr AS (
+         |  SELECT event_type, t, c,
+         |    list_sort(array_agg(c) OVER (PARTITION BY event_type
+         |      ORDER BY t RANGE BETWEEN $MedHalf PRECEDING
+         |        AND $MedHalf FOLLOWING)) AS frame
+         |  FROM grid)
+         |SELECT event_type, t, c,
+         |  frame[CAST((len(frame) + 1) // 2 AS INT)] AS med,
+         |  c - frame[CAST((len(frame) + 1) // 2 AS INT)] AS dev
+         |FROM fr ORDER BY event_type, t""".stripMargin,
     "q228_transition_matrix" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms

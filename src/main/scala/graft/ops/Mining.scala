@@ -155,6 +155,58 @@ object Mining {
   /** q287's diversity floor. */
   val LDiv = 3
 
+  /** q291's trim fraction denominator: cut ⌊n/[[TrimDen]]⌋ rows from
+    * EACH tail. */
+  val TrimDen = 10
+
+  /** q291: 10%-trimmed mean per group — the robust location estimate
+    * next to q277's raw moments (a single corrupted-feed spike moves
+    * a mean; the trimmed mean ignores both tails). EXACT via the
+    * value-histogram: l_quantity's domain is bounded, so the group
+    * rolls up to (group, value, cnt), a cumulative window ranks the
+    * histogram, and each value's surviving multiplicity is pure
+    * integer interval arithmetic — contribution of value v to the
+    * low cut = min(cum, k) − min(cum − cnt, k), symmetric from the
+    * top; no per-row sort, no percentile interpolation. ONE final
+    * IEEE division (the q277 exit rule).
+    *
+    * Scale shape: one (group, value) partial-agg rollup — the only
+    * corpus-sized shuffle; the cumulative window runs over ≤|domain|
+    * rows per group. A true-real-valued column would first bucket to
+    * a bounded grid (the q266 bit-length discipline) or accept a
+    * per-group sort. */
+  def trimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        floor(col("l_quantity")).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col("g"))
+    val cut = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wg))
+      .withColumn("k", expr(s"n div $TrimDen"))
+      .select(col("g"), col("v"), col("cnt"), col("n"), col("k"),
+        (least(col("cum"), col("k"))
+          - least(col("cum") - col("cnt"), col("k"))).as("lo_cnt"),
+        (least(col("n") - (col("cum") - col("cnt")), col("k"))
+          - least(col("n") - col("cum"), col("k"))).as("hi_cnt"))
+    cut.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("v") * col("cnt")).as("sum_all"),
+        sum(col("v") * col("lo_cnt")).as("sum_lo"),
+        sum(col("v") * col("hi_cnt")).as("sum_hi"))
+      .select(col("g").as("l_returnflag"), col("n"), col("k"),
+        (col("n") - lit(2L) * col("k")).as("trimmed_n"),
+        (col("sum_all") - col("sum_lo") - col("sum_hi"))
+          .as("trimmed_sum"),
+        ((col("sum_all") - col("sum_lo") - col("sum_hi")).cast("double")
+          / (col("n") - lit(2L) * col("k")).cast("double"))
+          .as("trimmed_mean"))
+      .orderBy("l_returnflag")
+  }
+
   /** q287: l-diversity audit (Machanavajjhala et al. 2007) — q214's
     * k-anonymity sibling one step stronger: a QI group can be large
     * (k-anonymous) yet still leak if everyone in it shares the same
@@ -688,6 +740,7 @@ object Mining {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q277_moment_stats" -> (momentStats _),
     "q287_l_diversity" -> (lDiversity _),
+    "q291_trimmed_mean" -> (trimmedMean _),
     "q260_stickiness" -> (stickiness _),
     "q259_rolling_wau" -> (rollingWau _),
     "q248_corpus_health" -> (corpusHealth _),
@@ -987,6 +1040,35 @@ object Mining {
         |FROM events, t WHERE user_id IS NOT NULL
         |GROUP BY event_type, t.n_users_all
         |ORDER BY event_type""".stripMargin,
+    "q291_trimmed_mean" ->
+      s"""WITH hist AS (
+         |  SELECT l_returnflag AS g,
+         |    CAST(floor(l_quantity) AS BIGINT) AS v,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lineitem GROUP BY 1, 2),
+         |cw AS (
+         |  SELECT g, v, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+         |  FROM hist),
+         |cut AS (
+         |  SELECT g, v, cnt, n, n // $TrimDen AS k,
+         |    least(cum, n // $TrimDen)
+         |      - least(cum - cnt, n // $TrimDen) AS lo_cnt,
+         |    least(n - (cum - cnt), n // $TrimDen)
+         |      - least(n - cum, n // $TrimDen) AS hi_cnt
+         |  FROM cw)
+         |SELECT g AS l_returnflag, max(n) AS n, max(k) AS k,
+         |  max(n) - 2 * max(k) AS trimmed_n,
+         |  CAST(sum(v * cnt) - sum(v * lo_cnt) - sum(v * hi_cnt)
+         |    AS BIGINT) AS trimmed_sum,
+         |  CAST(sum(v * cnt) - sum(v * lo_cnt) - sum(v * hi_cnt)
+         |    AS DOUBLE) / CAST(max(n) - 2 * max(k) AS DOUBLE)
+         |    AS trimmed_mean
+         |FROM cut GROUP BY g
+         |ORDER BY l_returnflag""".stripMargin,
     "q287_l_diversity" ->
       s"""SELECT source, n_chars // 256 AS len_bin,
          |  CAST(count(*) AS BIGINT) AS group_size,

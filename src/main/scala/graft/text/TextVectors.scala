@@ -175,9 +175,74 @@ object TextVectors {
       .orderBy("doc_id")
   }
 
+  /** q292's holdout modulus (the q102 hash-split discipline): a doc
+    * is test iff its salted hash lands in residue 0 — ≈20%. */
+  val RocchioMod = 5
+
+  /** q292: Rocchio centroid classification + confusion matrix — the
+    * relational "train a text classifier" loop closed end-to-end:
+    * class centroids are summed hashed-TF vectors over the TRAIN
+    * slice (one rollup — training IS aggregation for this family),
+    * every TEST doc scores against each centroid through the
+    * dim-keyed sparse dot, and the argmax by cosine-vs-centroid
+    * (doc-norm dropped — constant per doc, argmax-invariant) gives
+    * the prediction; the output is the (true_source, predicted)
+    * count matrix a data-quality dashboard reads as "are sources
+    * separable in TF space". The ordering float is ONE IEEE
+    * expression (dot/√‖c‖²) over exact integers — identical doubles
+    * in both engines, so the argmax can't drift (ties broken by
+    * source name).
+    *
+    * Scale shape: centroids are a ≤|classes|·[[Dim]] CONSTANT-bounded
+    * relation (the sanctioned small side — unhinted, AQE broadcasts);
+    * scoring is one dim-keyed join + (doc, class) rollup; no
+    * corpus×corpus anything. */
+  def rocchioConfusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
+    val zone = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+    val tf = zone.select(col("doc_id"), explode(col("w")).as("tok"))
+      .select(col("doc_id"),
+        (Md5Prefix.h(col("tok")) % Dim).cast("int").as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("v"))
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (pmod(Md5Prefix.h(concat(col("doc_id").cast("string"),
+          lit("|rocchio"))), lit(RocchioMod.toLong)) === 0L)
+          .as("is_test"))
+    val cent = tf.join(docs.where(!col("is_test"))
+        .select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(col("v")).as("cv"))
+    val norms = cent.groupBy(col("source"))
+      .agg(sum(col("cv") * col("cv")).as("n2"))
+    val scores = tf.join(docs.where(col("is_test"))
+        .select(col("doc_id")), "doc_id")
+      .join(cent, "dim")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("v") * col("cv")).as("dot"))
+      .join(norms, "source")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy((col("dot").cast("double")
+        / sqrt(col("n2").cast("double"))).desc, col("source"))
+    val pred = scores.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("source").as("predicted"))
+    pred.join(docs.select(col("doc_id"),
+        col("source").as("true_source")), "doc_id")
+      .groupBy(col("true_source"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_source", "predicted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_hashed_tf" -> (hashedTf _),
     "q192_tf_cosine_pairs" -> (tfCosinePairs _),
+    "q292_rocchio_confusion" -> (rocchioConfusion _),
     "q193_tf_clusters" -> (tfClusters _))
 
   private val tfSql: String =
@@ -193,6 +258,40 @@ object TextVectors {
       |  FROM tok GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q292_rocchio_confusion" ->
+      s"""WITH $tfSql,
+         |dx AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+         |      || '|rocchio'), 1, 15))::BIGINT % $RocchioMod = 0)
+         |      AS is_test
+         |  FROM documents),
+         |cent AS MATERIALIZED (
+         |  SELECT d.source, tf.dim, CAST(sum(tf.v) AS BIGINT) AS cv
+         |  FROM tf JOIN dx d USING (doc_id)
+         |  WHERE NOT d.is_test GROUP BY 1, 2),
+         |nrm AS (
+         |  SELECT source, CAST(sum(cv * cv) AS BIGINT) AS n2
+         |  FROM cent GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, c.source,
+         |    CAST(sum(tf.v * c.cv) AS BIGINT) AS dot
+         |  FROM tf
+         |  JOIN dx d USING (doc_id)
+         |  JOIN cent c USING (dim)
+         |  WHERE d.is_test GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT doc_id, source AS predicted FROM (
+         |    SELECT sc.doc_id, sc.source,
+         |      row_number() OVER (PARTITION BY sc.doc_id
+         |        ORDER BY CAST(sc.dot AS DOUBLE)
+         |          / sqrt(CAST(n.n2 AS DOUBLE)) DESC, sc.source) AS rn
+         |    FROM sc JOIN nrm n ON n.source = sc.source)
+         |  WHERE rn = 1)
+         |SELECT d.source AS true_source, p.predicted,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM pred p JOIN dx d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY true_source, predicted""".stripMargin,
     "q191_hashed_tf" ->
       s"""WITH $tfSql
          |SELECT doc_id, dim, v FROM tf ORDER BY doc_id, dim
