@@ -761,6 +761,42 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
 
+  /** q293's fixed-point scale for the per-doc dedup weight. */
+  val EffScale = 1L << 16
+
+  /** q293: dedup-weighted EFFECTIVE token counts per source — the
+    * number a data-mixing plan should use instead of raw volume:
+    * each document's tokens are down-weighted by its near-dup
+    * cluster size (weight 1/|cluster|, so a 1000-clone boilerplate
+    * family contributes ONE document's worth of signal, exactly the
+    * rationale of dedup before mixing). Weight is the exact
+    * fixed-point (tokens·[[EffScale]]) div csize; the discount ratio
+    * is the ONE final double division.
+    *
+    * Scale shape: pure consumer of the memoized q98 label zone plus
+    * one tokenize scan; csize is a label-keyed rollup; everything
+    * downstream is |sources| rows. */
+  def effectiveTokens(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
+    val csize = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.util.Tokens.whitespace(col("text")))
+          .cast("long").as("nt"))
+    toks.join(labels, "doc_id").join(csize, "cluster_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(expr(s"(nt * $EffScale) div csize")).as("eff_fp"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("eff_fp"),
+        (col("eff_fp").cast("double")
+          / (col("n_tokens") * lit(EffScale)).cast("double"))
+          .as("unique_share"))
+      .orderBy("source")
+  }
+
   /** q207: QUALITY-AWARE survivor selection — keep the highest-
     * quality member of each near-dup cluster instead of the min-id
     * one (the real curation choice: among clones of a page, keep
@@ -1200,6 +1236,7 @@ object Dedup {
     "q35_dedup_keep_first" -> (keepFirst _),
     "q36_jaccard_pairs" -> (jaccardPairs _),
     "q274_dedup_threshold_sweep" -> (dedupThresholdSweep _),
+    "q293_effective_tokens" -> (effectiveTokens _),
     "q37_minhash_lsh"   -> ((s: SparkSession, d: String) =>
       minhashLshPairs(s, d, hash = Md5Prefix)),
     "q38_simhash"       -> ((s: SparkSession, d: String) =>
@@ -1415,6 +1452,28 @@ object Dedup {
           |FROM f GROUP BY t, tau
           |ORDER BY t""".stripMargin),
     "q98_dedup_clusters" -> ClustersOracleSql,
+    // the q98 label chain + cluster sizes + one tokenize scan
+    "q293_effective_tokens" ->
+      ("WITH RECURSIVE " + ClusterLabelCtes + raw""",
+        |cs AS MATERIALIZED (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+        |  FROM lab GROUP BY 1),
+        |tk AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text),
+        |      '[ \t\n\v\f\r]+')) AS BIGINT) AS nt
+        |  FROM documents)""".stripMargin +
+        s"""
+        |SELECT tk.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tk.nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum((tk.nt * $EffScale) // cs.csize) AS BIGINT)
+        |    AS eff_fp,
+        |  CAST(sum((tk.nt * $EffScale) // cs.csize) AS DOUBLE)
+        |    / CAST(sum(tk.nt) * $EffScale AS DOUBLE) AS unique_share
+        |FROM tk
+        |JOIN lab ON lab.doc_id = tk.doc_id
+        |JOIN cs ON cs.cluster_id = lab.cluster_id
+        |GROUP BY tk.source ORDER BY tk.source""".stripMargin),
     // labels CTE + q154's score sum + the survivor window
     "q207_best_survivor" ->
       ("WITH RECURSIVE " + ClusterLabelCtes + raw""",

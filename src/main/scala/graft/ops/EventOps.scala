@@ -315,6 +315,56 @@ object EventOps {
   /** q290's half-window (hours): the centered frame is t±[[MedHalf]]. */
   val MedHalf = 12
 
+  /** q295: monthly growth accounting — every product-analytics
+    * stack's user-state ledger: per calendar month, how many active
+    * users are NEW (first month ever), RETAINED (also active the
+    * month before), RESURRECTED (active before, but not last month),
+    * and how many users CHURNED into this month (active last month,
+    * absent now). States are decided per user from one lag/lead pass
+    * over their distinct active months — all integer month
+    * arithmetic (months since epoch), so the ledger gates exactly.
+    * Churn is attributed to the month AFTER the last activity and
+    * capped at the observation window's final month (a user active
+    * in the last month hasn't churned YET — right-censoring spelled
+    * identically in both engines).
+    *
+    * Scale shape: one distinct (user, month) rollup — user-month
+    * cardinality, far below raw events — then one user-keyed window
+    * and a month rollup; the max-month is the sanctioned 1-row
+    * broadcast. */
+  def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val ua = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        ((year(col("ts")) - 1970) * 12 + month(col("ts")) - 1)
+          .cast("long").as("mo"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("mo"))
+    val tagged = ua
+      .withColumn("prev", lag(col("mo"), 1).over(w))
+      .withColumn("nxt", lead(col("mo"), 1).over(w))
+    val maxMo = ua.agg(max(col("mo")).as("max_mo"))
+    val states = tagged.select(col("mo"),
+      when(col("prev").isNull, lit("new"))
+        .when(col("prev") === col("mo") - 1, lit("retained"))
+        .otherwise(lit("resurrected")).as("state"))
+    val churn = tagged
+      .crossJoin(broadcast(maxMo))
+      .where((col("nxt").isNull || col("nxt") > col("mo") + 1) &&
+        col("mo") + 1 <= col("max_mo"))
+      .select((col("mo") + 1).as("mo"), lit("churned").as("state"))
+    states.union(churn)
+      .groupBy(col("mo"))
+      .agg(sum(when(col("state") === "new", 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("state") === "churned", 1L).otherwise(0L))
+          .as("n_churned"))
+      .orderBy("mo")
+  }
+
   /** q290: robust moving-median smoothing of the hourly count grid —
     * the outlier-resistant baseline a monitoring stack prefers over
     * the q252 mean/z-score when single spiky hours would drag a mean
@@ -1066,6 +1116,7 @@ object EventOps {
     "q228_transition_matrix" -> (transitionMatrix _),
     "q281_markov_stationary" -> (markovStationary _),
     "q290_moving_median" -> (movingMedian _),
+    "q295_growth_accounting" -> (growthAccounting _),
     "q229_ab_analysis" -> (abAnalysis _),
     "q234_session_builtin" -> (sessionWindowBuiltin _),
     "q241_group_regression" -> (groupRegression _),
@@ -1408,6 +1459,36 @@ object EventOps {
         |  n_events, start_ms, last_ms
         |FROM g ORDER BY user_id, start_ms""".stripMargin,
     "q281_markov_stationary" -> markovStationarySql,
+    "q295_growth_accounting" ->
+      """WITH ua AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST((EXTRACT(year FROM ts) - 1970) * 12
+        |      + EXTRACT(month FROM ts) - 1 AS BIGINT) AS mo
+        |  FROM events),
+        |tg AS (
+        |  SELECT user_id, mo,
+        |    lag(mo) OVER w AS prev, lead(mo) OVER w AS nxt
+        |  FROM ua WINDOW w AS (PARTITION BY user_id ORDER BY mo)),
+        |mx AS (SELECT max(mo) AS max_mo FROM ua),
+        |st AS (
+        |  SELECT mo, CASE WHEN prev IS NULL THEN 'new'
+        |    WHEN prev = mo - 1 THEN 'retained'
+        |    ELSE 'resurrected' END AS state
+        |  FROM tg
+        |  UNION ALL
+        |  SELECT mo + 1 AS mo, 'churned' AS state
+        |  FROM tg, mx
+        |  WHERE (nxt IS NULL OR nxt > mo + 1) AND mo + 1 <= mx.max_mo)
+        |SELECT mo,
+        |  CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_churned
+        |FROM st GROUP BY mo ORDER BY mo""".stripMargin,
     "q290_moving_median" ->
       s"""WITH ev AS (
          |  SELECT event_type, ts::DATE AS d,

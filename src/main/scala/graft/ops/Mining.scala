@@ -229,6 +229,64 @@ object Mining {
       .orderBy("source", "len_bin")
   }
 
+  /** q294: Kolmogorov–Smirnov drift screen — for each source, the
+    * exact KS statistic between ITS document-length distribution and
+    * the rest of the corpus (the one-vs-rest drift matrix a feed
+    * monitor reads; the q206 TV-distance sibling for a CONTINUOUS
+    * variable, no binning). Exact throughout: D = max_v |F_s(v) −
+    * F_r(v)| is evaluated as the BIGINT cross-multiplied numerator
+    * max_v |cum_s·n_r − cum_r·n_s| (no per-step divisions to
+    * accumulate error), and the statistic itself is the ONE final
+    * division by n_s·n_r.
+    *
+    * Scale shape: one (source, value) rollup, a dense
+    * sources×values grid (|sources| · |distinct lengths| — tiny
+    * relative to the corpus), two cumulative windows, one max
+    * rollup. A 100 TB run with millions of distinct values would
+    * first quantize to a bounded grid (the q266 discipline) —
+    * stated here because the grid is the only data-dependent
+    * relation. */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"), col("n_chars").as("v"))
+    val csv = d.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val big = d.agg(count(lit(1)).as("n")) // 1 row
+    val values = d.select(col("v")).distinct()
+    val grid = totals.select(col("source")).crossJoin(values)
+      .join(csv, Seq("source", "v"), "left")
+      .select(col("source"), col("v"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val cumW = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcumW = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // global cumulative over the value grid (|values| rows — the
+    // single-partition window is over the TINY grid, not the corpus)
+    val gcum = values
+      .join(d.groupBy(col("v")).agg(count(lit(1)).as("cg")),
+        Seq("v"), "left")
+      .select(col("v"), coalesce(col("cg"), lit(0L)).as("cg"))
+      .withColumn("cum_all", sum(col("cg")).over(gcumW))
+      .select(col("v"), col("cum_all"))
+    grid
+      .withColumn("cum_s", sum(col("c")).over(cumW))
+      .join(gcum, "v")
+      .join(totals, "source")
+      .crossJoin(broadcast(big))
+      .select(col("source"), col("n_s"), (col("n") - col("n_s")).as("n_r"),
+        abs(col("cum_s") * (col("n") - col("n_s"))
+          - (col("cum_all") - col("cum_s")) * col("n_s")).as("num"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"), max(col("n_r")).as("n_r"),
+        max(col("num")).as("d_num"))
+      .select(col("source"), col("n_s"), col("n_r"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n_s") * col("n_r")).cast("double")).as("ks_d"))
+      .orderBy("source")
+  }
+
   /** q215: association rules over within-document token
     * co-occurrence — directional rules `antecedent → consequent` with
     * exact support / confidence / lift, thresholded by integer
@@ -741,6 +799,7 @@ object Mining {
     "q277_moment_stats" -> (momentStats _),
     "q287_l_diversity" -> (lDiversity _),
     "q291_trimmed_mean" -> (trimmedMean _),
+    "q294_ks_drift" -> (ksDrift _),
     "q260_stickiness" -> (stickiness _),
     "q259_rolling_wau" -> (rollingWau _),
     "q248_corpus_health" -> (corpusHealth _),
@@ -1040,6 +1099,45 @@ object Mining {
         |FROM events, t WHERE user_id IS NOT NULL
         |GROUP BY event_type, t.n_users_all
         |ORDER BY event_type""".stripMargin,
+    "q294_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |csv AS (
+        |  SELECT source, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |tot AS MATERIALIZED (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM d GROUP BY 1),
+        |big AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |vals AS MATERIALIZED (SELECT DISTINCT v FROM d),
+        |grid AS (
+        |  SELECT t.source, vals.v,
+        |    CAST(coalesce(csv.c, 0) AS BIGINT) AS c
+        |  FROM tot t CROSS JOIN vals
+        |  LEFT JOIN csv ON csv.source = t.source AND csv.v = vals.v),
+        |gc AS (
+        |  SELECT vals.v, CAST(sum(coalesce(g.cg, 0)) OVER
+        |    (ORDER BY vals.v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum_all
+        |  FROM vals LEFT JOIN (
+        |    SELECT v, CAST(count(*) AS BIGINT) AS cg
+        |    FROM d GROUP BY 1) g ON g.v = vals.v),
+        |cs AS (
+        |  SELECT source, v, CAST(sum(c) OVER (PARTITION BY source
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS cum_s
+        |  FROM grid),
+        |nm AS (
+        |  SELECT cs.source, t.n_s, big.n - t.n_s AS n_r,
+        |    abs(cs.cum_s * (big.n - t.n_s)
+        |      - (gc.cum_all - cs.cum_s) * t.n_s) AS num
+        |  FROM cs
+        |  JOIN gc ON gc.v = cs.v
+        |  JOIN tot t ON t.source = cs.source, big)
+        |SELECT source, max(n_s) AS n_s, max(n_r) AS n_r,
+        |  CAST(max(num) AS BIGINT) AS d_num,
+        |  CAST(max(num) AS DOUBLE)
+        |    / CAST(max(n_s) * max(n_r) AS DOUBLE) AS ks_d
+        |FROM nm GROUP BY source ORDER BY source""".stripMargin,
     "q291_trimmed_mean" ->
       s"""WITH hist AS (
          |  SELECT l_returnflag AS g,
