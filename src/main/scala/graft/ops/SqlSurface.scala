@@ -482,7 +482,45 @@ object SqlSurface {
         |FROM m""".stripMargin)
   }
 
+  /** q296: `PERCENTILE_DISC … WITHIN GROUP` (the ANSI ordered-set
+    * aggregate) — DISCRETE percentiles return an actual data value
+    * (smallest v with CDF ≥ p), so unlike interpolating percentiles
+    * they are exact and hash-gateable: no arithmetic ever touches
+    * the value. The oracle spells the textbook definition through
+    * cume_dist (DuckDB's quantile_disc rounds its index differently
+    * on even counts, so the definition — not the builtin — is the
+    * cross-engine contract). */
+  def sqlPercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT l_returnflag,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+        |    AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+        |    AS p90,
+        |  percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)
+        |    AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** q297: deterministic `MODE()` (Spark 4's two-arg form:
+    * `mode(col, true)` resolves ties toward the LOWEST value) — the
+    * most-frequent-value profile a catalog shows next to q284's
+    * distinct counts. DuckDB's mode leaves ties unspecified, so the
+    * oracle spells the tie-broken argmax window — the definition is
+    * the contract, the builtin the surface. */
+  def sqlModeAgg(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(
+      """SELECT o_orderstatus,
+        |  mode(o_orderpriority, true) AS mode_priority,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_percentile_disc" -> (sqlPercentileDisc _),
+    "q297_mode_agg" -> (sqlModeAgg _),
     "q278_sql_udf" -> (sqlUdf _),
     "q279_sql_collation" -> (sqlCollation _),
     "q282_sql_table_udf" -> (sqlTableUdf _),
@@ -504,6 +542,38 @@ object SqlSurface {
     "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    // percentile_disc's definition spelled via cume_dist — smallest
+    // value whose CDF reaches p
+    "q296_percentile_disc" ->
+      """WITH cd AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    cume_dist() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS cd
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cd >= 0.5 THEN l_extendedprice END) AS p50,
+        |  min(CASE WHEN cd >= 0.9 THEN l_extendedprice END) AS p90,
+        |  min(CASE WHEN cd >= 0.99 THEN l_extendedprice END) AS p99
+        |FROM cd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // mode's deterministic tie-break (count DESC, value ASC) spelled
+    // as the argmax window
+    "q297_mode_agg" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, o_orderpriority) AS rn
+        |  FROM c),
+        |n AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT r.o_orderstatus, r.o_orderpriority AS mode_priority,
+        |  n.n
+        |FROM r JOIN n ON n.o_orderstatus = r.o_orderstatus
+        |WHERE r.rn = 1 ORDER BY r.o_orderstatus""".stripMargin,
     // the SQL UDF body, inlined at the call site
     "q278_sql_udf" ->
       """SELECT l_returnflag,

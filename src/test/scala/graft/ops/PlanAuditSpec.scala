@@ -496,4 +496,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "pair scan degraded to a cartesian shuffle:\n" + plan)
   }
+  test("q277/q284/q291: single-scan shapes (one lineitem read each)") {
+    // all three claim ONE corpus scan in their scaladoc: the moment
+    // rollup, the Expand-based multi-distinct profiler, and the
+    // trimmed-mean histogram
+    for (q <- Seq("q277_moment_stats", "q284_column_profile",
+        "q291_trimmed_mean")) {
+      val plan = planOf(q)
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans == 1, s"$q: expected ONE scan, got $scans:\n$plan")
+    }
+  }
+
+  test("q284: the profiler's multi-distinct plans through Expand") {
+    val plan = planOf("q284_column_profile")
+    assert(plan.contains("Expand"),
+      "expected Catalyst's Expand multi-distinct shape:\n" + plan)
+  }
+
+  test("q283: BM25 holds no corpus-growing broadcast and tops out " +
+    "in a WindowGroupLimit or top-k sort") {
+    val plan = planOf("q283_bm25_topk")
+    // the final top-k must be a bounded TakeOrdered, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected TakeOrderedAndProject for LIMIT-k:\n" + plan)
+  }
+
+  test("q168: the banded candidate stage carries no array aggregation") {
+    // the sf10 OOM class: collect_list of bucket arrays. The windowed
+    // spelling must keep the candidate path free of ObjectHashAggregate
+    // collect_list state (sort_array/collect_list may appear ONLY in
+    // constant-frame windows elsewhere, never here)
+    val plan = planOf("q168_knn_banded_witness")
+    assert(!plan.contains("collect_list"),
+      "banded candidates regressed to the array spelling:\n" + plan)
+  }
 }
