@@ -282,8 +282,49 @@ object Quality {
     s"SELECT * FROM (\n$arms\n) ORDER BY column_name"
   }
 
+  /** q298: exact AUC of the q181 quality score against the language
+    * label — the single number the ROC curve summarizes, computed as
+    * the tie-corrected Mann–Whitney statistic over the SAME integer
+    * score bins: for each bin, positives there beat every negative
+    * strictly below and half-tie with negatives in the bin, so
+    * 2·numerator = Σ_bin (2·np·negBelow + np·nn) is an exact BIGINT
+    * and AUC = num2 / (2·P·N) is the ONE final division. No float
+    * ever enters the ranking (the q181 binning IS the score).
+    *
+    * Scale shape: q181's — one score scan into ≤200k bins, one tiny
+    * unpartitioned window over the bins, constant-size output. */
+  def qualityAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = graft.text.CorpusStats.linearQuality(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"))
+    val lab = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        coalesce(col("lang") === "en", lit(false)).as("pos"))
+    val bins = score.join(lab, "doc_id")
+      .select(
+        (expr("((w_sum + 1000 * n_tokens) * 100) div n_tokens")
+          - lit(100000L)).as("thr_bin"),
+        col("pos"))
+      .groupBy(col("thr_bin"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    // ≤ 200001 occupied bins (the q181 tiny-window rule)
+    val w = Window.orderBy(col("thr_bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bins
+      .withColumn("neg_below",
+        coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("p"), sum(col("nn")).as("n"),
+        sum(lit(2L) * col("np") * col("neg_below")
+          + col("np") * col("nn")).as("num2"))
+      .select(col("p"), col("n"), col("num2"),
+        (col("num2").cast("double")
+          / (lit(2L) * col("p") * col("n")).cast("double")).as("auc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q284_column_profile" -> (columnProfile _),
+    "q298_quality_auc" -> (qualityAuc _),
     "q253_pk_audit"   -> (pkAudit _),
     "q131_dq_rules"   -> (dqRules _),
     "q166_curation_verdict" -> (curationVerdict _),
@@ -293,6 +334,42 @@ object Quality {
 
   val oracle: Map[String, String] = Map(
     "q284_column_profile" -> columnProfileSql,
+    "q298_quality_auc" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS tok
+        |  FROM documents),
+        |wt AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM tok),
+        |d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(wt) AS BIGINT) AS w_sum
+        |  FROM wt GROUP BY 1),
+        |lb AS (
+        |  SELECT doc_id, coalesce(lang = 'en', false) AS pos
+        |  FROM documents),
+        |b AS (
+        |  SELECT ((w_sum + 1000 * n_tokens) * 100) // n_tokens
+        |      - 100000 AS thr_bin, pos
+        |  FROM d JOIN lb USING (doc_id)),
+        |h AS (
+        |  SELECT thr_bin,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT np, nn, CAST(coalesce(sum(nn) OVER
+        |    (ORDER BY thr_bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+        |  FROM h)
+        |SELECT CAST(sum(np) AS BIGINT) AS p,
+        |  CAST(sum(nn) AS BIGINT) AS n,
+        |  CAST(sum(2 * np * neg_below + np * nn) AS BIGINT) AS num2,
+        |  CAST(sum(2 * np * neg_below + np * nn) AS DOUBLE)
+        |    / CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS auc
+        |FROM c""".stripMargin,
     "q253_pk_audit" ->
       """SELECT * FROM (
         |  SELECT 'customer.c_custkey' AS key,

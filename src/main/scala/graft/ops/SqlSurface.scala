@@ -482,6 +482,35 @@ object SqlSurface {
         |FROM m""".stripMargin)
   }
 
+  /** q299's shared text — IDENTICAL in both engines: the whole ANSI
+    * rank family over one partitioned, TOTALLY-ordered window
+    * (o_orderkey breaks o_totalprice ties, so every rank function is
+    * deterministic; percent_rank/cume_dist are exact rationals both
+    * engines evaluate with the same one IEEE division; ntile's
+    * remainder-to-leading-buckets rule is the shared ANSI
+    * definition). Partitioned by status — a key shuffle, never the
+    * corpus-sized single-partition window. */
+  private val RankFamilySql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |  ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, rn""".stripMargin
+
+  /** q299: the ANSI window rank family end-to-end (rank, dense_rank,
+    * row_number, percent_rank, cume_dist, ntile) — see
+    * [[RankFamilySql]]. */
+  def sqlRankFamily(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(RankFamilySql)
+  }
+
   /** q296: `PERCENTILE_DISC … WITHIN GROUP` (the ANSI ordered-set
     * aggregate) — DISCRETE percentiles return an actual data value
     * (smallest v with CDF ≥ p), so unlike interpolating percentiles
@@ -520,6 +549,7 @@ object SqlSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_percentile_disc" -> (sqlPercentileDisc _),
+    "q299_rank_family" -> (sqlRankFamily _),
     "q297_mode_agg" -> (sqlModeAgg _),
     "q278_sql_udf" -> (sqlUdf _),
     "q279_sql_collation" -> (sqlCollation _),
@@ -542,6 +572,7 @@ object SqlSurface {
     "q83_join_hints"  -> (sqlJoinHints _))
 
   val oracle: Map[String, String] = Map(
+    "q299_rank_family" -> RankFamilySql,
     // percentile_disc's definition spelled via cume_dist — smallest
     // value whose CDF reaches p
     "q296_percentile_disc" ->
