@@ -781,6 +781,49 @@ object Spectral {
               .cast("double")))).as("r"))
   }
 
+  /** q300: purity of the q268 communities against the SOURCE label —
+    * the log-free member of the external clustering-eval family
+    * (q237's Rand index needs no ground truth; purity does, and the
+    * synthetic corpus aligns vec_id with doc_id so `source` is the
+    * truth column): purity = Σ_c max_class |c ∩ class| / n, every
+    * term an exact count, ONE final division. Per-community rows
+    * (majority class, its share) plus the corpus-level numerator so
+    * the scalar is reconstructible.
+    *
+    * Scale shape: one label derivation (q268's), one doc-keyed join
+    * to the source column, a (community, class) rollup, and a
+    * per-community argmax window over ≤|communities|·|classes| rows. */
+  def clusterPurity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.knnGraphZone(s, dir)
+    val und = e.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"))
+      .union(e.select(col("neighbor_id").as("src"),
+        col("query_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = corpus(s, dir).select(col("vec_id").as("id"))
+    val labels = labelPropIterate(nodes, und)
+    val truth = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("source"))
+    val cells = labels.join(truth, "id")
+      .groupBy(col("lbl"), col("source"))
+      .agg(count(lit(1)).as("nij"))
+    val w = Window.partitionBy(col("lbl"))
+      .orderBy(col("nij").desc, col("source"))
+    cells
+      .withColumn("csize", sum(col("nij"))
+        .over(Window.partitionBy(col("lbl"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("lbl").as("community"), col("csize"),
+        col("source").as("majority_source"),
+        col("nij").as("n_majority"),
+        (col("nij").cast("double") / col("csize").cast("double"))
+          .as("purity"))
+      .orderBy("community")
+  }
+
   /** q237: Rand index between two INDEPENDENT clusterings of the same
     * corpus — the q173 k-means topics vs the q107 SRP-LSH connected
     * components: the standard "do two unsupervised views agree"
@@ -816,6 +859,7 @@ object Spectral {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q285_link_prediction" -> (linkPrediction _),
+    "q300_cluster_purity" -> (clusterPurity _),
     "q288_modularity" -> (modularity _),
     "q289_assortativity" -> (assortativity _),
     "q275_seed_distance" -> (seedDistance _),
@@ -828,6 +872,29 @@ object Spectral {
     "q180_pagerank_centrality" -> (pagerankCentrality _))
 
   val oracle: Map[String, String] = Map(
+    "q300_cluster_purity" ->
+      s"""WITH ${Similarity.knnEdgesSql},
+         |und AS MATERIALIZED (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM edges
+         |  UNION
+         |  SELECT neighbor_id AS src, query_id AS dst FROM edges),
+         |l0 AS MATERIALIZED (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings),
+         |$lpIterSql,
+         |cells AS (
+         |  SELECT l.lbl, d.source, CAST(count(*) AS BIGINT) AS nij
+         |  FROM l$LpRounds l JOIN documents d ON d.doc_id = l.id
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT lbl, source, nij,
+         |    CAST(sum(nij) OVER (PARTITION BY lbl) AS BIGINT) AS csize,
+         |    row_number() OVER (PARTITION BY lbl
+         |      ORDER BY nij DESC, source) AS rn
+         |  FROM cells)
+         |SELECT lbl AS community, csize, source AS majority_source,
+         |  nij AS n_majority,
+         |  CAST(nij AS DOUBLE) / CAST(csize AS DOUBLE) AS purity
+         |FROM rk WHERE rn = 1 ORDER BY community""".stripMargin,
     "q288_modularity" ->
       s"""WITH ${Similarity.knnEdgesSql},
          |und AS MATERIALIZED (

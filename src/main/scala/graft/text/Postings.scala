@@ -762,7 +762,69 @@ object Postings {
       |ORDER BY score_fp DESC, doc_id LIMIT $Bm25K""".stripMargin
   }
 
+  /** q301's checkpoint count (prefix fractions of the id range). */
+  val VocabSteps = 10
+
+  /** q301: vocabulary growth curve (Heaps' law empirics) — distinct
+    * vocabulary size and token volume at [[VocabSteps]] id-ordered
+    * prefix checkpoints of the corpus: the "is the vocabulary still
+    * growing" signal behind tokenizer sizing and dedup ROI. Each
+    * term contributes at its FIRST document (min doc_id), each doc's
+    * tokens at its own id, both bucketed by value thresholds
+    * t_k = (max_id·k) div STEPS — all integer; the cumulative sums
+    * run over exactly [[VocabSteps]] rows.
+    *
+    * Scale shape: one (term → min doc) rollup and one per-doc token
+    * count, each mapped to its checkpoint bucket — NO global
+    * row_number over the corpus (value-threshold checkpoints, not
+    * rank checkpoints, are what survive 100 TB); the window runs on
+    * the 10-row checkpoint relation. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Prefix
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.util.Scratch.memo(s, "lc-tokens",
+      s"lc-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Tokens.whitespace(lower(col("text"))).as("w")))
+    val maxId = toks.agg(max(col("doc_id")).as("max_id"))
+    // integer ceil bucket, clamped to [1, STEPS] (doc_id 0 would
+    // otherwise land in bucket 0): pure BIGINT arithmetic — no
+    // float division anywhere near a checkpoint boundary
+    def bucketSql(c: String): String =
+      s"greatest(CAST(1 AS BIGINT), least(CAST($VocabSteps AS BIGINT)," +
+        s" ($c * $VocabSteps + max_id - 1) div max_id))"
+    val firstDoc = toks
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .select(col("doc_id"), Md5Prefix.h(col("t")).as("th"))
+      .groupBy(col("th")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(maxId))
+      .select(expr(bucketSql("fd")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("new_terms"))
+    val docTok = toks
+      .select(col("doc_id"), size(col("w")).cast("long").as("nt"))
+      .crossJoin(broadcast(maxId))
+      .select(expr(bucketSql("doc_id")).as("k"), col("nt"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("new_docs"), sum(col("nt")).as("new_toks"))
+    val grid = s.range(1, VocabSteps + 1).select(col("id").as("k"))
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(firstDoc, Seq("k"), "left")
+      .join(docTok, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("new_docs"), lit(0L)).as("nd"),
+        coalesce(col("new_toks"), lit(0L)).as("nt"),
+        coalesce(col("new_terms"), lit(0L)).as("nv"))
+      .select(col("k"), sum(col("nd")).over(w).as("n_docs"),
+        sum(col("nt")).over(w).as("n_tokens"),
+        sum(col("nv")).over(w).as("vocab"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_vocab_growth" -> (vocabGrowth _),
     "q283_bm25_topk" -> ((s: SparkSession, d: String) =>
       bm25TopK(s, d)),
     "q280_textrank_terms" -> (textrankTerms _),
@@ -779,6 +841,43 @@ object Postings {
       keywordSearch(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q301_vocab_growth" ->
+      (raw"""WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) AS max_id FROM w),
+        |fd AS (
+        |  SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT AS th,
+        |    CAST(min(doc_id) AS BIGINT) AS fd
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM w)
+        |  GROUP BY 1),
+        |""".stripMargin +
+        s"""ft AS (
+        |  SELECT greatest(1, least($VocabSteps,
+        |    (fd * $VocabSteps + max_id - 1) // max_id)) AS k,
+        |    CAST(count(*) AS BIGINT) AS new_terms
+        |  FROM fd, mx GROUP BY 1),
+        |dt AS (
+        |  SELECT greatest(1, least($VocabSteps,
+        |    (doc_id * $VocabSteps + max_id - 1) // max_id)) AS k,
+        |    CAST(count(*) AS BIGINT) AS new_docs,
+        |    CAST(sum(len(w)) AS BIGINT) AS new_toks
+        |  FROM w, mx GROUP BY 1),
+        |grid AS (SELECT unnest(range(1, $VocabSteps + 1)) AS k)
+        |SELECT CAST(g.k AS BIGINT) AS k,
+        |  CAST(sum(coalesce(dt.new_docs, 0)) OVER wk AS BIGINT)
+        |    AS n_docs,
+        |  CAST(sum(coalesce(dt.new_toks, 0)) OVER wk AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(coalesce(ft.new_terms, 0)) OVER wk AS BIGINT)
+        |    AS vocab
+        |FROM grid g
+        |LEFT JOIN ft ON ft.k = g.k
+        |LEFT JOIN dt ON dt.k = g.k
+        |WINDOW wk AS (ORDER BY g.k
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY k""".stripMargin),
     "q283_bm25_topk" -> bm25OracleSql,
     "q280_textrank_terms" -> textrankOracleSql,
     "q273_hits_hubs" -> hitsOracleSql,
