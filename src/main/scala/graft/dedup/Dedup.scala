@@ -797,6 +797,32 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** q302: MinHash-LSH recall WITNESS — the q168 witness discipline
+    * applied to the dedup family: of the pairs the EXACT jaccard
+    * operator certifies (q36's τ = 0.8 within-source relation), how
+    * many does the approximate q37 MinHash-LSH pipeline surface?
+    * Both relations are themselves hash-gated queries, so the
+    * witness composes two already-verified truths; the recall is the
+    * ONE final division. (Precision is deliberately not scored
+    * against q36: the LSH universe is cross-source and
+    * lower-threshold by design — candidates are verified downstream,
+    * the q157 bloom→exact rule.)
+    *
+    * Scale shape: a pair-keyed semi-join between two pair relations
+    * plus three 1-row counts. */
+  def minhashWitness(s: SparkSession, dir: String): DataFrame = {
+    val exact = jaccardZone(s, dir).select(col("id1"), col("id2"))
+    val lsh = minhashLshPairs(s, dir, hash = Md5Prefix)
+      .select(col("id1"), col("id2"))
+    val hit = exact.join(lsh, Seq("id1", "id2"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
   /** q207: QUALITY-AWARE survivor selection — keep the highest-
     * quality member of each near-dup cluster instead of the min-id
     * one (the real curation choice: among clones of a page, keep
@@ -1220,6 +1246,32 @@ object Dedup {
       s"winnow-labels:$dir")(winnowClustersDerive(s, dir))
       .orderBy("doc_id")
 
+  /** The public oracle map: the base plus the q302 witness, which
+    * composes the ALREADY-GATED q36 and q37 oracle texts as
+    * subqueries (the q237 embed-verbatim rule: a witness's inputs
+    * cannot drift from the relations it scores). */
+  lazy val oracle: Map[String, String] = oracleBase +
+    ("q302_minhash_witness" ->
+      s"""WITH ex AS MATERIALIZED (
+         |  SELECT id1, id2 FROM (
+         |${oracleBase("q36_jaccard_pairs")}
+         |  ) qx),
+         |ls AS MATERIALIZED (
+         |  SELECT id1, id2 FROM (
+         |${oracleBase("q37_minhash_lsh")}
+         |  ) ql)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ls) AS n_lsh,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex
+         |     WHERE EXISTS (SELECT 1 FROM ls
+         |       WHERE ls.id1 = ex.id1 AND ls.id2 = ex.id2)) AS n_hit,
+         |  CAST((SELECT count(*) FROM ex
+         |     WHERE EXISTS (SELECT 1 FROM ls
+         |       WHERE ls.id1 = ex.id1 AND ls.id2 = ex.id2)) AS DOUBLE)
+         |    / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall"""
+        .stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_lsh_precision_audit" -> (lshPrecisionAudit _),
     "q167_winnow_clusters" -> (winnowClusters _),
@@ -1237,6 +1289,7 @@ object Dedup {
     "q36_jaccard_pairs" -> (jaccardPairs _),
     "q274_dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "q293_effective_tokens" -> (effectiveTokens _),
+    "q302_minhash_witness" -> (minhashWitness _),
     "q37_minhash_lsh"   -> ((s: SparkSession, d: String) =>
       minhashLshPairs(s, d, hash = Md5Prefix)),
     "q38_simhash"       -> ((s: SparkSession, d: String) =>
@@ -1355,7 +1408,7 @@ object Dedup {
       |  FROM sel x JOIN sel y ON x.fp = y.fp AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     // the q37 pair derivation verified against exact shingle Jaccard
     // (q38's shingle-set spelling) — one integer compare per pair
     "q165_lsh_precision_audit" ->
