@@ -261,6 +261,21 @@ object Wave2 {
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
       .orderBy("tag")
 
+  /** q303: DSv2 AGGREGATE pushdown under the gate — q231's source
+    * answering COUNT(*)/MIN/MAX over a filtered range entirely from
+    * closed-form arithmetic ([[graft.sources.SeqSource]]'s
+    * SupportsPushDownAggregates): Spark plans NO aggregate node (the
+    * scan emits the one result row — PlanAuditSpec pins the absence
+    * of HashAggregate), the custom-source analog of answering
+    * count/min/max from parquet footers without touching data. The
+    * oracle replays the same aggregate over `range()`. */
+  def dsv2AggPushdown(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("n", "100000").option("parts", "8").load()
+      .where(col("id") >= 20000 && col("id") < 60000)
+      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+
   /** q233: the DSv2 WRITE path under the gate — slim documents pushed
     * through [[graft.sources.ManifestSink]]'s task/driver two-phase
     * commit (8 hash partitions), then the committed `manifest.json`
@@ -285,6 +300,7 @@ object Wave2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_manifest_sink" -> (manifestSink _),
     "q231_dsv2_source" -> (dsv2Source _),
+    "q303_dsv2_agg_pushdown" -> (dsv2AggPushdown _),
     "q75_try_cast"      -> (tryCastSurface _),
     "q76_gap_fill"      -> (gapFillDaily _),
     "q77_typed_agg"     -> (typedAgg _),
@@ -310,6 +326,12 @@ object Wave2 {
         |    CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT)
         |    AS total_digest
         |FROM documents""".stripMargin,
+    "q303_dsv2_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(id) AS BIGINT) AS min_id,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM range(100000) t(id)
+        |WHERE id >= 20000 AND id < 60000""".stripMargin,
     // the synthetic sequence replayed via range(): same id domain,
     // same derived columns, same filter — engine-independent truth
     "q231_dsv2_source" ->

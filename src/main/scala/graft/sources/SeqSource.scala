@@ -68,12 +68,70 @@ private[sources] class SeqTable(n: Long, parts: Int)
 
 private[sources] class SeqScanBuilder(n: Long, parts: Int)
   extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = n - 1
   private var pushed = Array.empty[Filter]
   private var required: StructType = SeqSource.Schema
+  private var aggResult: Option[(StructType, Array[Long])] = None
+
+  // ---- aggregate pushdown (SupportsPushDownAggregates) ----
+  // COUNT(*) / MIN(id) / MAX(id) with no GROUP BY are CLOSED-FORM
+  // over the filter-pruned range [lo, hi] — the source answers them
+  // from arithmetic, scanning nothing: the DSv2 seam a warehouse-
+  // style source uses to serve metadata-only aggregates (parquet
+  // footer counts, index min/max) without reading a single row.
+  // Complete pushdown: Spark plans NO aggregate node at all — the
+  // scan IS the one result row (pinned in PlanAuditSpec).
+  private def isIdRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+
+  private def prunedCount: Long =
+    math.max(0L, math.min(hi, n - 1) - math.max(lo, 0L) + 1)
+
+  private def canPush(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Boolean =
+    agg.groupByExpressions.isEmpty && prunedCount > 0 &&
+      agg.aggregateExpressions.forall {
+        case _: org.apache.spark.sql.connector.expressions.aggregate.CountStar => true
+        case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+          isIdRef(m.column)
+        case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+          isIdRef(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Boolean = canPush(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Boolean = {
+    if (!canPush(agg)) return false
+    val cols = agg.aggregateExpressions.map {
+      case _: org.apache.spark.sql.connector.expressions.aggregate.CountStar =>
+        ("count(*)", prunedCount)
+      case _: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+        ("min(id)", math.max(lo, 0L))
+      case _: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+        ("max(id)", math.min(hi, n - 1))
+      case other => sys.error(s"unreachable: $other")
+    }
+    aggResult = Some((
+      StructType(cols.map { case (nm, _) =>
+        StructField(nm, LongType, nullable = false) }),
+      cols.map(_._2)))
+    true
+  }
 
   /** Accept conjunctive range/equality atoms on `id`; everything else
     * stays post-scan (returned as unsupported). */
@@ -102,7 +160,38 @@ private[sources] class SeqScanBuilder(n: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(n, parts, lo, hi, required)
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) => new SeqAggScan(schema, values)
+    case None => new SeqScan(n, parts, lo, hi, required)
+  }
+}
+
+/** The completely-pushed-down aggregate: one partition, one row,
+  * computed from range arithmetic — no sequence materialization. */
+private[sources] class SeqAggScan(schema: StructType,
+                                  values: Array[Long])
+  extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_seq AGG-PUSHED ${schema.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqAggReaderFactory(values)
+}
+
+private[sources] class SeqAggReaderFactory(values: Array[Long])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(values.toIndexedSeq)
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class SeqScan(n: Long, parts: Int, lo: Long, hi: Long,

@@ -531,4 +531,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("collect_list"),
       "banded candidates regressed to the array spelling:\n" + plan)
   }
+  test("q303: the aggregate is COMPLETELY pushed into the DSv2 source") {
+    val plan = planOf("q303_dsv2_agg_pushdown")
+    assert(plan.contains("AGG-PUSHED"),
+      "expected the source's pushed-aggregate scan:\n" + plan)
+    assert(!plan.contains("HashAggregate"),
+      "complete pushdown must plan NO aggregate node:\n" + plan)
+  }
 }

@@ -14,16 +14,44 @@ class SeqSourceSpec extends SparkSpec {
       .option("n", n.toString).option("parts", parts.toString).load()
 
   test("range pushdown prunes planned partitions") {
+    // row-returning reads (a bare count() is now answered by the
+    // aggregate pushdown without planning the row scan at all —
+    // covered by its own test below)
     SeqSource.lastPlannedPartitions = -1
     val n = seq(100000L, 8)
-      .where(col("id") >= 20000L && col("id") < 60000L).count()
+      .where(col("id") >= 20000L && col("id") < 60000L)
+      .select(col("id")).collect().length.toLong
     assert(n == 40000L)
     // [20000, 60000) over 8×12500 chunks touches chunks 1..4 only
     assert(SeqSource.lastPlannedPartitions == 4,
       s"planned ${SeqSource.lastPlannedPartitions} partitions")
     SeqSource.lastPlannedPartitions = -1
-    assert(seq(100000L, 8).where(col("id") === 7L).count() == 1L)
+    assert(seq(100000L, 8).where(col("id") === 7L)
+      .select(col("id")).collect().length == 1)
     assert(SeqSource.lastPlannedPartitions == 1) // point lookup: 1 chunk
+  }
+
+  test("aggregate pushdown answers count/min/max without a row scan") {
+    SeqSource.lastPlannedPartitions = -1
+    val r = seq(100000L, 8)
+      .where(col("id") >= 20000L && col("id") < 60000L)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(col("id")).as("mn"),
+        org.apache.spark.sql.functions.max(col("id")).as("mx"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((40000L, 20000L, 59999L)))
+    // the row scan was never planned — the source answered from
+    // closed-form range arithmetic
+    assert(SeqSource.lastPlannedPartitions == -1,
+      s"row scan planned ${SeqSource.lastPlannedPartitions} partitions")
+    // grouped aggregates must NOT push (fall back to the row path)
+    val g = seq(1000L, 4).groupBy(col("tag"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(g.size == 7 && g.values.sum == 1000L)
   }
 
   test("pushdown is visible in the scan and pruning reaches the reader") {
