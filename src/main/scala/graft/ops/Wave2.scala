@@ -276,6 +276,20 @@ object Wave2 {
       .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
         max(col("id")).as("max_id"))
 
+  /** q304: DSv2 TOP-N pushdown under the gate — ORDER BY id DESC
+    * LIMIT 5 over the filtered sequence shrinks the scanned range to
+    * the five qualifying ids at the SOURCE (SupportsPushDownTopN:
+    * closed-form range arithmetic again; partial push, so Spark
+    * still orders the 5 survivors — SeqSourceSpec pins that exactly
+    * one 5-row chunk is planned). The paging idiom every serving
+    * layer runs, answered index-style. */
+  def dsv2TopNPushdown(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("n", "100000").option("parts", "8").load()
+      .where(col("id") >= 20000 && col("id") < 60000)
+      .orderBy(col("id").desc)
+      .limit(5)
+
   /** q233: the DSv2 WRITE path under the gate — slim documents pushed
     * through [[graft.sources.ManifestSink]]'s task/driver two-phase
     * commit (8 hash partitions), then the committed `manifest.json`
@@ -301,6 +315,7 @@ object Wave2 {
     "q233_manifest_sink" -> (manifestSink _),
     "q231_dsv2_source" -> (dsv2Source _),
     "q303_dsv2_agg_pushdown" -> (dsv2AggPushdown _),
+    "q304_dsv2_topn_pushdown" -> (dsv2TopNPushdown _),
     "q75_try_cast"      -> (tryCastSurface _),
     "q76_gap_fill"      -> (gapFillDaily _),
     "q77_typed_agg"     -> (typedAgg _),
@@ -326,6 +341,12 @@ object Wave2 {
         |    CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT)
         |    AS total_digest
         |FROM documents""".stripMargin,
+    "q304_dsv2_topn_pushdown" ->
+      """SELECT id, CAST((id * id) % 97 AS BIGINT) AS sq,
+        |  CAST(id % 7 AS VARCHAR) AS tag
+        |FROM range(100000) t(id)
+        |WHERE id >= 20000 AND id < 60000
+        |ORDER BY id DESC LIMIT 5""".stripMargin,
     "q303_dsv2_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(min(id) AS BIGINT) AS min_id,

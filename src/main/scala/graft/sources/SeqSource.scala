@@ -69,7 +69,8 @@ private[sources] class SeqTable(n: Long, parts: Int)
 private[sources] class SeqScanBuilder(n: Long, parts: Int)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = 0L
   private var hi = n - 1
@@ -108,6 +109,39 @@ private[sources] class SeqScanBuilder(n: Long, parts: Int)
           isIdRef(m.column)
         case _ => false
       }
+
+  // ---- limit / top-N pushdown ----
+  // LIMIT over the id-ordered sequence is closed-form range
+  // shrinking: ascending k = [lo, lo+k-1], descending k =
+  // [hi-k+1, hi]. Only offered when EVERY filter was pushed (a
+  // residual filter runs after the scan, so a scan-side limit would
+  // under-produce); bare LIMIT is fully absorbed
+  // (isPartiallyPushed = false → Spark plans no Limit node), top-N
+  // stays partial so Spark still orders the ≤k survivors.
+  private var residualFilters = false
+  private var limitFully = false
+
+  override def pushLimit(limit: Int): Boolean = {
+    if (residualFilters || prunedCount == 0) return false
+    hi = math.min(hi, math.max(lo, 0L) + limit - 1)
+    limitFully = true
+    true
+  }
+  override def isPartiallyPushed(): Boolean = !limitFully
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (residualFilters || prunedCount == 0) return false
+    if (orders.length != 1 || !isIdRef(orders(0).expression)) return false
+    orders(0).direction match {
+      case org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING =>
+        hi = math.min(hi, math.max(lo, 0L) + limit - 1)
+      case org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING =>
+        lo = math.max(lo, math.min(hi, n - 1) - limit + 1)
+    }
+    true // partial: Spark re-orders the ≤ limit survivors
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -153,6 +187,7 @@ private[sources] class SeqScanBuilder(n: Long, parts: Int)
       case _ => ()
     }
     pushed = ours
+    residualFilters = rest.nonEmpty
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed

@@ -100,4 +100,21 @@ class SeqSourceSpec extends SparkSpec {
       assert(tag == (id % 7).toString)
     }
   }
+  test("top-N pushdown shrinks the scan to one k-row chunk") {
+    SeqSource.lastPlannedPartitions = -1
+    val top = seq(100000L, 8)
+      .where(col("id") >= 20000L && col("id") < 60000L)
+      .orderBy(col("id").desc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(59999L, 59998L, 59997L, 59996L, 59995L), top)
+    // the source saw the TopN: only the [59995, 59999] slice planned
+    assert(SeqSource.lastPlannedPartitions == 1,
+      s"planned ${SeqSource.lastPlannedPartitions} partitions")
+    // bare LIMIT is fully absorbed too
+    SeqSource.lastPlannedPartitions = -1
+    val lim = seq(100000L, 8).where(col("id") >= 500L).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(lim == Seq(500L, 501L, 502L), lim)
+    assert(SeqSource.lastPlannedPartitions == 1)
+  }
 }
