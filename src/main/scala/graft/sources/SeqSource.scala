@@ -231,9 +231,35 @@ private[sources] class SeqAggReaderFactory(values: Array[Long])
 
 private[sources] class SeqScan(n: Long, parts: Int, lo: Long, hi: Long,
                                required: StructType)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ---- runtime filtering (SupportsRuntimeFiltering) ----
+  // The DSv2 face of dynamic partition pruning: when this scan sits
+  // on the probe side of a broadcast join, Spark hands the build
+  // side's join-key values here BEFORE partitions are planned — the
+  // range shrinks to the keys' hull and out-of-hull chunks are never
+  // read (pinned in SeqSourceSpec). A real warehouse source applies
+  // the same values to its partition index.
+  private var rlo = lo
+  private var rhi = hi
+  override def filterAttributes()
+    : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) if vs.nonEmpty =>
+      val longs = vs.collect { case l: java.lang.Long => l.longValue() }
+      if (longs.nonEmpty) {
+        rlo = math.max(rlo, longs.min)
+        rhi = math.min(rhi, longs.max)
+      }
+    case EqualTo("id", v: Long) =>
+      rlo = math.max(rlo, v); rhi = math.min(rhi, v)
+    case _ => () // unsupported runtime shapes: keep the static range
+  }
 
   /** Post-pushdown statistics ([[SupportsReportStatistics]]): row
     * count and bytes for the PRUNED range, so Catalyst sizes joins
@@ -255,11 +281,12 @@ private[sources] class SeqScan(n: Long, parts: Int, lo: Long, hi: Long,
   override def planInputPartitions(): Array[InputPartition] = {
     val step = math.max(1L, (n + parts - 1) / parts)
     val planned = (0L until n by step).map(s => (s, math.min(s + step, n)))
-      // the pushdown payoff: chunks wholly outside [lo, hi] are never
-      // planned — the custom-source analog of partition pruning
-      .filter { case (s, e) => e > lo && s <= hi }
+      // the pushdown payoff: chunks wholly outside the (statically
+      // pushed ∩ runtime-filtered) range are never planned — the
+      // custom-source analog of static + dynamic partition pruning
+      .filter { case (s, e) => e > rlo && s <= rhi }
       .map { case (s, e) =>
-        SeqPartition(math.max(s, lo), math.min(e, hi + 1)): InputPartition
+        SeqPartition(math.max(s, rlo), math.min(e, rhi + 1)): InputPartition
       }.toArray
     SeqSource.lastPlannedPartitions = planned.length
     planned

@@ -117,4 +117,19 @@ class SeqSourceSpec extends SparkSpec {
     assert(lim == Seq(500L, 501L, 502L), lim)
     assert(SeqSource.lastPlannedPartitions == 1)
   }
+  test("runtime filtering prunes the probe side of a broadcast join") {
+    // the DSv2 DPP analog: the broadcast build side's id values reach
+    // SupportsRuntimeFiltering.filter BEFORE the probe side plans, so
+    // the big scan shrinks to the keys' hull — one chunk, not eight
+    val big = seq(200000L, 8)
+    val small = seq(200000L, 8)
+      .where(col("id") >= 150000L && col("id") < 150010L)
+      .select(col("id"), col("sq").as("ssq"))
+    SeqSource.lastPlannedPartitions = -1
+    val joined = big.join(small, "id")
+    assert(joined.count() == 10L)
+    // the LAST planned scan is the runtime-filtered probe side
+    assert(SeqSource.lastPlannedPartitions == 1,
+      s"probe side planned ${SeqSource.lastPlannedPartitions} chunks")
+  }
 }
