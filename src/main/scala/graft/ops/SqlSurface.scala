@@ -511,6 +511,39 @@ object SqlSurface {
     s.sql(RankFamilySql)
   }
 
+  /** q305's shared text — the VALUE window-function family over the
+    * same totally-ordered window as q299's rank family: first_value /
+    * last_value (with the explicit full frame — the default frame
+    * stops at CURRENT ROW, a classic silent-wrong-answer), nth_value,
+    * and lag/lead with defaults; `IGNORE NULLS` is exercised through
+    * a planted NULL column (every 10th balance hidden). One text,
+    * both engines. */
+  private val ValueWindowsSql =
+    """SELECT c_custkey, c_nationkey,
+      |  first_value(c_custkey) OVER w AS first_k,
+      |  last_value(c_custkey) OVER w AS last_k,
+      |  nth_value(c_custkey, 3) OVER w AS third_k,
+      |  lag(c_custkey, 1, -1) OVER w2 AS prev_k,
+      |  lead(c_custkey, 2, -1) OVER w2 AS next2_k,
+      |  last_value(bal_vis) IGNORE NULLS OVER w AS last_vis_bal
+      |FROM (
+      |  SELECT c_custkey, c_nationkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN NULL
+      |      ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+      |      END AS bal_vis
+      |  FROM customer)
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |w2 AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q305: the ANSI value window-function family — see
+    * [[ValueWindowsSql]]. */
+  def sqlValueWindows(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(ValueWindowsSql)
+  }
+
   /** q296: `PERCENTILE_DISC … WITHIN GROUP` (the ANSI ordered-set
     * aggregate) — DISCRETE percentiles return an actual data value
     * (smallest v with CDF ≥ p), so unlike interpolating percentiles
@@ -550,6 +583,7 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_percentile_disc" -> (sqlPercentileDisc _),
     "q299_rank_family" -> (sqlRankFamily _),
+    "q305_value_windows" -> (sqlValueWindows _),
     "q297_mode_agg" -> (sqlModeAgg _),
     "q278_sql_udf" -> (sqlUdf _),
     "q279_sql_collation" -> (sqlCollation _),
@@ -573,6 +607,12 @@ object SqlSurface {
 
   val oracle: Map[String, String] = Map(
     "q299_rank_family" -> RankFamilySql,
+    // same semantics, DuckDB's IGNORE NULLS position (inside the
+    // parens vs Spark's postfix) — the one divergent token
+    "q305_value_windows" ->
+      ValueWindowsSql.replace(
+        "last_value(bal_vis) IGNORE NULLS OVER w",
+        "last_value(bal_vis IGNORE NULLS) OVER w"),
     // percentile_disc's definition spelled via cume_dist — smallest
     // value whose CDF reaches p
     "q296_percentile_disc" ->
