@@ -824,6 +824,34 @@ object Spectral {
       .orderBy("community")
   }
 
+  /** q306: kNN homophily by source — for each source, the fraction
+    * of its documents' nearest-neighbor edges that stay WITHIN the
+    * source: the quick "does the embedding space respect provenance"
+    * diagnostic (q300's purity asks it of discovered communities;
+    * this asks it of the raw neighborhood structure, no clustering
+    * in between). Exact counts, ONE final division per source.
+    *
+    * Scale shape: two id-keyed label joins over the ≤k·n directed
+    * edge relation and a source rollup — nothing else. */
+  def knnHomophily(s: SparkSession, dir: String): DataFrame = {
+    val truth = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    Similarity.knnGraphZone(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(truth.select(col("doc_id").as("query_id"),
+        col("source").as("src_source")), "query_id")
+      .join(truth.select(col("doc_id").as("neighbor_id"),
+        col("source").as("dst_source")), "neighbor_id")
+      .groupBy(col("src_source").as("source"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("src_source") === col("dst_source"), 1L)
+          .otherwise(0L)).as("n_same"))
+      .select(col("source"), col("n_edges"), col("n_same"),
+        (col("n_same").cast("double") / col("n_edges").cast("double"))
+          .as("homophily"))
+      .orderBy("source")
+  }
+
   /** q237: Rand index between two INDEPENDENT clusterings of the same
     * corpus — the q173 k-means topics vs the q107 SRP-LSH connected
     * components: the standard "do two unsupervised views agree"
@@ -860,6 +888,7 @@ object Spectral {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q285_link_prediction" -> (linkPrediction _),
     "q300_cluster_purity" -> (clusterPurity _),
+    "q306_knn_homophily" -> (knnHomophily _),
     "q288_modularity" -> (modularity _),
     "q289_assortativity" -> (assortativity _),
     "q275_seed_distance" -> (seedDistance _),
@@ -872,6 +901,17 @@ object Spectral {
     "q180_pagerank_centrality" -> (pagerankCentrality _))
 
   val oracle: Map[String, String] = Map(
+    "q306_knn_homophily" ->
+      s"""WITH ${Similarity.knnEdgesSql}
+         |SELECT a.source, CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(sum(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_same,
+         |  CAST(sum(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS homophily
+         |FROM edges e
+         |JOIN documents a ON a.doc_id = e.query_id
+         |JOIN documents b ON b.doc_id = e.neighbor_id
+         |GROUP BY 1 ORDER BY a.source""".stripMargin,
     "q300_cluster_purity" ->
       s"""WITH ${Similarity.knnEdgesSql},
          |und AS MATERIALIZED (
