@@ -322,9 +322,88 @@ object Quality {
           / (lit(2L) * col("p") * col("n")).cast("double")).as("auc"))
   }
 
+  /** q307's bucket count. */
+  val LiftBuckets = 10
+
+  /** q307: decile lift table for the quality score — the gains chart
+    * next to q298's AUC: documents ranked by the q181 integer score
+    * (descending), cut into [[LiftBuckets]] rank deciles, and each
+    * decile scored by its positive rate against the base rate (lift).
+    * Exactness comes from the q291 histogram-interval trick applied
+    * to rank space: per score bin, the rows falling into decile k
+    * are |[cum_before, cum] ∩ ((k−1)·n/B, k·n/B]| — pure integer
+    * interval arithmetic over the (bin, np, nn) histogram (positives
+    * and negatives of a tied bin split PROPORTIONALLY by interval,
+    * replayed identically in SQL: lo/hi counts use the same least/
+    * greatest spelling per class). Rates and lift are final double
+    * divisions.
+    *
+    * Scale shape: one score scan → ≤200k bins (q181's shape); the
+    * decile split is a bins×10 map-side expansion over the tiny
+    * histogram, never a corpus ntile (single-partition sort). */
+  def qualityLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = graft.text.CorpusStats.linearQuality(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"))
+    val lab = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        coalesce(col("lang") === "en", lit(false)).as("pos"))
+    val bins = score.join(lab, "doc_id")
+      .select(
+        (expr("((w_sum + 1000 * n_tokens) * 100) div n_tokens")
+          - lit(100000L)).as("thr_bin"),
+        col("pos"))
+      .groupBy(col("thr_bin"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    // rank DESCENDING by score: cumulative from the best bin down
+    // (≤200k bins — the q181 tiny-window rule)
+    val w = Window.orderBy(col("thr_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+    val ranked = bins
+      .withColumn("cum", sum(col("np") + col("nn")).over(w))
+      .withColumn("cum_p", sum(col("np")).over(w))
+      .withColumn("n", sum(col("np") + col("nn")).over(wTot))
+      .withColumn("p", sum(col("np")).over(wTot))
+    val ks = s.range(1, LiftBuckets + 1).select(col("id").as("k"))
+    ranked.crossJoin(broadcast(ks))
+      .select(col("k"), col("n"), col("p"),
+        // decile k covers global ranks ((k-1)·n div B, k·n div B];
+        // this bin covers ranks (cum - np - nn, cum]; positives sit
+        // at the TOP of the bin's rank interval (score-desc order is
+        // refined pos-first inside a tied bin — a fixed, mirrored
+        // convention), i.e. ranks (cum - np - nn, cum - nn]
+        (least(col("cum") - col("nn"),
+          expr(s"(k * n) div $LiftBuckets"))
+          - least(col("cum") - col("np") - col("nn"),
+            expr(s"(k * n) div $LiftBuckets"))
+          - (least(col("cum") - col("nn"),
+            expr(s"((k - 1) * n) div $LiftBuckets"))
+          - least(col("cum") - col("np") - col("nn"),
+            expr(s"((k - 1) * n) div $LiftBuckets")))).as("np_k"),
+        (least(col("cum"), expr(s"(k * n) div $LiftBuckets"))
+          - least(col("cum") - col("np") - col("nn"),
+            expr(s"(k * n) div $LiftBuckets"))
+          - (least(col("cum"), expr(s"((k - 1) * n) div $LiftBuckets"))
+          - least(col("cum") - col("np") - col("nn"),
+            expr(s"((k - 1) * n) div $LiftBuckets")))).as("rows_k"))
+      .groupBy(col("k"))
+      .agg(max(col("n")).as("n"), max(col("p")).as("p"),
+        sum(col("np_k")).as("n_pos"), sum(col("rows_k")).as("n_rows"))
+      .select(col("k").as("decile"), col("n_rows"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_rows").cast("double"))
+          .as("pos_rate"),
+        ((col("n_pos").cast("double") / col("n_rows").cast("double"))
+          / (col("p").cast("double") / col("n").cast("double")))
+          .as("lift"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q284_column_profile" -> (columnProfile _),
     "q298_quality_auc" -> (qualityAuc _),
+    "q307_quality_lift" -> (qualityLift _),
     "q253_pk_audit"   -> (pkAudit _),
     "q131_dq_rules"   -> (dqRules _),
     "q166_curation_verdict" -> (curationVerdict _),
@@ -334,6 +413,63 @@ object Quality {
 
   val oracle: Map[String, String] = Map(
     "q284_column_profile" -> columnProfileSql,
+    "q307_quality_lift" ->
+      (raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS tok
+        |  FROM documents),
+        |wt AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM tok),
+        |d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(wt) AS BIGINT) AS w_sum
+        |  FROM wt GROUP BY 1),
+        |lb AS (
+        |  SELECT doc_id, coalesce(lang = 'en', false) AS pos
+        |  FROM documents),
+        |b AS (
+        |  SELECT ((w_sum + 1000 * n_tokens) * 100) // n_tokens
+        |      - 100000 AS thr_bin, pos
+        |  FROM d JOIN lb USING (doc_id)),
+        |h AS (
+        |  SELECT thr_bin,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM b GROUP BY 1),
+        |r AS (
+        |  SELECT thr_bin, np, nn,
+        |    CAST(sum(np + nn) OVER (ORDER BY thr_bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(np) OVER () AS BIGINT) AS p,
+        |    CAST(sum(np + nn) OVER () AS BIGINT) AS n
+        |  FROM h),
+        |ks AS (SELECT unnest(range(1, """.stripMargin +
+        s"""${LiftBuckets + 1})) AS k),
+        |cells AS (
+        |  SELECT ks.k, r.n, r.p,
+        |    (least(r.cum - r.nn, (ks.k * r.n) // $LiftBuckets)
+        |      - least(r.cum - r.np - r.nn, (ks.k * r.n) // $LiftBuckets)
+        |      - (least(r.cum - r.nn, ((ks.k - 1) * r.n) // $LiftBuckets)
+        |      - least(r.cum - r.np - r.nn,
+        |          ((ks.k - 1) * r.n) // $LiftBuckets))) AS np_k,
+        |    (least(r.cum, (ks.k * r.n) // $LiftBuckets)
+        |      - least(r.cum - r.np - r.nn, (ks.k * r.n) // $LiftBuckets)
+        |      - (least(r.cum, ((ks.k - 1) * r.n) // $LiftBuckets)
+        |      - least(r.cum - r.np - r.nn,
+        |          ((ks.k - 1) * r.n) // $LiftBuckets))) AS rows_k
+        |  FROM r CROSS JOIN ks)
+        |SELECT CAST(k AS BIGINT) AS decile,
+        |  CAST(sum(rows_k) AS BIGINT) AS n_rows,
+        |  CAST(sum(np_k) AS BIGINT) AS n_pos,
+        |  CAST(sum(np_k) AS DOUBLE) / CAST(sum(rows_k) AS DOUBLE)
+        |    AS pos_rate,
+        |  (CAST(sum(np_k) AS DOUBLE) / CAST(sum(rows_k) AS DOUBLE))
+        |    / (CAST(max(p) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+        |    AS lift
+        |FROM cells GROUP BY k ORDER BY decile""".stripMargin),
     "q298_quality_auc" ->
       raw"""WITH tok AS (
         |  SELECT doc_id,
