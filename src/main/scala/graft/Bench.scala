@@ -14,19 +14,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // set at startup, not lazily on the first events read: every query
-    // then runs under one consistent conf regardless of execution order
-    // (Tables.loadEvents re-sets it idempotently)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Shuffle sizing derives from the data dir's bytes (util.Sessions —
+    // the one policy shared with Verify and the scale probes); no
+    // SPARK_GRAFT_SHUFFLE needed at sf1/sf10.
+    val spark = util.Sessions.build(sfDir, cpus)
     // Warmup: JVM/codegen/parquet-footer costs land here, not on the
     // alphabetically-first query (observed ~4 s inflation without it).
     // Runs the flagship shape against the BENCH dataset (entry()

@@ -615,29 +615,16 @@ object EventOps {
   /** The day-partitioned events zone (built once per scale dir,
     * staging+rename publish) — shared by the static-pruning (q86) and
     * dynamic-pruning (q217) consumers. */
-  private[ops] def eventsByDayZone(s: SparkSession, dir: String): String = {
-    val zone = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
-      s"events_by_day_${Integer.toHexString(dir.hashCode)}"
-    val p = new org.apache.hadoop.fs.Path(zone)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      // staging + rename: the existence gate must only ever see a FULLY
-      // written zone — a run killed mid-write would otherwise leave a
-      // partial directory that every later run silently trusts
-      val staging = new org.apache.hadoop.fs.Path(zone + ".staging")
-      fs.delete(staging, true)
+  private[ops] def eventsByDayZone(s: SparkSession, dir: String): String =
+    // fingerprint-keyed build-once + unique-staging rename publish
+    // (util.Zones): the existence gate only ever sees a FULLY written
+    // zone, and a regenerated data dir gets a fresh one
+    graft.util.Zones.oncePerDir(s, "events_by_day", dir) { staging =>
       val ev = Tables.load(s, dir, "events")
         .withColumn("event_date", to_date(col("ts")))
       graft.pipeline.Pipeline.materializePartitioned(
-        s, ev, staging.toString, Seq("event_date"))
-      // a concurrent run may have published first — losing the race is
-      // fine, the content is identical
-      if (!fs.rename(staging, p) && !fs.exists(p))
-        sys.error(s"could not publish events zone at $zone")
-      fs.delete(staging, true)
+        s, ev, staging, Seq("event_date"))
     }
-    zone
-  }
 
   def partitionPruned(s: SparkSession, dir: String): DataFrame = {
     val zone = eventsByDayZone(s, dir)
@@ -737,29 +724,18 @@ object EventOps {
 
   /** The three-batch SCD2 zone (built once per scale dir; q223 and
     * q242 both consume it). */
-  private[ops] def scd2Zone(s: SparkSession, dir: String): String = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
-      s"scd2_${Integer.toHexString(dir.hashCode)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      val staging = new org.apache.hadoop.fs.Path(root + ".staging")
-      fs.delete(staging, true)
+  private[ops] def scd2Zone(s: SparkSession, dir: String): String =
+    graft.util.Zones.oncePerDir(s, "scd2", dir) { staging =>
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_millis(col("ts")).as("ms"))
-      graft.sinks.Scd2Maintain.init(s, staging.toString,
+      graft.sinks.Scd2Maintain.init(s, staging,
         ev.where(col("event_id") % 3 === 0))
-      graft.sinks.Scd2Maintain.applyBatch(s, staging.toString,
+      graft.sinks.Scd2Maintain.applyBatch(s, staging,
         ev.where(col("event_id") % 3 === 1))
-      graft.sinks.Scd2Maintain.applyBatch(s, staging.toString,
+      graft.sinks.Scd2Maintain.applyBatch(s, staging,
         ev.where(col("event_id") % 3 === 2))
-      if (!fs.rename(staging, p) && !fs.exists(p))
-        sys.error(s"could not publish scd2 zone at $root")
-      fs.delete(staging, true)
     }
-    root
-  }
 
   /** q242's fixed valid-time probe: 2024-01-15T00:00:00Z. */
   val BitemporalProbeMs = 1705276800000L

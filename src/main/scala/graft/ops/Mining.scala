@@ -381,28 +381,18 @@ object Mining {
     * q226 both consume it). */
   private[ops] def erasureZone(s: SparkSession, dir: String): String = {
     import graft.sinks.MergeOnRead
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
-      s"mor_erasure_${Integer.toHexString(dir.hashCode)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      val staging = new org.apache.hadoop.fs.Path(root + ".staging")
-      fs.delete(staging, true)
+    graft.util.Zones.oncePerDir(s, "mor_erasure", dir) { staging =>
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-      MergeOnRead.init(s, staging.toString, docs)
-      MergeOnRead.delete(s, staging.toString,
+      MergeOnRead.init(s, staging, docs)
+      MergeOnRead.delete(s, staging,
         docs.where(col("doc_id") % 97 === 0).select(col("doc_id")),
         Seq("doc_id"))
-      MergeOnRead.merge(s, staging.toString,
+      MergeOnRead.merge(s, staging,
         docs.where(col("doc_id") % 97 === 0 && col("doc_id") % 2 === 0)
           .withColumn("source", lit("restored")),
         Seq("doc_id"))
-      if (!fs.rename(staging, p) && !fs.exists(p))
-        sys.error(s"could not publish erasure zone at $root")
-      fs.delete(staging, true)
     }
-    root
   }
 
   /** q225's digest fan-out (and the probe payload): 64 buckets of
@@ -433,20 +423,11 @@ object Mining {
         .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
     val src = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
-    // Built once per scale dir under staging and published by rename
-    // (the erasureZone idiom): a concurrent session must never read a
-    // half-overwritten copy.
-    val copyPath = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft_zone_v1/digest_copy_${Integer.toHexString(dir.hashCode)}"
-    val p = new org.apache.hadoop.fs.Path(copyPath)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      val staging = new org.apache.hadoop.fs.Path(copyPath + ".staging")
-      fs.delete(staging, true)
-      src.write.mode("overwrite").parquet(staging.toString)
-      if (!fs.rename(staging, p) && !fs.exists(p))
-        sys.error(s"could not publish digest copy at $copyPath")
-      fs.delete(staging, true)
+    // Built once per scale-dir CONTENT (fingerprint-keyed, unique
+    // staging — util.Zones): a concurrent session never reads a
+    // half-written copy, and a regenerated dir never reuses a stale one.
+    val copyPath = graft.util.Zones.oncePerDir(s, "digest_copy", dir) {
+      staging => src.write.mode("overwrite").parquet(staging)
     }
     val copy = s.read.parquet(copyPath)
     digestOf(src).as("a")

@@ -292,34 +292,23 @@ object Relational {
     * batches already referenced them (the late-arriving-dimension
     * case: those orders wait in the bucketed fact store until the
     * dim batch's pruned scan picks them up). */
-  private def joinViewZone(s: SparkSession, dir: String): String = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
-      s"joinview_${Integer.toHexString(dir.hashCode)}"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      val staging = new org.apache.hadoop.fs.Path(root + ".staging")
-      fs.delete(staging, true)
+  private def joinViewZone(s: SparkSession, dir: String): String =
+    graft.util.Zones.oncePerDir(s, "joinview", dir) { staging =>
       val o = graft.Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("custkey"),
           col("o_orderstatus"))
       val c = graft.Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("custkey"), col("c_name"))
       val J = graft.sinks.JoinMaintain
-      J.init(s, staging.toString, o.where(col("o_orderkey") % 3 === 0),
+      J.init(s, staging, o.where(col("o_orderkey") % 3 === 0),
         c.where(col("custkey") % 2 === 0), "custkey")
-      J.applyFactBatch(s, staging.toString, "custkey",
-        o.where(col("o_orderkey") % 3 === 1))
-      J.applyDimBatch(s, staging.toString, "custkey",
-        c.where(col("custkey") % 2 === 1))
-      J.applyFactBatch(s, staging.toString, "custkey",
-        o.where(col("o_orderkey") % 3 === 2))
-      if (!fs.rename(staging, p) && !fs.exists(p))
-        sys.error(s"could not publish join view zone at $root")
-      fs.delete(staging, true)
+      J.applyFactBatch(s, staging, "custkey",
+        o.where(col("o_orderkey") % 3 === 1), 1L)
+      J.applyDimBatch(s, staging, "custkey",
+        c.where(col("custkey") % 2 === 1), 2L)
+      J.applyFactBatch(s, staging, "custkey",
+        o.where(col("o_orderkey") % 3 === 2), 3L)
     }
-    root
-  }
 
   /** q270: incrementally maintained JOIN view — read back the
     * [[joinViewZone]] fold and prove it IS the one-shot

@@ -492,8 +492,8 @@ object SqlSurface {
     * corpus-sized single-partition window. */
   private val RankFamilySql =
     """SELECT o_orderkey, o_orderstatus,
-      |  rank() OVER w AS rnk,
-      |  dense_rank() OVER w AS drnk,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
       |  CAST(row_number() OVER w AS BIGINT) AS rn,
       |  percent_rank() OVER w AS prank,
       |  cume_dist() OVER w AS cdist,
@@ -551,7 +551,18 @@ object SqlSurface {
     * the value. The oracle spells the textbook definition through
     * cume_dist (DuckDB's quantile_disc rounds its index differently
     * on even counts, so the definition — not the builtin — is the
-    * cross-engine contract). */
+    * cross-engine contract).
+    *
+    * Memory bound: Spark plans this as the exact Percentile
+    * aggregate, whose per-group state is a value→count map — bounded
+    * by the DISTINCT-VALUE cardinality of the ordered column, not by
+    * group row count. l_extendedprice is a DECIMAL(18,2) price domain
+    * (≈ tens of thousands of distinct values at any SF — prices
+    * repeat; the map saturates), so the state is a small constant per
+    * group at 100 TB. For a column whose distinct count grows with
+    * the corpus (e.g. a raw timestamp), this spelling would NOT be
+    * safe — use the two-pass exact rank-filter shape the oracle
+    * spells via cume_dist, or approx_percentile. */
   def sqlPercentileDisc(s: SparkSession, dir: String): DataFrame = {
     registerViews(s, dir)
     s.sql(

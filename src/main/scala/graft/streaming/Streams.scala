@@ -518,8 +518,20 @@ object Streams {
     * are pruned against the CURRENT bounds and the retained state is
     * the in-window step candidates only. Candidates that precede the
     * first view (or first qualifying click) are retained — an earlier
-    * view arriving late can still pull them into the window; a
-    * production deployment evicts them past its watermark horizon.
+    * view arriving late can still pull them into the window — but
+    * only up to `horizonMs`, when set: with an out-of-orderness bound
+    * H, the stream carries `withWatermark(H)` and every update prunes
+    * candidates no FUTURE arrival (all ≥ the event-time watermark)
+    * could ever qualify: a click below the watermark and outside the
+    * current view window is dead (any future view starts ≥ watermark,
+    * after it); a purchase below both the watermark and every
+    * retained click is dead for the same reason. Users with no view
+    * yet also get an event-time state timeout at their newest
+    * candidate — once the watermark passes it, every candidate is
+    * dead and the state is removed, so viewless/abandoned keys cannot
+    * accumulate. `horizonMs = None` (default) is the replayable
+    * batch-drain mode with no eviction — exact for arbitrarily late
+    * data, state bounded only per the monotone rule above.
     *
     * Emits the user's current funnel row on every update, tagged with
     * a per-user update sequence (`upd`) so a drain's FINAL row per
@@ -528,20 +540,32 @@ object Streams {
     * out-of-order batch splits. State is hash-partitioned by user in
     * the state store at scale. */
   def funnelStream(events: DataFrame,
-                   windowMs: Long = 1800000L): DataFrame = {
+                   windowMs: Long = 1800000L,
+                   horizonMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events
+    val src = horizonMs match {
+      case Some(h) => events.withWatermark("ts", s"$h milliseconds")
+      case None => events
+    }
+    // the watermarked `ts` column must SURVIVE the projection —
+    // event-time timeout requires the eventTime tag to reach the
+    // stateful operator, and selecting only derived columns drops it
+    val typed = src
       .select(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("ms"))
-      .as[(Long, String, Long)]
+        unix_millis(col("ts")).as("ms"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+    val timeoutConf =
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[
         (Option[Long], List[Long], List[Long], Long),
         (Long, Long, Option[Long], Option[Long], Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, String, Long)],
+        OutputMode.Append, timeoutConf) {
+        (user: Long,
+         rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
          state: GroupState[(Option[Long], List[Long], List[Long], Long)]) =>
           val (v0, c0, p0, upd0) = state.getOption
             .getOrElse((Option.empty[Long], List.empty[Long],
@@ -549,7 +573,7 @@ object Streams {
           var t1 = v0
           var clicks = c0
           var purchases = p0
-          rows.foreach { case (_, et, ms) =>
+          rows.foreach { case (_, et, ms, _) =>
             et match {
               case "view" => if (t1.forall(ms < _)) t1 = Some(ms)
               case "click" => clicks ::= ms
@@ -567,14 +591,47 @@ object Streams {
             purchases = purchases.filter(_ <= b + windowMs)
             purchases.filter(_ >= b).minOption
           }
-          val upd = upd0 + 1
-          state.update((t1, clicks, purchases, upd))
-          t1 match {
-            case Some(a) =>
-              val reached =
-                if (t3.isDefined) 3L else if (t2.isDefined) 2L else 1L
-              Iterator((user, a, t2, t3, reached, upd))
-            case None => Iterator.empty // no view yet → no funnel row
+          // horizon eviction: every FUTURE arrival has event time ≥ the
+          // watermark, so a candidate only a pre-watermark view (or
+          // pre-watermark qualifying click) could rescue is dead state
+          if (horizonMs.isDefined) {
+            val wm = state.getCurrentWatermarkMs()
+            // a click qualifies under some future t1' ≤ click ≤ t1'+w;
+            // future views are ≥ wm, so a click < wm needs the CURRENT
+            // window — outside it, evict
+            clicks = clicks.filter(c =>
+              c >= wm || t1.exists(a => c >= a && c <= a + windowMs))
+            // a purchase qualifies under some future t2' (a click time)
+            // ≤ p ≤ t2'+w; future qualifying clicks are ≥ min(retained
+            // clicks, wm) — below that and outside the current t2
+            // window, evict
+            val minClick = clicks.minOption.getOrElse(Long.MaxValue)
+            purchases = purchases.filter(p =>
+              p >= math.min(wm, minClick) ||
+                t2.exists(b => p >= b && p <= b + windowMs))
+          }
+          if (t1.isEmpty && clicks.isEmpty && purchases.isEmpty
+              && horizonMs.isDefined) {
+            // nothing a future arrival could attach to — drop the key
+            state.remove()
+            Iterator.empty
+          } else {
+            val upd = upd0 + 1
+            state.update((t1, clicks, purchases, upd))
+            if (horizonMs.isDefined && t1.isEmpty) {
+              // viewless user: all candidates die once the watermark
+              // passes the newest one — time the state out there so
+              // abandoned keys are reclaimed without a view ever coming
+              val newest = (clicks ++ purchases).max
+              state.setTimeoutTimestamp(newest + 1)
+            }
+            t1 match {
+              case Some(a) =>
+                val reached =
+                  if (t3.isDefined) 3L else if (t2.isDefined) 2L else 1L
+                Iterator((user, a, t2, t3, reached, upd))
+              case None => Iterator.empty // no view yet → no funnel row
+            }
           }
       }
       .toDF("user_id", "t1", "t2", "t3", "reached", "upd")

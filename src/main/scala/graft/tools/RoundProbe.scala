@@ -1,5 +1,4 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
 
 /** Dev probe: time named SparkEntry queries (noop write, 2 passes,
   * min) at a given sf dir. Usage:
@@ -11,16 +10,11 @@ object RoundProbe {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q36_jaccard_pairs", "q98_dedup_clusters",
         "q144_incremental_clusters")
-    // SPARK_GRAFT_SHUFFLE scales partition count with data size (the
-    // 100 TB dial: per-task aggregation state shrinks with partition
-    // count, so larger SFs need more partitions, not more heap)
-    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Partition count derives from the dir's bytes (util.Sessions —
+    // the 100 TB dial: per-task aggregation state shrinks with
+    // partition count, so larger SFs need more partitions, not more
+    // heap). SPARK_GRAFT_SHUFFLE remains an explicit override.
+    val spark = graft.util.Sessions.build(dir, 32, logLevel = "ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     for (n <- names) {
       val ts = (1 to 2).map { _ =>

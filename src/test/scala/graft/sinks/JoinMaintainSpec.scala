@@ -37,16 +37,53 @@ class JoinMaintainSpec extends SparkSpec {
     J.init(spark, root, o.where(col("o_orderkey") % 5 === 0),
       c.where(col("custkey") % 2 === 0), "custkey")
     J.applyFactBatch(spark, root, "custkey",
-      o.where(col("o_orderkey") % 5 === 1))
+      o.where(col("o_orderkey") % 5 === 1), 1L)
     J.applyDimBatch(spark, root, "custkey",
-      c.where(col("custkey") % 4 === 1))
+      c.where(col("custkey") % 4 === 1), 2L)
     J.applyFactBatch(spark, root, "custkey",
       o.where(col("o_orderkey") % 5 === 2 ||
-        col("o_orderkey") % 5 === 3))
+        col("o_orderkey") % 5 === 3), 3L)
     J.applyDimBatch(spark, root, "custkey",
-      c.where(col("custkey") % 4 === 3))
+      c.where(col("custkey") % 4 === 3), 4L)
     J.applyFactBatch(spark, root, "custkey",
-      o.where(col("o_orderkey") % 5 === 4))
+      o.where(col("o_orderkey") % 5 === 4), 5L)
+    assert(rows(J.read(spark, root)) == rows(o.join(c, "custkey")))
+  }
+
+  test("a replayed batch (same id) is a no-op: no double-counted pairs") {
+    val (o, c) = tables()
+    val root = Files.createTempDirectory("jv_replay").toString + "/z"
+    val J = JoinMaintain
+    J.init(spark, root, o.where(col("o_orderkey") % 2 === 0),
+      c, "custkey")
+    val b1 = o.where(col("o_orderkey") % 2 === 1)
+    J.applyFactBatch(spark, root, "custkey", b1, 1L)
+    val once = J.read(spark, root).count()
+    // foreachBatch replay after a crash-after-commit: marker short-circuits
+    J.applyFactBatch(spark, root, "custkey", b1, 1L)
+    J.applyFactBatch(spark, root, "custkey", b1, 1L)
+    assert(J.read(spark, root).count() == once)
+    assert(rows(J.read(spark, root)) == rows(o.join(c, "custkey")))
+  }
+
+  test("a half-applied batch (crash before marker) replays idempotently") {
+    val (o, c) = tables()
+    val root = Files.createTempDirectory("jv_crash").toString + "/z"
+    val J = JoinMaintain
+    J.init(spark, root, o.where(col("o_orderkey") % 2 === 0),
+      c.where(col("custkey") % 2 === 0), "custkey")
+    val bF = o.where(col("o_orderkey") % 2 === 1)
+    val bD = c.where(col("custkey") % 2 === 1)
+    J.applyFactBatch(spark, root, "custkey", bF, 1L)
+    J.applyDimBatch(spark, root, "custkey", bD, 2L)
+    // simulate "crash before the marker write" for batch 2: every
+    // data write landed, only the commit point is missing — the
+    // replay must re-derive and idempotently rewrite, not duplicate
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$root/commits/b2"), false))
+    J.applyDimBatch(spark, root, "custkey", bD, 2L)
     assert(rows(J.read(spark, root)) == rows(o.join(c, "custkey")))
   }
 

@@ -619,6 +619,66 @@ class StreamsSpec extends SparkSpec {
       None, 2L)))
   }
 
+  test("funnel stream horizon: viewless candidates beyond the watermark are evicted") {
+    import org.apache.spark.sql.streaming.Trigger
+    // u7 sends a click at 00:05 but no view; the stream then advances
+    // far past it (u9's funnel at 01:00+). With horizonMs=10min the
+    // watermark passes u7's candidate → its keyed state times out and
+    // is REMOVED. An out-of-contract view for u7 arriving later (b4,
+    // event time 00:03 — beyond the horizon) must NOT resurrect the
+    // click: reached stays ≤ 1. The control run (horizonMs=None, the
+    // exact replayable mode) on the SAME files proves the click was
+    // genuinely reachable: there the late view unlocks it (reached=2).
+    def fixture(): String = {
+      val in = Files.createTempDirectory("funnel_hz").toString
+      def ev(id: Long, user: Long, et: String, hhmm: String) =
+        s"""{"event_id":$id,"ts":"2024-01-01T$hhmm:00Z","user_id":$user,"event_type":"$et","value":1.0}"""
+      writeBatch(in, "b1.json",
+        ev(1, 7, "click", "00:05"),
+        ev(2, 9, "view", "00:00"))
+      writeBatch(in, "b2.json", ev(3, 9, "click", "01:00"))
+      writeBatch(in, "b3.json", ev(4, 9, "purchase", "01:05"))
+      writeBatch(in, "b4.json", ev(5, 7, "view", "00:03"))
+      // the file source orders micro-batches by mtime — same-millisecond
+      // writes tie and scramble the intended sequence (the
+      // transitionStream lesson), so stamp them explicitly
+      Seq("b1.json", "b2.json", "b3.json", "b4.json").zipWithIndex
+        .foreach { case (f, i) =>
+          Files.setLastModifiedTime(Paths.get(in, f),
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000L))
+        }
+      in
+    }
+    def drain(horizon: Option[Long], name: String): Map[Long, Long] = {
+      val ckpt = Files.createTempDirectory(s"funnel_hz_ck_$name").toString
+      val out = Streams.funnelStream(
+        Streams.rateLimitedStream(spark, fixture(), schema,
+          maxFilesPerTrigger = 1),
+        windowMs = 1800000L, horizonMs = horizon)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) =>
+          u -> rows.maxBy(_.getAs[Long]("upd")).getAs[Long]("reached") }
+    }
+    val bounded = drain(Some(600000L), "funnel_hz_b")
+    val exact = drain(None, "funnel_hz_e")
+    // the replayable mode proves the candidate was reachable ...
+    assert(exact.get(7L).contains(2L),
+      s"control run should unlock the click: $exact")
+    // ... and the horizon mode proves it was evicted (or the
+    // out-of-contract row itself dropped) — never resurrected
+    assert(bounded.getOrElse(7L, 0L) <= 1L,
+      s"horizon mode resurrected an evicted candidate: $bounded")
+    // in-contract funnels are identical in both modes
+    assert(bounded.get(9L) === exact.get(9L))
+  }
+
   test("hourly-count maintenance: streamed anomaly scan ≡ batch q252") {
     val in = Files.createTempDirectory("hcm_in").toString
     val ckpt = Files.createTempDirectory("hcm_ckpt").toString
