@@ -494,10 +494,14 @@ object EventOps {
     * share is the one final double division per pair. The q63 bucket
     * machinery keeps the click join an equi-join (user, 24 h bucket)
     * with the range as a residual — no inequality-driven join. */
-  def decayAttribution(s: SparkSession, dir: String): DataFrame = {
+  def decayAttribution(s: SparkSession, dir: String): DataFrame =
+    decayAttributionOf(Tables.load(s, dir, "events"))
+
+  /** q258's core over any (event_id, ts, user_id, event_type, value)
+    * relation — shared with the streaming mirror's spec. */
+  def decayAttributionOf(events: DataFrame): DataFrame = {
     val winMs = 86400000L // 24 h window, bucket width
-    val ev = Tables.load(s, dir, "events")
-      .withColumn("ms", unix_millis(col("ts")))
+    val ev = events.withColumn("ms", unix_millis(col("ts")))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
         col("ms").as("p_ms"),
@@ -969,8 +973,13 @@ object EventOps {
     * behind every "day-N retention" chart. One distinct (user, day)
     * relation, one tiny per-user min, one key-partitioned join back,
     * one aggregate — all exact integer/date math. */
-  def retention(s: SparkSession, dir: String): DataFrame = {
-    val act = Tables.load(s, dir, "events")
+  def retention(s: SparkSession, dir: String): DataFrame =
+    retentionOf(Tables.load(s, dir, "events"))
+
+  /** q128's core over any (user_id, ts) relation — shared with the
+    * streaming mirror's spec. */
+  def retentionOf(events: DataFrame): DataFrame = {
+    val act = events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
     val cohort = act.groupBy(col("user_id"))

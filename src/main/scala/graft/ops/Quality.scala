@@ -270,6 +270,129 @@ object Quality {
       .orderBy("column_name")
   }
 
+  /** q308's sketch size: bottom-256 KMV per column. Chosen over HLL
+    * because a profiler meets BOTH regimes: low-cardinality columns
+    * (flags, line numbers — where raw HLL without small-range
+    * correction over-estimates 10×, and the correction's `ln` is not
+    * cross-engine-reproducible) and high-cardinality keys. KMV is
+    * exact below k by construction and (k−1)·2⁶⁰/kth_min above it —
+    * the q178 estimator, relative error ≤ 4/√(k−2) ≈ 25%. */
+  val ProfileK = 256
+
+  /** q308's canonical string form per profiled column — ONE text,
+    * valid in BOTH engines, so the hashed bytes are identical:
+    * integers/strings cast directly; the money doubles go through
+    * DECIMAL(18,2) first (the established q305 idiom — double→VARCHAR
+    * formatting differs across engines, double→DECIMAL(18,2) does
+    * not on 2-decimal-generated data); the timestamp exits as DATE
+    * text. The casts are injective on this schema, so canonical
+    * distinct = native distinct. */
+  private val CanonCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "CAST(l_orderkey AS STRING)",
+    "l_partkey" -> "CAST(l_partkey AS STRING)",
+    "l_suppkey" -> "CAST(l_suppkey AS STRING)",
+    "l_linenumber" -> "CAST(l_linenumber AS STRING)",
+    "l_quantity" -> "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING)",
+    "l_extendedprice" ->
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING)",
+    "l_discount" -> "CAST(CAST(l_discount AS DECIMAL(18,2)) AS STRING)",
+    "l_tax" -> "CAST(CAST(l_tax AS DECIMAL(18,2)) AS STRING)",
+    "l_returnflag" -> "l_returnflag",
+    "l_linestatus" -> "l_linestatus",
+    "l_shipdate" -> "CAST(CAST(l_shipdate AS DATE) AS STRING)")
+
+  /** q308: APPROXIMATE column profiler — q284's catalog inventory in
+    * its 100 TB production shape (the trade q284's own comment
+    * names): per column, exact n_rows/n_null plus a bottom-k KMV
+    * distinct estimate, with q284-style exact distincts riding along
+    * as the witness (`within_bound` pinned TRUE by the gate — the
+    * q178/q179 discipline: at 100 TB the exact side is dropped and
+    * the sketch IS the answer).
+    *
+    * Scale shape: ONE scan — the 11 columns melt through one `stack`
+    * generator (the same ×|cols| row multiplication q284's Expand
+    * pays), then ONE groupBy holds per column a ≤k-long array +
+    * three counters. Unlike q284's multi-distinct, the sketch state
+    * is CONSTANT per column, so at 100 TB the aggregation's memory
+    * is |cols|·k longs regardless of key cardinality (the exact
+    * witness countDistinct is the only corpus-keyed state — gate
+    * affordable, droppable at scale). */
+  def approxColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sketches.HashRange
+    val li = Tables.load(s, dir, "lineitem")
+    val pairs = CanonCols.map { case (c, e) => s"'$c', $e" }
+      .mkString(", ")
+    val melted = li
+      .select(expr(
+        s"stack(${CanonCols.size}, $pairs) AS (column_name, v)"))
+      .where(col("v").isNotNull)
+      .select(col("column_name"),
+        graft.dedup.Md5Prefix.h(col("v")).as("h"))
+    val kmv = udaf(new graft.functions.KmvSketch(ProfileK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // 1-row total — the sanctioned broadcast constant
+    val nRows = Tables.load(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"))
+    val bound = 4.0 / math.sqrt(ProfileK - 2.0)
+    melted.groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_notnull"),
+        countDistinct(col("h")).as("n_exact"),
+        kmv(col("h")).as("mins"))
+      .crossJoin(broadcast(nRows))
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_notnull")).as("n_null"),
+        size(col("mins")).cast("long").as("n_sketch"),
+        element_at(col("mins"), size(col("mins"))).as("kth_min"),
+        col("n_exact"))
+      .withColumn("est_distinct",
+        when(col("n_sketch") < ProfileK, col("n_exact").cast("double"))
+          .otherwise(lit((ProfileK - 1).toDouble) * lit(HashRange) /
+            col("kth_min").cast("double")))
+      .withColumn("within_bound",
+        abs(col("est_distinct") - col("n_exact").cast("double")) <=
+          lit(bound) * col("n_exact").cast("double"))
+      .orderBy("column_name")
+  }
+
+  private[ops] def approxColumnProfileSql: String = {
+    val arms = CanonCols.map { case (c, e) =>
+      s"SELECT '$c' AS column_name, $e AS v FROM lineitem"
+    }.mkString("\nUNION ALL ")
+    val est = s"""CASE WHEN n_sketch < $ProfileK
+      | THEN CAST(n_exact AS DOUBLE)
+      | ELSE ${(ProfileK - 1).toDouble} * ${graft.text.Sketches.HashRange}
+      |   / CAST(kth_min AS DOUBLE) END""".stripMargin
+    s"""WITH m AS (
+       |$arms),
+       |t AS MATERIALIZED (
+       |  SELECT column_name,
+       |    ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+       |  FROM m WHERE v IS NOT NULL),
+       |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+       |nn AS (SELECT column_name, CAST(count(*) AS BIGINT) AS n_notnull
+       |       FROM t GROUP BY 1),
+       |dh AS MATERIALIZED (SELECT DISTINCT column_name, h FROM t),
+       |rk AS (SELECT column_name, h,
+       |    row_number() OVER (PARTITION BY column_name ORDER BY h) AS r
+       |  FROM dh),
+       |agg AS (SELECT column_name,
+       |    CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth_min
+       |  FROM rk WHERE r <= $ProfileK GROUP BY 1),
+       |ex AS (SELECT column_name, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM dh GROUP BY 1)
+       |SELECT nn.column_name, n_rows, n_rows - n_notnull AS n_null,
+       |  n_sketch, kth_min, n_exact,
+       |  $est AS est_distinct,
+       |  abs(($est) - CAST(n_exact AS DOUBLE))
+       |    <= ${4.0 / math.sqrt(ProfileK - 2.0)}
+       |      * CAST(n_exact AS DOUBLE) AS within_bound
+       |FROM nn
+       |JOIN agg USING (column_name)
+       |JOIN ex USING (column_name)
+       |CROSS JOIN nr
+       |ORDER BY column_name""".stripMargin
+  }
+
   private[ops] def columnProfileSql: String = {
     val arms = ProfileCols.map { c =>
       s"""SELECT '$c' AS column_name,
@@ -402,6 +525,7 @@ object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q284_column_profile" -> (columnProfile _),
+    "q308_approx_profile" -> (approxColumnProfile _),
     "q298_quality_auc" -> (qualityAuc _),
     "q307_quality_lift" -> (qualityLift _),
     "q253_pk_audit"   -> (pkAudit _),
@@ -413,6 +537,7 @@ object Quality {
 
   val oracle: Map[String, String] = Map(
     "q284_column_profile" -> columnProfileSql,
+    "q308_approx_profile" -> approxColumnProfileSql,
     "q307_quality_lift" ->
       (raw"""WITH tok AS (
         |  SELECT doc_id,

@@ -683,6 +683,118 @@ object Streams {
       .toDF("user_id", "from_type", "to_type", "ms")
   }
 
+  /** Streaming cohort retention — the q128 mirror: per-user keyed
+    * state holds (cohort day, distinct activity days) and every
+    * update re-emits the user's CURRENT retention rows tagged with a
+    * per-user update sequence (`upd`) — the funnelStream final-wins
+    * discipline, EXACT under out-of-order delivery: a late EARLIER
+    * day rebases the cohort and the re-emission retracts every stale
+    * offset implicitly (the drain's final row set per user is the
+    * truth; StreamsSpec aggregates it and pins ≡
+    * [[graft.ops.EventOps.retention]]).
+    *
+    * State per user is the distinct-day set — bounded by the DATE
+    * RANGE (days, not events: a 3-year product history is ~1100
+    * ints), never corpus-sized. A production deployment that must
+    * also bound the day range adds the funnelStream `horizonMs`
+    * pattern (watermark + event-time timeout); retention windows are
+    * finite by definition (day-N charts stop at N), so the natural
+    * horizon is the chart's own N. */
+  def retentionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .as[(Long, Int)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(List[Int], Long),
+        (Long, String, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Int)],
+         state: GroupState[(List[Int], Long)]) =>
+          val (d0, upd0) = state.getOption.getOrElse((List.empty[Int], 0L))
+          val days = (d0 ++ rows.map(_._2)).distinct.sorted
+          val upd = upd0 + 1
+          state.update((days, upd))
+          val cohort = days.head
+          val cohortStr = java.time.LocalDate.ofEpochDay(cohort.toLong)
+            .toString
+          days.iterator.map(d => (user, cohortStr, d - cohort, upd))
+      }
+      .toDF("user_id", "cohort_day", "day_offset", "upd")
+  }
+
+  /** Streaming time-decay attribution — the q258 mirror: per-user
+    * keyed state holds the click and purchase event lists and every
+    * update re-emits the user's CURRENT credit table (every purchase
+    * × its in-window clicks, the exact q258 integer weights
+    * `1 << (23 − hours_ago)` and ONE final double division), tagged
+    * with the per-user `upd` sequence. Final-wins under out-of-order
+    * delivery: a late click inside an existing purchase's 24 h
+    * window changes that purchase's normalizer, and the re-emission
+    * carries the corrected credits for every affected pair
+    * (StreamsSpec pins the drained final table ≡
+    * [[graft.ops.EventOps.decayAttribution]] for k-batch splits).
+    *
+    * State per user is its click+purchase history — the replayable
+    * mode. A deployment bounds it exactly like funnelStream's
+    * horizon: once the event-time watermark passes a purchase, its
+    * window can no longer change (late clicks would be below the
+    * watermark), so it emits finally and drops; a click older than
+    * watermark − 24 h can serve no future purchase and drops too —
+    * O(horizon) state. The replayable mode keeps the retraction-free
+    * gate semantics instead. */
+  def decayAttributionStream(events: DataFrame,
+                             winMs: Long = 86400000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, String, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (List[(Long, Long)], List[(Long, Long, Long)], Long),
+        (Long, Long, Long, Long, Long, Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long, Long)],
+         state: GroupState[
+           (List[(Long, Long)], List[(Long, Long, Long)], Long)]) =>
+          val (c0, p0, upd0) = state.getOption
+            .getOrElse((List.empty[(Long, Long)],
+              List.empty[(Long, Long, Long)], 0L))
+          var clicks = c0
+          var purchases = p0
+          rows.foreach {
+            case (_, id, "click", ms, _) => clicks ::= ((id, ms))
+            case (_, id, "purchase", ms, cents) =>
+              purchases ::= ((id, ms, cents))
+            case _ => ()
+          }
+          val upd = upd0 + 1
+          state.update((clicks, purchases, upd))
+          purchases.iterator.flatMap { case (pId, pMs, cents) =>
+            val inWin = clicks
+              .filter { case (_, cMs) => cMs > pMs - winMs && cMs < pMs }
+              .map { case (cId, cMs) =>
+                val h = (pMs - cMs) / 3600000L
+                (cId, h, 1L << (23 - h))
+              }
+            val totalW = inWin.map(_._3).sum
+            inWin.map { case (cId, h, w) =>
+              (user, pId, cId, cents, h, w, totalW,
+                w.toDouble / totalW.toDouble, upd)
+            }
+          }
+      }
+      .toDF("user_id", "p_id", "c_id", "value_cents", "h", "w",
+        "total_w", "credit", "upd")
+  }
+
   /** Streaming FUZZY admission: flag records whose `name` is within
     * edit distance ≤ `maxEdits` of any name on a bounded reference
     * list (typo-squatted usernames, near-variant banned titles) —

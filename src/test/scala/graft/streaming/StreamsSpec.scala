@@ -679,6 +679,105 @@ class StreamsSpec extends SparkSpec {
     assert(bounded.get(9L) === exact.get(9L))
   }
 
+  test("retention stream: final keyed state ≡ batch q128, out-of-order") {
+    import org.apache.spark.sql.functions.col
+    val in = Files.createTempDirectory("ret_in").toString
+    val ckpt = Files.createTempDirectory("ret_ckpt").toString
+    // 6 users × irregular activity days; round-robin batch split makes
+    // every user's stream out-of-order (late EARLIER days rebase the
+    // cohort — the case that forces re-emission)
+    val rows = for {
+      (u, days) <- Seq(1 -> Seq(3, 1, 7), 2 -> Seq(2, 2, 9),
+        3 -> Seq(5), 4 -> Seq(1, 10, 4), 5 -> Seq(8, 6, 6),
+        6 -> Seq(2, 12, 1))
+      (d, i) <- days.zipWithIndex
+    } yield s"""{"event_id":${u * 100 + i},"ts":"2024-01-${"%02d".format(d)}T0$i:00:00Z","user_id":$u,"event_type":"view","value":1.0}"""
+    rows.zipWithIndex.groupBy(_._2 % 3).foreach { case (k, rs) =>
+      writeBatch(in, s"b$k.json", rs.map(_._1): _*)
+    }
+    val q = Streams.retentionStream(
+        Streams.rateLimitedStream(spark, in, schema, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("ret_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // final-wins per user, then aggregate to the retention matrix
+    val fin = spark.table("ret_stream").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .flatMap { case (_, rs) =>
+        val m = rs.map(_.getAs[Long]("upd")).max
+        rs.filter(_.getAs[Long]("upd") == m).toSeq
+      }
+    val got = fin.toSeq
+      .groupBy(r => (r.getAs[String]("cohort_day"),
+        r.getAs[Int]("day_offset")))
+      .map { case (k, rs) => (k._1, k._2, rs.size.toLong) }.toSet
+    val batch = graft.ops.EventOps.retentionOf(
+        spark.read.schema(schema).json(in))
+      .collect()
+      .map(r => (r.getAs[String]("cohort_day"),
+        r.getAs[Int]("day_offset"), r.getAs[Long]("n_users"))).toSet
+    assert(got == batch,
+      s"stream retention drifted from batch:\n$got\nvs\n$batch")
+  }
+
+  test("decay-attribution stream: final credits ≡ batch q258, late clicks") {
+    val in = Files.createTempDirectory("decay_in").toString
+    val ckpt = Files.createTempDirectory("decay_ckpt").toString
+    def ev(id: Long, user: Long, et: String, dayHour: (Int, Int),
+           value: Double) =
+      s"""{"event_id":$id,"ts":"2024-01-${"%02d".format(dayHour._1)}T${"%02d".format(dayHour._2)}:00:00Z","user_id":$user,"event_type":"$et","value":$value}"""
+    // u1: purchase first, its clicks arrive LATE (batch 2/3) — the
+    // normalizer must be corrected by re-emission; u2: boundary cases
+    // (a click exactly 24 h before is excluded, one inside at 23 h);
+    // u3: clicks with no purchase (state but no rows)
+    writeBatch(in, "b1.json",
+      ev(1, 1, "purchase", (2, 10), 9.37),
+      ev(2, 2, "click", (1, 12), 1.0),
+      ev(3, 3, "click", (1, 1), 1.0))
+    writeBatch(in, "b2.json",
+      ev(4, 1, "click", (2, 8), 1.0),
+      ev(5, 2, "purchase", (2, 12), 25.5),
+      ev(6, 3, "click", (1, 2), 1.0))
+    writeBatch(in, "b3.json",
+      ev(7, 1, "click", (2, 3), 1.0),
+      ev(8, 2, "click", (2, 11), 1.0),
+      ev(9, 1, "click", (1, 9), 1.0)) // 25 h before — outside window
+    Seq("b1.json", "b2.json", "b3.json").zipWithIndex.foreach {
+      case (f, i) => Files.setLastModifiedTime(Paths.get(in, f),
+        java.nio.file.attribute.FileTime.fromMillis(2000000L + i * 1000L))
+    }
+    val q = Streams.decayAttributionStream(
+        Streams.rateLimitedStream(spark, in, schema, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("decay_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("p_id"), r.getAs[Long]("c_id"),
+      r.getAs[Long]("value_cents"), r.getAs[Long]("h"),
+      r.getAs[Long]("w"), r.getAs[Long]("total_w"),
+      r.getAs[Double]("credit"))
+    val got = spark.table("decay_stream").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .flatMap { case (_, rs) =>
+        val m = rs.map(_.getAs[Long]("upd")).max
+        rs.filter(_.getAs[Long]("upd") == m).map(key).toSeq
+      }.toSet
+    val batch = graft.ops.EventOps.decayAttributionOf(
+        spark.read.schema(schema).json(in))
+      .collect().map(key).toSet
+    assert(got == batch,
+      s"stream decay attribution drifted from batch:\n$got\nvs\n$batch")
+    // the late-click correction really happened: u1's purchase has
+    // BOTH in-window clicks in its final normalizer
+    assert(got.count(_._1 == 1L) == 2)
+  }
+
   test("hourly-count maintenance: streamed anomaly scan ≡ batch q252") {
     val in = Files.createTempDirectory("hcm_in").toString
     val ckpt = Files.createTempDirectory("hcm_ckpt").toString
