@@ -45,6 +45,32 @@ object Similarity {
   /** Block size of the q52 pair expansion grid — each grid cell
     * expands at most PairBlock² candidate pairs in its own task. */
   val PairBlock = 1024
+
+  /** Above this size an SRP band bucket switches from full triangle
+    * expansion to STAR + CHAIN over the (sig, vec_id)-sorted bucket —
+    * [[graft.dedup.Dedup.MaxLshBucket]]'s reasoning applied to the
+    * embedding leg. A 4-bit band has only 16 bucket values, so bucket
+    * occupancy grows LINEARLY with the corpus (the round-9 sf10 sweep
+    * measured 40–45k-member buckets at 200k vectors → Σ C(sz,2) ≈
+    * 1.3·10¹⁰ candidate pairs, which OOM'd/overran any shape); above
+    * the cap, candidates become linear in bucket size: every member
+    * pairs with the bucket's sort-first element (star — keeps the
+    * q107 cluster consumer connected through the hub) and with its
+    * successor in signature order (chain — identical-signature
+    * subgroups are contiguous runs, so true near-dup families still
+    * pair up even when their hub pairs fail the cosine verify).
+    * Verification (cosine ≥ τ) is unchanged; the bounded trade is
+    * q37's: close-but-unequal subgroups may lose intra pairs in this
+    * band, other bands can still catch them.
+    *
+    * Shape discipline: the degraded branch is spelled with WINDOWS
+    * (hub join + successor lag), never per-row bucket arrays — at
+    * 45k members the array-carrying explode holds sz² bytes per
+    * bucket in flight (the q168 OOM class). Never binds at gate
+    * scale (max bucket ≈ 45 at sf0.01, ≈ 450 at sf0.1), so the
+    * full-expansion oracle remains the verified contract — the q37
+    * MaxLshBucket precedent. */
+  val SrpMaxBucket = 1000
   /** IVF cell count — the q53 gate's oracle contract (probe-all ≡
     * brute force) needs nProbe == nCells, so both come from HERE. */
   val IvfCells = 16
@@ -325,8 +351,8 @@ object Similarity {
     // own, so the zone stores unsorted
     nearDupPairZone(s, dir, threshold).orderBy("id1", "id2")
 
-  private def nearDupPairsDerive(s: SparkSession, dir: String,
-                                 threshold: Double): DataFrame = {
+  private[graft] def nearDupPairsDerive(s: SparkSession, dir: String,
+                                        threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // Band rows carry ONLY (vec_id, band, bandVal): the 64-float
     // vectors never ride through the explode/join/distinct (at sf0.1
@@ -344,7 +370,26 @@ object Similarity {
     val banded = emb
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), signature(col("embedding")).as("sig"))
-      .select(col("vec_id"), bandCols)
+      .select(col("vec_id"), col("sig"), bandCols)
+    // bucket occupancy gates the expansion shape (see SrpMaxBucket)
+    val wB = Window.partitionBy(col("band"), col("bandVal"))
+    val withSz = banded.withColumn("sz", count(lit(1)).over(wB))
+    val smallB = withSz.where(col("sz") <= SrpMaxBucket)
+      .select(col("vec_id"), col("band"), col("bandVal"))
+    // STAR + CHAIN for oversized buckets, windowed (no bucket arrays)
+    val wOrd = wB.orderBy(col("sig"), col("vec_id"))
+    val ranked = withSz.where(col("sz") > SrpMaxBucket)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("prev", lag(col("vec_id"), 1).over(wOrd))
+    val hubs = ranked.where(col("rn") === 1)
+      .select(col("band"), col("bandVal"), col("vec_id").as("hub_id"))
+    val star = ranked.where(col("rn") > 1)
+      .join(hubs, Seq("band", "bandVal"))
+      .select(least(col("vec_id"), col("hub_id")).as("id1"),
+        greatest(col("vec_id"), col("hub_id")).as("id2"))
+    val chain = ranked.where(col("rn") > 2)
+      .select(least(col("vec_id"), col("prev")).as("id1"),
+        greatest(col("vec_id"), col("prev")).as("id2"))
     // BLOCK-GRID triangle expansion (the sf1 skew fix): a 16-bit
     // signature in 4-bit bands has ≤ 2^BandBits bucket values per
     // band, so the per-bucket collect_list + triangle explode ran the
@@ -358,7 +403,7 @@ object Similarity {
     // spreads over (sz/B)²/2 tasks. Block indexing follows vec_id
     // order, so cross-block cells emit id1 < id2 by construction and
     // the diagonal cells keep the slice-triangle spelling.
-    val idx = banded
+    val idx = smallB
       .withColumn("i", row_number().over(
         Window.partitionBy(col("band"), col("bandVal"))
           .orderBy(col("vec_id"))) - 1)
@@ -393,7 +438,7 @@ object Similarity {
     // path, and the post-threshold distinct dedups the SURVIVING
     // pairs — thousands of rows, not 10⁸ (identical inputs give
     // bit-identical cosines, so (id1,id2,cosine) dedup is exact).
-    val cand = diag.unionByName(off)
+    val cand = diag.unionByName(off).unionByName(star).unionByName(chain)
     cand // same no-hint rule as knnLsh for the corpus-sided lookups
       .join(emb.select(col("vec_id").as("id1"),
         col("embedding").as("v1")), "id1")
@@ -402,6 +447,19 @@ object Similarity {
       .select(col("id1"), col("id2"), dotCol(col("v1"), col("v2")).as("cosine"))
       .where(col("cosine") >= threshold)
       .distinct()
+  }
+
+  /** Dev-probe view of the q52 LSH bucket occupancy (band, bandVal,
+    * size) — the candidate volume is Σ C(sz, 2) over these rows. */
+  private[graft] def bucketSizes(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    corpus(s, dir).select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), signature(col("embedding")).as("sig"))
+      .select(col("vec_id"), bandCols)
+      .groupBy(col("band"), col("bandVal"))
+      .agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc)
   }
 
   /** The q52 pair zone unsorted — what the clustering consumer reads
