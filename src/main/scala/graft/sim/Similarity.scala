@@ -80,13 +80,19 @@ object Similarity {
     * ((2¹⁰·n)² ≤ 2⁶³−1 ⟹ n ≲ 2.9·10⁶; see [[domainSimilarity]]). */
   val DomainSimMaxN = 2900000L
 
-  /** Deterministic ±1 projection matrix (xorshift-mixed), bits × dim. */
-  private[sim] lazy val projections: Array[Array[Double]] =
-    Array.tabulate(SigBits, Dim) { (b, d) =>
+  /** Row b of the deterministic ±1 projection matrix (xorshift-mixed)
+    * — defined for ANY b, so the corpus-scaled path can draw more
+    * projections than the fixed 16-bit gate signature uses. */
+  private[sim] def projRow(b: Int): Array[Double] =
+    Array.tabulate(Dim) { d =>
       var x = (b.toLong << 32) ^ (d.toLong * 0x9e3779b97f4a7c15L) ^ 0x5bd1e995L
       x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
       if ((x & 1L) == 0L) 1.0 else -1.0
     }
+
+  /** Deterministic ±1 projection matrix (xorshift-mixed), bits × dim. */
+  private[sim] lazy val projections: Array[Array[Double]] =
+    Array.tabulate(SigBits)(projRow)
 
   /** dot(embedding, lit projection vector) via the native expression
     * (±1 values are exact in float, so the implicit double→float cast
@@ -371,6 +377,18 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), signature(col("embedding")).as("sig"))
       .select(col("vec_id"), col("sig"), bandCols)
+    expandBucketPairs(banded, emb, threshold)
+  }
+
+  /** The capped bucket-pair expansion shared by the gate derivation
+    * (fixed 16-bit signature) and the corpus-scaled production path:
+    * block-grid full triangles for buckets ≤ [[SrpMaxBucket]],
+    * windowed star+chain above, exact cosine verify, post-threshold
+    * dedup. Input `banded`: (vec_id, sig, band, bandVal) — `sig` is
+    * only an ordering key for the chain's identical-signature
+    * contiguity. */
+  private def expandBucketPairs(banded: DataFrame, emb: DataFrame,
+                                threshold: Double): DataFrame = {
     // bucket occupancy gates the expansion shape (see SrpMaxBucket)
     val wB = Window.partitionBy(col("band"), col("bandVal"))
     val withSz = banded.withColumn("sz", count(lit(1)).over(wB))
@@ -439,7 +457,19 @@ object Similarity {
     // pairs — thousands of rows, not 10⁸ (identical inputs give
     // bit-identical cosines, so (id1,id2,cosine) dedup is exact).
     val cand = diag.unionByName(off).unionByName(star).unionByName(chain)
-    cand // same no-hint rule as knnLsh for the corpus-sided lookups
+    cand
+      // EXPANSION-STAGE partitioning (round-9 sf10 find): the grid
+      // join's input is tiny (block rows), so AQE coalesces its
+      // shuffle to a handful of tasks — and the triangle explode then
+      // multiplies ROWS by ~10⁵ inside those few tasks, which OOM'd
+      // the scaled path at sf10 (fine at 4096 hand-set partitions,
+      // dead at the bytes-derived 1024). Re-keying the exploded
+      // stream by id1 puts the post-explosion volume on the
+      // CONFIGURED partition count before anything blocking runs —
+      // the join immediately reuses the same hash partitioning, so
+      // this adds no extra exchange beyond the one the join needs.
+      .repartition(col("id1"))
+      // same no-hint rule as knnLsh for the corpus-sided lookups
       .join(emb.select(col("vec_id").as("id1"),
         col("embedding").as("v1")), "id1")
       .join(emb.select(col("vec_id").as("id2"),
@@ -460,6 +490,98 @@ object Similarity {
       .groupBy(col("band"), col("bandVal"))
       .agg(count(lit(1)).as("sz"))
       .orderBy(col("sz").desc)
+  }
+
+  /** Target expected bucket occupancy of the corpus-scaled SRP path —
+    * bits per band grow with the corpus to hold this. */
+  val ScaledTargetBucket = 256
+  /** Band count of the corpus-scaled SRP path. More bands buy recall
+    * (1 − (1 − pʳ)ᵇ) at linear candidate cost; 8 keeps ≥ ~95% recall
+    * for 0.9-cosine near-dups at 10-bit bands. */
+  val ScaledBands = 8
+
+  /** The (bands, bitsPerBand) the scaled path derives from a corpus
+    * size — exposed for specs/probes. bitsPerBand =
+    * ceil(log₂(n / [[ScaledTargetBucket]])) clamped to [4, 16]:
+    * bucket count 2ᵇⁱᵗˢ grows with the corpus so expected occupancy
+    * stays ≤ the target (the fixed 16-bucket gate banding is exactly
+    * what exploded at sf10 — occupancy grew linearly with n). */
+  def scaledBandShape(n: Long): (Int, Int) = {
+    val need = math.ceil(math.log(math.max(1L, n).toDouble /
+      ScaledTargetBucket) / math.log(2.0)).toInt
+    (ScaledBands, math.min(16, math.max(4, need)))
+  }
+
+  /** PRODUCTION-scale embedding near-dup pairs — the corpus-scaled
+    * variant of the q52 gate contract: same verify (exact cosine ≥
+    * threshold), same capped expansion shape, but the SRP banding is
+    * sized from the corpus ([[scaledBandShape]]) instead of the fixed
+    * 16-bit/16-bucket gate signature, and band values stay UNPACKED
+    * (one value per band — no single-long packing, so the bit budget
+    * has no 63-bit ceiling). Recall is the standard LSH 1 − (1 − pʳ)ᵇ
+    * (p = 1 − θ/π per hyperplane): sized for HIGH-cosine near-dup
+    * families — the dedup regime — not for exhaustive 0.45-threshold
+    * pair listing, which is inherently quadratic output at corpus
+    * scale (q36's gate-mode ruling). Not oracle-gated: q52's fixed
+    * signature IS the verified contract; this path is
+    * recall-witnessed against brute force in SimilaritySpec and sf10
+    * probed (PLANS.md round-9). */
+  def nearDupPairsScaled(s: SparkSession, dir: String,
+                         threshold: Double = 0.45): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
+    // metadata-cheap corpus count (parquet row-group stats) sizes the
+    // banding — the one driver-side scalar this path needs
+    val (bands, bits) = scaledBandShape(corpus(s, dir).count())
+    val bandVals = array((0 until bands).map { b =>
+      (0 until bits).map { i =>
+        when(dotLit(col("embedding"), projRow(b * bits + i)) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    // ordering key for the chain's contiguity only: the first ≤ 32
+    // projections, packed (identical full signatures agree on it)
+    val sortSig = (0 until math.min(32, bands * bits)).map { b =>
+      when(dotLit(col("embedding"), projRow(b)) > 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val banded = emb
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), sortSig.as("sig"), bandVals.as("bvs"))
+      .select(col("vec_id"), col("sig"),
+        posexplode(col("bvs")).as(Seq("band", "bandVal")))
+    expandBucketPairs(banded, emb, threshold)
+      .orderBy("id1", "id2")
+  }
+
+  /** Dev-probe: bucket occupancy histogram under the SCALED banding —
+    * (bucket size decile view) plus the full-triangle candidate sum
+    * for sub-cap buckets and the member count in capped ones. */
+  private[graft] def scaledBucketStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
+    val (bands, bits) = scaledBandShape(corpus(s, dir).count())
+    val bandVals = array((0 until bands).map { b =>
+      (0 until bits).map { i =>
+        when(dotLit(col("embedding"), projRow(b * bits + i)) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    emb.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bandVal")))
+      .groupBy(col("band"), col("bandVal"))
+      .agg(count(lit(1)).as("sz"))
+      .select(
+        when(col("sz") > SrpMaxBucket, lit("capped")).otherwise(
+          when(col("sz") > 100, lit("101-1000")).otherwise(
+            when(col("sz") > 10, lit("11-100")).otherwise(lit("<=10"))))
+          .as("size_class"),
+        col("sz"))
+      .groupBy(col("size_class"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("sz")).as("members"),
+        sum(col("sz") * (col("sz") - 1) / 2).as("triangle_pairs"),
+        max(col("sz")).as("max_sz"))
+      .orderBy(col("size_class"))
   }
 
   /** The q52 pair zone unsorted — what the clustering consumer reads

@@ -28,6 +28,12 @@ object SrpProbe {
         sizes.show(40, false)
         sizes.selectExpr("sum(sz * (sz - 1) / 2) AS cand_pairs")
           .collect()(0).getLong(0)
+      case "scaled" =>
+        graft.sim.Similarity.nearDupPairsScaled(spark, dir, 0.45).count()
+      case "scaledstats" =>
+        val st = graft.sim.Similarity.scaledBucketStats(spark, dir)
+        st.show(20, false)
+        st.count()
       case _ =>
         graft.sim.Similarity.nearDupPairsDerive(spark, dir, 0.45).count()
     }

@@ -72,6 +72,38 @@ class SimilaritySpec extends SparkSpec {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("scaled near-dup pairs: brute-force recall floor, exact precision") {
+    import org.apache.spark.sql.functions._
+    // the synthetic corpus tops out below 0.8 cosine, so witness at
+    // 0.5 — BELOW the regime the banding is sized for, i.e. a recall
+    // floor here is conservative for the high-cosine dedup use
+    val thr = 0.5
+    val emb = graft.Tables.load(spark, sf("0.1"), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    graft.functions.GraftFunctions.register(spark)
+    val brute = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        call_function("float_dot",
+          col("a.embedding"), col("b.embedding")).as("cosine"))
+      .where(col("cosine") >= thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaled = Similarity.nearDupPairsScaled(spark, sf("0.1"), thr)
+      .collect()
+    // precision is structural (every pair exact-verified) ...
+    assert(scaled.forall(_.getAs[Double]("cosine") >= thr))
+    val got = scaled.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute))
+    // ... recall is the LSH trade — floor pinned against brute force
+    assert(brute.nonEmpty)
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.7, s"scaled-path recall $recall over ${brute.size}")
+    // band shape really scales with n
+    assert(Similarity.scaledBandShape(200L)._2 == 4)
+    assert(Similarity.scaledBandShape(200000L)._2 == 10)
+    assert(Similarity.scaledBandShape(1L << 40)._2 == 16)
+  }
+
   test("knn ivf: k ranked results per query with usable recall") {
     val brute = Similarity.knnBrute(spark, sf(), k = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
