@@ -528,11 +528,20 @@ object Similarity {
     * probed (PLANS.md round-9). */
   def nearDupPairsScaled(s: SparkSession, dir: String,
                          threshold: Double = 0.45): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
     // metadata-cheap corpus count (parquet row-group stats) sizes the
     // banding — the one driver-side scalar this path needs
     val (bands, bits) = scaledBandShape(corpus(s, dir).count())
+    nearDupPairsShaped(s, dir, bands, bits, threshold)
+  }
+
+  /** The fixed-shape core of [[nearDupPairsScaled]] — (bands, bits)
+    * explicit, so the unpacked-banding pipeline itself is
+    * hash-gateable at any scale (q309 pins it at 8 × 4; the adaptive
+    * sizing on top is pure arithmetic, pinned in SimilaritySpec). */
+  def nearDupPairsShaped(s: SparkSession, dir: String, bands: Int,
+                         bits: Int, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
     val bandVals = array((0 until bands).map { b =>
       (0 until bits).map { i =>
         when(dotLit(col("embedding"), projRow(b * bits + i)) > 0,
@@ -553,6 +562,21 @@ object Similarity {
     expandBucketPairs(banded, emb, threshold)
       .orderBy("id1", "id2")
   }
+
+  /** q309: the unpacked-band SRP pair pipeline under the gate — the
+    * [[nearDupPairsScaled]] production path pinned at the fixed
+    * 8-band × 4-bit shape (scale-generic, so the DuckDB oracle can
+    * spell it verbatim at any sf). Bands 0–3 reuse the q52
+    * signature's 16 projections, bands 4–7 draw the next 16 — a
+    * strict candidate superset of q52, i.e. the recall the extra
+    * bands buy is hash-visible (every q52 pair reappears with the
+    * identical cosine). Memoized like the q52 zone — same
+    * (dir, shape, threshold) determinism contract. */
+  def scaledNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "srp-shaped-pairs",
+      s"srp-shaped:$dir:${ScaledBands}x4:0.45") {
+      nearDupPairsShaped(s, dir, ScaledBands, 4, 0.45)
+    }.orderBy("id1", "id2")
 
   /** Dev-probe: bucket occupancy histogram under the SCALED banding —
     * (bucket size decile view) plus the full-triangle candidate sum
@@ -1307,7 +1331,8 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       IvfServe.search(s, s"$root/zone", q, k = 5, nProbe = IvfCells)
     }),
-    "q107_embedding_clusters" -> (embeddingClusters _))
+    "q107_embedding_clusters" -> (embeddingClusters _),
+    "q309_scaled_neardup" -> (scaledNearDup _))
 
   /** The ±1 projection matrix as a DuckDB VALUES relation `proj(b, p)`
     * — generated from [[projections]] itself so the oracle can never
@@ -1315,6 +1340,14 @@ object Similarity {
   private def projSqlValues: String =
     projections.zipWithIndex.map { case (row, b) =>
       s"($b, CAST([${row.map(_.toInt).mkString(", ")}] AS FLOAT[]))"
+    }.mkString(", ")
+
+  /** First n rows of the EXTENDED projection matrix (the scaled
+    * path's draw) as a VALUES relation — generated from [[projRow]]
+    * itself, same no-drift rule. */
+  private def projScaledValues(n: Int): String =
+    (0 until n).map { b =>
+      s"($b, CAST([${projRow(b).map(_.toInt).mkString(", ")}] AS FLOAT[]))"
     }.mkString(", ")
 
   /** FloatDot's exact semantics in DuckDB: float products, widened and
@@ -1870,6 +1903,32 @@ object Similarity {
          |)
          |SELECT id1, id2, cosine FROM scored
          |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin),
+    // the scaled path's fixed 8×4 shape: unpacked band values over 32
+    // projections (bands 0–3 ≡ the q52 signature's draw)
+    "q309_scaled_neardup" ->
+      s"""WITH proj(b, p) AS (VALUES ${projScaledValues(ScaledBands * 4)}),
+         |emb AS (SELECT vec_id, embedding FROM embeddings),
+         |bnd AS (
+         |  SELECT vec_id, CAST(b // 4 AS INTEGER) AS band,
+         |    CAST(sum(CASE WHEN ${dotSql("embedding", "p")} > 0
+         |      THEN (CAST(1 AS BIGINT) << (b % 4)) ELSE 0 END)
+         |      AS BIGINT) AS bandVal
+         |  FROM emb CROSS JOIN proj GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+         |  FROM bnd a JOIN bnd c
+         |    ON a.band = c.band AND a.bandVal = c.bandVal
+         |      AND a.vec_id < c.vec_id
+         |),
+         |scored AS (
+         |  SELECT id1, id2,
+         |    ${dotSql("e1.embedding", "e2.embedding")} AS cosine
+         |  FROM cand JOIN emb e1 ON e1.vec_id = id1
+         |            JOIN emb e2 ON e2.vec_id = id2
+         |)
+         |SELECT id1, id2, cosine FROM scored
+         |WHERE cosine >= 0.45 ORDER BY id1, id2""".stripMargin,
     "q107_embedding_clusters" ->
       (sigCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
         s""",
