@@ -531,6 +531,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("collect_list"),
       "banded candidates regressed to the array spelling:\n" + plan)
   }
+  test("q309: the exploded candidate stream is re-keyed by id1 before " +
+      "the verify joins") {
+    // the round-9 expansion-stage rule: the grid join's input is tiny,
+    // so AQE coalesces its shuffle to a handful of tasks — and the
+    // triangle explode then multiplies rows ~10^5x inside them (OOM'd
+    // sf10 at the derived partition count). The explicit
+    // repartition(id1) must stay between the explode and the joins.
+    // the memoized q309 entry reads the zone parquet — audit the
+    // DERIVATION plan itself
+    val plan = graft.sim.Similarity
+      .nearDupPairsShaped(spark, sf(), graft.sim.Similarity.ScaledBands,
+        4, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(id1"),
+      "expected the post-explosion repartition on id1:\n" + plan)
+  }
   test("q303: the aggregate is COMPLETELY pushed into the DSv2 source") {
     val plan = planOf("q303_dsv2_agg_pushdown")
     assert(plan.contains("AGG-PUSHED"),
