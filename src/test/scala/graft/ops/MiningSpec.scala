@@ -107,9 +107,7 @@ class MiningSpec extends SparkSpec {
     // the gate query builds (or finds) the zone; epochs are then
     // directly inspectable: asOf=0 is the untouched base, asOf=1 has
     // the erasure applied but not yet the restore
-    Mining.erasureScrub(spark, sf()).count() // ensure the zone exists
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_zone_v1/" +
-      s"mor_erasure_${Integer.toHexString(sf().hashCode)}"
+    val root = Mining.erasureZone(spark, sf()) // builds if absent
     val base = spark.read.parquet(s"${sf()}/documents.parquet")
     val n = base.count()
     val erased = base.where(org.apache.spark.sql.functions
