@@ -514,7 +514,67 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** q310 quantile-sketch constants: sample size (bottom-K rows by
+    * stable hash) and the witness tolerance. K = 4096 puts the DKW
+    * deviation bound P(sup|F̂−F| > 0.04) ≤ 2·e^(−2·4096·0.04²) ≈ 4·10⁻⁶
+    * (Dvoretzky–Kiefer–Wolfowitz with Massart's constant), so a
+    * correct sample fails the witness essentially never and a broken
+    * one fails the gate. */
+  val QuantK = 4096
+  val QuantEps = 0.04
+  val QuantLevels: Seq[Int] = Seq(25, 50, 75, 95)
+
+  /** q310: mergeable approximate quantiles via a DETERMINISTIC
+    * bottom-K row sample — the 100 TB spelling of "what are the
+    * p25/p50/p75/p95 of this fact column" that never globally sorts
+    * the fact table. The K hash-smallest rows are a simple random
+    * sample without replacement (the hash is the q102 stable-id
+    * family, so the sample is identical across runs, partitionings,
+    * and engines — and MERGEABLE: bottom-K of a union is the bottom-K
+    * of per-shard bottom-Ks, the same property the q178 KMV sketch
+    * rides). The estimate is the sample's exact lower quantile; the
+    * audit side recomputes each estimate's true population rank in
+    * one conditional-aggregate scan and gates |rank/N − q| ≤ ε — at
+    * 100 TB you drop the audit scan, not the sample (the q178/q179
+    * witness discipline).
+    *
+    * Scale shape: TakeOrderedAndProject (per-partition K-heaps, no
+    * global sort) + one fact scan with a 4-row joined side AQE
+    * broadcasts; the only window runs over ≤ K = 4096 rows by
+    * construction (the sanctioned bounded-window exception). */
+  def sampleQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").as("v"))
+      .withColumn("h", md5Prefix(col("o_orderkey")))
+    val smp = orders.orderBy(col("h"), col("o_orderkey"))
+      .limit(QuantK).select(col("v"), col("h"))
+    val rk = smp.withColumn("r",
+      row_number().over(Window.orderBy(col("v"), col("h"))))
+    val k = smp.agg(count(lit(1)).as("sample_k"))
+    val qs = QuantLevels.toDF("qi")
+      .select(col("qi").cast("long").as("q"))
+    // lower quantile of the sample: value at rank ⌈k·q/100⌉
+    val est = qs.crossJoin(k)
+      .join(rk, col("r") === expr("(sample_k * q + 99) DIV 100"))
+      .select(col("q"), col("v").as("est"), col("sample_k"))
+    val pop = orders.crossJoin(est)
+      .groupBy(col("q"), col("est"), col("sample_k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("pop_le"))
+    pop
+      .withColumn("frac_le",
+        col("pop_le").cast("double") / col("n").cast("double"))
+      .withColumn("within_bound",
+        abs(col("frac_le") - col("q").cast("double") / lit(100.0)) <=
+          lit(QuantEps))
+      .select(col("q"), col("est"), col("sample_k"), col("n"),
+        col("pop_le"), col("frac_le"), col("within_bound"))
+      .orderBy("q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_sample_quantiles" -> (sampleQuantiles _),
     "q254_budget_select" -> (budgetSelect _),
     "q216_stable_ids" -> ((s: SparkSession, d: String) =>
       stableIds(s, d)),
@@ -543,6 +603,33 @@ object Sampling {
     }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q310_sample_quantiles" ->
+      s"""WITH smp AS (
+         |  SELECT o_totalprice AS v,
+         |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+         |      ::BIGINT AS h
+         |  FROM orders ORDER BY h, o_orderkey LIMIT $QuantK),
+         |rk AS (
+         |  SELECT v, h, row_number() OVER (ORDER BY v, h) AS r
+         |  FROM smp),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS sample_k FROM smp),
+         |qs AS (SELECT CAST(q AS BIGINT) AS q
+         |       FROM (VALUES (25), (50), (75), (95)) t(q)),
+         |est AS (
+         |  SELECT q, rk.v AS est, sample_k
+         |  FROM qs CROSS JOIN k
+         |  JOIN rk ON rk.r = (sample_k * q + 99) // 100),
+         |pop AS (
+         |  SELECT q, est, sample_k, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN o.o_totalprice <= est
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS pop_le
+         |  FROM orders o CROSS JOIN est GROUP BY 1, 2, 3)
+         |SELECT q, est, sample_k, n, pop_le,
+         |  CAST(pop_le AS DOUBLE) / CAST(n AS DOUBLE) AS frac_le,
+         |  abs(CAST(pop_le AS DOUBLE) / CAST(n AS DOUBLE)
+         |    - CAST(q AS DOUBLE) / 100.0) <= $QuantEps AS within_bound
+         |FROM pop ORDER BY q
+         |""".stripMargin,
     // the q154 token/weight rollup per source + the greedy prefix
     "q254_budget_select" ->
       raw"""WITH tok AS (

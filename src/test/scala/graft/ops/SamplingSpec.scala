@@ -36,6 +36,38 @@ class SamplingSpec extends SparkSpec {
     split.unpersist()
   }
 
+  test("q310: sample quantiles are rank-faithful and the sample is " +
+    "prefix-stable under corpus growth") {
+    val out = Sampling.sampleQuantiles(spark, sf()).cache()
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("q")).toSeq == Seq(25L, 50L, 75L, 95L))
+    // the DKW witness must hold on real data, not just gate-compare
+    assert(rows.forall(_.getAs[Boolean]("within_bound")))
+    val n = spark.read.parquet(s"${sf()}/orders.parquet").count()
+    assert(rows.forall(_.getAs[Long]("sample_k") ==
+      math.min(Sampling.QuantK.toLong, n)))
+    // estimates are monotone in q (lower quantile of one sample)
+    val ests = rows.sortBy(_.getAs[Long]("q")).map(_.getAs[Double]("est"))
+    assert(ests.zip(ests.tail).forall { case (a, b) => a <= b })
+    // mergeability witness: the bottom-K of the corpus is the bottom-K
+    // of the union of per-half bottom-Ks (hash-order is global, so a
+    // shard split cannot change the selected sample)
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select(col("o_orderkey"),
+        graft.dedup.Md5Prefix.h(col("o_orderkey").cast("string")).as("h"))
+    val full = orders.orderBy("h", "o_orderkey")
+      .limit(Sampling.QuantK).collect().map(_.getLong(0)).toSet
+    val halves = Seq(0, 1).map { m =>
+      orders.where(col("o_orderkey") % 2 === m)
+        .orderBy("h", "o_orderkey").limit(Sampling.QuantK)
+    }
+    val merged = halves.reduce(_ union _)
+      .orderBy("h", "o_orderkey").limit(Sampling.QuantK)
+      .collect().map(_.getLong(0)).toSet
+    assert(merged == full)
+    out.unpersist()
+  }
+
   test("q103: no source exceeds the quota; small sources kept whole") {
     val cap = 100
     val out = Sampling.quotaSample(spark, sf(), cap).cache()
