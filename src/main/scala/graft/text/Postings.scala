@@ -701,7 +701,16 @@ object Postings {
     * Scale·22·tf·total ≤ 2⁶³ up to ~10¹⁴ total tokens; past that,
     * the q241 DECIMAL(38) escape. */
   def bm25TopK(s: SparkSession, dir: String,
-               terms: Seq[String] = Bm25Query): DataFrame = {
+               terms: Seq[String] = Bm25Query): DataFrame =
+    bm25Scores(s, dir, terms)
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(Bm25K)
+
+  /** The matched-term relations of the BM25 machinery — (tf, df, dl,
+    * stats), shared by q283 and q311 so the fusion ranks the SAME
+    * scores the lexical gate verifies. */
+  private def bm25Parts(s: SparkSession, dir: String, terms: Seq[String])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val toks = graft.util.Scratch.memo(s, "lc-tokens",
       s"lc-tokens:$dir")(
       Tables.load(s, dir, "documents")
@@ -717,6 +726,13 @@ object Postings {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("t"))
       .agg(count(lit(1)).as("df"))
+    (tf, df, dl, stats)
+  }
+
+  /** The pre-top-k (doc_id, score_fp, n_terms) BM25-scored relation. */
+  private[text] def bm25Scores(s: SparkSession, dir: String,
+                               terms: Seq[String] = Bm25Query): DataFrame = {
+    val (tf, df, dl, stats) = bm25Parts(s, dir, terms)
     val contrib = tf
       .join(broadcast(df), "t") // |terms| rows — constant-bounded
       .join(dl, "doc_id")
@@ -728,13 +744,77 @@ object Postings {
     contrib.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("score_fp"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("score_fp").desc, col("doc_id"))
-      .limit(Bm25K)
   }
 
-  private[text] def bm25OracleSql: String = {
+  /** q311 constants: candidates taken from each system, the RRF rank
+    * damping constant (Cormack, Clarke & Büttcher 2009), the fixed-
+    * point scale, and the fused cut. At Scale = 2⁴⁰ adjacent-rank
+    * reciprocals differ by ≥ 2⁴⁰·(1/(K+C)² − …) ≈ 1.7·10⁸, so the
+    * floor never merges distinct ranks — the integer score is
+    * strictly monotone in the real-valued RRF over the rank domain. */
+  val RrfC = 20
+  val RrfK = 60
+  val RrfScale: Long = 1L << 40
+  val RrfTop = 10
+
+  /** q311: reciprocal-rank fusion of two retrieval systems — the
+    * hybrid-search primitive (score = Σ 1/(K + rankᵢ), Cormack et al.
+    * 2009) that merges a length-normalized lexical ranking with any
+    * second ranker without score calibration. System A is q283's
+    * exact-integer BM25; system B is the same matched-term relations
+    * scored as raw tf·idf (NO length normalization — the classic
+    * ranker BM25 was built to fix, so the two genuinely disagree and
+    * the fusion is non-trivial: long keyword-dense docs rise in B,
+    * normalized docs in A). The reciprocal is integerized as
+    * RrfScale div (K + r) — exact, identical cross-engine, strictly
+    * rank-monotone (see [[RrfScale]]); absent ranks contribute 0 and
+    * surface as −1.
+    *
+    * Scale shape: ONE tf/df derivation feeds both scorers; each
+    * system's candidate cut is a TakeOrdered top-C (per-partition
+    * heaps); every window and join after that runs on ≤ C = 20 rows
+    * (constant-bounded). At 100 TB the fusion itself is free — the
+    * cost is the two scans the scorers already pay. */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (tf, df, _, stats) = bm25Parts(s, dir, Bm25Query)
+    val lexScore = bm25Scores(s, dir, Bm25Query)
+      .select(col("doc_id"), col("score_fp"))
+    val plainScore = tf
+      .join(broadcast(df), "t") // |terms| rows — constant-bounded
+      .crossJoin(broadcast(stats)) // 1 row — sanctioned
+      .select(col("doc_id"),
+        expr(s"tf * (($Bm25Scale * (2*n - 2*df + 1)) div (2*df + 1))")
+          .as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("score_fp"))
+    def topRanked(scores: DataFrame, rName: String): DataFrame =
+      scores.orderBy(col("score_fp").desc, col("doc_id")).limit(RrfC)
+        // bounded window: ≤ RrfC rows by construction
+        .withColumn(rName, row_number().over(
+          Window.orderBy(col("score_fp").desc, col("doc_id"))))
+        .select(col("doc_id"), col(rName))
+    val ra = topRanked(lexScore, "r_lex")
+    val rb = topRanked(plainScore, "r_plain")
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .withColumn("score_rrf",
+        coalesce(expr(s"CAST($RrfScale AS BIGINT) div " +
+          s"(CAST($RrfK AS BIGINT) + r_lex)"), lit(0L)) +
+          coalesce(expr(s"CAST($RrfScale AS BIGINT) div " +
+            s"(CAST($RrfK AS BIGINT) + r_plain)"), lit(0L)))
+      .select(col("doc_id"),
+        coalesce(col("r_lex").cast("long"), lit(-1L)).as("r_lex"),
+        coalesce(col("r_plain").cast("long"), lit(-1L)).as("r_plain"),
+        col("score_rrf"))
+      .orderBy(col("score_rrf").desc, col("doc_id"))
+      .limit(RrfTop)
+  }
+
+  /** The shared BM25 CTE prefix (through the per-term contribution
+    * relation `sc`) — spliced into both q283's and q311's oracles so
+    * the fused ranking can never drift from the lexical gate. */
+  private def bm25CtesSql: String = {
     val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
-    raw"""WITH w AS (
+    raw"""w AS (
       |  SELECT doc_id,
       |    string_split_regex(trim(lower(text)), '[ \t\n\v\f\r]+') AS w
       |  FROM documents),
@@ -755,12 +835,43 @@ object Postings {
       |    (($Bm25Scale * (2*st.n - 2*df.df + 1)) // (2*df.df + 1)) *
       |    (($Bm25Scale * 22 * tf.tf * st.total) //
       |      (10*st.total*tf.tf + 3*st.total + 9*dl.dl*st.n)) AS c
-      |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id), st)
+      |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id), st)""".stripMargin
+  }
+
+  private[text] def bm25OracleSql: String =
+    s"""WITH $bm25CtesSql
       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_fp,
       |  CAST(count(*) AS BIGINT) AS n_terms
       |FROM sc GROUP BY 1
       |ORDER BY score_fp DESC, doc_id LIMIT $Bm25K""".stripMargin
-  }
+
+  private[text] def rrfOracleSql: String =
+    s"""WITH $bm25CtesSql,
+      |sa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS s
+      |       FROM sc GROUP BY 1),
+      |sb0 AS (
+      |  SELECT tf.doc_id,
+      |    tf.tf * (($Bm25Scale * (2*st.n - 2*df.df + 1))
+      |      // (2*df.df + 1)) AS c
+      |  FROM tf JOIN df USING (t), st),
+      |sb AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS s
+      |       FROM sb0 GROUP BY 1),
+      |ra AS (SELECT doc_id, r FROM (
+      |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      |  FROM sa) WHERE r <= $RrfC),
+      |rb AS (SELECT doc_id, r FROM (
+      |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      |  FROM sb) WHERE r <= $RrfC),
+      |f AS (
+      |  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+      |    CAST(coalesce(ra.r, -1) AS BIGINT) AS r_lex,
+      |    CAST(coalesce(rb.r, -1) AS BIGINT) AS r_plain,
+      |    coalesce($RrfScale // ($RrfK + ra.r), 0)
+      |      + coalesce($RrfScale // ($RrfK + rb.r), 0) AS score_rrf
+      |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+      |SELECT doc_id, r_lex, r_plain,
+      |  CAST(score_rrf AS BIGINT) AS score_rrf
+      |FROM f ORDER BY score_rrf DESC, doc_id LIMIT $RrfTop""".stripMargin
 
   /** q301's checkpoint count (prefix fractions of the id range). */
   val VocabSteps = 10
@@ -827,6 +938,7 @@ object Postings {
     "q301_vocab_growth" -> (vocabGrowth _),
     "q283_bm25_topk" -> ((s: SparkSession, d: String) =>
       bm25TopK(s, d)),
+    "q311_rrf_fusion" -> (rrfFusion _),
     "q280_textrank_terms" -> (textrankTerms _),
     "q273_hits_hubs" -> (hitsHubs _),
     "q152_phrase_search" -> ((s: SparkSession, d: String) =>
@@ -879,6 +991,7 @@ object Postings {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY k""".stripMargin),
     "q283_bm25_topk" -> bm25OracleSql,
+    "q311_rrf_fusion" -> rrfOracleSql,
     "q280_textrank_terms" -> textrankOracleSql,
     "q273_hits_hubs" -> hitsOracleSql,
     // n_matches is INTEGER in the comprehension replay; the engine

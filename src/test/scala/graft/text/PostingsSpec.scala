@@ -9,6 +9,35 @@ import graft.util.Tokens
   * the sharded inverted index. */
 class PostingsSpec extends SparkSpec {
 
+  test("q311: fused scores replay exactly from the two systems' ranks") {
+    val dir = sf("0.01")
+    val fused = Postings.rrfFusion(spark, dir).collect()
+    assert(fused.length == Postings.RrfTop)
+    assert(fused.map(_.getAs[Long]("doc_id")).distinct.length ==
+      fused.length)
+    // integer RRF replay: score must be rebuildable from the ranks
+    def rec(r: Long): Long =
+      if (r > 0) Postings.RrfScale / (Postings.RrfK + r) else 0L
+    fused.foreach { row =>
+      val (rl, rp) = (row.getAs[Long]("r_lex"), row.getAs[Long]("r_plain"))
+      assert(rl != -1L || rp != -1L) // member of at least one top-C
+      assert(rl <= Postings.RrfC && rp <= Postings.RrfC)
+      assert(row.getAs[Long]("score_rrf") == rec(rl) + rec(rp))
+    }
+    // output is the (score desc, doc_id) total order
+    val keys = fused.map(r =>
+      (-r.getAs[Long]("score_rrf"), r.getAs[Long]("doc_id"))).toSeq
+    assert(keys == keys.sorted)
+    // the lexical ranks embedded in the fusion are q283's own ranking
+    val lexTop = Postings.bm25TopK(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    fused.filter(r => r.getAs[Long]("r_lex") != -1L &&
+      r.getAs[Long]("r_lex") <= Postings.Bm25K).foreach { row =>
+      assert(lexTop(row.getAs[Long]("r_lex").toInt - 1) ==
+        row.getAs[Long]("doc_id"))
+    }
+  }
+
   test("q117 setsim join equals brute force (lossless prefix filter)") {
     // brute force: all pairs, exact jaccard — the quadratic spelling
     // the prefix filter must reproduce exactly
