@@ -85,29 +85,78 @@ object Perceptual {
                    maxHamming: Int = 7): DataFrame =
     bandedHammingPairs(dhashes(s, dir), maxHamming)
 
+  /** Band-bucket occupancy cap (the [[graft.dedup.Dedup.MaxLshBucket]]
+    * / `SrpMaxBucket` reasoning applied to the perceptual legs): a
+    * 56-bit perceptual hash over a clone-heavy corpus collapses to few
+    * distinct values — measured at sf10 (100× the gate): 500k rendered
+    * images hold only 4,827 distinct dHashes, the densest 7-bit band
+    * bucket reaches 108,500 members, and the uncapped band self-join
+    * enumerates 4.9·10¹⁰ candidate pairs (the sweep never returned).
+    * Buckets above the cap degrade to star+chain connectivity (hub +
+    * successor edges, windowed — never per-row bucket arrays, the
+    * q168 shape rule), which preserves every exact-clone family's
+    * connectedness (identical hashes verify at Hamming 0 against any
+    * hub) at 2·sz rows instead of C(sz,2). Capped volume at sf10:
+    * 53M candidates. The cap never binds at the sf0.01 gate (densest
+    * bucket ≈ 108), so the brute-force oracle stays the verified
+    * contract — the q37/q52 precedent. */
+  val PerceptualMaxBucket = 1000
+
   /** The shared candidate machinery for every 56-bit perceptual hash
     * (image dHash, audio energy-contour hash): band-equality self-join
     * over 8×7-bit bands, exact map-side `bit_count(xor)` filter —
-    * lossless for `maxHamming` ≤ 7 by pigeonhole. Input: (doc_id,
-    * dhash). */
+    * lossless for `maxHamming` ≤ 7 by pigeonhole on sub-cap buckets;
+    * buckets above [[PerceptualMaxBucket]] degrade to star+chain (see
+    * there). Pair dedup runs AFTER the Hamming verify (a pair
+    * colliding in k bands costs k cheap bit_counts, not a shuffle of
+    * the whole candidate relation — the measured SRP lesson). Input:
+    * (doc_id, dhash). */
   def bandedHammingPairs(dh: DataFrame, maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(maxHamming <= 7,
       "8 bands over 56 bits guarantee recall only for hamming <= 7")
     val bands = dh.select(col("doc_id"), col("dhash"),
         explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bval",
         expr("shiftright(dhash, band * 7)").bitwiseAND(lit(0x7fL)))
-    val cand = bands.as("a").join(bands.as("b"),
+    val wB = Window.partitionBy(col("band"), col("bval"))
+    val withSz = bands.withColumn("sz", count(lit(1)).over(wB))
+    val small = withSz.where(col("sz") <= PerceptualMaxBucket)
+      .select(col("doc_id"), col("dhash"), col("band"), col("bval"))
+    val full = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("a.dhash").as("ha"),
         col("b.doc_id").as("b"), col("b.dhash").as("hb"))
-      .distinct()
-    cand
+    // STAR + CHAIN above the cap, windowed: ordering by (dhash,
+    // doc_id) keeps identical hashes contiguous, so clone runs chain
+    // at Hamming 0 and everyone verifies against the hub
+    val wOrd = wB.orderBy(col("dhash"), col("doc_id"))
+    val ranked = withSz.where(col("sz") > PerceptualMaxBucket)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("prev_id", lag(col("doc_id"), 1).over(wOrd))
+      .withColumn("prev_h", lag(col("dhash"), 1).over(wOrd))
+    val hubs = ranked.where(col("rn") === 1)
+      .select(col("band"), col("bval"),
+        col("doc_id").as("hub_id"), col("dhash").as("hub_h"))
+    def normalized(df: DataFrame, oid: String, oh: String): DataFrame =
+      df.select(
+        least(col("doc_id"), col(oid)).as("a"),
+        when(col("doc_id") < col(oid), col("dhash"))
+          .otherwise(col(oh)).as("ha"),
+        greatest(col("doc_id"), col(oid)).as("b"),
+        when(col("doc_id") < col(oid), col(oh))
+          .otherwise(col("dhash")).as("hb"))
+    val star = normalized(
+      ranked.where(col("rn") > 1).join(hubs, Seq("band", "bval")),
+      "hub_id", "hub_h")
+    val chain = normalized(ranked.where(col("rn") > 2), "prev_id", "prev_h")
+    full.unionByName(star).unionByName(chain)
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
       .where(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+      .distinct() // surviving pairs only — hamming is hash-determined
       .orderBy("a", "b")
   }
 
