@@ -111,7 +111,8 @@ object Perceptual {
     * colliding in k bands costs k cheap bit_counts, not a shuffle of
     * the whole candidate relation — the measured SRP lesson). Input:
     * (doc_id, dhash). */
-  def bandedHammingPairs(dh: DataFrame, maxHamming: Int): DataFrame = {
+  def bandedHammingPairs(dh: DataFrame, maxHamming: Int,
+                         maxBucket: Int = PerceptualMaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxHamming <= 7,
       "8 bands over 56 bits guarantee recall only for hamming <= 7")
@@ -121,7 +122,7 @@ object Perceptual {
         expr("shiftright(dhash, band * 7)").bitwiseAND(lit(0x7fL)))
     val wB = Window.partitionBy(col("band"), col("bval"))
     val withSz = bands.withColumn("sz", count(lit(1)).over(wB))
-    val small = withSz.where(col("sz") <= PerceptualMaxBucket)
+    val small = withSz.where(col("sz") <= maxBucket)
       .select(col("doc_id"), col("dhash"), col("band"), col("bval"))
     val full = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") &&
@@ -133,7 +134,7 @@ object Perceptual {
     // doc_id) keeps identical hashes contiguous, so clone runs chain
     // at Hamming 0 and everyone verifies against the hub
     val wOrd = wB.orderBy(col("dhash"), col("doc_id"))
-    val ranked = withSz.where(col("sz") > PerceptualMaxBucket)
+    val ranked = withSz.where(col("sz") > maxBucket)
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("prev_id", lag(col("doc_id"), 1).over(wOrd))
       .withColumn("prev_h", lag(col("dhash"), 1).over(wOrd))

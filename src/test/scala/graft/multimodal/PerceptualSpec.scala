@@ -101,6 +101,48 @@ class PerceptualSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("shared_frames") == 3L)
   }
 
+  test("capped buckets: sound pairs, clone families stay connected") {
+    import spark.implicits._
+    // 30 exact clones (one dhash) + near variants + unrelated hashes:
+    // every band bucket of the clone hash holds ≥ 30 members, so a
+    // cap of 5 forces the star+chain regime on all of them
+    val clone = 0x00FF00FF00FF00L
+    val rows = (1L to 30L).map(i => (i, clone)) ++
+      Seq((31L, clone ^ 1L), (32L, clone ^ 3L), // hamming 1 and 2
+        (40L, 0x123456789ABCDL), (41L, 0x0FEDCBA987654L))
+    val dh = rows.toDF("doc_id", "dhash")
+    val brute = dh.as("x").crossJoin(dh.as("y"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.dhash ^ y.dhash)").cast("int").as("hamming"))
+      .where(col("hamming") <= 7)
+      .collect().map(_.toSeq).toSet
+    val capped = Perceptual.bandedHammingPairs(dh, 7, maxBucket = 5)
+      .collect().map(_.toSeq).toSet
+    // soundness: the cap only DROPS candidates, never invents pairs
+    assert(capped.subsetOf(brute))
+    assert(capped.size < brute.size) // the cap actually bound here
+    // connectivity: union-find over the capped pairs must keep every
+    // clone (and the hamming-1/2 variants, reachable through shared
+    // band buckets) in ONE component
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    capped.foreach { p =>
+      val (a, b) = (p(0).asInstanceOf[Long], p(1).asInstanceOf[Long])
+      parent(find(a)) = find(b)
+    }
+    val cloneRoots = ((1L to 30L) ++ Seq(31L, 32L)).map(find).toSet
+    assert(cloneRoots.size == 1,
+      s"clone family split into ${cloneRoots.size} components")
+    // a non-binding cap reproduces brute force exactly
+    val uncapped = Perceptual.bandedHammingPairs(dh, 7, maxBucket = 1000)
+      .collect().map(_.toSeq).toSet
+    assert(uncapped == brute)
+  }
+
   test("q122 banded join equals brute force over all hash pairs") {
     val dh = Perceptual.dhashes(spark, sf())
     val brute = dh.as("x").crossJoin(dh.as("y"))
