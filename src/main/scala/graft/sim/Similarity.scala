@@ -161,6 +161,52 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** q312's truncation width: the leading half of the embedding. */
+  val AblateDim: Int = Dim / 2
+
+  /** q312: truncated-dimension retrieval ablation — the Matryoshka
+    * question (Kusupati et al. 2022, "Matryoshka Representation
+    * Learning"): how much of the full-dimension top-k does an index
+    * built on only the leading [[AblateDim]] components recover?
+    * Per gate query (vec_id < 10): recall@k of the half-dim ranking
+    * against the full-dim ranking, both exact brute force with the
+    * q50 tie-break contract. The number that decides whether a
+    * 100 TB deployment can serve a 2× cheaper truncated index.
+    *
+    * Scale shape: ONE corpus scan computes BOTH dots (the full dot
+    * and the prefix dot share the broadcast query row); the two rank
+    * windows share one query_id exchange (same partitioning, two
+    * sorts). Gate-mode brute force by contract, like q50 — the
+    * production path would rank on the served zones (q155/q163). */
+  def dimAblation(s: SparkSession, dir: String, k: Int = 5,
+                  d: Int = AblateDim): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val all = corpus(s, dir)
+    val q = all.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotCol(col("embedding"), col("qv")).as("cf"),
+        dotCol(slice(col("embedding"), 1, d),
+          slice(col("qv"), 1, d)).as("ch"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("cf").desc, col("neighbor_id"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("ch").desc, col("neighbor_id"))
+    scored
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rh", row_number().over(wH))
+      // aggregate over the full-rank top-k rows (k per query), so a
+      // zero-overlap query still emits its row
+      .where(col("rf") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rh") <= k, 1L).otherwise(0L)).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / lit(k.toDouble))
+          .as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   /** q51: SRP-LSH top-k — same contract as q50, bucket-join candidates
     * (any shared band) then exact re-rank. Recall < 1 by construction;
     * measured against q50 in tests. */
@@ -1279,6 +1325,8 @@ object Similarity {
     "q148_hard_negatives" -> ((s: SparkSession, d: String) =>
       hardNegatives(s, d)),
     "q50_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
+    "q312_dim_ablation" -> ((s: SparkSession, d: String) =>
+      dimAblation(s, d)),
     "q51_knn_lsh"   -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "q194_multiprobe_lsh" -> ((s: SparkSession, d: String) =>
       knnLshMultiProbe(s, d)),
@@ -1351,10 +1399,11 @@ object Similarity {
     }.mkString(", ")
 
   /** FloatDot's exact semantics in DuckDB: float products, widened and
-    * summed sequentially into a double seed. */
-  private def dotSql(a: String, b: String): String =
+    * summed sequentially into a double seed. `d` = the dot width
+    * (default the full embedding; q312 passes the truncated prefix). */
+  private def dotSql(a: String, b: String, d: Int = Dim): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"[$a[i] * $b[i] for i in range(1, ${Dim + 1})]), (acc, x) -> acc + x)"
+      s"[$a[i] * $b[i] for i in range(1, ${d + 1})]), (acc, x) -> acc + x)"
 
   /** Shared signature/banding CTE prefix for the q51/q52 oracles. */
   private def sigCtes: String =
@@ -1464,6 +1513,31 @@ object Similarity {
     * force) and for q53's exact-mode gate entry (probe-all IVF ≡ brute
     * force; the quantizer only routes, it never changes the candidate
     * set when every cell is probed). */
+  /** q312's oracle: the q50 brute CTE extended with the prefix dot,
+    * two rank windows, recall rollup over the full-rank top-k rows. */
+  private def dimAblationSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("c.embedding", "q.embedding")} AS cf,
+       |    ${dotSql("c.embedding", "q.embedding", AblateDim)} AS ch
+       |  FROM embeddings c JOIN embeddings q
+       |    ON q.vec_id < 10 AND c.vec_id != q.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cf DESC, neighbor_id) AS rf,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ch DESC, neighbor_id) AS rh
+       |  FROM scored
+       |)
+       |SELECT query_id,
+       |  CAST(sum(CASE WHEN rh <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overlap,
+       |  CAST(sum(CASE WHEN rh <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / 5.0 AS recall_at_k
+       |FROM ranked WHERE rf <= 5
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def bruteTopkSql: String =
     s"""WITH scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1548,6 +1622,7 @@ object Similarity {
          |SELECT query_id, neighbor_id, neg_label, cosine, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q50_knn_brute" -> bruteTopkSql,
+    "q312_dim_ablation" -> dimAblationSql,
     "q53_knn_ivf" -> bruteTopkSql,
     "q163_ivf_served" -> bruteTopkSql,
     "q170_ivf_maintained" -> bruteTopkSql,

@@ -19,6 +19,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q312: full-width ablation is the identity; half-width recall " +
+    "is a real fraction of k") {
+    // d = Dim ranks by the SAME dot twice → every query recalls 1.0
+    val ident = Similarity.dimAblation(spark, sf(), d = Similarity.Dim)
+      .collect()
+    assert(ident.nonEmpty)
+    assert(ident.forall(_.getAs[Double]("recall_at_k") == 1.0))
+    val half = Similarity.dimAblation(spark, sf()).collect()
+    assert(half.length == ident.length) // zero-overlap queries emit too
+    assert(half.forall { r =>
+      val n = r.getAs[Long]("n_overlap")
+      n >= 0L && n <= 5L &&
+        r.getAs[Double]("recall_at_k") == n.toDouble / 5.0
+    })
+  }
+
   test("knn lsh: subset-of-corpus neighbors with usable recall") {
     val brute = Similarity.knnBrute(spark, sf(), k = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
