@@ -36,6 +36,35 @@ class PlanAuditSpec extends SparkSpec {
       "expected PartitionFilters on event_date:\n" + plan)
   }
 
+  test("q310: the sample is a TakeOrdered heap and the fact scan " +
+    "reads only the two needed columns") {
+    val plan = planOf("q310_sample_quantiles")
+    // bottom-K by hash must be per-partition heaps, never a global
+    // sort of the fact table (the operator's whole 100 TB point)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected TakeOrderedAndProject for the bottom-K sample:\n" + plan)
+    assert(!plan.matches("(?s).*Sort \\[h#.*global=true.*"),
+      "global sort on the hash column found:\n" + plan)
+    // column pruning: orders has 9 columns, the scan needs 2
+    assert(plan.matches(
+      "(?s).*ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>.*"),
+      "expected a 2-column pruned orders scan:\n" + plan)
+  }
+
+  test("q311: both candidate cuts are TakeOrdered heaps; no corpus-" +
+    "wide unpartitioned window survives") {
+    val plan = planOf("q311_rrf_fusion")
+    val takes = "TakeOrderedAndProject".r.findAllIn(plan).length
+    assert(takes >= 2,
+      s"expected two TakeOrdered candidate cuts, found $takes:\n" + plan)
+    // the rank windows must sit ABOVE the top-C cuts (≤ C rows), so
+    // every unpartitioned window input must come from a TakeOrdered,
+    // not from the scored corpus: cheap structural proxy — the plan
+    // has exactly as many Window nodes as TakeOrdered-fed rank cuts
+    val windows = "Window \\[row_number".r.findAllIn(plan).length
+    assert(windows == 2, s"expected 2 bounded rank windows:\n" + plan)
+  }
+
   test("q15: per-group top-k prunes below the shuffle (WindowGroupLimit)") {
     // the rank<=k filter must become a WindowGroupLimit so each map
     // task forwards only k rows per group into the window exchange —
