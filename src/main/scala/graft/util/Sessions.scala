@@ -42,7 +42,7 @@ object Sessions {
     }
   }
 
-  private val TargetBytesPerPartition = 2L << 20 // 2 MiB compressed
+  private[util] val TargetBytesPerPartition = 2L << 20 // 2 MiB compressed
 
   private def nextPow2(n: Int): Int =
     if (n <= 1) 1 else Integer.highestOneBit(n - 1) << 1
@@ -60,7 +60,22 @@ object Sessions {
   }
 
   /** The exact conf map `build` applies — factored out so specs pin
-    * the policy without fighting getOrCreate session reuse. */
+    * the policy without fighting getOrCreate session reuse.
+    *
+    * Coalescing must NOT undo the partitions dial (the round-9 sf10
+    * find): with Spark's default `parallelismFirst = true`, AQE
+    * ignores the advisory size and coalesces any stage whose total
+    * shuffle bytes < cpus × 64 MiB down toward the cpu count — which
+    * re-created the measured-bad 32-partition aggregation shape at
+    * runtime and OOM'd q138's zone build at sf10 (671 s then
+    * UNABLE_TO_ACQUIRE_MEMORY) despite the derived 1024. The dial
+    * exists because per-task AGGREGATION STATE, not shuffle-read
+    * bytes, is what outgrows the heap — a 2 MiB compressed shuffle
+    * slice can expand to 20–60 MiB of hash-map state. So:
+    * parallelismFirst = false and the advisory target = the same
+    * 2 MiB the input-bytes rule uses; undersized stages still
+    * coalesce (floor = 1 MiB default minPartitionSize), state-heavy
+    * stages keep their partitions. */
   def confFor(sfDir: String, cpus: Int): Map[String, String] = {
     val parts = derivedPartitions(sfDir, cpus)
     Map(
@@ -68,6 +83,9 @@ object Sessions {
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> parts.toString,
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        TargetBytesPerPartition.toString,
       "spark.sql.session.timeZone" -> "UTC",
       "spark.ui.enabled" -> "false",
     )

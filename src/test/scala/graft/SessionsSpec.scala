@@ -48,6 +48,17 @@ class SessionsSpec extends AnyFunSuite {
     assert(conf("spark.sql.shuffle.partitions") === "32")
   }
 
+  test("conf: coalescing cannot undo the partitions dial (round-9 " +
+    "sf10 find — parallelismFirst would re-create the 32-partition " +
+    "aggregation shape the dial exists to prevent)") {
+    val conf = Sessions.confFor("/nonexistent-dir", 32)
+    assert(conf("spark.sql.adaptive.coalescePartitions.parallelismFirst")
+      === "false")
+    // advisory target = the same 2 MiB the input-bytes rule uses
+    assert(conf("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      === (2L << 20).toString)
+  }
+
   test("inputBytes sums regular files recursively") {
     val dir = java.nio.file.Files.createTempDirectory("sessions-spec")
     val sub = java.nio.file.Files.createDirectory(dir.resolve("t.parquet"))
