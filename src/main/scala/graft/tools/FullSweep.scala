@@ -66,6 +66,15 @@ object FullSweep {
         }
       append(out, rec)
       System.err.println(s"[sweep] ${i + 1}/${todo.size} $rec")
+      // A single-JVM multi-hour sweep accumulates every query's
+      // shuffle files: Spark deletes them only when the driver GC
+      // collects the ShuffleDependency (ContextCleaner), and with
+      // hundreds of queries the backlog filled the disk mid-sweep
+      // (q138: "No space left on device" after 49 queries). Each
+      // query's plan is unreferenced once recorded — one explicit GC
+      // per query lets the cleaner reclaim its shuffle dirs now, not
+      // at the default 30-min periodic GC.
+      System.gc()
     }
     spark.stop()
     System.err.println("[sweep] COMPLETE")
