@@ -240,14 +240,24 @@ object Dedup {
     // spelling cannot produce
     val docs = jaccardTokenSets(s, dir)
       .where(col("toks").isNotNull && size(col("toks")) > 0)
+    // Shuffle ONLY (source, setkey, doc_id) through the family rollup
+    // — the previous spelling carried every document's full token
+    // array inside a min(struct(doc_id, toks)) aggregate, which at
+    // sf10 (100× clones) shuffled and spilled the whole tokenized
+    // corpus (measured: 60+ GB of spill, then "No space left on
+    // device"). The representative is the same min-doc_id; its token
+    // set is re-fetched from the memoized toks zone by an id join
+    // whose small side is the family-count-sized rep relation (AQE
+    // broadcasts it at gate scale, id-keyed shuffle at corpus scale).
     val fams = docs
-      .withColumn("setkey",
-        md5(concat_ws(" ", array_sort(col("toks")))))
+      .select(col("source"), col("doc_id"),
+        md5(concat_ws(" ", array_sort(col("toks")))).as("setkey"))
       .groupBy(col("source"), col("setkey"))
-      .agg(min(struct(col("doc_id"), col("toks"))).as("sv"),
+      .agg(min(col("doc_id")).as("rep_id"),
         array_sort(collect_list(col("doc_id"))).as("members"))
-    val reps = fams.select(col("sv.doc_id").as("doc_id"),
-      col("source"), col("sv.toks").as("toks"))
+    val reps = fams.select(col("rep_id").as("doc_id"), col("source"))
+      .join(docs.select(col("doc_id"), col("toks")), "doc_id")
+      .select(col("doc_id"), col("source"), col("toks"))
     val cand = jaccardCandidates(reps).distinct()
     val repPairs = cand
       .join(reps.select(col("doc_id").as("id1"), col("toks").as("t1")),
@@ -272,7 +282,7 @@ object Dedup {
     // re-expansion: member lists are corpus-derived — UNHINTED joins
     // (AQE broadcasts at gate scale, id-keyed shuffles at corpus
     // scale), the repo's discipline for every corpus-growing side
-    val mem = fams.select(col("sv.doc_id").as("rid"), col("members"))
+    val mem = fams.select(col("rep_id").as("rid"), col("members"))
     val cross = repPairs
       .join(mem.select(col("rid").as("id1"), col("members").as("m1")),
         "id1")
