@@ -232,34 +232,52 @@ object Dedup {
     * expansion joins are member-list lookups, linear in the OUTPUT
     * (which is honestly quadratic in family size — that is the
     * answer, not the plan). */
-  private[graft] def jaccardPairsUnordered(s: SparkSession,
-                                    dir: String): DataFrame = {
-    // docs with no tokens never enter the postings/prefix pipeline
-    // (explode drops them) — exclude them from families too, or the
-    // within-family expansion would invent pairs the uncollapsed
-    // spelling cannot produce
-    val docs = jaccardTokenSets(s, dir)
+  /** (source, setkey, doc_id) of every tokenized doc — pure map-side
+    * column math over the memoized toks zone. Docs with no tokens
+    * never enter the postings/prefix pipeline (explode drops them) —
+    * exclude them from families too, or the within-family expansion
+    * would invent pairs the uncollapsed spelling cannot produce. */
+  private def famKeyed(s: SparkSession, dir: String): DataFrame =
+    jaccardTokenSets(s, dir)
       .where(col("toks").isNotNull && size(col("toks")) > 0)
-    // Shuffle ONLY (source, setkey, doc_id) through the family rollup
-    // — the previous spelling carried every document's full token
-    // array inside a min(struct(doc_id, toks)) aggregate, which at
-    // sf10 (100× clones) shuffled and spilled the whole tokenized
-    // corpus (measured: 60+ GB of spill, then "No space left on
-    // device"). The representative is the same min-doc_id; its token
-    // set is re-fetched from the memoized toks zone by an id join
-    // whose small side is the family-count-sized rep relation (AQE
-    // broadcasts it at gate scale, id-keyed shuffle at corpus scale).
-    val fams = docs
       .select(col("source"), col("doc_id"),
         md5(concat_ws(" ", array_sort(col("toks")))).as("setkey"))
-      .groupBy(col("source"), col("setkey"))
-      .agg(min(col("doc_id")).as("rep_id"),
-        array_sort(collect_list(col("doc_id"))).as("members"))
-    val reps = fams.select(col("rep_id").as("doc_id"), col("source"))
-      .join(docs.select(col("doc_id"), col("toks")), "doc_id")
+
+  /** Flat (doc_id, rep_id) family membership — ONE ROW PER DOC, never
+    * a members array (a boilerplate family at 100 TB can outgrow any
+    * array; and the round-9 sf10 probe measured the array-carrying
+    * rollup spilling 60+ GB). The family rollup shuffles only
+    * (source, 32-char setkey, doc_id). rep = min doc_id per family. */
+  private[dedup] def jaccardMembersDerive(s: SparkSession,
+                                          dir: String): DataFrame = {
+    val keyed = famKeyed(s, dir)
+    val reps = keyed.groupBy(col("source"), col("setkey"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    keyed.join(reps, Seq("source", "setkey"))
+      .select(col("doc_id"), col("rep_id"))
+  }
+
+  private[dedup] def jaccardMembers(s: SparkSession,
+                                    dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "jaccard-members",
+      s"jaccard-members:$dir")(jaccardMembersDerive(s, dir))
+
+  /** Verified REP-LEVEL near-dup pairs (id1, id2, jaccard) — the
+    * relation the whole exact-jaccard family hangs on, bounded by
+    * DISTINCT CONTENT, not corpus size (100× verbatim clones add
+    * zero rows here). Prefix-filtered candidates over one doc per
+    * family, exact set-intersection verify. */
+  private[graft] def repPairsDerive(s: SparkSession,
+                                    dir: String): DataFrame = {
+    val docs = jaccardTokenSets(s, dir)
+      .where(col("toks").isNotNull && size(col("toks")) > 0)
+    val reps = jaccardMembers(s, dir)
+      .where(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"))
+      .join(docs, "doc_id")
       .select(col("doc_id"), col("source"), col("toks"))
     val cand = jaccardCandidates(reps).distinct()
-    val repPairs = cand
+    cand
       .join(reps.select(col("doc_id").as("id1"), col("toks").as("t1")),
         "id1")
       .join(reps.select(col("doc_id").as("id2"), col("toks").as("t2")),
@@ -279,44 +297,73 @@ object Dedup {
       // and the filter reads the projected column (pinned in
       // DedupSpec's q36 guard).
       .where(col("jaccard") + rand() * 0.0 >= 0.8)
-    // re-expansion: member lists are corpus-derived — UNHINTED joins
-    // (AQE broadcasts at gate scale, id-keyed shuffles at corpus
-    // scale), the repo's discipline for every corpus-growing side
-    val mem = fams.select(col("rep_id").as("rid"), col("members"))
-    val cross = repPairs
-      .join(mem.select(col("rid").as("id1"), col("members").as("m1")),
+  }
+
+  private[dedup] def jaccardRepPairs(s: SparkSession,
+                                     dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "jaccard-reppairs",
+      s"jaccard-reppairs:$dir")(repPairsDerive(s, dir))
+
+  /** The EXPANDED (id1, id2, jaccard) doc-level pair relation as a
+    * LAZY VIEW over (rep pairs × membership) — NEVER materialized:
+    * on the sf10 clone corpus it is ≥ 1.5·10⁹ rows (measured — the
+    * old materialized zone filled the disk mid-write), and that is
+    * OUTPUT complexity, not a plan flaw. q36's gate contract reads
+    * this view; connectivity consumers read [[jaccardStarEdges]]
+    * (linear) instead. Re-expansion joins are UNHINTED (AQE
+    * broadcasts at gate scale, id-keyed shuffles at corpus scale). */
+  private def expandPairs(rp: DataFrame, mem: DataFrame): DataFrame = {
+    val cross = rp
+      .join(mem.select(col("rep_id").as("id1"), col("doc_id").as("a")),
         "id1")
-      .join(mem.select(col("rid").as("id2"), col("members").as("m2")),
+      .join(mem.select(col("rep_id").as("id2"), col("doc_id").as("b")),
         "id2")
-      .select(explode(col("m1")).as("a"), col("m2"), col("jaccard"))
-      .select(col("a"), explode(col("m2")).as("b"), col("jaccard"))
       .select(least(col("a"), col("b")).as("id1"),
         greatest(col("a"), col("b")).as("id2"), col("jaccard"))
-    val within = fams
-      .where(size(col("members")) >= 2)
-      .select(col("members"),
-        posexplode(col("members")).as(Seq("i", "a")))
-      .select(col("a").as("id1"),
-        explode(expr("slice(members, i + 2, size(members) - i - 1)"))
-          .as("id2"),
+    val within = mem.as("x").join(mem.as("y"),
+        col("x.rep_id") === col("y.rep_id") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
         lit(1.0).as("jaccard"))
     cross.unionByName(within)
   }
 
-  /** The (id1, id2, jaccard) pair relation, materialized once per
-    * application: q36 itself, q98/q138's CC loop (every round), and
-    * q144's oldEdges/newEdges branches all read this zone — the
-    * ≥3-consumer materialize rule, memoized because the relation is a
-    * deterministic function of the input dir (the reference's DAG
-    * semantics: one task materializes the near-dup table, every
-    * downstream task reads it). Without the zone, the whole
-    * prefix-filter candidate/verify pipeline re-derived per consumer
-    * (measured: 2/3 of the q144 gate cost was repeated derivation).
-    * The derivation plan itself stays pinned via
+  private[graft] def jaccardPairsUnordered(s: SparkSession,
+                                           dir: String): DataFrame =
+    expandPairs(repPairsDerive(s, dir), jaccardMembersDerive(s, dir))
+
+  /** Connectivity-equivalent LINEAR edge set of the expanded pair
+    * graph: one (rep, member) star edge per non-rep doc plus the
+    * rep-level verified pairs. Every member connects to every other
+    * member of its family through the rep (within pairs are all
+    * jaccard 1.0) and families connect exactly when their reps do —
+    * so connected components (and their min-id labels, since each
+    * rep IS its family's min member) are IDENTICAL to components of
+    * the expanded relation, at |E| = corpus + |repPairs| instead of
+    * Σ|A|·|B| + Σ C(sz,2). This is what the CC/label family iterates
+    * at 100 TB. */
+  private[dedup] def jaccardStarEdges(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val mem = jaccardMembers(s, dir)
+    // rep = min of its family ⇒ (rep, member) is already (a < b)
+    val star = mem.where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("a"), col("doc_id").as("b"))
+    star.unionByName(jaccardRepPairs(s, dir)
+      .select(col("id1").as("a"), col("id2").as("b")))
+  }
+
+  /** The (id1, id2, jaccard) doc-level pair relation every consumer
+    * reads — a lazy expansion over the TWO memoized zones (rep pairs
+    * + membership), NOT a materialized table (round-9 sf10 find: the
+    * expanded relation is ≥ 1.5·10⁹ rows on a 100× clone corpus and
+    * its zone write filled the disk; the two stored relations are
+    * id-only and content-bounded). The expensive work — prefix-filter
+    * candidates, exact verify — still runs exactly once per
+    * application, inside the reppairs memo; expansion is two id-keyed
+    * joins per scan. Derivation plan pinned via
     * [[jaccardPairsUnordered]] (DedupSpec q36 guard, PlanAuditSpec). */
   private def jaccardZone(s: SparkSession, dir: String): DataFrame =
-    graft.util.Scratch.memo(s, "jaccard-pairs", s"jaccard-pairs:$dir")(
-      jaccardPairsUnordered(s, dir))
+    expandPairs(jaccardRepPairs(s, dir), jaccardMembers(s, dir))
 
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardZone(s, dir).orderBy("id1", "id2")
@@ -337,14 +384,49 @@ object Dedup {
     val taus = s.range(10).select(col("id").as("t"),
       ((lit(80) + lit(2) * col("id")).cast("double") / lit(100.0))
         .as("tau"))
-    jaccardZone(s, dir)
-      .crossJoin(broadcast(taus))
+    // REP-LEVEL arithmetic (round-9 restructure): the expanded pair
+    // relation is quadratic on a clone corpus, but its per-τ counts
+    // are exact functions of the rep pairs and family sizes —
+    //   pairs(τ)   = Σ_{rep pairs ≥ τ} |A|·|B| + Σ_{|F| ≥ 2} C(|F|,2)
+    //   docs(τ)    = Σ |F| over families with |F| ≥ 2 or in a pair ≥ τ
+    // (families are disjoint, every within pair is jaccard 1.0 ≥ any
+    // grid τ, and a cross pair's grid touches every member of both
+    // families). Identical values, nothing quadratic evaluated.
+    val famSz = jaccardMembers(s, dir)
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("sz"))
+    val rp = jaccardRepPairs(s, dir)
+      .join(famSz.select(col("rep_id").as("id1"), col("sz").as("sza")),
+        "id1")
+      .join(famSz.select(col("rep_id").as("id2"), col("sz").as("szb")),
+        "id2")
+    val crossAgg = rp.crossJoin(broadcast(taus))
+      .where(col("jaccard") >= col("tau"))
+      .groupBy(col("t"), col("tau"))
+      .agg(sum(col("sza") * col("szb")).as("cross_pairs"))
+    val multi = famSz.where(col("sz") >= 2)
+    val withinAgg = multi
+      .agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L))
+        .as("within_pairs"))
+    // touched families per τ: those in a surviving rep pair, plus
+    // every multi-member family (its 1.0 within pairs always survive)
+    val touched = rp.crossJoin(broadcast(taus))
       .where(col("jaccard") >= col("tau"))
       .select(col("t"), col("tau"),
-        explode(array(col("id1"), col("id2"))).as("doc"))
-      .groupBy(col("t"), col("tau"))
-      .agg(expr("count(1) div 2").as("n_pairs"),
-        countDistinct(col("doc")).as("n_docs"))
+        explode(array(col("id1"), col("id2"))).as("rep_id"))
+      .unionByName(taus.crossJoin(multi.select(col("rep_id"))))
+      .distinct()
+    val docsAgg = touched.join(famSz, "rep_id")
+      .groupBy(col("t"), col("tau")).agg(sum(col("sz")).as("n_docs"))
+    // a τ row exists iff ≥ 1 pair survives at τ (the original
+    // grouped-over-survivors semantics, kept exactly)
+    taus.join(crossAgg, Seq("t", "tau"), "left")
+      .crossJoin(broadcast(withinAgg))
+      .select(col("t"), col("tau"),
+        (coalesce(col("cross_pairs"), lit(0L)) + col("within_pairs"))
+          .as("n_pairs"))
+      .where(col("n_pairs") > 0)
+      .join(docsAgg, Seq("t", "tau"))
+      .select(col("t"), col("tau"), col("n_pairs"), col("n_docs"))
       .orderBy("t")
   }
 
@@ -739,11 +821,12 @@ object Dedup {
     * near-dup rates, where a forced broadcast would OOM; unhinted it
     * degrades to an id-keyed shuffle join — still linear, still one
     * pass (pinned for the whole cluster family in PlanAuditSpec). */
-  /** The q36 pair zone as (a, b) edges — the clustering family's view;
-    * the zone scan column-prunes the jaccard value away. */
+  /** The clustering family's edge view — the LINEAR star+rep edge
+    * set ([[jaccardStarEdges]]), connectivity- and label-identical to
+    * the expanded pairs (see there); iterating the expanded relation
+    * through a CC fixpoint is the round-9 measured disk bomb. */
   private def jaccardPairZone(s: SparkSession, dir: String): DataFrame =
-    jaccardZone(s, dir)
-      .select(col("id1").as("a"), col("id2").as("b"))
+    jaccardStarEdges(s, dir)
 
   /** The label-join derivation behind [[clusterLabels]] — exposed
     * (package-private) so PlanAuditSpec can pin the no-hint
@@ -821,13 +904,42 @@ object Dedup {
     * Scale shape: a pair-keyed semi-join between two pair relations
     * plus three 1-row counts. */
   def minhashWitness(s: SparkSession, dir: String): DataFrame = {
-    val exact = jaccardZone(s, dir).select(col("id1"), col("id2"))
+    // REP-LEVEL arithmetic (round-9 restructure; see jaccardZone):
+    // |exact| = Σ|A|·|B| + ΣC(|F|,2) without evaluating the expanded
+    // relation, and the intersection test runs per LSH PAIR (linear):
+    // an lsh pair is an exact pair ⟺ both docs share a family
+    // (within, jaccard 1.0) or their reps form a verified rep pair.
+    val mem = jaccardMembers(s, dir)
+    val famSz = mem.groupBy(col("rep_id")).agg(count(lit(1)).as("sz"))
+    val rp = jaccardRepPairs(s, dir)
+    val nCross = rp
+      .join(famSz.select(col("rep_id").as("id1"), col("sz").as("sza")),
+        "id1")
+      .join(famSz.select(col("rep_id").as("id2"), col("sz").as("szb")),
+        "id2")
+      .agg(coalesce(sum(col("sza") * col("szb")), lit(0L)).as("nc"))
+    val nWithin = famSz.where(col("sz") >= 2)
+      .agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as("nw"))
     val lsh = minhashLshPairs(s, dir, hash = Md5Prefix)
       .select(col("id1"), col("id2"))
-    val hit = exact.join(lsh, Seq("id1", "id2"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact"))
+    val withReps = lsh
+      .join(mem.select(col("doc_id").as("id1"), col("rep_id").as("r1")),
+        "id1")
+      .join(mem.select(col("doc_id").as("id2"), col("rep_id").as("r2")),
+        "id2")
+    val hitSame = withReps.where(col("r1") === col("r2"))
+    val hitCross = withReps.where(col("r1") =!= col("r2"))
+      .select(least(col("r1"), col("r2")).as("id1"),
+        greatest(col("r1"), col("r2")).as("id2"))
+      .join(rp.select(col("id1"), col("id2")), Seq("id1", "id2"),
+        "left_semi")
+    nCross.crossJoin(nWithin)
+      .select((col("nc") + col("nw")).as("n_exact"))
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(hitSame.agg(count(lit(1)).as("h1")))
+      .crossJoin(hitCross.agg(count(lit(1)).as("h2")))
+      .select(col("n_exact"), col("n_lsh"),
+        (col("h1") + col("h2")).as("n_hit"))
       .select(col("n_exact"), col("n_lsh"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
