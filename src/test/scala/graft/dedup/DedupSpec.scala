@@ -158,6 +158,36 @@ class DedupSpec extends SparkSpec {
     assert(wide.subsetOf(narrow.keySet), "wide mode invented pairs")
   }
 
+  test("star-edge labels ≡ connected components of the EXPANDED pair " +
+    "relation (the round-9 rep-level restructure equivalence)") {
+    // the clustering family iterates jaccardStarEdges (linear) on the
+    // claim that its components — and min-id labels — are identical
+    // to CC over the quadratic expanded pairs; verify the claim
+    // directly against the expanded view at gate scale
+    val expanded = Dedup.jaccardPairsUnordered(spark, sf())
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val expLabels = Dedup.connectedComponents(expanded)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val starLabels = Dedup.connectedComponents(
+      Dedup.jaccardStarEdges(spark, sf()))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // star edges additionally cover multi-member families with no
+    // cross pair — every EXPANDED participant must agree exactly
+    assert(expLabels.nonEmpty)
+    expLabels.foreach { case (id, lab) =>
+      assert(starLabels.get(id).contains(lab),
+        s"doc $id: expanded label $lab, star ${starLabels.get(id)}")
+    }
+    // and any extra star-only participant is a within-family doc
+    // whose label is its own family rep (jaccard-1.0 component)
+    val mem = Dedup.jaccardMembers(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (starLabels.keySet -- expLabels.keySet).foreach { id =>
+      assert(starLabels(id) == mem(id),
+        s"star-only doc $id labeled ${starLabels(id)} != rep ${mem(id)}")
+    }
+  }
+
   test("q36 guard: jaccard threshold filter is NOT pushed into the join") {
     // The threshold filter computes array_intersect; pushed into the
     // join condition it would run BEFORE the cheap size guards and
