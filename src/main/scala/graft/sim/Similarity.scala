@@ -779,12 +779,29 @@ object Similarity {
     rankTopK(scored, k, scoreCol = "approx_cos")
   }
 
+  /** Corpus-size ceiling for the EXACT all-pairs graph derive. The
+    * exact derive enumerates n² int8 dots and windows them per query
+    * — the by-contract gate mode, measured 61 s at sf1 (n = 20k,
+    * 4·10⁸ dots) but ~2 h at sf10 (n = 200k, 4·10¹⁰ dots, >1 TB of
+    * shuffled pair rows): quadratic cost with no plan-shape escape.
+    * Above the ceiling the SERVED zone is [[knnGraphBanded]] — the
+    * 100 TB path every scaladoc already names, same schema, same
+    * exact int8 rescoring and rank contract over SRP-blocked
+    * candidates, recall witnessed against the exact graph at every
+    * scale the gate runs (q168, oracle-pinned). 50k keeps sf0.01/
+    * sf0.1 (gate) and sf1 (stress) exact; sf10+ serves banded. */
+  val ExactKnnMaxN = 50000
+
   /** The ranked graph stored to the scratch zone — q155's surface,
     * q156's edges and the banded recall test all read it, so the
-    * corpus² scoring runs once per application. */
+    * scoring runs once per application. Exact below [[ExactKnnMaxN]]
+    * vectors, banded above (see there). */
   private[graft] def knnGraphZone(s: SparkSession, dir: String): DataFrame =
-    graft.util.Scratch.memo(s, "knn-graph", s"knn-graph:$dir:$GraphK")(
-      knnGraphDerive(s, dir, GraphK))
+    graft.util.Scratch.memo(s, "knn-graph", s"knn-graph:$dir:$GraphK") {
+      if (corpus(s, dir).count() <= ExactKnnMaxN)
+        knnGraphDerive(s, dir, GraphK)
+      else knnGraphBanded(s, dir, GraphK)
+    }
 
   /** q155: the exact int8 kNN graph (gate surface — deterministic
     * output order on the zone scan). */
