@@ -95,6 +95,14 @@ object Fuzzy {
                        maxEdits: Int = MaxEdits): DataFrame = {
     val fam = famOf(rel, idCol, nameCol)
     val matched = nameMatches(s, fam, maxEdits)
+    expandNamePairs(matched, fam).orderBy("id_a", "id_b")
+  }
+
+  /** Member-pair expansion of name-level matches — a view, never a
+    * stored relation (output complexity on clone corpora; see
+    * [[customerFamZone]]). */
+  private[ops] def expandNamePairs(matched: DataFrame,
+                                   fam: DataFrame): DataFrame = {
     // cross-name expansion: every member pair inherits the name
     // pair's distance; ids normalize to (min, max) WITH their names
     val cross = matched
@@ -128,7 +136,6 @@ object Fuzzy {
         col("name").as("name_a"), col("name").as("name_b"),
         lit(0L).as("dist"))
     cross.unionByName(within)
-      .orderBy("id_a", "id_b")
   }
 
   /** Delta-mode edit-distance join: NEW batch rows against the
@@ -175,13 +182,31 @@ object Fuzzy {
     * near-identical-key report (sequential zero-padded TPC-H names
     * make a dense one-typo pair space, a worst case the blocking
     * must absorb). */
-  /** The customer-name pair relation memoized — q196's surface and
-    * q208's edge view read the stored copy (≥2-consumer rule). */
+  /** Memoized NAME-LEVEL relations (the round-9 rep-level rule
+    * applied to the fuzzy family): name families and distinct-name
+    * matches are content-bounded, while the member-pair expansion is
+    * OUTPUT complexity — on the sf10 clone corpus (~40 one-typo
+    * partners per name by the zero-padded-name construction × 100²
+    * clone pairs each) it is ~3·10⁹ name-carrying rows, which must
+    * never be stored. q196 expands lazily; q208 reads the name
+    * matches directly. */
+  private[ops] def customerFamZone(s: SparkSession,
+                                   dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "fuzzy-fams", s"fuzzy-fams:$dir")(
+      famOf(Tables.load(s, dir, "customer"), "c_custkey", "c_name"))
+
+  private[graft] def customerNameMatches(s: SparkSession,
+                                         dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "fuzzy-name-pairs",
+      s"fuzzy-name-pairs:$dir")(
+      nameMatches(s, customerFamZone(s, dir), MaxEdits))
+
+  /** The doc-level customer pair relation — a LAZY expansion view
+    * over the two memoized name-level zones (see there); never
+    * materialized. */
   private[graft] def customerPairZone(s: SparkSession,
                                       dir: String): DataFrame =
-    graft.util.Scratch.memo(s, "fuzzy-pairs", s"fuzzy-pairs:$dir")(
-      editDistanceJoin(s, Tables.load(s, dir, "customer"),
-        "c_custkey", "c_name", MaxEdits))
+    expandNamePairs(customerNameMatches(s, dir), customerFamZone(s, dir))
 
   def fuzzyNameJoin(s: SparkSession, dir: String): DataFrame =
     customerPairZone(s, dir)

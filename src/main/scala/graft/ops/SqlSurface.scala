@@ -90,18 +90,14 @@ object SqlSurface {
     // form so every iteration is an EQUI join on src.
     graft.util.Scratch.memo(s, "fuzzy-name-edges",
         s"fuzzy-name-edges:$dir") {
-      // distinct name pairs straight off the q196 pair zone (one
-      // blocking join per application — q196 and q208 share it);
-      // same-name (distance-0) rows would be self-loops that only
-      // multiply walks, so they drop
-      val m = Fuzzy.customerPairZone(s, dir)
-        .select( // normalize: the zone orients names by MEMBER id
-          org.apache.spark.sql.functions.least(
-            col("name_a"), col("name_b")).as("na"),
-          org.apache.spark.sql.functions.greatest(
-            col("name_a"), col("name_b")).as("nb"))
-        .where(col("na") =!= col("nb"))
-        .distinct()
+      // distinct name pairs straight off the memoized NAME-level
+      // match zone (round-9 restructure: q196's member-pair
+      // expansion is a lazy view — deriving name pairs by
+      // re-distincting the expansion paid the quadratic for a
+      // content-bounded answer); na < nb by the zone contract and
+      // distance-0 self-loops cannot exist at name level
+      val m = Fuzzy.customerNameMatches(s, dir)
+        .select(col("na"), col("nb"))
       m.select(col("na").as("src"), col("nb").as("dst"))
         .unionByName(m.select(col("nb").as("src"), col("na").as("dst")))
     }.createOrReplaceTempView("typo_name_edges")
