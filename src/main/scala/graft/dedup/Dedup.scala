@@ -484,7 +484,7 @@ object Dedup {
     * may interleave with others in sort order and lose some intra
     * pairs in this band (other bands can still catch it); that bounded
     * loss replaces the quadratic blowup. */
-  val MaxLshBucket = 1000
+  val MaxLshBucket: Int = graft.util.Caps.BandBucketCap
 
   /** Band rows (d = (doc_id, sig), band, bandHash) — the shared
     * candidate-generation prefix of q37 and q115. Single-pass bucket
@@ -495,8 +495,8 @@ object Dedup {
     * buckets and pairs expand inside each bucket: the expensive
     * pipeline runs exactly once, and the only extra shuffle volume is
     * the signature riding along 8× (once per band). */
-  private def bandedRows(s: SparkSession, dir: String,
-                         hash: DedupHash): DataFrame =
+  private[graft] def bandedRows(s: SparkSession, dir: String,
+                                hash: DedupHash): DataFrame =
     minhashSignatures(s, dir, hash)
       .withColumn("sig", array((0 until MinhashPerms).map(i => col(s"m$i")): _*))
       .select("doc_id", "sig")
@@ -920,8 +920,14 @@ object Dedup {
       .agg(coalesce(sum(col("sza") * col("szb")), lit(0L)).as("nc"))
     val nWithin = famSz.where(col("sz") >= 2)
       .agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as("nw"))
+    // defensive: the recall arithmetic needs each LSH pair counted
+    // ONCE — minhashLshPairs ends in .distinct() today, but n_hit
+    // would silently inflate past n_exact (recall > 1) if that ever
+    // changed or a duplicate-emitting hash path were added, so the
+    // uniqueness this witness depends on is enforced HERE (and the
+    // recall <= 1 invariant is pinned in DedupSpec)
     val lsh = minhashLshPairs(s, dir, hash = Md5Prefix)
-      .select(col("id1"), col("id2"))
+      .select(col("id1"), col("id2")).distinct()
     val withReps = lsh
       .join(mem.select(col("doc_id").as("id1"), col("rep_id").as("r1")),
         "id1")

@@ -100,7 +100,7 @@ object Perceptual {
     * 53M candidates. The cap never binds at the sf0.01 gate (densest
     * bucket ≈ 108), so the brute-force oracle stays the verified
     * contract — the q37/q52 precedent. */
-  val PerceptualMaxBucket = 1000
+  val PerceptualMaxBucket: Int = graft.util.Caps.BandBucketCap
 
   /** The shared candidate machinery for every 56-bit perceptual hash
     * (image dHash, audio energy-contour hash): band-equality self-join
@@ -110,7 +110,16 @@ object Perceptual {
     * there). Pair dedup runs AFTER the Hamming verify (a pair
     * colliding in k bands costs k cheap bit_counts, not a shuffle of
     * the whole candidate relation — the measured SRP lesson). Input:
-    * (doc_id, dhash). */
+    * (doc_id, dhash).
+    *
+    * NOT silently lossy when the cap binds (round-9 ADVICE): near
+    * pairs (Hamming 1–7, distinct hashes) whose only shared bands
+    * are over-cap buckets CAN drop in the star+chain branch — the
+    * pigeonhole claim above holds only for sub-cap buckets — so the
+    * pass carries a `graft.cap.perceptual.*` observe metric counting
+    * the band rows routed past the cap and the densest bucket seen;
+    * [[graft.util.Caps.registerCapListener]] WARNs whenever it is
+    * non-zero (never at gate scale — CapsSpec pins that). */
   def bandedHammingPairs(dh: DataFrame, maxHamming: Int,
                          maxBucket: Int = PerceptualMaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -121,7 +130,9 @@ object Perceptual {
       .withColumn("bval",
         expr("shiftright(dhash, band * 7)").bitwiseAND(lit(0x7fL)))
     val wB = Window.partitionBy(col("band"), col("bval"))
-    val withSz = bands.withColumn("sz", count(lit(1)).over(wB))
+    val withSz = graft.util.Caps.observeOvercap(
+      bands.withColumn("sz", count(lit(1)).over(wB)),
+      "sz", maxBucket, "perceptual")
     val small = withSz.where(col("sz") <= maxBucket)
       .select(col("doc_id"), col("dhash"), col("band"), col("bval"))
     val full = small.as("a").join(small.as("b"),

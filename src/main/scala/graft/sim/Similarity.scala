@@ -70,7 +70,7 @@ object Similarity {
     * scale (max bucket ≈ 45 at sf0.01, ≈ 450 at sf0.1), so the
     * full-expansion oracle remains the verified contract — the q37
     * MaxLshBucket precedent. */
-  val SrpMaxBucket = 1000
+  val SrpMaxBucket: Int = graft.util.Caps.BandBucketCap
   /** IVF cell count — the q53 gate's oracle contract (probe-all ≡
     * brute force) needs nProbe == nCells, so both come from HERE. */
   val IvfCells = 16
@@ -435,9 +435,13 @@ object Similarity {
     * contiguity. */
   private def expandBucketPairs(banded: DataFrame, emb: DataFrame,
                                 threshold: Double): DataFrame = {
-    // bucket occupancy gates the expansion shape (see SrpMaxBucket)
+    // bucket occupancy gates the expansion shape (see SrpMaxBucket);
+    // the observe metric makes a binding cap visible at run time
+    // (graft.cap.srp.* — the Caps "no silent caps" plumbing)
     val wB = Window.partitionBy(col("band"), col("bandVal"))
-    val withSz = banded.withColumn("sz", count(lit(1)).over(wB))
+    val withSz = graft.util.Caps.observeOvercap(
+      banded.withColumn("sz", count(lit(1)).over(wB)),
+      "sz", SrpMaxBucket, "srp")
     val smallB = withSz.where(col("sz") <= SrpMaxBucket)
       .select(col("vec_id"), col("band"), col("bandVal"))
     // STAR + CHAIN for oversized buckets, windowed (no bucket arrays)
@@ -790,7 +794,44 @@ object Similarity {
     * candidates, recall witnessed against the exact graph at every
     * scale the gate runs (q168, oracle-pinned). 50k keeps sf0.01/
     * sf0.1 (gate) and sf1 (stress) exact; sf10+ serves banded. */
-  val ExactKnnMaxN = 50000
+  val ExactKnnMaxN: Int = graft.util.Caps.ExactKnnMaxN
+
+  /** Anchor count of the above-ceiling q168 witness regime: recall
+    * estimation needs thousands of anchors, not the corpus — the
+    * standard ANN-benchmark query-set size. 2000 anchors at n = 200k
+    * vectors is 4·10⁸ exact dots (the measured 61 s sf1 class),
+    * linear in n. */
+  val WitnessAnchors = 2000
+
+  /** Exact top-k over a DETERMINISTIC sampled anchor set — the
+    * witness's independent ground truth when the served zone is
+    * banded: the `nAnchors` md5-smallest vec_ids (stable across
+    * runs, partitionings and engines — the q102 stable-hash family)
+    * each score the FULL corpus with the exact int8 dot and rank
+    * under the q143 contract. O(nAnchors · n) work, one corpus
+    * scan, anchor side broadcast. */
+  private[graft] def exactAnchorGraph(s: SparkSession, dir: String,
+                                      k: Int, nAnchors: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val all = quantizedZone(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    // bottom-K by hash: TakeOrdered, never a global sort
+    val anchors = all
+      .orderBy(graft.dedup.Md5Prefix.h(col("vec_id").cast("string")),
+        col("vec_id"))
+      .limit(nAnchors)
+      .select(col("vec_id").as("query_id"), col("q_vec").as("qq"),
+        col("q_scale").as("qs"))
+    val scored = all.join(broadcast(anchors),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        int8DotCol(col("q_vec"), col("qq")).as("qdot"),
+        col("q_scale"), col("qs"))
+      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+        (col("qdot").cast("double") * col("q_scale").cast("double") *
+          col("qs").cast("double") / lit(16129.0)).as("approx_cos"))
+    rankTopK(scored, k, scoreCol = "approx_cos")
+  }
 
   /** The ranked graph stored to the scratch zone — q155's surface,
     * q156's edges and the banded recall test all read it, so the
@@ -803,8 +844,13 @@ object Similarity {
       else knnGraphBanded(s, dir, GraphK)
     }
 
-  /** q155: the exact int8 kNN graph (gate surface — deterministic
-    * output order on the zone scan). */
+  /** q155: the served int8 kNN graph (gate surface — deterministic
+    * output order on the zone scan). EXACT below [[ExactKnnMaxN]]
+    * vectors — every gate SF — and SRP-banded + exact-rescore above
+    * (the zone's documented scale flip): a caller who needs to know
+    * which contract a given corpus got reads the ceiling, and the
+    * banded regime's recall is independently witnessed by q168's
+    * anchored exact side (never by the zone against itself). */
   def knnGraph(s: SparkSession, dir: String): DataFrame =
     knnGraphZone(s, dir).orderBy("query_id", "rank")
 
@@ -886,15 +932,35 @@ object Similarity {
     * bound.
     *
     * Scale shape: the banded side is the q168 production derivation
-    * (bucketed, capped); the exact side reads the q155 zone — at
-    * true scale an operator swaps the exact side for a SAMPLED
-    * anchor set (the recall estimate needs thousands of anchors, not
-    * the corpus), which changes this query's input relation, not its
-    * shape. */
-  def knnBandedWitness(s: SparkSession, dir: String): DataFrame = {
-    val exact = knnGraphZone(s, dir)
+    * (bucketed, capped); the exact side reads the q155 zone while
+    * the zone is exact (corpus ≤ `maxExact`). ABOVE the ceiling the
+    * zone itself is banded, and comparing it against a fresh banded
+    * derive would report recall 1.0 vacuously (the round-9 ADVICE
+    * find — the sf10 sweep recorded exactly that meaningless
+    * number), so there the witness flips roles: the exact side is
+    * derived INDEPENDENTLY over a deterministic sampled anchor set
+    * ([[exactAnchorGraph]] — `nAnchors` hash-smallest vectors, each
+    * scored against the full corpus: O(nAnchors·n) dots, the linear
+    * recall-estimation shape), and the banded side is the served
+    * zone restricted to those anchors. The gate path (corpus well
+    * under the ceiling at every gate SF) is byte-identical to the
+    * old spelling; the anchored regime is forced and pinned in
+    * SimilaritySpec via the `maxExact` dial. */
+  def knnBandedWitness(s: SparkSession, dir: String,
+                       maxExact: Int = ExactKnnMaxN,
+                       nAnchors: Int = WitnessAnchors): DataFrame = {
+    val (exactG, bandedG) =
+      if (corpus(s, dir).count() <= maxExact)
+        (knnGraphZone(s, dir), knnGraphBanded(s, dir))
+      else {
+        val ex = exactAnchorGraph(s, dir, GraphK, nAnchors)
+        (ex, knnGraphZone(s, dir).join(
+          ex.select(col("query_id")).distinct(), Seq("query_id"),
+          "left_semi"))
+      }
+    val exact = exactG
       .select(col("query_id"), col("neighbor_id"))
-    val banded = knnGraphBanded(s, dir)
+    val banded = bandedG
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     val per = exact
       .join(banded, Seq("query_id", "neighbor_id"), "left")
@@ -1356,7 +1422,8 @@ object Similarity {
     "q143_knn_quantized" ->
       ((s: SparkSession, d: String) => knnQuantized(s, d)),
     "q155_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
-    "q168_knn_banded_witness" -> (knnBandedWitness _),
+    "q168_knn_banded_witness" -> ((s: SparkSession, d: String) =>
+      knnBandedWitness(s, d)),
     "q198_graph_search" -> (graphSearch _),
     "q203_triangle_stats" -> (triangleStats _),
     "q156_semantic_dedup" -> (semanticDedup _),

@@ -40,6 +40,27 @@ object Scratch {
   private val memoized =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // ---- zone-build accounting (judge round-9 item #6) ----
+  // Wall nanos spent MATERIALIZING zones (memo/memoZone misses and
+  // store writes), so a sweep can report (zone-build s, query s)
+  // separately instead of self-declared upper bounds. Nested builds
+  // (the pair zone derives through the token zone) count once: only
+  // the outermost frame accumulates.
+  private val buildNanosAcc = new AtomicLong()
+  private val buildDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+  /** Cumulative zone-build wall seconds this JVM. */
+  def buildSeconds: Double = buildNanosAcc.get() / 1e9
+  private def timedBuild[T](f: => T): T = {
+    val d = buildDepth.get(); buildDepth.set(d + 1)
+    val t0 = System.nanoTime()
+    try f finally {
+      buildDepth.set(d)
+      if (d == 0) buildNanosAcc.addAndGet(System.nanoTime() - t0): Unit
+    }
+  }
+
   /** Write `df` to `<root>/<appId>/<name>-<n>` as parquet and return a
     * scan of the stored relation. Eager by design — same contract as
     * the localCheckpoint it replaces: constructing the consumer
@@ -56,7 +77,7 @@ object Scratch {
     val spark = df.sparkSession
     val path = s"${root(spark)}/${spark.sparkContext.applicationId}" +
       s"/$name-${seq.incrementAndGet()}"
-    df.write.mode("overwrite").parquet(path)
+    timedBuild { df.write.mode("overwrite").parquet(path) }
     stored.add(path)
     spark.read.parquet(path)
   }
@@ -92,7 +113,7 @@ object Scratch {
       else {
         val p = s"${root(spark)}/${spark.sparkContext.applicationId}" +
           s"/$name-${seq.incrementAndGet()}"
-        df.write.mode("overwrite").parquet(p)
+        timedBuild { df.write.mode("overwrite").parquet(p) }
         stored.add(p)
         val prev = memoized.putIfAbsent(full, p)
         if (prev != null) prev else p
@@ -117,7 +138,7 @@ object Scratch {
     else {
       val p = s"${root(spark)}/${spark.sparkContext.applicationId}" +
         s"/$name-${seq.incrementAndGet()}"
-      build(p)
+      timedBuild { build(p) }
       stored.add(p)
       val prev = memoized.putIfAbsent(full, p)
       if (prev != null) prev else p

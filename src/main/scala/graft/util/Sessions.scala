@@ -101,6 +101,9 @@ object Sessions {
     // then runs under one consistent conf regardless of execution order
     // (Tables.loadEvents re-sets it idempotently)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // "no silent caps": WARN whenever a graft.cap.* observe metric
+    // reports a band bucket over its cap (see util.Caps)
+    Caps.registerCapListener(spark)
     spark
   }
 }

@@ -415,4 +415,22 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(
       q98(r.getAs[Long]("doc_id")) == r.getAs[Long]("cluster_id")))
   }
+  test("q302 witness invariants: distinct LSH pairs, n_hit bounded, " +
+    "recall never exceeds 1") {
+    val r = Dedup.minhashWitness(spark, sf()).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nExact = row.getAs[Long]("n_exact")
+    val nLsh = row.getAs[Long]("n_lsh")
+    val nHit = row.getAs[Long]("n_hit")
+    // each hit is a DISTINCT lsh pair that is also an exact pair, so
+    // it can exceed neither side — the defensive .distinct() inside
+    // the witness is what makes this hold even if minhashLshPairs
+    // ever grows a duplicate-emitting path (round-9 ADVICE)
+    assert(nHit <= nLsh, s"n_hit $nHit > n_lsh $nLsh")
+    assert(nHit <= nExact, s"n_hit $nHit > n_exact $nExact")
+    val rec = row.getAs[Double]("recall")
+    assert(rec >= 0.0 && rec <= 1.0, s"recall $rec out of [0,1]")
+  }
+
 }

@@ -103,4 +103,28 @@ class QualitySpec extends SparkSpec {
     // the loosest threshold keeps everything
     assert(tps.head + fps.head == nDocs)
   }
+  test("q308 witness-free variant: same estimates, no corpus-keyed " +
+    "state (the documented 100 TB drop as API)") {
+    val wit = Quality.approxColumnProfile(spark, sf()).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        r.getAs[Double]("est_distinct")).toMap
+    val free = Quality.approxColumnProfile(spark, sf(),
+      withWitness = false)
+    // the witness columns are GONE from the schema, not just nulled
+    val cols = free.columns.toSet
+    assert(!cols.contains("n_exact") && !cols.contains("within_bound"))
+    val rows = free.collect()
+    assert(rows.nonEmpty)
+    // estimates are identical with and without the witness (under-k
+    // columns stay exact because a sub-k sketch holds every distinct)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("est_distinct") ==
+        wit(r.getAs[String]("column_name")))
+    }
+    // and the plan carries no countDistinct (the corpus-keyed state)
+    val plan = free.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("count(distinct"),
+      "witness-free profile still plans a distinct aggregate")
+  }
+
 }

@@ -545,4 +545,17 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
   }
+  test("q310 witness-free variant: same estimates, no audit scan") {
+    val wit = Sampling.sampleQuantiles(spark, sf()).collect()
+      .map(r => r.getAs[Long]("q") -> r.getAs[Double]("est")).toMap
+    val free = Sampling.sampleQuantiles(spark, sf(), withWitness = false)
+    val cols = free.columns.toSet
+    assert(cols == Set("q", "est", "sample_k"))
+    val rows = free.collect()
+    assert(rows.length == wit.size)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("est") == wit(r.getAs[Long]("q")))
+    }
+  }
+
 }
