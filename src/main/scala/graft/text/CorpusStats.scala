@@ -669,6 +669,145 @@ object CorpusStats {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Minimum duplicated-substring length (tokens) and the reported-
+    * length cap of [[dupSubstrings]] — shared by the Spark path, the
+    * brute-force oracle and CorpusStatsSpec. The cap is the Lee et
+    * al. 2021 move (their §4 threshold is 50 BPE tokens ≈ one
+    * sentence): spans longer than the window still surface — as
+    * window-length substrings with their full occurrence counts —
+    * while the suffix keys stay bounded (window tokens per row, the
+    * quantity the sort shuffles). */
+  val DupSubMinLen = 5
+  val DupSubWindow = 32
+
+  /** q313: corpus-wide EXACT duplicate-substring finder for UNKNOWN
+    * spans — the suffix-array construction of the training-data-dedup
+    * literature (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", §4), relational edition. q140 SCORES
+    * per-doc duplicated-gram fractions and q145/q269 scrub/report
+    * gram-COVERED positions, but none of them identifies the
+    * duplicated substrings THEMSELVES; this does: for every token
+    * position whose [[DupSubMinLen]]-gram occurs anywhere else in the
+    * corpus (any doc INCLUDING its own — within-doc boilerplate
+    * counts, unlike q140's cross-doc contract), the LONGEST
+    * duplicated substring starting there (capped at
+    * [[DupSubWindow]] tokens), grouped into the distinct-substring
+    * inventory (sub, tok_len, n_starts, n_docs) a curation engineer
+    * reads to see WHAT the boilerplate is — license headers,
+    * templated pages, degenerate repeats — with corpus-wide counts,
+    * longest first.
+    *
+    * Definition (= the brute-force oracle, replayed in DuckDB): for
+    * position (d, p), tok_len = max m ∈ [minLen, min(window, tail)]
+    * such that the m-gram at p occurs at ≥ 2 positions corpus-wide;
+    * sub = those tok_len tokens; positions with no such m don't
+    * report. n_starts counts positions whose maximal substring is
+    * exactly `sub` (it can be 1: the OTHER occurrences of a shared
+    * span may each extend further with different partners), but
+    * every reported sub occurs ≥ 2 times by construction.
+    *
+    * Spark spelling — suffix sort + neighbor LCP, ONE range shuffle:
+    * the classic suffix-array fact that the suffix sharing the
+    * longest prefix with s is ADJACENT to s in sorted suffix order,
+    * so tok_len(d, p) = max(lcp(prev), lcp(next)) after one global
+    * sort of the window-truncated suffixes. Doc boundaries are
+    * structural (suffixes never cross documents). The sort is
+    * `repartitionByRange` + partition-local sort — Spark's own
+    * global-orderBy shape, no single-node stage; the suffix relation
+    * is re-keyed at the expansion point (the round-9 find-#2 rule:
+    * ~window× the tokenized corpus bytes, so the partition dial
+    * multiplies by window/4 over the bytes-derived count, capped at
+    * 4096). Adjacent-LCP then needs NO self-join and NO ids: each
+    * partition streams its sorted run once with one-row lookahead,
+    * and the two boundary comparisons per partition use the
+    * first/last suffix keys collected in a prior pass — ≤ 2·numParts
+    * keys of ≤ window tokens on the driver (bounded; the stableIds
+    * precedent: per-partition imperative position logic is the one
+    * sanctioned mapPartitions family, and everything before and
+    * after stays declarative). Output is content-bounded (≤ one row
+    * per DISTINCT duplicated substring — the find-#5 rule; the
+    * quadratic all-pairs match relation is never formed).
+    */
+  def dupSubstrings(s: SparkSession, dir: String,
+                    minLen: Int = DupSubMinLen,
+                    window: Int = DupSubWindow): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docs = graft.util.Scratch.memo(s, "span-tokens",
+      s"span-tokens:$dir")(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+    // one suffix row per position that can hold a minLen-gram; the
+    // key is the window-truncated suffix (what the sort compares)
+    val sfx = docs.where(size(col("w")) >= minLen)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - minLen)).as("p"))
+      .select(col("doc_id"), col("p"),
+        slice(col("w"), col("p") + lit(1), lit(window)).as("key"))
+    val baseParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.min(4096, baseParts * math.max(1, window / 4))
+    val ranged = sfx
+      .repartitionByRange(parts, col("key"), col("doc_id"), col("p"))
+      .sortWithinPartitions("key", "doc_id", "p")
+    val rdd = ranged.rdd.map(r =>
+      (r.getLong(0), r.getInt(1), r.getSeq[String](2).toArray))
+    def lcp(a: Array[String], b: Array[String]): Int = {
+      if (a == null || b == null) return 0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    }
+    // pass 1: per-partition (first, last) suffix keys — ≤ 2·numParts
+    // keys of ≤ window tokens ever reach the driver (bounded)
+    val bounds = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next(); var last = first
+        while (it.hasNext) last = it.next()
+        Iterator.single((i, first._3, last._3))
+      }
+    }.collect().sortBy(_._1)
+    // neighbor keys across (possibly empty) partition gaps
+    val prevKey = Array.fill[Array[String]](parts)(null)
+    val nextKey = Array.fill[Array[String]](parts)(null)
+    var carry: Array[String] = null
+    bounds.foreach { case (i, _, last) => prevKey(i) = carry; carry = last }
+    carry = null
+    bounds.reverse.foreach { case (i, first, _) =>
+      nextKey(i) = carry; carry = first
+    }
+    val bc = s.sparkContext.broadcast((prevKey, nextKey))
+    // pass 2 (same shuffle files, re-read): streaming neighbor LCP
+    val hits = rdd.mapPartitionsWithIndex { (i, it) =>
+      val (pk, nk) = bc.value
+      val buf = it.buffered
+      var prev: Array[String] = pk(i)
+      val out = new Iterator[Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Row = {
+          val (doc, _, k) = buf.next()
+          val nxt = if (buf.hasNext) buf.head._3 else nk(i)
+          val h = math.max(lcp(prev, k), lcp(k, nxt))
+          prev = k
+          if (h >= minLen)
+            Row(k.take(h).mkString(" "), h.toLong, doc)
+          else null
+        }
+      }
+      out.filter(_ != null)
+    }
+    val schema = StructType(Seq(
+      StructField("sub", StringType, nullable = false),
+      StructField("tok_len", LongType, nullable = false),
+      StructField("doc_id", LongType, nullable = false)))
+    s.createDataFrame(hits, schema)
+      .groupBy(col("sub"), col("tok_len"))
+      .agg(count(lit(1)).as("n_starts"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("tok_len").desc, col("sub"))
+  }
+
   /** q149: within-document repetition filter — the Gopher/MassiveText
     * repetition rules (Rae et al. 2021 §A1.1) that catch boilerplate
     * and degenerate generations WHOLE-corpus dedup cannot see (a
@@ -1169,6 +1308,8 @@ object CorpusStats {
       dupSpanReport(s, d)),
     "q140_dup_grams"      -> ((s: SparkSession, d: String) =>
       dupGramFraction(s, d)),
+    "q313_dup_substrings" -> ((s: SparkSession, d: String) =>
+      dupSubstrings(s, d)),
     "q104_tfidf_terms"    -> ((s: SparkSession, d: String) =>
       tfidfTopTerms(s, d)),
     "q105_bigram_novelty" -> (bigramNovelty _),
@@ -1561,6 +1702,35 @@ object CorpusStats {
         |FROM e, n WHERE cnt * 50 > n ORDER BY token""".stripMargin,
     // coverage replay: token at pos is scrubbed iff a cross-doc
     // shared 5-gram starts at any of pos-4..pos
+    // brute-force spelling of the q313 contract: enumerate EVERY
+    // m-gram for m in [minLen, window], keep the duplicated ones
+    // (count >= 2 over all occurrences — within-doc repeats count),
+    // take per-position max m, group into the substring inventory
+    "q313_dup_substrings" ->
+      raw"""WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, m,
+        |    unnest([{'p': i, 'sub': array_to_string(w[i+1:i+m], ' ')}
+        |      for i in range(0, len(w) - m + 1)], recursive := true)
+        |  FROM w, range($DupSubMinLen, ${DupSubWindow + 1}) r(m)
+        |  WHERE len(w) >= m),
+        |dup AS (
+        |  SELECT m, sub FROM g GROUP BY m, sub HAVING count(*) >= 2),
+        |best AS (
+        |  SELECT g.doc_id, g.p, max(g.m) AS tok_len
+        |  FROM g JOIN dup USING (m, sub) GROUP BY 1, 2),
+        |subs AS (
+        |  SELECT b.doc_id,
+        |    array_to_string(w.w[b.p+1:b.p+b.tok_len], ' ') AS sub,
+        |    b.tok_len
+        |  FROM best b JOIN w USING (doc_id))
+        |SELECT sub, CAST(tok_len AS BIGINT) AS tok_len,
+        |  CAST(count(*) AS BIGINT) AS n_starts,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM subs GROUP BY 1, 2
+        |ORDER BY tok_len DESC, sub""".stripMargin,
     // the q145 coverage CTE chain verbatim, then gaps-and-islands
     "q269_dup_span_report" ->
       raw"""WITH w AS (

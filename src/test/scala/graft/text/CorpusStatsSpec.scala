@@ -160,4 +160,84 @@ class CorpusStatsSpec extends SparkSpec {
         s"$src buckets out of score order: $seq")
     }
   }
+  test("q313 dup-substring finder: constructed fixtures (within-doc " +
+    "repeats, cross-doc maximality, nesting, window cap)") {
+    import spark.implicits._
+    val y = (0 until 40).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),                   // no duplication
+      (2L, "x1 x2 x3 x4 x5 q1 q2 x1 x2 x3 x4 x5"),   // within-doc repeat
+      (3L, "z1 z2 z3 z4 z5 z6 z7"),
+      (4L, "w0 z1 z2 z3 z4 z5 z6 w7"),               // cross-doc share
+      (5L, y), (6L, y)                               // window-cap clones
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-dupsub-").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusStats.dupSubstrings(spark, tmp).collect()
+      .map(r => (r.getAs[String]("sub"), r.getAs[Long]("tok_len"),
+        r.getAs[Long]("n_starts"), r.getAs[Long]("n_docs")))
+    val bySub = out.map(t => t._1 -> t).toMap
+    // within-doc repeat IS duplication here (unlike q140's cross-doc
+    // contract): the repeated 5-gram reports with both start positions
+    assert(bySub("x1 x2 x3 x4 x5") == ("x1 x2 x3 x4 x5", 5L, 2L, 1L))
+    // cross-doc share: maximal 6-token span, plus the nested 5-token
+    // suffix whose OWN maximal match is shorter (different extension)
+    assert(bySub("z1 z2 z3 z4 z5 z6") == ("z1 z2 z3 z4 z5 z6", 6L, 2L, 2L))
+    assert(bySub("z2 z3 z4 z5 z6") == ("z2 z3 z4 z5 z6", 5L, 2L, 2L))
+    // the 7-gram including z7/w7 is NOT duplicated — never reported
+    assert(!out.exists(_._1.contains("z7")))
+    assert(!out.exists(_._1.contains("w7")))
+    // nothing from the unique doc
+    assert(!out.exists(_._1.startsWith("a b")))
+    // window cap: 40-token clones report at the 32-token ceiling
+    assert(out.map(_._2).max == CorpusStats.DupSubWindow.toLong)
+    val capped = (0 until 32).map(i => s"y$i").mkString(" ")
+    assert(bySub(capped) == (capped, 32L, 2L, 2L))
+    // every reported length within contract bounds
+    assert(out.forall(t => t._2 >= CorpusStats.DupSubMinLen &&
+      t._2 <= CorpusStats.DupSubWindow))
+  }
+
+  test("q313 equals an independent brute force over the sf0.001 corpus") {
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
+    val toks: Map[Long, Array[String]] =
+      graft.Tables.load(spark, sf(), "documents")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).trim.split(ws)).toMap
+    val L = CorpusStats.DupSubMinLen; val W = CorpusStats.DupSubWindow
+    // count every m-gram occurrence for m in [L, W]
+    val counts = new scala.collection.mutable.HashMap[(Int, String), Int]
+    for ((_, w) <- toks; m <- L to math.min(W, w.length);
+         p <- 0 to w.length - m) {
+      val g = (m, w.slice(p, p + m).mkString(" "))
+      counts(g) = counts.getOrElse(g, 0) + 1
+    }
+    // per position: max duplicated m; aggregate the inventory
+    val agg = new scala.collection.mutable.HashMap[(String, Int),
+      (Long, scala.collection.mutable.Set[Long])]
+    for ((d, w) <- toks; p <- 0 to w.length - L) {
+      val mMax = (L to math.min(W, w.length - p))
+        .filter(m => counts((m, w.slice(p, p + m).mkString(" "))) >= 2)
+      if (mMax.nonEmpty) {
+        val m = mMax.max
+        val key = (w.slice(p, p + m).mkString(" "), m)
+        val (n, ds) = agg.getOrElse(key,
+          (0L, scala.collection.mutable.Set.empty[Long]))
+        agg(key) = (n + 1, ds += d)
+      }
+    }
+    val expect = agg.map { case ((sub, m), (n, ds)) =>
+      (sub, m.toLong, n, ds.size.toLong) }.toSet
+    val got = CorpusStats.dupSubstrings(spark, sf()).collect()
+      .map(r => (r.getAs[String]("sub"), r.getAs[Long]("tok_len"),
+        r.getAs[Long]("n_starts"), r.getAs[Long]("n_docs"))).toSet
+    assert(got == expect,
+      s"mismatch: ${(got diff expect).take(3)} vs ${(expect diff got).take(3)}")
+    // and the output order is the contract's (len DESC, sub ASC)
+    val ordered = CorpusStats.dupSubstrings(spark, sf()).collect()
+      .map(r => (-r.getAs[Long]("tok_len"), r.getAs[String]("sub")))
+    assert(ordered.sameElements(ordered.sorted))
+  }
+
 }
