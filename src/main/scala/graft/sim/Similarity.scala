@@ -890,10 +890,23 @@ object Similarity {
                      maxBucket: Int = GraphMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
-    val banded = emb
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), signature(col("embedding")).as("sig"))
-      .select(col("vec_id"), bandCols)
+    // CORPUS-SCALED banding (round-10: the q309 scaledBandShape
+    // lesson applied to the graph). The original fixed 16-bit/4-band
+    // gate signature has only 16 bucket values per band, so bucket
+    // occupancy grows linearly with the corpus and the per-anchor
+    // cap fills with random co-bucket members — the r10 anchored
+    // witness measured overall recall 0.012 at sf10 (200k random
+    // vectors, 12.5k-member buckets, cap 200). Sizing bits from the
+    // corpus (8 bands × clamp(log2(n/256), 4, 16) bits) keeps
+    // expected occupancy ≤ ScaledTargetBucket, so every candidate
+    // shares `bits` hyperplanes with its anchor and the cap rarely
+    // binds; both gate SFs derive (8, 4), which is what the q168
+    // oracle replays (the q309 pinned-shape precedent). Random unit
+    // vectors remain the degenerate case for ANY LSH graph — the
+    // witness numbers in PLANS.md quantify exactly what this buys.
+    val (bands, bits) = scaledBandShape(corpus(s, dir).count())
+    val banded = bandRows(
+      emb.repartition(s.sparkContext.defaultParallelism), bands, bits)
     // Candidate generation is a rank-windowed bounded join — NOT a
     // collect_list + slice: the array spelling carries each bucket's
     // full id array through two explodes (one UnsafeRow copy per
@@ -1792,8 +1805,19 @@ object Similarity {
     // over the SORTED bucket list: b's position in a's self-filtered
     // list is b.rn when b.rn < a.rn, else b.rn − 1) → exact int8
     // rescore → rank → per-anchor overlap vs the exact graph
+    // the banded side replays the CORPUS-SCALED banding at the shape
+    // both gate SFs derive — scaledBandShape(500) = scaledBandShape
+    // (2000) = (8 bands, 4 bits) — the q309 pinned-shape precedent
     "q168_knn_banded_witness" ->
-      s"""$sigCtes, $knnGraphCtesSql,
+      s"""WITH proj(b, p) AS (VALUES ${projScaledValues(ScaledBands * 4)}),
+         |emb AS (SELECT vec_id, embedding FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, CAST(b // 4 AS INTEGER) AS band,
+         |    CAST(sum(CASE WHEN ${dotSql("embedding", "p")} > 0
+         |      THEN (CAST(1 AS BIGINT) << (b % 4)) ELSE 0 END)
+         |      AS BIGINT) AS bandVal
+         |  FROM emb CROSS JOIN proj GROUP BY 1, 2
+         |), $knnGraphCtesSql,
          |exactk AS (
          |  SELECT query_id, neighbor_id FROM ranked
          |  WHERE rank <= $GraphK
