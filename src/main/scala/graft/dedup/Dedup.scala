@@ -515,10 +515,13 @@ object Dedup {
     // lower-triangle completeness; signature order additionally makes
     // identical-signature runs contiguous, which the oversized-bucket
     // chain below exploits — see MaxLshBucket).
-    val buckets = banded.groupBy(col("band"), col("bandHash"))
-      .agg(expr("array_sort(transform(collect_list(d), " +
-        "e -> struct(e.sig AS sig, e.doc_id AS doc_id)))").as("ds"))
-      .where(size(col("ds")) >= 2)
+    val buckets = graft.util.Caps.observeOvercap(
+      banded.groupBy(col("band"), col("bandHash"))
+        .agg(expr("array_sort(transform(collect_list(d), " +
+          "e -> struct(e.sig AS sig, e.doc_id AS doc_id)))").as("ds"))
+        .where(size(col("ds")) >= 2)
+        .withColumn("sz", size(col("ds")).cast("long")),
+      "sz", maxBucket, "lsh").drop("sz")
     // Two-stage pair expansion: first explode to one row per bucket
     // element (keeping the bucket array alongside — pipelined in the
     // same stage, never shuffled), then explode that element's
