@@ -760,8 +760,16 @@ object Similarity {
   val SemTau = 0.45
 
   /** Per-anchor candidate cap of [[knnGraphBanded]] — shared by the
-    * Spark path and the q168 oracle replay. */
-  val GraphMaxBucket = 200
+    * Spark path and the q168 oracle replay. Sized at 2× the scaled
+    * banding's design occupancy ([[ScaledTargetBucket]] = 256), so
+    * the cap binds only on SKEW (a bucket at twice its expected
+    * size), never on the typical bucket — at the old value of 200
+    * the cap sat BELOW the expected occupancy, so past ~1M vectors
+    * it would have truncated every ordinary bucket by design (the
+    * r10 principle CapsSpec pins: caps are safety valves, not
+    * operating points). Cost bound: ≤ bands × cap = 4096 exact int8
+    * dots per anchor. */
+  val GraphMaxBucket: Int = 2 * ScaledTargetBucket
   /** q168's pinned overall-recall floor for the banded graph vs the
     * exact graph (random unit vectors — the q51 hardest-case bound;
     * clustered real corpora measure far higher). */

@@ -20,6 +20,12 @@ class CapsSpec extends SparkSpec {
     // per row
     assert(Caps.BandBucketCap.toLong * Caps.BandBucketCap / 2 * 100L
       <= (64L << 20))
+    // caps are safety valves, not operating points: the per-anchor
+    // graph cap must sit ABOVE the scaled banding's design occupancy
+    // (with 2× headroom), so it binds only on skew — never on the
+    // typical bucket at any corpus size the sizing rule targets
+    assert(graft.sim.Similarity.GraphMaxBucket >=
+      2 * graft.sim.Similarity.ScaledTargetBucket)
   }
 
   test("no cap binds at gate scale (sf0.01): brute-force oracles stay " +
