@@ -124,6 +124,60 @@ object NearDupMaint {
     readEpochs(spark, s"$root/vectors", beforeEpoch = None,
       emptyVectors(spark))
 
+  /** Squash every epoch ≤ `upToEpoch` of all three zones into one
+    * directory each — the epoch-count bound a continuous admission
+    * stream needs (a year of 1-minute triggers is half a million
+    * epoch dirs whose listing alone dominates every fold's read).
+    * Readers are unaffected: epochs are disjoint unions, so replacing
+    * epochs {0..E} with one `epoch=E` holding their union is a pure
+    * layout change for both `readPairs` and `foldBatch(N)`'s
+    * predecessor reads (any N > E still sees the squashed content —
+    * epoch E < N).
+    *
+    * SAFETY CONSTRAINT (enforced): `upToEpoch` must be strictly below
+    * the newest epoch on disk. Structured Streaming can replay only
+    * the single batch after the last committed one; compacting
+    * strictly below the newest committed epoch therefore never
+    * removes state a replaying batch would re-read. (Compacting THE
+    * newest epoch would let a crash-replay of that batch read its own
+    * squashed output as predecessor state and double-fold.)
+    *
+    * Crash-safe in the [[graft.sinks.SwapPublish]] way per zone: the
+    * union is staged, atomically swapped into `epoch=<upToEpoch>`,
+    * and only then are the older epoch dirs deleted — a crash
+    * between swap and deletes leaves overlapping epochs for PAIRS
+    * never (pairs are disjoint by discovery epoch and the squash is
+    * their union — re-running compact converges), and duplicate rows
+    * for bands/vectors only until compact re-runs; `foldBatch`'s
+    * anti-join and band joins tolerate that duplication (pairs
+    * dedup through `.distinct()`), so the zones stay correct, not
+    * just eventually-compact. */
+  def compact(spark: SparkSession, root: String, upToEpoch: Long): Unit =
+    Seq("pairs", "bands", "vectors").foreach { zone =>
+      val dir = s"$root/$zone"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val all = fs.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("epoch="))
+          .map(_.stripPrefix("epoch=").toLong)
+        require(all.nonEmpty && upToEpoch < all.max,
+          s"compact($upToEpoch) must stay strictly below the newest " +
+            s"epoch ${if (all.isEmpty) "(none)" else all.max.toString} " +
+            "— the only batch Structured Streaming can replay")
+        val squash = all.filter(_ <= upToEpoch)
+        if (squash.size > 1) {
+          val union = spark.read.parquet(
+            squash.map(e => s"$dir/epoch=$e"): _*)
+          publish(union, dir, upToEpoch)
+          squash.filter(_ != upToEpoch).foreach { e =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/epoch=$e"),
+              true): Unit
+          }
+        }
+      }
+    }
+
   private def publish(df: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -47,6 +47,20 @@ class NearDupMaintSpec extends SparkSpec {
       .map(_.getAs[Long]("vec_id"))
     assert(ids.length == ids.distinct.length)
     assert(ids.length == emb.count())
+    // epoch compaction is a pure layout change: squash {0,1} → 1,
+    // readers see identical content with fewer directories
+    NearDupMaint.compact(spark, root, upToEpoch = 1L)
+    val afterCompact = NearDupMaint.readPairs(spark, root).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(afterCompact == want)
+    val vecDir = new java.io.File(s"$root/vectors")
+    assert(vecDir.listFiles().count(_.getName.startsWith("epoch=")) == 2)
+    // compacting the NEWEST epoch is refused (it is the one batch a
+    // crash-replay can re-derive from its predecessors)
+    intercept[IllegalArgumentException] {
+      NearDupMaint.compact(spark, root, upToEpoch = 2L)
+    }
   }
 
   test("sink plumbing: a real streaming query drives the same fold") {
