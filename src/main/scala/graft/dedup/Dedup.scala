@@ -521,7 +521,7 @@ object Dedup {
           "e -> struct(e.sig AS sig, e.doc_id AS doc_id)))").as("ds"))
         .where(size(col("ds")) >= 2)
         .withColumn("sz", size(col("ds")).cast("long")),
-      "sz", maxBucket, "lsh").drop("sz")
+      "sz", maxBucket, "lsh-buckets").drop("sz")
     // Two-stage pair expansion: first explode to one row per bucket
     // element (keeping the bucket array alongside — pipelined in the
     // same stage, never shuffled), then explode that element's

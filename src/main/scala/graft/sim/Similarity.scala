@@ -588,34 +588,36 @@ object Similarity {
     * explicit, so the unpacked-banding pipeline itself is
     * hash-gateable at any scale (q309 pins it at 8 × 4; the adaptive
     * sizing on top is pure arithmetic, pinned in SimilaritySpec). */
-  /** The unpacked (vec_id, band, bandVal) relation of the scaled SRP
-    * shape over any (vec_id, embedding) relation — factored out so
-    * the streaming admission twin ([[graft.streaming.NearDupMaint]])
-    * bands a micro-batch with EXACTLY the derivation the batch path
-    * uses (the shape must agree bit-for-bit or the incremental pair
-    * set drifts from the batch contract). */
-  private[graft] def bandRows(emb: DataFrame, bands: Int,
-                              bits: Int): DataFrame = {
-    val bandVals = array((0 until bands).map { b =>
+  /** The unpacked scaled-SRP band-value ARRAY expression over an
+    * `embedding` column — THE one derivation of the (band, bandVal)
+    * banding, used by the batch pair path, the bucket probe, the
+    * graph banding and the streaming admission twin. One spelling on
+    * purpose: NearDupMaintSpec pins stream ≡ batch on the premise
+    * that both sides band identically, which only holds structurally
+    * if there is exactly one copy of this arithmetic to edit. */
+  private[graft] def scaledBandVals(bands: Int, bits: Int): Column =
+    array((0 until bands).map { b =>
       (0 until bits).map { i =>
         when(dotLit(col("embedding"), projRow(b * bits + i)) > 0,
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
+
+  /** The unpacked (vec_id, band, bandVal) relation of the scaled SRP
+    * shape over any (vec_id, embedding) relation —
+    * [[scaledBandVals]] exploded; the spelling the streaming
+    * admission twin ([[graft.streaming.NearDupMaint]]) and the graph
+    * banding share with the batch path. */
+  private[graft] def bandRows(emb: DataFrame, bands: Int,
+                              bits: Int): DataFrame =
     emb.select(col("vec_id"),
-      posexplode(bandVals).as(Seq("band", "bandVal")))
-  }
+      posexplode(scaledBandVals(bands, bits)).as(Seq("band", "bandVal")))
 
   def nearDupPairsShaped(s: SparkSession, dir: String, bands: Int,
                          bits: Int, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
-    val bandVals = array((0 until bands).map { b =>
-      (0 until bits).map { i =>
-        when(dotLit(col("embedding"), projRow(b * bits + i)) > 0,
-          lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    val bandVals = scaledBandVals(bands, bits)
     // ordering key for the chain's contiguity only: the first ≤ 32
     // projections, packed (identical full signatures agree on it)
     val sortSig = (0 until math.min(32, bands * bits)).map { b =>
@@ -653,14 +655,8 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     val emb = corpus(s, dir).select(col("vec_id"), col("embedding"))
     val (bands, bits) = scaledBandShape(corpus(s, dir).count())
-    val bandVals = array((0 until bands).map { b =>
-      (0 until bits).map { i =>
-        when(dotLit(col("embedding"), projRow(b * bits + i)) > 0,
-          lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
-    emb.repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bandVal")))
+    bandRows(emb.repartition(s.sparkContext.defaultParallelism),
+        bands, bits)
       .groupBy(col("band"), col("bandVal"))
       .agg(count(lit(1)).as("sz"))
       .select(

@@ -30,6 +30,40 @@ private[graft] object SwapPublish {
     fs.delete(backup, true)
   }
 
+  /** Stage-write `df` as parquet and atomically publish it as
+    * `<dir>/epoch=<epoch>` (staging dir + backup-swap via
+    * [[publish]]; staging always cleaned). The ONE epoch-publish
+    * spelling shared by the streaming maintenance sinks
+    * (ClusterMaint, NearDupMaint and its compaction) — same rule as
+    * this object's header: a crash-safety fix must not have
+    * per-sink copies to miss. */
+  def writeEpoch(df: org.apache.spark.sql.DataFrame, dir: String,
+                 epoch: Long): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(s"$dir/epoch=$epoch")
+    val staging = new Path(s"$dir/.staging-$epoch")
+    val backup = new Path(s"$dir/.backup-$epoch")
+    val fs = target.getFileSystem(hconf)
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      publish(fs, staging, target, backup,
+        targetExists = fs.exists(target))
+    } finally { fs.delete(staging, true); () }
+  }
+
+  /** Epoch numbers present under `dir` (Hive-style `epoch=N`
+    * children); empty when the directory does not exist. */
+  def listEpochs(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[Long] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong)
+  }
+
   /** All parquet data files under `root`, recursively. */
   def parquetFiles(fs: FileSystem, root: Path): Seq[LocatedFileStatus] = {
     if (!fs.exists(root)) return Seq.empty

@@ -57,19 +57,7 @@ object ClusterMaint {
       if (!edges.isEmpty) {
         val labels = readLabels(spark, root, beforeEpoch = Some(batchId))
         val updated = Dedup.applyEdgeBatch(labels, edges)
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val target =
-          new org.apache.hadoop.fs.Path(s"$root/epoch=$batchId")
-        val staging =
-          new org.apache.hadoop.fs.Path(s"$root/.staging-$batchId")
-        val backup =
-          new org.apache.hadoop.fs.Path(s"$root/.backup-$batchId")
-        val fs = target.getFileSystem(hconf)
-        try {
-          updated.write.mode("overwrite").parquet(staging.toString)
-          graft.sinks.SwapPublish.publish(fs, staging, target, backup,
-            targetExists = fs.exists(target))
-        } finally { fs.delete(staging, true); () }
+        graft.sinks.SwapPublish.writeEpoch(updated, root, batchId)
       }
     } finally { edges.unpersist(); () }
   }
@@ -87,12 +75,6 @@ object ClusterMaint {
     }
   }
 
-  private def epochs(spark: SparkSession, root: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("epoch="))
-      .map(_.stripPrefix("epoch=").toLong)
-  }
+  private def epochs(spark: SparkSession, root: String): Seq[Long] =
+    graft.sinks.SwapPublish.listEpochs(spark, root)
 }

@@ -74,7 +74,14 @@ object NearDupMaint {
     graft.functions.GraftFunctions.register(spark)
     val prevVecs = readEpochs(spark, s"$root/vectors",
       beforeEpoch = Some(batchId), emptyVectors(spark))
+    // .distinct() first: a source retry that lands INSIDE one trigger
+    // (duplicate identical rows) dedups exactly; dropDuplicates then
+    // guards the vectors zone's one-row-per-id invariant even against
+    // a contract-violating same-id-different-embedding batch (which
+    // row wins is unspecified — the contract is unique ids)
     val batch = batch0.select(col("vec_id"), col("embedding"))
+      .distinct()
+      .dropDuplicates("vec_id")
       .join(prevVecs.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .persist()
     try {
@@ -142,16 +149,24 @@ object NearDupMaint {
     * newest epoch would let a crash-replay of that batch read its own
     * squashed output as predecessor state and double-fold.)
     *
-    * Crash-safe in the [[graft.sinks.SwapPublish]] way per zone: the
-    * union is staged, atomically swapped into `epoch=<upToEpoch>`,
-    * and only then are the older epoch dirs deleted — a crash
-    * between swap and deletes leaves overlapping epochs for PAIRS
-    * never (pairs are disjoint by discovery epoch and the squash is
-    * their union — re-running compact converges), and duplicate rows
-    * for bands/vectors only until compact re-runs; `foldBatch`'s
-    * anti-join and band joins tolerate that duplication (pairs
-    * dedup through `.distinct()`), so the zones stay correct, not
-    * just eventually-compact. */
+    * QUIESCE CONSTRAINT: run compact while the stream is stopped or
+    * between triggers (e.g. from a StreamingQueryListener's
+    * onQueryProgress) — a fold that LISTED epochs before the swap
+    * but scans them after can read the squashed epoch plus a
+    * not-yet-deleted original (duplicated predecessor state) or hit
+    * a deleted directory. Compaction is an offline layout operation,
+    * like [[graft.sinks.Compact]] for small files.
+    *
+    * Crash-safe AND convergent: the squashed relation is
+    * `.distinct()`-deduplicated before the staged atomic swap into
+    * `epoch=<upToEpoch>`, and only then are the older epoch dirs
+    * deleted. A crash between swap and deletes therefore leaves
+    * duplicate ROWS across the squashed epoch and the survivors —
+    * and re-running compact unions them and dedups again, restoring
+    * exactly the original content (rows within one zone are
+    * identical when duplicated: pairs/bands/vectors all carry full
+    * row identity), so compact converges instead of baking the
+    * duplication in. */
   def compact(spark: SparkSession, root: String, upToEpoch: Long): Unit =
     Seq("pairs", "bands", "vectors").foreach { zone =>
       val dir = s"$root/$zone"
@@ -167,8 +182,11 @@ object NearDupMaint {
             "— the only batch Structured Streaming can replay")
         val squash = all.filter(_ <= upToEpoch)
         if (squash.size > 1) {
+          // distinct() makes a crashed-then-rerun compact converge:
+          // the re-run unions the squashed epoch with surviving
+          // originals, whose rows are bitwise duplicates
           val union = spark.read.parquet(
-            squash.map(e => s"$dir/epoch=$e"): _*)
+            squash.map(e => s"$dir/epoch=$e"): _*).distinct()
           publish(union, dir, upToEpoch)
           squash.filter(_ != upToEpoch).foreach { e =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$dir/epoch=$e"),
@@ -178,32 +196,15 @@ object NearDupMaint {
       }
     }
 
-  private def publish(df: DataFrame, dir: String, batchId: Long): Unit = {
-    val spark = df.sparkSession
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val target = new org.apache.hadoop.fs.Path(s"$dir/epoch=$batchId")
-    val staging = new org.apache.hadoop.fs.Path(s"$dir/.staging-$batchId")
-    val backup = new org.apache.hadoop.fs.Path(s"$dir/.backup-$batchId")
-    val fs = target.getFileSystem(hconf)
-    try {
-      df.write.mode("overwrite").parquet(staging.toString)
-      graft.sinks.SwapPublish.publish(fs, staging, target, backup,
-        targetExists = fs.exists(target))
-    } finally { fs.delete(staging, true); () }
-  }
+  private def publish(df: DataFrame, dir: String, batchId: Long): Unit =
+    graft.sinks.SwapPublish.writeEpoch(df, dir, batchId)
 
   private def readEpochs(spark: SparkSession, dir: String,
                          beforeEpoch: Option[Long],
                          empty: => DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("epoch="))
-        .filter(q => beforeEpoch.forall(
-          q.getName.stripPrefix("epoch=").toLong < _))
-        .map(_.toString)
+    val paths = graft.sinks.SwapPublish.listEpochs(spark, dir)
+      .filter(e => beforeEpoch.forall(e < _))
+      .map(e => s"$dir/epoch=$e")
     if (paths.isEmpty) empty
     else spark.read.parquet(paths: _*)
   }

@@ -61,20 +61,34 @@ object Caps {
     * any non-zero value into a WARN with the family, the binding
     * row count and the densest bucket seen — so a caller whose
     * recall silently degrades to star+chain gets a signal at run
-    * time, not at autopsy. */
+    * time, not at autopsy.
+    *
+    * UNIT: `overcap_rows` counts rows OF THE OBSERVED RELATION whose
+    * `szCol` exceeds the cap — for the srp/perceptual legs that
+    * relation is member-band rows (so the count scales with bucket
+    * members), for the `lsh-buckets` leg it is one row per bucket
+    * (so the count is the number of binding buckets). The family
+    * name states the unit where it differs; `max_bucket` is
+    * unit-free (the densest bucket seen) and comparable across all
+    * families. */
   def observeOvercap(df: DataFrame, szCol: String, cap: Int,
                      family: String): DataFrame =
     df.observe(s"graft.cap.$family.${obsId.incrementAndGet()}",
       sum(when(col(szCol) > cap, 1L).otherwise(0L)).as("overcap_rows"),
       max(col(szCol)).as("max_bucket"))
 
-  @volatile private var listenerHooked = false
+  // Tracked PER SESSION, not per JVM: listenerManager is session
+  // state, so a flag shared across sessions would leave every session
+  // after the first without the WARN hook (getOrCreate usually reuses
+  // one session, but stop()+rebuild and test harnesses do not).
+  private val hookedSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Idempotently hook the observed-metrics WARN logger onto the
     * session (called from [[Sessions.build]]). */
   def registerCapListener(spark: SparkSession): Unit = synchronized {
-    if (listenerHooked) return
-    listenerHooked = true
+    if (!hookedSessions.add(spark)) return
     spark.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         private val log =
@@ -86,8 +100,9 @@ object Caps {
             if (name.startsWith("graft.cap.") &&
                 !row.isNullAt(0) && row.getLong(0) > 0L)
               log.warn(s"cap bound: $name overcap_rows=${row.getLong(0)} " +
+                s"(rows of the observed relation — see observeOvercap) " +
                 s"max_bucket=${row.get(1)} — pair expansion degraded " +
-                "to star+chain for the over-cap buckets")
+                "to the capped shape for the over-cap buckets")
           }
         override def onFailure(funcName: String,
                                qe: org.apache.spark.sql.execution.QueryExecution,
