@@ -1,0 +1,39 @@
+package graft.tools
+
+/** Dev probe: measures what the round-10 `withWitness = false` API
+  * actually saves — the witnessed vs witness-free wall time of the
+  * q308 approximate column profiler and the q310 sample quantiles at
+  * a given scale dir (each twice, min taken, witnessed first so any
+  * shared scan caching favors the WITNESSED side — the saving is a
+  * lower bound).
+  *
+  * Usage: runMain graft.tools.WitnessCost <sfDir>
+  */
+object WitnessCost {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.util.Sessions.build(dir, 32, logLevel = "ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def time(f: => org.apache.spark.sql.DataFrame): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val rows = Seq(
+      ("q308_profile", "witnessed",
+        time(graft.ops.Quality.approxColumnProfile(spark, dir))),
+      ("q308_profile", "witness_free",
+        time(graft.ops.Quality.approxColumnProfile(spark, dir,
+          withWitness = false))),
+      ("q310_quantiles", "witnessed",
+        time(graft.ops.Sampling.sampleQuantiles(spark, dir))),
+      ("q310_quantiles", "witness_free",
+        time(graft.ops.Sampling.sampleQuantiles(spark, dir,
+          withWitness = false))))
+    rows.foreach { case (q, mode, sec) =>
+      println(f"""{"probe":"$q","mode":"$mode","sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+}
