@@ -67,10 +67,16 @@ object NearDupMaint {
       .start()
 
   /** One admission fold. Exposed for tests and batch-driven
-    * backfills. */
+    * backfills. Fails fast when a [[compact]] crashed mid-run (the
+    * inflight marker is present): folding over a half-compacted zone
+    * would read duplicated predecessor state — the squashed epoch
+    * plus not-yet-deleted originals — and bake duplicate pairs into
+    * new epochs (round-10 ADVICE). Re-run compact first; it converges
+    * and clears the marker. */
   def foldBatch(batch0: DataFrame, root: String, batchId: Long,
                 bands: Int, bits: Int, threshold: Double): Unit = {
     val spark = batch0.sparkSession
+    requireNoInflightCompact(spark, root)
     graft.functions.GraftFunctions.register(spark)
     val prevVecs = readEpochs(spark, s"$root/vectors",
       beforeEpoch = Some(batchId), emptyVectors(spark))
@@ -120,16 +126,22 @@ object NearDupMaint {
   }
 
   /** The accumulated verified pair zone — every epoch's (disjoint)
-    * pairs, gate-ordered. */
-  def readPairs(spark: SparkSession, root: String): DataFrame =
+    * pairs, gate-ordered. Fails fast on a half-finished compact (see
+    * [[foldBatch]]): mid-crash the squashed epoch and its surviving
+    * originals would double the duplicated pairs. */
+  def readPairs(spark: SparkSession, root: String): DataFrame = {
+    requireNoInflightCompact(spark, root)
     readEpochs(spark, s"$root/pairs", beforeEpoch = None,
       emptyPairs(spark)).orderBy("id1", "id2")
+  }
 
   /** The admitted vector zone (newest view — epochs are disjoint by
-    * the anti-join guard). */
-  def readVectors(spark: SparkSession, root: String): DataFrame =
+    * the anti-join guard). Fails fast on a half-finished compact. */
+  def readVectors(spark: SparkSession, root: String): DataFrame = {
+    requireNoInflightCompact(spark, root)
     readEpochs(spark, s"$root/vectors", beforeEpoch = None,
       emptyVectors(spark))
+  }
 
   /** Squash every epoch ≤ `upToEpoch` of all three zones into one
     * directory each — the epoch-count bound a continuous admission
@@ -157,44 +169,112 @@ object NearDupMaint {
     * a deleted directory. Compaction is an offline layout operation,
     * like [[graft.sinks.Compact]] for small files.
     *
-    * Crash-safe AND convergent: the squashed relation is
-    * `.distinct()`-deduplicated before the staged atomic swap into
-    * `epoch=<upToEpoch>`, and only then are the older epoch dirs
-    * deleted. A crash between swap and deletes therefore leaves
-    * duplicate ROWS across the squashed epoch and the survivors —
-    * and re-running compact unions them and dedups again, restoring
-    * exactly the original content (rows within one zone are
-    * identical when duplicated: pairs/bands/vectors all carry full
-    * row identity), so compact converges instead of baking the
-    * duplication in. */
-  def compact(spark: SparkSession, root: String, upToEpoch: Long): Unit =
-    Seq("pairs", "bands", "vectors").foreach { zone =>
-      val dir = s"$root/$zone"
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) {
-        val all = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    * Crash-safe AND convergent (round-10 ADVICE hardening — three
+    * failure windows, each handled):
+    *
+    *   1. BEFORE any mutation, `upToEpoch` is validated against ALL
+    *      three zones (they publish together in [[foldBatch]], so
+    *      they must compact together) — a bad argument can no longer
+    *      leave pairs compacted but bands/vectors untouched.
+    *   2. A recovery pass restores orphaned `.backup-<e>` dirs left
+    *      by a crash inside [[graft.sinks.SwapPublish.publish]]'s
+    *      rename window (target moved aside, staging not yet swapped
+    *      in): the backup is the SOLE surviving copy of that epoch —
+    *      the naive re-run would both miss it (epoch listing skips
+    *      dot-dirs) and destroy it (publish begins by deleting the
+    *      backup). Backups whose target exists are post-swap
+    *      leftovers (the target already holds a superset) and drop.
+    *   3. An inflight marker (`_compact_inflight` at the root) is
+    *      held across the mutation phase; [[foldBatch]]/[[readPairs]]
+    *      /[[readVectors]] fail fast while it exists, so a crash
+    *      between the epoch swap and the old-epoch deletes cannot be
+    *      folded over as duplicated predecessor state — the operator
+    *      MUST re-run compact (same `upToEpoch`), which unions the
+    *      squashed epoch with the surviving originals, whose rows are
+    *      bitwise duplicates, `.distinct()`s them back to exactly the
+    *      original content (pairs/bands/vectors all carry full row
+    *      identity), and clears the marker. Convergent, no baked-in
+    *      duplication, enforced ordering. */
+  def compact(spark: SparkSession, root: String, upToEpoch: Long): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val zones = Seq("pairs", "bands", "vectors")
+    // Phase 1 — recover orphan backups, then validate EVERY zone
+    // before mutating ANY (zones move together; a require failure on
+    // the second zone must not leave the first already squashed)
+    val epochsByZone = zones.map { zone =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$zone")
+      val fs = p.getFileSystem(hconf)
+      recoverOrphanBackups(fs, p)
+      val all =
+        if (!fs.exists(p)) Seq.empty[Long]
+        else fs.listStatus(p).toSeq.map(_.getPath.getName)
           .filter(_.startsWith("epoch="))
           .map(_.stripPrefix("epoch=").toLong)
-        require(all.nonEmpty && upToEpoch < all.max,
-          s"compact($upToEpoch) must stay strictly below the newest " +
-            s"epoch ${if (all.isEmpty) "(none)" else all.max.toString} " +
-            "— the only batch Structured Streaming can replay")
-        val squash = all.filter(_ <= upToEpoch)
-        if (squash.size > 1) {
-          // distinct() makes a crashed-then-rerun compact converge:
-          // the re-run unions the squashed epoch with surviving
-          // originals, whose rows are bitwise duplicates
-          val union = spark.read.parquet(
-            squash.map(e => s"$dir/epoch=$e"): _*).distinct()
-          publish(union, dir, upToEpoch)
-          squash.filter(_ != upToEpoch).foreach { e =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/epoch=$e"),
-              true): Unit
-          }
+      zone -> all
+    }
+    if (epochsByZone.forall(_._2.isEmpty)) return // nothing folded yet
+    epochsByZone.foreach { case (zone, all) =>
+      require(all.nonEmpty && upToEpoch < all.max,
+        s"compact($upToEpoch) on zone '$zone' must stay strictly " +
+          s"below the newest epoch " +
+          s"${if (all.isEmpty) "(none)" else all.max.toString} " +
+          "— the only batch Structured Streaming can replay")
+    }
+    // Phase 2 — mutate under the inflight marker (readers/folds fail
+    // fast until a compact run reaches the marker delete below)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/$InflightMarker")
+    val mfs = marker.getFileSystem(hconf)
+    mfs.create(marker, true).close()
+    epochsByZone.foreach { case (zone, all) =>
+      val dir = s"$root/$zone"
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+      val squash = all.filter(_ <= upToEpoch)
+      if (squash.size > 1) {
+        val union = spark.read.parquet(
+          squash.map(e => s"$dir/epoch=$e"): _*).distinct()
+        publish(union, dir, upToEpoch)
+        squash.filter(_ != upToEpoch).foreach { e =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/epoch=$e"),
+            true): Unit
         }
       }
     }
+    mfs.delete(marker, false): Unit
+  }
+
+  /** Root-level marker held by a running [[compact]]; present ⇒ a
+    * compact crashed mid-mutation and must be re-run before any fold
+    * or read. */
+  private[streaming] val InflightMarker = "_compact_inflight"
+
+  private def requireNoInflightCompact(spark: SparkSession,
+                                       root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$InflightMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"a compact() of $root crashed mid-run (marker $p present) — " +
+        "re-run compact(root, <same upToEpoch>) before folding or " +
+        "reading; it converges and clears the marker")
+  }
+
+  /** See [[compact]] window 2: restore `.backup-<e>` whose target
+    * `epoch=<e>` is absent (sole surviving copy), drop the rest
+    * (post-swap leftovers). */
+  private def recoverOrphanBackups(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".backup-")) {
+        val target = new org.apache.hadoop.fs.Path(dir,
+          "epoch=" + name.stripPrefix(".backup-"))
+        if (!fs.exists(target))
+          require(fs.rename(st.getPath, target),
+            s"could not restore orphan backup ${st.getPath} to $target")
+        else fs.delete(st.getPath, true): Unit
+      }
+    }
+  }
 
   private def publish(df: DataFrame, dir: String, batchId: Long): Unit =
     graft.sinks.SwapPublish.writeEpoch(df, dir, batchId)

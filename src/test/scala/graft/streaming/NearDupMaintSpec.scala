@@ -63,6 +63,108 @@ class NearDupMaintSpec extends SparkSpec {
     }
   }
 
+  test("compact crash recovery: orphan backup restored, inflight " +
+    "marker fences folds and reads, re-run converges") {
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(120)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ndcrash-").toString
+    def slice(k: Int) = emb.where(pmod(col("vec_id"), lit(4)) === k)
+    NearDupMaint.foldBatch(slice(0), root, 0L, 8, 4, -1.0)
+    NearDupMaint.foldBatch(slice(1), root, 1L, 8, 4, -1.0)
+    NearDupMaint.foldBatch(slice(2), root, 2L, 8, 4, -1.0)
+    val want = NearDupMaint.readPairs(spark, root).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("cosine"))).toSet
+
+    // --- publish-rename window (compact ADVICE #1): epoch=1 of
+    // pairs was moved aside to .backup-1 and the staging swap never
+    // happened; the marker is still held. The backup is the SOLE
+    // surviving copy of batch 1's pairs.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(fs.rename(p(s"$root/pairs/epoch=1"),
+      p(s"$root/pairs/.backup-1")))
+    fs.create(p(s"$root/${NearDupMaint.InflightMarker}"), true).close()
+    // marker fences the fold AND both readers
+    intercept[IllegalArgumentException] {
+      NearDupMaint.foldBatch(slice(3), root, 3L, 8, 4, -1.0)
+    }
+    intercept[IllegalArgumentException] {
+      NearDupMaint.readPairs(spark, root)
+    }
+    intercept[IllegalArgumentException] {
+      NearDupMaint.readVectors(spark, root)
+    }
+    // re-running compact restores the orphan, squashes, clears marker
+    NearDupMaint.compact(spark, root, upToEpoch = 1L)
+    assert(!fs.exists(p(s"$root/${NearDupMaint.InflightMarker}")))
+    assert(!fs.exists(p(s"$root/pairs/.backup-1")))
+    val afterRecover = NearDupMaint.readPairs(spark, root).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(afterRecover == want,
+      s"recovery lost rows: ${(want diff afterRecover).take(3)}")
+
+    // --- swap-done-deletes-pending window (compact ADVICE #2):
+    // epochs are now {1, 2}; admit a fourth slice (epoch=3), then
+    // simulate a compact(2) that crashed after publishing the
+    // squashed union at epoch=2 but before deleting epoch=1 —
+    // duplicated vec_ids across epochs, marker held.
+    NearDupMaint.foldBatch(slice(3), root, 3L, 8, 4, -1.0)
+    val wantIds = emb.collect().map(_.getAs[Long]("vec_id")).toSet
+    val dupUnion = spark.read.parquet(
+      s"$root/vectors/epoch=1", s"$root/vectors/epoch=2").distinct()
+    graft.sinks.SwapPublish.writeEpoch(dupUnion, s"$root/vectors", 2L)
+    fs.create(p(s"$root/${NearDupMaint.InflightMarker}"), true).close()
+    // the duplicated predecessor state is fenced off...
+    intercept[IllegalArgumentException] {
+      NearDupMaint.readVectors(spark, root)
+    }
+    // ...and the re-run converges: union(epoch1, epoch2).distinct()
+    // restores exactly the original rows, epoch=1 is dropped
+    NearDupMaint.compact(spark, root, upToEpoch = 2L)
+    assert(!fs.exists(p(s"$root/${NearDupMaint.InflightMarker}")))
+    val ids = NearDupMaint.readVectors(spark, root).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(ids.length == ids.distinct.length,
+      "duplicated vec_ids survived the compact re-run")
+    assert(ids.toSet == wantIds)
+    assert(NearDupMaint.readPairs(spark, root).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+      .nonEmpty)
+  }
+
+  test("compact validates every zone before mutating any") {
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(60)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ndvalid-").toString
+    NearDupMaint.foldBatch(emb.limit(30), root, 0L, 8, 4, 0.45)
+    NearDupMaint.foldBatch(emb, root, 1L, 8, 4, 0.45)
+    val before = NearDupMaint.readPairs(spark, root).count()
+    // upToEpoch == newest: refused, and NO zone was touched and NO
+    // marker left behind (validation precedes the mutation phase)
+    intercept[IllegalArgumentException] {
+      NearDupMaint.compact(spark, root, upToEpoch = 1L)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/${NearDupMaint.InflightMarker}")))
+    Seq("pairs", "bands", "vectors").foreach { z =>
+      val dirs = new java.io.File(s"$root/$z").listFiles()
+        .count(_.getName.startsWith("epoch="))
+      assert(dirs == 2, s"zone $z mutated by a refused compact")
+    }
+    assert(NearDupMaint.readPairs(spark, root).count() == before)
+    // compacting an empty root is a no-op, not an error
+    val emptyRoot = java.nio.file.Files
+      .createTempDirectory("graft-ndempty-").toString
+    NearDupMaint.compact(spark, emptyRoot, upToEpoch = 0L)
+  }
+
   test("sink plumbing: a real streaming query drives the same fold") {
     import spark.implicits._
     val emb = graft.Tables.load(spark, sf(), "embeddings")
