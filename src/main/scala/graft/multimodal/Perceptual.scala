@@ -130,9 +130,7 @@ object Perceptual {
       .withColumn("bval",
         expr("shiftright(dhash, band * 7)").bitwiseAND(lit(0x7fL)))
     val wB = Window.partitionBy(col("band"), col("bval"))
-    val withSz = graft.util.Caps.observeOvercap(
-      bands.withColumn("sz", count(lit(1)).over(wB)),
-      "sz", maxBucket, "perceptual")
+    val withSz = bands.withColumn("sz", count(lit(1)).over(wB))
     val small = withSz.where(col("sz") <= maxBucket)
       .select(col("doc_id"), col("dhash"), col("band"), col("bval"))
     val full = small.as("a").join(small.as("b"),
@@ -149,7 +147,12 @@ object Perceptual {
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("prev_id", lag(col("doc_id"), 1).over(wOrd))
       .withColumn("prev_h", lag(col("dhash"), 1).over(wOrd))
-    val hubs = ranked.where(col("rn") === 1)
+    // the cap observe rides the HUB rows (one per over-cap bucket) —
+    // a single-consumer subtree, so the metric cannot double-count
+    // the way a node under the small×small self-join does (round-10
+    // ADVICE); sum(sz) recovers the member-row unit
+    val hubs = graft.util.Caps.observeOvercapHubs(
+        ranked.where(col("rn") === 1), "sz", "perceptual")
       .select(col("band"), col("bval"),
         col("doc_id").as("hub_id"), col("dhash").as("hub_h"))
     def normalized(df: DataFrame, oid: String, oh: String): DataFrame =

@@ -437,11 +437,11 @@ object Similarity {
                                 threshold: Double): DataFrame = {
     // bucket occupancy gates the expansion shape (see SrpMaxBucket);
     // the observe metric makes a binding cap visible at run time
-    // (graft.cap.srp.* — the Caps "no silent caps" plumbing)
+    // (graft.cap.srp.* — the Caps "no silent caps" plumbing), riding
+    // the single-consumer hub rows below so plan reuse cannot
+    // double-count it (round-10 ADVICE)
     val wB = Window.partitionBy(col("band"), col("bandVal"))
-    val withSz = graft.util.Caps.observeOvercap(
-      banded.withColumn("sz", count(lit(1)).over(wB)),
-      "sz", SrpMaxBucket, "srp")
+    val withSz = banded.withColumn("sz", count(lit(1)).over(wB))
     val smallB = withSz.where(col("sz") <= SrpMaxBucket)
       .select(col("vec_id"), col("band"), col("bandVal"))
     // STAR + CHAIN for oversized buckets, windowed (no bucket arrays)
@@ -449,7 +449,8 @@ object Similarity {
     val ranked = withSz.where(col("sz") > SrpMaxBucket)
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("prev", lag(col("vec_id"), 1).over(wOrd))
-    val hubs = ranked.where(col("rn") === 1)
+    val hubs = graft.util.Caps.observeOvercapHubs(
+        ranked.where(col("rn") === 1), "sz", "srp")
       .select(col("band"), col("bandVal"), col("vec_id").as("hub_id"))
     val star = ranked.where(col("rn") > 1)
       .join(hubs, Seq("band", "bandVal"))
@@ -980,10 +981,24 @@ object Similarity {
     * zone restricted to those anchors. The gate path (corpus well
     * under the ceiling at every gate SF) is byte-identical to the
     * old spelling; the anchored regime is forced and pinned in
-    * SimilaritySpec via the `maxExact` dial. */
+    * SimilaritySpec via the `maxExact` dial.
+    *
+    * `withWitness = false` is the 100 TB drop as API (the q308
+    * discipline, uniform across witnessed families since round 11):
+    * the exact side — the O(n²) zone derive below the ceiling, the
+    * O(nAnchors·n) anchored graph above it — and every recall column
+    * disappear from plan and schema, leaving the served banded
+    * graph's per-query neighbor counts: what serving actually pays.
+    * The gate query keeps the default (witness on). */
   def knnBandedWitness(s: SparkSession, dir: String,
                        maxExact: Int = ExactKnnMaxN,
-                       nAnchors: Int = WitnessAnchors): DataFrame = {
+                       nAnchors: Int = WitnessAnchors,
+                       withWitness: Boolean = true): DataFrame = {
+    if (!withWitness)
+      return knnGraphBanded(s, dir)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_banded"))
+        .orderBy("query_id")
     val (exactG, bandedG) =
       if (corpus(s, dir).count() <= maxExact)
         (knnGraphZone(s, dir), knnGraphBanded(s, dir))

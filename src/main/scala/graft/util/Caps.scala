@@ -64,17 +64,38 @@ object Caps {
     * time, not at autopsy.
     *
     * UNIT: `overcap_rows` counts rows OF THE OBSERVED RELATION whose
-    * `szCol` exceeds the cap — for the srp/perceptual legs that
-    * relation is member-band rows (so the count scales with bucket
-    * members), for the `lsh-buckets` leg it is one row per bucket
-    * (so the count is the number of binding buckets). The family
-    * name states the unit where it differs; `max_bucket` is
-    * unit-free (the densest bucket seen) and comparable across all
-    * families. */
+    * `szCol` exceeds the cap — for the `lsh-buckets` leg that
+    * relation is one row per bucket (so the count is the number of
+    * binding buckets); the srp/perceptual legs use
+    * [[observeOvercapHubs]] and count member rows. The family name
+    * states the unit where it differs; `max_bucket` is unit-free
+    * (the densest bucket seen) and comparable across all families.
+    *
+    * PLACEMENT RULE: attach only on a relation the plan consumes
+    * ONCE. A CollectMetrics node under a self-join executes once per
+    * plan copy and its sums double-count (round-10 ADVICE — the old
+    * srp/perceptual placement inflated up to plan-reuse×); multi-
+    * consumer band relations use [[observeOvercapHubs]] instead. */
   def observeOvercap(df: DataFrame, szCol: String, cap: Int,
                      family: String): DataFrame =
     df.observe(s"graft.cap.$family.${obsId.incrementAndGet()}",
       sum(when(col(szCol) > cap, 1L).otherwise(0L)).as("overcap_rows"),
+      max(col(szCol)).as("max_bucket"))
+
+  /** [[observeOvercap]] for band relations that feed both sides of a
+    * self-join (the srp/perceptual legs): attach on the over-cap HUB
+    * rows — one row per over-cap bucket, on the star branch the plan
+    * consumes exactly once — so nothing double-counts. `overcap_rows`
+    * recovers the member-row unit as `sum(szCol)` (Σ over-cap bucket
+    * sizes = member rows in binding buckets, the same number the old
+    * row-level placement reported once); `max_bucket` = `max(szCol)`.
+    * Both are null when no bucket exceeds the cap (the WARN listener
+    * skips nulls) — so unlike [[observeOvercap]], `max_bucket` is
+    * only reported while a cap actually binds. */
+  def observeOvercapHubs(df: DataFrame, szCol: String,
+                         family: String): DataFrame =
+    df.observe(s"graft.cap.$family.${obsId.incrementAndGet()}",
+      sum(col(szCol)).as("overcap_rows"),
       max(col(szCol)).as("max_bucket"))
 
   // Tracked PER SESSION, not per JVM: listenerManager is session

@@ -450,4 +450,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95,
       s"high-τ recall $recall over ${brute.size} planted pairs")
   }
+
+  test("q168 witness-free mode: the exact side and every recall " +
+    "column leave plan and schema (round-11 uniformity)") {
+    val free = Similarity.knnBandedWitness(spark, sf(),
+      withWitness = false)
+    assert(free.columns.toSeq == Seq("query_id", "n_banded"))
+    val rows = free.collect()
+    assert(rows.nonEmpty)
+    // the served banded graph itself, aggregated: same query set as
+    // the witnessed run's banded side
+    val witnessed = Similarity.knnBandedWitness(spark, sf()).collect()
+    assert(rows.length == witnessed.length,
+      s"${rows.length} banded queries vs ${witnessed.length} witnessed")
+  }
 }

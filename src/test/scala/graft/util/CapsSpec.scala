@@ -77,4 +77,34 @@ class CapsSpec extends SparkSpec {
     val qk = qm.keys.find(_.startsWith("graft.cap.testfam."))
     assert(qm(qk.get).getAs[Long]("overcap_rows") == 0L)
   }
+
+  test("observeOvercapHubs counts each over-cap member row exactly " +
+    "once even when the band relation feeds a self-join") {
+    import spark.implicits._
+    // 7 members in one over-cap bucket (cap 3), 2 in a sub-cap one;
+    // hub rows = rn==1 per over-cap bucket, carrying the bucket size
+    val df = (1L to 7L).map(i => (i, "b1", 7L)) :+ (8L, "b2", 2L) :+
+      (9L, "b2", 2L)
+    val bands = df.toDF("id", "bucket", "sz")
+    val hubs0 = bands.where(col("sz") > 3)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket")).orderBy(col("id"))))
+      .where(col("rn") === 1)
+    val hubs = Caps.observeOvercapHubs(hubs0, "sz", "hubfam")
+    // the self-join shape the srp/perceptual legs use: the observed
+    // subtree is the build side, consumed exactly once
+    val star = bands.where(col("sz") > 3).as("m")
+      .join(hubs.select(col("bucket"), col("id").as("hub")).as("h"),
+        Seq("bucket"))
+      .where(col("m.id") =!= col("hub"))
+    assert(star.collect().length == 6)
+    val m = star.queryExecution.observedMetrics
+    val key = m.keys.find(_.startsWith("graft.cap.hubfam."))
+    assert(key.nonEmpty, s"metric missing: ${m.keys}")
+    // sum(sz) over ONE hub row per over-cap bucket = 7 member rows,
+    // not 14 (the double-count the old row-level placement risked)
+    assert(m(key.get).getAs[Long]("overcap_rows") == 7L)
+    assert(m(key.get).getAs[Long]("max_bucket") == 7L)
+  }
 }
