@@ -905,8 +905,22 @@ object Dedup {
     * the q157 bloom→exact rule.)
     *
     * Scale shape: a pair-keyed semi-join between two pair relations
-    * plus three 1-row counts. */
-  def minhashWitness(s: SparkSession, dir: String): DataFrame = {
+    * plus three 1-row counts.
+    *
+    * `withWitness = false` is the 100 TB drop as API (the q308
+    * discipline, made uniform across the witnessed families in
+    * round 11): the exact-jaccard legs — family membership, rep
+    * pairs, the Σ|A|·|B| + ΣC(|F|,2) counts and both hit joins —
+    * disappear from plan AND schema, leaving only the approximate
+    * pipeline's own pair count (`n_lsh`): what a deployment that
+    * trusts the banding actually pays. The gate query keeps the
+    * default (witness on). */
+  def minhashWitness(s: SparkSession, dir: String,
+                     withWitness: Boolean = true): DataFrame = {
+    if (!withWitness)
+      return minhashLshPairs(s, dir, hash = Md5Prefix)
+        .select(col("id1"), col("id2")).distinct()
+        .agg(count(lit(1)).as("n_lsh"))
     // REP-LEVEL arithmetic (round-9 restructure; see jaccardZone):
     // |exact| = Σ|A|·|B| + ΣC(|F|,2) without evaluating the expanded
     // relation, and the intersection test runs per LSH PAIR (linear):
@@ -1420,7 +1434,7 @@ object Dedup {
     "q36_jaccard_pairs" -> (jaccardPairs _),
     "q274_dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "q293_effective_tokens" -> (effectiveTokens _),
-    "q302_minhash_witness" -> (minhashWitness _),
+    "q302_minhash_witness" -> ((s: SparkSession, d: String) => minhashWitness(s, d)),
     "q37_minhash_lsh"   -> ((s: SparkSession, d: String) =>
       minhashLshPairs(s, d, hash = Md5Prefix)),
     "q38_simhash"       -> ((s: SparkSession, d: String) =>

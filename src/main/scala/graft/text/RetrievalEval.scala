@@ -94,8 +94,21 @@ object RetrievalEval {
       .withColumn("n2", longDot(col("arr"), col("arr")))
   }
 
-  /** q199: per-source retrieval eval report. */
-  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+  /** q199: per-source retrieval eval report.
+    *
+    * `withWitness = false` is the 100 TB drop as API (the q308
+    * discipline, uniform across the witnessed families since round
+    * 11): the exact count-better rank — the one O(QueryCap·corpus)
+    * scan in the query, and the reason q199 is a sweep heavyweight —
+    * disappears from plan and schema, leaving the linear gold-
+    * coverage report (per source: queries, gold chunks found by the
+    * scorer, mean gold cosine). Rank-based recall@k at that scale
+    * runs on the served-IVF/banded paths, which carry their own
+    * recall witnesses (q163/q168); this flag makes q199's exact leg
+    * a choice instead of a tax. The gate query keeps the default
+    * (witness on). */
+  def retrievalEval(s: SparkSession, dir: String,
+                    withWitness: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val ch = CorpusStats.chunkZone(s, dir)
     // sampled gold pairs: anchor (doc, j) → positive (doc, j+1)
@@ -138,6 +151,22 @@ object RetrievalEval {
     // slower at sf0.1)
     val qrel = graft.util.Scratch.memo(s, "retr-queries",
       s"retr-queries:$dir")(qv.join(gs, Seq("qdoc", "qj")))
+    if (!withWitness) {
+      // witness-free: the corpus-wide count-better scan (`nb` below)
+      // never enters the plan — per-source gold coverage only
+      val src0 = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("qdoc"), col("source"))
+      return gold
+        .join(qrel.select(col("qdoc"), col("qj"), col("gcos")),
+          Seq("qdoc", "qj"), "left")
+        .join(src0, "qdoc")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("gcos").isNotNull, 1L).otherwise(0L))
+            .as("n_gold_scored"),
+          avg(col("gcos")).as("mean_gold_cos"))
+        .orderBy("source")
+    }
     // dense all-pairs scoring (term-sharing candidates = dot > 0),
     // consumed ONCE by the count-better aggregate: rank = 1 +
     // |better|, ties break on candidate id — no per-query top-k list
@@ -193,7 +222,7 @@ object RetrievalEval {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q199_retrieval_eval" -> (retrievalEval _))
+    "q199_retrieval_eval" -> ((s: SparkSession, d: String) => retrievalEval(s, d)))
 
   val oracle: Map[String, String] = Map(
     // sparse dim-join replay: the dot>0 pair set arises naturally

@@ -431,6 +431,11 @@ class DedupSpec extends SparkSpec {
     assert(nHit <= nExact, s"n_hit $nHit > n_exact $nExact")
     val rec = row.getAs[Double]("recall")
     assert(rec >= 0.0 && rec <= 1.0, s"recall $rec out of [0,1]")
+    // the 100 TB drop as API (round-11 uniformity): witness-free mode
+    // keeps only the approximate side — same n_lsh, no exact columns
+    val free = Dedup.minhashWitness(spark, sf(), withWitness = false)
+    assert(free.columns.toSeq == Seq("n_lsh"))
+    assert(free.collect().head.getAs[Long]("n_lsh") == nLsh)
   }
 
 }

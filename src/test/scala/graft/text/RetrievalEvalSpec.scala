@@ -82,5 +82,15 @@ class RetrievalEvalSpec extends SparkSpec {
       }.toMap
     assert(got == want, s"got $got\nwant $want")
     assert(want.values.map(_.n).sum > 10, "sample too thin at spec SF")
+    // the 100 TB drop as API (round-11 uniformity): witness-free mode
+    // loses the count-better scan and the rank metrics, keeps the
+    // linear gold-coverage report with the SAME query universe
+    val free = RetrievalEval.retrievalEval(spark, dir,
+      withWitness = false).collect()
+    assert(free.head.schema.fieldNames.toSeq ==
+      Seq("source", "n_queries", "n_gold_scored", "mean_gold_cos"))
+    val freeN = free.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("n_queries")).toMap
+    assert(freeN == want.map { case (s, m) => s -> m.n })
   }
 }
