@@ -728,6 +728,29 @@ object CorpusStats {
     * per DISTINCT duplicated substring — the find-#5 rule; the
     * quadratic all-pairs match relation is never formed).
     */
+  /** THE one derivation of the window-truncated suffix relation over
+    * a tokenized (doc_id, w) corpus — shared by [[dupSubstrings]] and
+    * the incremental admission twin
+    * ([[graft.streaming.SuffixMaint]]), so the two sides cannot drift
+    * (the NearDupMaint/bandRows discipline). */
+  private[graft] def suffixRows(docs: DataFrame, minLen: Int,
+                                window: Int): DataFrame =
+    docs.where(size(col("w")) >= minLen)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - minLen)).as("p"))
+      .select(col("doc_id"), col("p"),
+        slice(col("w"), col("p") + lit(1), lit(window)).as("key"))
+
+  /** Token-wise longest common prefix; null-tolerant (no neighbor =
+    * 0). Shared with [[graft.streaming.SuffixMaint]]. */
+  private[graft] def lcpTokens(a: Array[String], b: Array[String]): Int = {
+    if (a == null || b == null) return 0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a(i) == b(i)) i += 1
+    i
+  }
+
   def dupSubstrings(s: SparkSession, dir: String,
                     minLen: Int = DupSubMinLen,
                     window: Int = DupSubWindow): DataFrame = {
@@ -739,11 +762,7 @@ object CorpusStats {
         .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
     // one suffix row per position that can hold a minLen-gram; the
     // key is the window-truncated suffix (what the sort compares)
-    val sfx = docs.where(size(col("w")) >= minLen)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), size(col("w")) - minLen)).as("p"))
-      .select(col("doc_id"), col("p"),
-        slice(col("w"), col("p") + lit(1), lit(window)).as("key"))
+    val sfx = suffixRows(docs, minLen, window)
     val baseParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.min(4096, baseParts * math.max(1, window / 4))
     val ranged = sfx
@@ -751,13 +770,7 @@ object CorpusStats {
       .sortWithinPartitions("key", "doc_id", "p")
     val rdd = ranged.rdd.map(r =>
       (r.getLong(0), r.getInt(1), r.getSeq[String](2).toArray))
-    def lcp(a: Array[String], b: Array[String]): Int = {
-      if (a == null || b == null) return 0
-      val n = math.min(a.length, b.length)
-      var i = 0
-      while (i < n && a(i) == b(i)) i += 1
-      i
-    }
+    def lcp(a: Array[String], b: Array[String]): Int = lcpTokens(a, b)
     // pass 1: per-partition (first, last) suffix keys — ≤ 2·numParts
     // keys of ≤ window tokens ever reach the driver (bounded)
     val bounds = rdd.mapPartitionsWithIndex { (i, it) =>
