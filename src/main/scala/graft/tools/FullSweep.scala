@@ -25,18 +25,36 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * kill, which the marker cannot distinguish from an OOM death).
   * The marker never grows: it is truncate-written, not appended.
   *
-  * Unlike Bench (the driver's noise-arbitrated artifact), this is a
-  * one-pass measurement harness: per-query wall seconds, failures
-  * recorded as err strings, progress on stderr. Keep results files
-  * OUT of target/ (e.g. records/) if they are meant to be kept.
+  * Noise arbitration (round-10 judge item #4 — the Bench min-of-two
+  * discipline applied here): `--passes=N` runs each query N times in
+  * the same JVM and records `sec` = min across passes, making the
+  * runbook cells durable against one noisy pass. `zone_sec` still
+  * comes from the FIRST pass (zones build once; later passes read
+  * them), so cold-build accounting is unchanged. Default stays one
+  * pass (cold numbers).
+  *
+  * Overcap visibility (round-10 judge item #6): every record carries
+  * the query's `graft.cap.*` observed metrics when any fired —
+  * `overcap_rows` (summed over the query's observe nodes, max across
+  * passes) and `max_bucket` — so a cap that binds at scale lands in
+  * the ARTIFACT, not only in the WARN log.
+  *
+  * Failures are recorded as err strings, progress on stderr. Keep
+  * results files OUT of target/ (e.g. records/) if they are meant to
+  * be kept.
   *
   * Usage: runMain graft.tools.FullSweep <sfDir> <resultsFile>
-  *          [--retry-inflight] [onlyQuery...]
+  *          [--retry-inflight] [--passes=N] [onlyQuery...]
   */
 object FullSweep {
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     val retryInflight = flags.contains("--retry-inflight")
+    val passes = flags.collectFirst {
+      case f if f.startsWith("--passes=") =>
+        f.stripPrefix("--passes=").toInt
+    }.getOrElse(1)
+    require(passes >= 1, s"--passes=$passes must be >= 1")
     val dir = pos.headOption.getOrElse("target/sf10")
     val out = Paths.get(pos.drop(1).headOption.getOrElse("/tmp/sweep_sf10.jsonl"))
     val marker = Paths.get(out.toString + ".inflight")
@@ -72,6 +90,26 @@ object FullSweep {
 
     val spark = graft.util.Sessions.build(dir, 32, logLevel = "ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // per-query graft.cap.* capture (async listener; drained via
+    // GraftBridge.waitListenerBus before each read)
+    val capRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val capMax = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft.cap.")) {
+              if (!row.isNullAt(0)) capRows.addAndGet(row.getLong(0)): Unit
+              if (!row.isNullAt(1))
+                capMax.getAndUpdate(m => math.max(m, row.getLong(1))): Unit
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     val recorded = done ++ (if (retryInflight) Set.empty[String] else crashed)
     val todo = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => recorded.contains(n) }
@@ -79,17 +117,34 @@ object FullSweep {
     System.err.println(s"[sweep] ${todo.size} to run, ${recorded.size} already recorded, dir=$dir")
     for (((name, fn), i) <- todo.zipWithIndex) {
       setMarker(name)
-      val z0 = graft.util.Scratch.buildSeconds
-      val t0 = System.nanoTime()
+      val zStart = graft.util.Scratch.buildSeconds
+      val tStart = System.nanoTime()
       val rec =
         try {
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
-          val sec = (System.nanoTime() - t0) / 1e9
-          val zs = graft.util.Scratch.buildSeconds - z0
-          f"""{"name":"$name","sec":$sec%.1f,"zone_sec":$zs%.1f}"""
+          var best = Double.MaxValue
+          var zoneSec = 0.0
+          var oc = 0L
+          var ocMax = 0L
+          for (pass <- 1 to passes) {
+            capRows.set(0); capMax.set(0)
+            val z0 = graft.util.Scratch.buildSeconds
+            val t0 = System.nanoTime()
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (pass == 1) zoneSec = graft.util.Scratch.buildSeconds - z0
+            best = math.min(best, sec)
+            org.apache.spark.sql.GraftBridge
+              .waitListenerBus(spark, 30000L)
+            oc = math.max(oc, capRows.get())
+            ocMax = math.max(ocMax, capMax.get())
+          }
+          val cap = if (oc > 0 || ocMax > 0)
+            f""","overcap_rows":$oc,"max_bucket":$ocMax""" else ""
+          val pss = if (passes > 1) f""","passes":$passes""" else ""
+          f"""{"name":"$name","sec":$best%.1f,"zone_sec":$zoneSec%.1f$pss$cap}"""
         } catch { case e: Throwable =>
-          val sec = (System.nanoTime() - t0) / 1e9
-          val zs = graft.util.Scratch.buildSeconds - z0
+          val sec = (System.nanoTime() - tStart) / 1e9
+          val zs = graft.util.Scratch.buildSeconds - zStart
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(300)
           f"""{"name":"$name","sec":$sec%.1f,"zone_sec":$zs%.1f,"err":"$msg"}"""

@@ -44,6 +44,13 @@ object GraftBridge {
     * otherwise leave 40 full copies of its state on the checkpoint
     * store. Callers free round N's state only after round N+1 is
     * eagerly materialized, so nothing re-reads the deleted files. */
+  /** Drain the shared listener bus — QueryExecutionListener delivery
+    * is asynchronous, so a harness that reads listener-accumulated
+    * state right after an action (FullSweep's per-query overcap
+    * metrics) must flush first or it races the delivery thread. */
+  def waitListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   def freeCheckpoint(df: Dataset[_]): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
