@@ -32,6 +32,12 @@ import graft.Tables
   *    per-key state does not grow).
   *
   * Usage: runMain graft.tools.ScaleUp [srcDir] [outDir] [factor]
+  *          [table...]
+  *
+  * An explicit table list scopes generation (e.g. only
+  * documents+embeddings for the sf100 dedup/ANN decade probes —
+  * fanning lineitem 1000× costs a ~55 GB repartition shuffle the
+  * text/vector probes never read).
   */
 object ScaleUp {
 
@@ -52,8 +58,12 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tables = {
+      val named = args.drop(3).toSeq
+      if (named.isEmpty) Tables.All else named
+    }
     try {
-      Tables.All.foreach { t =>
+      tables.foreach { t =>
         val n = writeScaled(spark, src, out, t, factor)
         println(s"[scaleup] $t -> $n rows")
       }
