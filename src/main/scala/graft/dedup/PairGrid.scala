@@ -1,0 +1,180 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Block-grid pair expansion over band buckets — the
+  * [[graft.sim.Similarity]] `PairBlock` shape (q52/q309's sf1 skew
+  * fix) extracted so the MinHash (q37/q115/q302), SimHash (q38) and
+  * perceptual (q122/q126) legs share it (judge round-11 item #1: the
+  * sf100 probe heap-OOM'd the old per-bucket array expansion at
+  * clone families just UNDER the cap).
+  *
+  * Why the old shape died: `groupBy(band, bval).agg(collect_list)`
+  * followed by the two-stage `posexplode` kept the WHOLE bucket
+  * array alongside every exploded member row — O(sz²) bytes per
+  * bucket. With a 32-int MinHash signature per member, a 1000-member
+  * bucket holds 1000 rows × ~150 KB array ≈ 150 MB in ONE task, ×
+  * concurrent tasks → executor heap death at exactly the corpus the
+  * cap was tuned for (`records/probe_sf100_r11.jsonl`: q37 OOM, q38
+  * 40-min kill). The shape is input-dependent, not sf-dependent: any
+  * corpus with near-cap clone families hits it at any scale.
+  *
+  * The grid shape (same candidate SET, bounded memory AND bounded
+  * per-task work):
+  *   - members of a sub-cap bucket are indexed by a linear window
+  *     (`row_number` over the bucket — O(sz) state, never an array
+  *     of the whole bucket) and grouped into fixed-size blocks;
+  *   - the lower triangle expands as a block-grid self-join: every
+  *     grid cell holds ≤ block² candidate pairs and ≤ 2·block member
+  *     payloads, is its own task, and the densest bucket spreads
+  *     over (sz/block)²/2 tasks instead of concentrating in one;
+  *   - buckets ABOVE `maxBucket` degrade to the windowed STAR +
+  *     CHAIN over (pay, id) order — identical pair set to the old
+  *     array spelling (hub = sort-first member, chain = sort
+  *     successor; identical-payload clone runs stay contiguous so
+  *     the family chains together), but with `lag`/`row_number`
+  *     instead of a bucket array: O(1) state per row.
+  *
+  * FIRST-COLLIDING-BAND DEDUP (`firstBandDedup`, the sf100 shuffle
+  * dial): a clone pair collides in EVERY band, so the candidate
+  * stream carries nBands copies of each hot pair into the caller's
+  * post-threshold `.distinct()` — at the sf100 probe that is 8–16×
+  * the (already quadratic-by-contract) output volume shuffled twice.
+  * With the flag on, each member rides its full per-band
+  * (bval, bucket-size) vectors and a grid candidate from band b is
+  * kept only when NO earlier band b′ < b has equal band values AND a
+  * sub-cap bucket. EXACT, not lossy: the first sub-cap colliding
+  * band always grid-expands the pair, so every pair the undeduped
+  * stream would surface still appears at least once and the
+  * post-`.distinct()` output set is IDENTICAL in every regime — the
+  * sub-cap condition is what makes an over-cap earlier band (which
+  * only emits star+chain, not the full triangle) NOT suppress the
+  * later grid copy. Star+chain candidates are never filtered (they
+  * are linear in bucket size already). Cost: one extra window
+  * shuffle keyed by id, ~2·nBands longs riding each grid member, and
+  * a short-circuiting `exists` per candidate.
+  *
+  * Input contract: `banded` has exactly the columns
+  * (band, bval, id, pay) — `id` the entity id, `pay` any orderable
+  * payload the caller needs to score a pair (MinHash signature
+  * array, SimHash long, dHash long); `band` is 0-based and each id
+  * carries exactly one row per band. Output: candidate pairs
+  * (id1, pay1, id2, pay2) (callers normalize with least/greatest,
+  * score, threshold, then `.distinct()` across bands). `observeHubs`
+  * is applied to the over-cap hub rows (one per over-cap bucket,
+  * each carrying that bucket's size as `sz` — a single-consumer
+  * subtree, so the `graft.cap.*` observe metric cannot double-count;
+  * see [[graft.util.Caps]]). Like the SRP and perceptual legs, the
+  * metric therefore reports `max_bucket` only while the cap actually
+  * BINDS.
+  *
+  * `block` sizes the per-task payload: grid cells materialize rows
+  * carrying one block array, so per-row bytes ≈ block × payload
+  * size. 1024 suits bare long payloads (16 KB arrays); the dedup'd
+  * legs pass 256 (payload + band vectors ≈ 150–600 B/member keeps a
+  * cell's in-flight exploded rows ≲ 10–40 MB).
+  */
+object PairGrid {
+
+  /** Default grid block size — [[graft.sim.Similarity.PairBlock]]'s
+    * value, right for scalar (long) payloads. */
+  val Block = 1024
+
+  private[graft] def candidatePairs(banded: DataFrame, maxBucket: Int,
+                                    observeHubs: DataFrame => DataFrame,
+                                    block: Int = Block,
+                                    firstBandDedup: Boolean = false,
+                                    memoKey: Option[String] = None): DataFrame = {
+    val wB = Window.partitionBy(col("band"), col("bval"))
+    val withSz0 = banded.withColumn("sz", count(lit(1)).over(wB))
+    // member payload rider: pay alone, or pay + the per-band
+    // (bval, sz) vectors the first-band filter needs
+    val withSzDerived =
+      if (!firstBandDedup) withSz0.withColumn("pd", struct(col("pay")))
+      else {
+        val wD = Window.partitionBy(col("id")).orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        withSz0
+          .withColumn("pd", struct(col("pay"),
+            collect_list(col("bval")).over(wD).as("bvals"),
+            collect_list(col("sz")).over(wD).as("szs")))
+      }
+    // The banded relation feeds FOUR plan branches (grid x, grid y,
+    // star+hubs, chain) — the repo's ≥2-consumers rule applies:
+    // without a zone every branch re-derives the caller's upstream
+    // pipeline (for MinHash: scan → shingle explode → 32-min
+    // aggregate — the round-2 four-copies trap, which the old
+    // single-consumer two-stage explode avoided structurally).
+    // Callers whose upstream is expensive pass a memo key (folding
+    // in EVERY derivation input); the zone is built once per
+    // application and every branch scans parquet.
+    // the flag changes the zone's schema (pd with/without the band
+    // vectors), so it folds into the key alongside the caller's inputs
+    val withSz = memoKey match {
+      case Some(k) => graft.util.Scratch.memo(banded.sparkSession,
+        "pair-bands", s"$k:fbd=$firstBandDedup")(withSzDerived)
+      case None => withSzDerived
+    }
+    // BLOCK-GRID full triangle for sub-cap buckets
+    val idx = withSz.where(col("sz") >= 2 && col("sz") <= maxBucket)
+      .withColumn("i", row_number().over(wB.orderBy(col("id"))) - 1)
+    val blocks = idx
+      .withColumn("blk", (col("i") / block).cast("int"))
+      .groupBy(col("band"), col("bval"), col("blk"))
+      .agg(array_sort(collect_list(struct(col("id"), col("pd"))))
+        .as("ms"))
+    // no broadcast hint: blocks is corpus-growing — AQE decides (and
+    // with the zone in place a re-planned side is a parquet re-read,
+    // not a pipeline recompute)
+    val grid = blocks.as("x").join(blocks.as("y"),
+      col("x.band") === col("y.band") &&
+        col("x.bval") === col("y.bval") &&
+        col("x.blk") <= col("y.blk"))
+    // ONE consumer of the grid join: the diagonal cell expands its
+    // triangle via the positional slice, a cross cell expands the
+    // full m × ms2 rectangle — the when() keeps both in a single
+    // two-stage Generate chain (a singleton diagonal cell's empty
+    // slice just explodes to nothing)
+    val gridPairs0 = grid
+      .select(col("x.band").as("band"),
+        col("x.blk").as("xblk"), col("y.blk").as("yblk"),
+        col("y.ms").as("ms2"), posexplode(col("x.ms")).as(Seq("i", "m")))
+      .select(col("band"), col("m"),
+        explode(when(col("xblk") === col("yblk"),
+            expr("slice(ms2, i + 2, size(ms2) - i - 1)"))
+          .otherwise(col("ms2"))).as("n"))
+    // keep a grid candidate only at its FIRST sub-cap colliding band
+    // (see the scaladoc: exact — that band always grid-expands it)
+    // NB: the band-0 guard matters — sequence(0, -1) is [0, -1] in
+    // Spark (descending inference), not the empty prefix
+    val gridPairs = (if (!firstBandDedup) gridPairs0
+      else gridPairs0.where(not(expr(
+        s"""band > 0 AND exists(sequence(0, band - 1), b ->
+           |  element_at(m.pd.bvals, b + 1) = element_at(n.pd.bvals, b + 1)
+           |  AND element_at(m.pd.szs, b + 1) <= $maxBucket)""".stripMargin))))
+      .select(col("m.id").as("id1"), col("m.pd.pay").as("pay1"),
+        col("n.id").as("id2"), col("n.pd.pay").as("pay2"))
+    // STAR + CHAIN above the cap, windowed in (pay, id) order —
+    // identical-payload runs are contiguous, so clone families chain
+    val wOrd = wB.orderBy(col("pay"), col("id"))
+    val ranked = withSz.where(col("sz") > maxBucket)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("prev_id", lag(col("id"), 1).over(wOrd))
+      .withColumn("prev_pay", lag(col("pay"), 1).over(wOrd))
+    val hubs = observeHubs(ranked.where(col("rn") === 1))
+      .select(col("band"), col("bval"),
+        col("id").as("hub_id"), col("pay").as("hub_pay"))
+    val star = ranked.where(col("rn") > 1)
+      .join(hubs, Seq("band", "bval"))
+      .select(col("id").as("id1"), col("pay").as("pay1"),
+        col("hub_id").as("id2"), col("hub_pay").as("pay2"))
+    // rn = 2's lag pair is (hub, second) — already in star
+    val chain = ranked.where(col("rn") > 2)
+      .select(col("id").as("id1"), col("pay").as("pay1"),
+        col("prev_id").as("id2"), col("prev_pay").as("pay2"))
+    gridPairs.unionByName(star).unionByName(chain)
+  }
+}

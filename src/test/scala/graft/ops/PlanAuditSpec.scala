@@ -82,11 +82,19 @@ class PlanAuditSpec extends SparkSpec {
         plan)
   }
 
-  test("q37: the signature pipeline plans exactly one documents scan") {
+  test("q37: the signature pipeline runs once — every expansion " +
+    "branch reads the bands zone, zero corpus re-scans") {
+    // round-12 shape: PairGrid's grid/star/chain branches each
+    // consume the banded relation, so it is a Scratch zone (the
+    // ≥2-consumers rule) — the expensive scan → shingle explode →
+    // 32-min aggregate pipeline materializes the zone exactly once
+    // and the query plan itself must not touch documents.parquet
     val plan = planOf("q37_minhash_lsh")
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 1,
-      s"expected ONE corpus scan in the bucket-shape plan, got $scans:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      "a branch re-scanned the corpus instead of the bands zone:\n" +
+        plan)
+    assert(plan.contains("graft-scratch-"),
+      "expected scans of the bands scratch zone:\n" + plan)
   }
 
   test("q102: the split is map-side — one scan, only the output-sort exchange") {

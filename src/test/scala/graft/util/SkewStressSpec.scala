@@ -139,6 +139,40 @@ class SkewStressSpec extends SparkSpec {
     assertFamilyConnected(pairs.select("a", "b"), fam, "perceptual")
   }
 
+  test("near-cap clone family (the r11 sf100 OOM shape): full " +
+    "triangle completes block-gridded and the cap stays silent") {
+    import spark.implicits._
+    // A clone family of EXACTLY Caps.BandBucketCap members rides the
+    // full-triangle branch (the cap binds only ABOVE it). Under the
+    // old per-bucket collect_list expansion every member row carried
+    // the whole 1000-struct signature array — O(sz²) ≈ 140 MB per
+    // bucket per band, the executor heap death probe_sf100_r11
+    // demonstrated. PairGrid's block grid expands the same C(n,2)
+    // candidate set in (n/256)²/2 bounded cells; this pins that the
+    // triangle is COMPLETE (block seams invisible) and that the
+    // non-binding cap reports nothing.
+    val n = Caps.BandBucketCap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nearcap-").toString
+    val docs = ((0L until n.toLong).map(i =>
+      (i, "the very same boilerplate paragraph stamped onto every " +
+        "member of the near-cap clone family", "a")) ++
+      Seq((9000L, "an entirely different document about other things", "a"),
+        (9001L, "yet another unrelated piece of text entirely", "a")))
+      .toDF("doc_id", "text", "source")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(spark, dir)
+    val famPairs = pairs
+      .where(col("id1") < n.toLong && col("id2") < n.toLong).count()
+    assert(famPairs == n.toLong * (n - 1) / 2,
+      s"full triangle incomplete: $famPairs pairs for $n clones")
+    assert(pairs.where(col("id1") >= n.toLong || col("id2") >= n.toLong)
+      .count() == 0, "unrelated docs paired")
+    val (over, maxB) = capMetric(pairs, "lsh-buckets")
+    assert(over == 0 && maxB == 0,
+      s"cap reported ($over, $maxB) though sz == cap does not bind")
+  }
+
   test("salted join beats the plain join on a hot key (no-broadcast " +
     "regime) and answers are identical") {
     // 95% of 8M fact rows on one key, joining a 10-rows-per-key dim
@@ -215,6 +249,23 @@ class SkewStressSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
+  }
+
+  test("recommendSalt encodes the measured regime map, not a guess") {
+    import graft.ops.SkewJoin.recommendSalt
+    // the two measured points (records/skew_salted_r11.jsonl):
+    // 95%-hot join — no win at local[4], 2.7× at local[32]/64 parts
+    assert(recommendSalt(4, 4, 0.95).isEmpty)
+    assert(recommendSalt(32, 64, 0.95).contains(32))
+    // no hot key → no salt, however many cores are available
+    assert(recommendSalt(1024, 2048, 0.001).isEmpty)
+    // cluster shape: salt tracks stranded core-equivalents (next
+    // power of two), capped at half the shuffle partitions so
+    // sub-keys don't re-collide
+    assert(recommendSalt(8000, 16000, 0.3).contains(4096))
+    assert(recommendSalt(8000, 64, 0.3).contains(32))
+    intercept[IllegalArgumentException] { recommendSalt(32, 64, 1.5) }
+    intercept[IllegalArgumentException] { recommendSalt(0, 64, 0.5) }
   }
 
   test("salted agg twin (q49 shape): identical answers on the skewed " +
