@@ -52,6 +52,31 @@ private[graft] object SwapPublish {
     } finally { fs.delete(staging, true); () }
   }
 
+  /** Restore orphaned `.backup-<e>` dirs left by a crash inside
+    * [[publish]]'s rename window (target moved aside, staging not
+    * yet swapped in): a backup whose `epoch=<e>` target is ABSENT is
+    * the SOLE surviving copy of that epoch — a naive compaction
+    * re-run would both miss it (epoch listings skip dot-dirs) and
+    * destroy it (publish begins by deleting the backup) — so restore
+    * it; a backup whose target exists is a post-swap leftover (the
+    * target already holds a superset) and drops. Shared by the
+    * epoch-zone compactions (NearDupMaint, SuffixMaint) — the
+    * header's one-implementation rule. */
+  def recoverOrphanBackups(fs: FileSystem, dir: Path): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".backup-")) {
+        val target = new Path(dir,
+          "epoch=" + name.stripPrefix(".backup-"))
+        if (!fs.exists(target))
+          require(fs.rename(st.getPath, target),
+            s"could not restore orphan backup ${st.getPath} to $target")
+        else fs.delete(st.getPath, true): Unit
+      }
+    }
+  }
+
   /** Epoch numbers present under `dir` (Hive-style `epoch=N`
     * children); empty when the directory does not exist. */
   def listEpochs(spark: org.apache.spark.sql.SparkSession,

@@ -257,24 +257,11 @@ object NearDupMaint {
         "reading; it converges and clears the marker")
   }
 
-  /** See [[compact]] window 2: restore `.backup-<e>` whose target
-    * `epoch=<e>` is absent (sole surviving copy), drop the rest
-    * (post-swap leftovers). */
+  /** See [[compact]] window 2 — the shared
+    * [[graft.sinks.SwapPublish.recoverOrphanBackups]]. */
   private def recoverOrphanBackups(fs: org.apache.hadoop.fs.FileSystem,
-                                   dir: org.apache.hadoop.fs.Path): Unit = {
-    if (!fs.exists(dir)) return
-    fs.listStatus(dir).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith(".backup-")) {
-        val target = new org.apache.hadoop.fs.Path(dir,
-          "epoch=" + name.stripPrefix(".backup-"))
-        if (!fs.exists(target))
-          require(fs.rename(st.getPath, target),
-            s"could not restore orphan backup ${st.getPath} to $target")
-        else fs.delete(st.getPath, true): Unit
-      }
-    }
-  }
+                                   dir: org.apache.hadoop.fs.Path): Unit =
+    graft.sinks.SwapPublish.recoverOrphanBackups(fs, dir)
 
   private def publish(df: DataFrame, dir: String, batchId: Long): Unit =
     graft.sinks.SwapPublish.writeEpoch(df, dir, batchId)

@@ -65,7 +65,8 @@ class SuffixMaintSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("inflight marker fences reads; re-running the fold converges") {
+  test("inflight marker fences reads AND other folds; only the same " +
+    "batchId replays and converges") {
     val dir = sf()
     val root = java.nio.file.Files
       .createTempDirectory("graft-sfxmaint2-").toString
@@ -74,15 +75,140 @@ class SuffixMaintSpec extends SparkSpec {
       root, buckets = 4)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$root/${SuffixMaint.InflightMarker}"), true).close()
+    // a crashed fold of batch 1: marker present, carrying its batchId
+    val m = fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/${SuffixMaint.InflightMarker}"), true)
+    m.write("1".getBytes("UTF-8")); m.close()
     intercept[IllegalArgumentException] {
       SuffixMaint.readDupSubstrings(spark, root)
     }
-    // the re-run clears the marker and converges
+    // a DIFFERENT batch may not fold over the half-applied state
+    // (round-11 ADVICE: the fold fence, not just the read fence)
+    intercept[IllegalArgumentException] {
+      SuffixMaint.foldBatch(spark, docs.limit(3), root, 2L)
+    }
+    // the legitimate replay (same batchId) clears the marker and
+    // converges
     SuffixMaint.foldBatch(spark, docs.where(col("doc_id") % 2 === 1),
       root, 1L)
     val got = report(SuffixMaint.readDupSubstrings(spark, root))
     assert(got == report(CorpusStats.dupSubstrings(spark, dir)))
+  }
+
+  test("split keys dedupe by content: a clone-heavy sample leaves no " +
+    "equal adjacent splits") {
+    import spark.implicits._
+    // a corpus dominated by ONE repeated text makes most sampled
+    // suffix keys identical — reference-equality distinct kept them
+    // all (round-11 ADVICE), wasting permanently-empty buckets
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sfxsplit-").toString
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sfxsplitdocs-").toString
+    val docs = ((0L until 60L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon")) ++
+      Seq((100L, "one entirely different document body present here " +
+        "with its own words and no overlap at all")))
+      .toDF("doc_id", "text")
+    docs.withColumn("source", lit("a")).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    SuffixMaint.init(spark, docs, root, buckets = 8)
+    val keys = spark.read.parquet(s"$root/splits")
+      .where(col("i") >= 0).orderBy("i")
+      .collect().map(_.getSeq[String](1))
+    assert(keys.distinct.length == keys.length,
+      s"content-equal split keys survived: ${keys.mkString("; ")}")
+    // and the zone still reports exactly the batch answer
+    val got = report(SuffixMaint.readDupSubstrings(spark, root))
+    assert(got == report(CorpusStats.dupSubstrings(spark, dir)))
+  }
+
+  test("compact: squashed zones read identically, later folds still " +
+    "converge, crash windows fence and re-run converges") {
+    val dir = sf()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sfxcompact-").toString
+    val docs = docsOf(dir)
+    SuffixMaint.init(spark, docs.where(pmod(col("doc_id"), lit(5)) < 2),
+      root, buckets = 8)
+    (2 to 4).foreach { k =>
+      SuffixMaint.foldBatch(spark,
+        docs.where(pmod(col("doc_id"), lit(5)) === k), root, k - 1L)
+    }
+    val before = report(SuffixMaint.readDupSubstrings(spark, root))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // refused: upToEpoch == newest batch (the one a stream replays)
+    intercept[IllegalArgumentException] {
+      SuffixMaint.compact(spark, root, upToEpoch = 3L)
+    }
+    assert(!fs.exists(p(s"$root/${SuffixMaint.CompactMarker}")),
+      "refused compact left its marker behind")
+    SuffixMaint.compact(spark, root, upToEpoch = 2L)
+    // layout after: no bucket holds more than ONE run at or below
+    // the squash epoch (buckets touched by a single batch only were
+    // already one-run and skip)
+    def bucketEpochs(b: String): Seq[Long] =
+      new java.io.File(s"$root/sfx/$b").listFiles()
+        .map(_.getName).filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong).toSeq
+    val sfxBuckets = new java.io.File(s"$root/sfx").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSeq
+    sfxBuckets.foreach { b =>
+      assert(bucketEpochs(b).count(_ <= 2L) <= 1,
+        s"$b unsquashed: ${bucketEpochs(b)}")
+    }
+    assert(report(SuffixMaint.readDupSubstrings(spark, root)) == before,
+      "compact changed the read")
+    // publish-rename crash window: a bucket's squashed epoch moved
+    // aside to .backup, marker held — reads and folds fence; the
+    // re-run restores the orphan and converges
+    val b0 = sfxBuckets.find(bucketEpochs(_).contains(2L))
+      .getOrElse(fail("no bucket holds a squashed epoch=2 run"))
+    assert(fs.rename(p(s"$root/sfx/$b0/epoch=2"),
+      p(s"$root/sfx/$b0/.backup-2")))
+    fs.create(p(s"$root/${SuffixMaint.CompactMarker}"), true).close()
+    intercept[IllegalArgumentException] {
+      SuffixMaint.readDupSubstrings(spark, root)
+    }
+    intercept[IllegalArgumentException] {
+      SuffixMaint.foldBatch(spark, docs.limit(3), root, 4L)
+    }
+    SuffixMaint.compact(spark, root, upToEpoch = 2L)
+    assert(!fs.exists(p(s"$root/${SuffixMaint.CompactMarker}")))
+    assert(!fs.exists(p(s"$root/sfx/$b0/.backup-2")))
+    assert(report(SuffixMaint.readDupSubstrings(spark, root)) == before,
+      "orphan-backup recovery lost rows")
+    // publish-done-deletes-pending window: squashed run AND its
+    // originals side by side (simulated by re-unioning epochs 2+3
+    // into epoch=3... kept BELOW a newer batch), marker held — the
+    // re-run's union+distinct restores exact content
+    SuffixMaint.foldBatch(spark, docs.limit(0), root, 4L) // batch 4
+    // epoch data files carry (doc_id, p, key) only — bucket/epoch
+    // live in the directory names, so the simulated run must too
+    val runs = bucketEpochs(b0).filter(_ <= 3L)
+    val dupUnion = spark.read.option("basePath", s"$root/sfx")
+      .parquet(runs.map(e => s"$root/sfx/$b0/epoch=$e"): _*)
+      .drop("epoch", "bucket")
+    dupUnion.write.mode("overwrite")
+      .parquet(s"$root/sfx/$b0/.staging-sim")
+    fs.delete(p(s"$root/sfx/$b0/epoch=3"), true)
+    assert(fs.rename(p(s"$root/sfx/$b0/.staging-sim"),
+      p(s"$root/sfx/$b0/epoch=3")))
+    fs.create(p(s"$root/${SuffixMaint.CompactMarker}"), true).close()
+    intercept[IllegalArgumentException] {
+      SuffixMaint.readDupSubstrings(spark, root)
+    }
+    SuffixMaint.compact(spark, root, upToEpoch = 3L)
+    assert(!fs.exists(p(s"$root/${SuffixMaint.CompactMarker}")))
+    assert(report(SuffixMaint.readDupSubstrings(spark, root)) == before,
+      "duplicated-run convergence failed")
+    // and the zone still folds + reads the full corpus correctly
+    SuffixMaint.foldBatch(spark,
+      docs.where(pmod(col("doc_id"), lit(5)) === 0), root, 5L)
+    assert(report(SuffixMaint.readDupSubstrings(spark, root)) ==
+      report(CorpusStats.dupSubstrings(spark, dir)))
   }
 }
