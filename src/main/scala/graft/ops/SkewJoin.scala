@@ -57,6 +57,50 @@ object SkewJoin {
     sl.join(sr, keys :+ "_salt", joinType).drop("_salt")
   }
 
+  /** Advisory dial derived from the MEASURED salting regime map
+    * (records/skew_salted_r11.jsonl, tools.SkewBench, local[4] vs
+    * local[32]) — so the 100 TB operator doesn't salt blindly:
+    *
+    *   - AGGREGATES: don't salt for wall time. Map-side partial
+    *     aggregation collapses a hot GROUP to one row per input
+    *     partition BEFORE the shuffle — measured a tie at 90% skew.
+    *     (The two-level spelling stays layout insurance where a
+    *     group's pre-aggregation rows genuinely land on one reducer,
+    *     e.g. collect_list.)
+    *   - JOINS (reduce-heavy, no broadcast): salting pays only when
+    *     the hot key strands cores the plain plan cannot use. The
+    *     hot reducer drains `hotShare` of the output on ONE core
+    *     while the rest share the remainder; on a small box the
+    *     map side keeps every core busy anyway and the salt's
+    *     overhead (right side replicated ×salt, wider shuffle key)
+    *     buys nothing — measured: NO win at 4 cores, 2.7× at 32
+    *     cores, same 95%-hot distribution. The measured break-even
+    *     sits where the hot key holds ≳ 8 core-equivalents of work.
+    *
+    * Returns the salt to use, or None when the plain join (plus AQE)
+    * is the right call. `hotShare` is the hottest key's fraction of
+    * fact-side rows — from a stats pass or a Misra-Gries heavy-hitter
+    * sketch ([[graft.text.Sketches]]), never a guess. */
+  def recommendSalt(cores: Int, partitions: Int,
+                    hotShare: Double): Option[Int] = {
+    require(cores >= 1 && partitions >= 1,
+      "need positive cores/partitions")
+    require(hotShare >= 0.0 && hotShare <= 1.0,
+      s"hotShare=$hotShare is not a fraction")
+    val strandedCores = hotShare * cores
+    if (strandedCores < 8.0) None
+    else {
+      // enough sub-keys to bring the hot reducer down to a balanced
+      // core-share (next power of two ≥ stranded cores); more only
+      // inflates the replicated side. Sub-keys need partitions > salt
+      // or they re-collide (the suite's 16-partitions/8-salt floor) —
+      // cap at partitions/2.
+      val want = math.ceil(strandedCores).toInt
+      val salt = Integer.highestOneBit(math.max(2, want - 1)) * 2
+      Some(math.min(salt, math.max(2, partitions / 2)))
+    }
+  }
+
   /** q101: salted fact-to-dim join under a per-brand revenue
     * aggregate; the oracle is the PLAIN join+aggregate — identical
     * answers is the entire contract of the technique. */

@@ -118,7 +118,10 @@ object FullSweep {
     for (((name, fn), i) <- todo.zipWithIndex) {
       setMarker(name)
       val zStart = graft.util.Scratch.buildSeconds
-      val tStart = System.nanoTime()
+      // per-pass start, visible to the catch block: a failure in pass
+      // >= 2 must record THAT pass's elapsed time, not the cumulative
+      // wall of every completed pass plus it (round-11 ADVICE)
+      var passT0 = System.nanoTime()
       val rec =
         try {
           var best = Double.MaxValue
@@ -128,13 +131,22 @@ object FullSweep {
           for (pass <- 1 to passes) {
             capRows.set(0); capMax.set(0)
             val z0 = graft.util.Scratch.buildSeconds
-            val t0 = System.nanoTime()
+            passT0 = System.nanoTime()
             fn(spark, dir).write.format("noop").mode("overwrite").save()
-            val sec = (System.nanoTime() - t0) / 1e9
+            val sec = (System.nanoTime() - passT0) / 1e9
             if (pass == 1) zoneSec = graft.util.Scratch.buildSeconds - z0
             best = math.min(best, sec)
-            org.apache.spark.sql.GraftBridge
+            // the drain may time out on a busy bus — that makes this
+            // pass's cap metrics partial, NOT the query a failure
+            // (round-11 ADVICE: waitUntilEmpty throws, and a thrown
+            // drain used to discard a successful timing as an err row)
+            try org.apache.spark.sql.GraftBridge
               .waitListenerBus(spark, 30000L)
+            catch { case _: java.util.concurrent.TimeoutException =>
+              System.err.println(
+                s"[sweep] $name: listener bus busy after 30 s — " +
+                  "cap metrics for this pass may be partial")
+            }
             oc = math.max(oc, capRows.get())
             ocMax = math.max(ocMax, capMax.get())
           }
@@ -143,7 +155,7 @@ object FullSweep {
           val pss = if (passes > 1) f""","passes":$passes""" else ""
           f"""{"name":"$name","sec":$best%.1f,"zone_sec":$zoneSec%.1f$pss$cap}"""
         } catch { case e: Throwable =>
-          val sec = (System.nanoTime() - tStart) / 1e9
+          val sec = (System.nanoTime() - passT0) / 1e9
           val zs = graft.util.Scratch.buildSeconds - zStart
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(300)
