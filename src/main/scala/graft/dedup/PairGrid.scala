@@ -112,12 +112,17 @@ object PairGrid {
     // in EVERY derivation input); the zone is built once per
     // application and every branch scans parquet.
     // the flag changes the zone's schema (pd with/without the band
-    // vectors), so it folds into the key alongside the caller's inputs
-    val withSz = memoKey match {
+    // vectors), so it folds into the key alongside the caller's
+    // inputs. The zone stores pay once (inside pd) — `pay` is
+    // re-aliased after the scan so the star/chain branch can order
+    // by it without doubling the stored signature bytes.
+    val slim = withSzDerived.select(col("band"), col("bval"),
+      col("id"), col("sz"), col("pd"))
+    val withSz = (memoKey match {
       case Some(k) => graft.util.Scratch.memo(banded.sparkSession,
-        "pair-bands", s"$k:fbd=$firstBandDedup")(withSzDerived)
-      case None => withSzDerived
-    }
+        "pair-bands", s"$k:fbd=$firstBandDedup")(slim)
+      case None => slim
+    }).withColumn("pay", col("pd.pay"))
     // BLOCK-GRID full triangle for sub-cap buckets
     val idx = withSz.where(col("sz") >= 2 && col("sz") <= maxBucket)
       .withColumn("i", row_number().over(wB.orderBy(col("id"))) - 1)
