@@ -453,11 +453,17 @@ object Dedup {
     * (`xxhash64(h, i)`), which costs a constant-size mix instead of a
     * full string traversal per permutation — 32 string hashes → 1. */
   def minhashSignatures(s: SparkSession, dir: String,
-                        hash: DedupHash = XxHash64): DataFrame = {
+                        hash: DedupHash = XxHash64): DataFrame =
     // spread docs across cores BEFORE the explode — the table is one
     // parquet split, and shingling is the CPU-bound stage
-    val docs = Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    signaturesOf(Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism), hash)
+
+  /** The [[minhashSignatures]] pipeline over an explicit
+    * (doc_id, text) relation — shared with the rep-level production
+    * spelling (q314), whose input is the q34 digest survivors. */
+  private def signaturesOf(docs0: DataFrame, hash: DedupHash): DataFrame = {
+    val docs = docs0
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(shinglesOf(col("w"))).as("sh"))
       .select(col("doc_id"), hash.h(col("sh")).as("h"))
@@ -497,7 +503,10 @@ object Dedup {
     * the signature riding along 8× (once per band). */
   private[graft] def bandedRows(s: SparkSession, dir: String,
                                 hash: DedupHash): DataFrame =
-    minhashSignatures(s, dir, hash)
+    bandedRowsOf(minhashSignatures(s, dir, hash), hash)
+
+  private def bandedRowsOf(sigs: DataFrame, hash: DedupHash): DataFrame =
+    sigs
       .withColumn("sig", array((0 until MinhashPerms).map(i => col(s"m$i")): _*))
       .select("doc_id", "sig")
       .select(
@@ -527,11 +536,20 @@ object Dedup {
     val banded = bandedRows(s, dir, hash).select(
       col("d.doc_id").as("id"), col("d.sig").as("pay"),
       col("band"), col("bandHash").as("bval"))
+    lshVerifiedPairs(banded, maxBucket, capName = "lsh-buckets",
+      memoKey = PairGrid.memoKeyIfLarge(s, dir, s"minhash-bands:$hash:$dir"))
+  }
+
+  /** The shared grid-expand → signature-verify → dedup tail of the
+    * MinHash legs (q37 full-corpus, q314 rep-level). */
+  private def lshVerifiedPairs(banded: DataFrame, maxBucket: Int,
+                               capName: String,
+                               memoKey: Option[String]): DataFrame =
     PairGrid.candidatePairs(banded, maxBucket,
         hubs => graft.util.Caps.observeOvercap(
-          hubs, "sz", maxBucket, "lsh-buckets"),
+          hubs, "sz", maxBucket, capName),
         block = SigPairBlock, firstBandDedup = true,
-        memoKey = Some(s"minhash-bands:$hash:$dir"))
+        memoKey = memoKey)
       .select(
         least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"),
@@ -540,6 +558,37 @@ object Dedup {
       .where(col("est_jaccard") >= 0.5)
       .distinct() // same pair can surface from several bands
       .orderBy("id1", "id2")
+
+  /** q314: the PRODUCTION q37 spelling — exact-content collapse
+    * FIRST (the q34/q35 digest rule: rep = lowest doc_id per
+    * md5(text), ONE shuffle of (16-byte digest, doc_id)), then
+    * MinHash-LSH near-dup over the REPRESENTATIVES only. The LSH
+    * leg's cost is bounded by DISTINCT CONTENT, not corpus size —
+    * a verbatim-clone-heavy corpus (the 1000× scale fixture, and
+    * real web crawl, where exact duplicates dominate) adds zero rows
+    * to the shingle/signature/band pipeline; q37's gate spelling
+    * instead signatures every clone and emits the full
+    * quadratic-by-construction member-pair expansion (its oracle
+    * contract). Doc-level pairs remain a lazy algebraic view over
+    * (rep pairs × q34 membership), never materialized — the q36
+    * expandPairs / find-#5 discipline. */
+  def minhashRepPairs(s: SparkSession, dir: String,
+                      maxBucket: Int = MaxLshBucket,
+                      hash: DedupHash = XxHash64): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val reps = Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("text"))
+    val banded = bandedRowsOf(signaturesOf(reps, hash), hash).select(
+      col("d.doc_id").as("id"), col("d.sig").as("pay"),
+      col("band"), col("bandHash").as("bval"))
+    // gate on the full documents table: the rep relation itself may
+    // be tiny on a clone corpus, but re-deriving it per branch would
+    // re-pay the corpus-wide digest window 4×
+    lshVerifiedPairs(banded, maxBucket, capName = "lsh-rep-buckets",
+      memoKey = PairGrid.memoKeyIfLarge(s, dir, s"minhash-rep-bands:$hash:$dir"))
   }
 
   /** q115: DELTA near-dedup — check only a batch of NEW documents
@@ -654,7 +703,8 @@ object Dedup {
         hubs => graft.util.Caps.observeOvercap(
           hubs, "sz", maxBucket, "simhash-buckets"),
         block = SigPairBlock, firstBandDedup = true,
-        memoKey = Some(s"simhash-bands:$hash:$bandBits:$dir"))
+        memoKey = PairGrid.memoKeyIfLarge(
+          s, dir, s"simhash-bands:$hash:$bandBits:$dir"))
       .select(
         least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"),
@@ -1425,6 +1475,8 @@ object Dedup {
     "q302_minhash_witness" -> ((s: SparkSession, d: String) => minhashWitness(s, d)),
     "q37_minhash_lsh"   -> ((s: SparkSession, d: String) =>
       minhashLshPairs(s, d, hash = Md5Prefix)),
+    "q314_minhash_rep"  -> ((s: SparkSession, d: String) =>
+      minhashRepPairs(s, d, hash = Md5Prefix)),
     "q38_simhash"       -> ((s: SparkSession, d: String) =>
       simhashPairs(s, d, hash = Md5Prefix)),
     "q115_delta_neardup" -> ((s: SparkSession, d: String) =>
@@ -1761,6 +1813,25 @@ object Dedup {
         |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.sig AS s1, c.sig AS s2
         |  FROM banded a JOIN banded c
         |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id
+        |)
+        |SELECT id1, id2,
+        |  len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 AS est_jaccard
+        |FROM pairs
+        |WHERE len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 >= 0.5
+        |ORDER BY id1, id2""".stripMargin),
+    // q37's pipeline restricted to the q34 digest survivors (the
+    // production rep-level spelling) — reps replayed as a CTE over
+    // the SAME banded prefix, so the two oracles cannot drift
+    "q314_minhash_rep" ->
+      (MinhashBandedCtes +
+      raw""", reps AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2, a.sig AS s1, c.sig AS s2
+        |  FROM banded a JOIN banded c
+        |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id
+        |  JOIN reps ra ON ra.doc_id = a.doc_id
+        |  JOIN reps rc ON rc.doc_id = c.doc_id
         |)
         |SELECT id1, id2,
         |  len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 AS est_jaccard

@@ -84,7 +84,8 @@ object Perceptual {
   def imageNearDup(s: SparkSession, dir: String,
                    maxHamming: Int = 7): DataFrame =
     bandedHammingPairs(dhashes(s, dir), maxHamming,
-      memoKey = Some(s"dhash-bands:$dir"))
+      memoKey = graft.dedup.PairGrid.memoKeyIfLarge(
+        s, dir, s"dhash-bands:$dir"))
 
   /** Band-bucket occupancy cap (the [[graft.dedup.Dedup.MaxLshBucket]]
     * / `SrpMaxBucket` reasoning applied to the perceptual legs): a
@@ -120,7 +121,11 @@ object Perceptual {
     * pass carries a `graft.cap.perceptual.*` observe metric counting
     * the band rows routed past the cap and the densest bucket seen;
     * [[graft.util.Caps.registerCapListener]] WARNs whenever it is
-    * non-zero (never at gate scale — CapsSpec pins that). */
+    * non-zero (never at gate scale — CapsSpec pins that).
+    *
+    * `memoKey = None` (the default here, for tiny test relations)
+    * re-derives `dh`'s pipeline up to 4× — production callers pass
+    * the key so the banded relation materializes once. */
   def bandedHammingPairs(dh: DataFrame, maxHamming: Int,
                          maxBucket: Int = PerceptualMaxBucket,
                          memoKey: Option[String] = None): DataFrame = {
@@ -225,7 +230,8 @@ object Perceptual {
   def audioNearDup(s: SparkSession, dir: String,
                    maxHamming: Int = 7): DataFrame =
     bandedHammingPairs(ahashes(s, dir), maxHamming,
-      memoKey = Some(s"ahash-bands:$dir"))
+      memoKey = graft.dedup.PairGrid.memoKeyIfLarge(
+        s, dir, s"ahash-bands:$dir"))
 
   /** (doc_id, fhash) DISTINCT per-frame dHashes of a rendered 4-frame
     * mono Y4M corpus: frame j's 8×8 luma plane tiles the document

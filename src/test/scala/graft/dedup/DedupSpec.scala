@@ -40,6 +40,41 @@ class DedupSpec extends SparkSpec {
       s"missed pairs: ${(truePairs -- found).take(5)}")
   }
 
+  test("q314 rep-level pairs = q37 pairs restricted to digest " +
+    "survivors, and clones collapse before the LSH leg") {
+    import spark.implicits._
+    // clone-heavy fixture: every doc gets a verbatim twin (shifted
+    // ids) — the production spelling must signature only the
+    // ORIGINALS (reps = min doc_id per distinct text)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reppairs-").toString
+    val base = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    base.unionByName(
+        base.select(($"doc_id" + 1000000L).as("doc_id"), $"text",
+          $"source"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val repPairs = Dedup.minhashRepPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // collapse-then-LSH ≡ LSH over the explicitly collapsed corpus
+    // (base may itself hold exact dups, so collapse THAT too)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-repbase-").toString
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"text")).orderBy($"doc_id")
+    base.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"doc_id", $"text", $"source")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val expected = Dedup.minhashLshPairs(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repPairs == expected,
+      s"rep pairs drifted from LSH-over-collapsed: " +
+        s"extra=${(repPairs -- expected).take(3)} " +
+        s"missing=${(expected -- repPairs).take(3)}")
+    // and no clone id (the +1e6 twins) ever reaches the output
+    assert(repPairs.forall { case (a, b) => a < 1000000L && b < 1000000L })
+  }
+
   test("md5-prefix gate hash keeps full minhash-lsh recall") {
     // the oracle-checkable hash must not just agree with DuckDB — it
     // must still FIND the planted near-dups (a broken permutation

@@ -82,19 +82,41 @@ class PlanAuditSpec extends SparkSpec {
         plan)
   }
 
-  test("q37: the signature pipeline runs once — every expansion " +
-    "branch reads the bands zone, zero corpus re-scans") {
+  test("q37: above the size gate the signature pipeline runs once — " +
+    "every expansion branch reads the bands zone, zero corpus " +
+    "re-scans") {
     // round-12 shape: PairGrid's grid/star/chain branches each
     // consume the banded relation, so it is a Scratch zone (the
     // ≥2-consumers rule) — the expensive scan → shingle explode →
     // 32-min aggregate pipeline materializes the zone exactly once
-    // and the query plan itself must not touch documents.parquet
+    // and the query plan itself must not touch documents.parquet.
+    // Round-13 size gate: the zone only builds above
+    // MemoMinInputBytes (at sf0.1 it measured as 3-5 s of pure
+    // write+read tax per leg); force it ON here to pin the at-scale
+    // plan shape at spec scale.
+    spark.conf.set(graft.dedup.PairGrid.MemoMinBytesConf, "0")
+    try {
+      val plan = planOf("q37_minhash_lsh")
+      assert(!plan.contains("documents.parquet"),
+        "a branch re-scanned the corpus instead of the bands zone:\n" +
+          plan)
+      assert(plan.contains("graft-scratch-"),
+        "expected scans of the bands scratch zone:\n" + plan)
+    } finally spark.conf.unset(graft.dedup.PairGrid.MemoMinBytesConf)
+  }
+
+  test("q37: below the size gate the bands zone is skipped — the " +
+    "branches re-derive from the (cheap) corpus scan") {
+    // the round-13 adjudication: at sf0.1 the zone was pure tax
+    // (quiet-box bench q38 2.0→6.0 s, q122 1.1→6.1 s, q124
+    // 0.7→3.3 s); below MemoMinInputBytes the memo key is None and
+    // the plan scans documents.parquet directly
+    assert(graft.dedup.PairGrid
+      .memoKeyIfLarge(spark, sf(), "probe").isEmpty,
+      "spec-scale corpus unexpectedly above the memo gate")
     val plan = planOf("q37_minhash_lsh")
-    assert(!plan.contains("documents.parquet"),
-      "a branch re-scanned the corpus instead of the bands zone:\n" +
-        plan)
-    assert(plan.contains("graft-scratch-"),
-      "expected scans of the bands scratch zone:\n" + plan)
+    assert(plan.contains("documents.parquet"),
+      "expected direct corpus scans below the gate:\n" + plan)
   }
 
   test("q102: the split is map-side — one scan, only the output-sort exchange") {

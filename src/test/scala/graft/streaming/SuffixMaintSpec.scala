@@ -169,12 +169,19 @@ class SuffixMaintSpec extends SparkSpec {
       .getOrElse(fail("no bucket holds a squashed epoch=2 run"))
     assert(fs.rename(p(s"$root/sfx/$b0/epoch=2"),
       p(s"$root/sfx/$b0/.backup-2")))
-    fs.create(p(s"$root/${SuffixMaint.CompactMarker}"), true).close()
+    val cm = fs.create(p(s"$root/${SuffixMaint.CompactMarker}"), true)
+    cm.write("2".getBytes("UTF-8")); cm.close()
     intercept[IllegalArgumentException] {
       SuffixMaint.readDupSubstrings(spark, root)
     }
     intercept[IllegalArgumentException] {
       SuffixMaint.foldBatch(spark, docs.limit(3), root, 4L)
+    }
+    // round-12 ADVICE: a re-run with a DIFFERENT upToEpoch is
+    // refused — squashing survivors into a second epoch while the
+    // partial squash holds the same rows would break run disjointness
+    intercept[IllegalArgumentException] {
+      SuffixMaint.compact(spark, root, upToEpoch = 1L)
     }
     SuffixMaint.compact(spark, root, upToEpoch = 2L)
     assert(!fs.exists(p(s"$root/${SuffixMaint.CompactMarker}")))
@@ -197,7 +204,8 @@ class SuffixMaintSpec extends SparkSpec {
     fs.delete(p(s"$root/sfx/$b0/epoch=3"), true)
     assert(fs.rename(p(s"$root/sfx/$b0/.staging-sim"),
       p(s"$root/sfx/$b0/epoch=3")))
-    fs.create(p(s"$root/${SuffixMaint.CompactMarker}"), true).close()
+    val cm3 = fs.create(p(s"$root/${SuffixMaint.CompactMarker}"), true)
+    cm3.write("3".getBytes("UTF-8")); cm3.close()
     intercept[IllegalArgumentException] {
       SuffixMaint.readDupSubstrings(spark, root)
     }
@@ -210,5 +218,59 @@ class SuffixMaintSpec extends SparkSpec {
       docs.where(pmod(col("doc_id"), lit(5)) === 0), root, 5L)
     assert(report(SuffixMaint.readDupSubstrings(spark, root)) ==
       report(CorpusStats.dupSubstrings(spark, dir)))
+  }
+
+  test("compactNeeded triggers on run-log depth; compact resets it") {
+    val dir = sf()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sfxneed-").toString
+    val docs = docsOf(dir)
+    // ONE bucket so every fold deepens the same run log
+    SuffixMaint.init(spark, docs.where(pmod(col("doc_id"), lit(6)) === 0),
+      root, buckets = 1)
+    assert(!SuffixMaint.compactNeeded(spark, root, maxRuns = 4))
+    (1 to 3).foreach { k =>
+      SuffixMaint.foldBatch(spark,
+        docs.where(pmod(col("doc_id"), lit(6)) === k), root, k.toLong)
+    }
+    // 4 runs (init epoch 0 + 3 folds) in the one bucket
+    assert(SuffixMaint.compactNeeded(spark, root, maxRuns = 4))
+    assert(!SuffixMaint.compactNeeded(spark, root, maxRuns = 5))
+    val before = report(SuffixMaint.readDupSubstrings(spark, root))
+    SuffixMaint.compact(spark, root, upToEpoch = 2L)
+    assert(!SuffixMaint.compactNeeded(spark, root, maxRuns = 4),
+      "squashed log still reports compact needed")
+    // zone content untouched by the squash
+    assert(report(SuffixMaint.readDupSubstrings(spark, root)) == before)
+  }
+
+  test("corrupt/empty markers degrade to the documented resolve-by-" +
+    "hand refusal, not a parse error") {
+    val dir = sf()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sfxcorrupt-").toString
+    val docs = docsOf(dir)
+    SuffixMaint.init(spark, docs.limit(5), root, buckets = 1)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // corrupt fold marker (partially-written garbage): every fold —
+    // including a would-be replay — is refused with the require
+    // message naming batch -1, NOT a NumberFormatException
+    val m = fs.create(p(s"$root/${SuffixMaint.InflightMarker}"), true)
+    m.write("12#4".getBytes("UTF-8")); m.close()
+    val e = intercept[IllegalArgumentException] {
+      SuffixMaint.foldBatch(spark, docs.limit(3), root, 1L)
+    }
+    assert(e.getMessage.contains("-1"), e.getMessage)
+    fs.delete(p(s"$root/${SuffixMaint.InflightMarker}"), false)
+    // legacy EMPTY compact marker (pre-fence crash): compact refuses
+    // at any upToEpoch (reads as -1), operator resolves by hand
+    SuffixMaint.foldBatch(spark, docs, root, 1L)
+    fs.create(p(s"$root/${SuffixMaint.CompactMarker}"), true).close()
+    val e2 = intercept[IllegalArgumentException] {
+      SuffixMaint.compact(spark, root, upToEpoch = 0L)
+    }
+    assert(e2.getMessage.contains("-1"), e2.getMessage)
   }
 }
