@@ -922,35 +922,64 @@ object Similarity {
     // O(|bucket|·cap) narrow rows and no array ever materializes —
     // the semantics (first cap sorted others per anchor) and the
     // oracle text are unchanged.
+    // Codes RIDE the banded rows (round-13): one id-keyed join of the
+    // bands·n band rows against the int8 code zone, so the rescore is
+    // computed INSIDE the bucket join's output pipeline and the
+    // candidate stream — O(n·bands·occupancy) rows, ~4·10⁹ at 2M
+    // vectors — never shuffles for code attachment. The old spelling
+    // (.distinct() + two id-joins + one global rank window over the
+    // raw candidates) shuffled that stream FOUR times: ~200 GB of
+    // shuffle scratch at the sf100 probe, more than the probe box's
+    // disk, and the per-candidate bytes a 100 TB run would pay too.
+    val all = quantizedZone(s, dir)
+    val bandedC = banded.join(all, Seq("vec_id"))
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bandVal")).orderBy(col("vec_id"))
-    val bmem = banded.withColumn("rn", row_number().over(wB))
+    val bmem = bandedC.withColumn("rn", row_number().over(wB))
     val partners = bmem
       .where(col("rn") <= maxBucket + 1)
       .select(col("band"), col("bandVal"),
-        col("vec_id").as("neighbor_id"), col("rn").as("brn"))
-    val cand = bmem
+        col("vec_id").as("neighbor_id"), col("rn").as("brn"),
+        col("q_vec"), col("q_scale"))
+    val scored = bmem
       .select(col("band"), col("bandVal"),
-        col("vec_id").as("query_id"), col("rn").as("arn"))
+        col("vec_id").as("query_id"), col("rn").as("arn"),
+        col("q_vec").as("qq"), col("q_scale").as("qs"))
       .join(partners, Seq("band", "bandVal"))
       .where(col("query_id") =!= col("neighbor_id") &&
         when(col("brn") < col("arn"), col("brn"))
           .otherwise(col("brn") - 1) <= maxBucket)
-      .select(col("query_id"), col("neighbor_id"))
-      .distinct()
-    val all = quantizedZone(s, dir)
-    val scored = cand
-      .join(all.select(col("vec_id").as("query_id"),
-        col("q_vec").as("qq"), col("q_scale").as("qs")), "query_id")
-      .join(all.select(col("vec_id").as("neighbor_id"),
-        col("q_vec"), col("q_scale")), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col("query_id"), col("neighbor_id"), col("band"),
         int8DotCol(col("q_vec"), col("qq")).as("qdot"),
         col("q_scale"), col("qs"))
-      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+      .select(col("query_id"), col("neighbor_id"), col("band"),
+        col("qdot"),
         (col("qdot").cast("double") * col("q_scale").cast("double") *
           col("qs").cast("double") / lit(16129.0)).as("approx_cos"))
-    rankTopK(scored, k, scoreCol = "approx_cos")
+    // PER-BAND partial top-k before anything global (round-13): if a
+    // neighbor is in a query's final distinct top-k, then in EVERY
+    // band where the pair collides the candidates ranked above it are
+    // distinct neighbors also above it globally — fewer than k of
+    // them — so it survives that band's top-k. Exact, not lossy. The
+    // bucket join's output is clustered by (band, bandVal), which
+    // co-locates each (query, band) group, so Spark's partial
+    // WindowGroupLimit reduces the stream to ≤ k rows per (query,
+    // band) MAP-SIDE: the exchange then carries ≤ k·bands rows per
+    // query (~10⁷ at 2M vectors) instead of the raw candidate stream
+    // (~4·10⁹). Duplicate (query, neighbor) rows across bands carry
+    // identical scores; one survives dropDuplicates, and the final
+    // rank recomputes the same global (approx_cos desc, neighbor_id)
+    // order the one-window spelling produced.
+    val wQB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("band"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val perBand = scored
+      .withColumn("brk", row_number().over(wQB))
+      .where(col("brk") <= k)
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+        col("approx_cos"))
+    rankTopK(perBand, k, scoreCol = "approx_cos")
   }
 
   /** q168: banded kNN-graph WITNESS — the production ANN path under
