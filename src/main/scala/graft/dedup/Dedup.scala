@@ -536,20 +536,23 @@ object Dedup {
     val banded = bandedRows(s, dir, hash).select(
       col("d.doc_id").as("id"), col("d.sig").as("pay"),
       col("band"), col("bandHash").as("bval"))
-    lshVerifiedPairs(banded, maxBucket, capName = "lsh-buckets",
+    lshVerifiedPairs(banded, maxBucket, capName = "lsh-buckets", hash,
       memoKey = PairGrid.memoKeyIfLarge(s, dir, s"minhash-bands:$hash:$dir"))
   }
 
   /** The shared grid-expand → signature-verify → dedup tail of the
     * MinHash legs (q37 full-corpus, q314 rep-level). */
   private def lshVerifiedPairs(banded: DataFrame, maxBucket: Int,
-                               capName: String,
+                               capName: String, hash: DedupHash,
                                memoKey: Option[String]): DataFrame =
     PairGrid.candidatePairs(banded, maxBucket,
         hubs => graft.util.Caps.observeOvercap(
           hubs, "sz", maxBucket, capName),
         block = SigPairBlock, firstBandDedup = true,
-        memoKey = memoKey)
+        memoKey = memoKey,
+        bandValSql = Some((pay, b) =>
+          hash.bandKeySql(s"slice($pay, $b * $LshRows + 1, $LshRows)")),
+        nBands = LshBands)
       .select(
         least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"),
@@ -588,6 +591,7 @@ object Dedup {
     // be tiny on a clone corpus, but re-deriving it per branch would
     // re-pay the corpus-wide digest window 4×
     lshVerifiedPairs(banded, maxBucket, capName = "lsh-rep-buckets",
+      hash,
       memoKey = PairGrid.memoKeyIfLarge(s, dir, s"minhash-rep-bands:$hash:$dir"))
   }
 
@@ -704,7 +708,10 @@ object Dedup {
           hubs, "sz", maxBucket, "simhash-buckets"),
         block = SigPairBlock, firstBandDedup = true,
         memoKey = PairGrid.memoKeyIfLarge(
-          s, dir, s"simhash-bands:$hash:$bandBits:$dir"))
+          s, dir, s"simhash-bands:$hash:$bandBits:$dir"),
+        bandValSql = Some((pay, b) =>
+          s"(($pay >> ($b * $bandBits)) & $bandMask)"),
+        nBands = nBands)
       .select(
         least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"),

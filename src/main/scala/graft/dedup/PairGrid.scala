@@ -42,19 +42,26 @@ import org.apache.spark.sql.functions._
   * stream carries nBands copies of each hot pair into the caller's
   * post-threshold `.distinct()` — at the sf100 probe that is 8–16×
   * the (already quadratic-by-contract) output volume shuffled twice.
-  * With the flag on, each member rides its full per-band
-  * (bval, bucket-size) vectors and a grid candidate from band b is
+  * With the flag on, each member rides ONE packed long (bit b set ⇔
+  * its band-b bucket is sub-cap) and a grid candidate from band b is
   * kept only when NO earlier band b′ < b has equal band values AND a
-  * sub-cap bucket. EXACT, not lossy: the first sub-cap colliding
-  * band always grid-expands the pair, so every pair the undeduped
-  * stream would surface still appears at least once and the
-  * post-`.distinct()` output set is IDENTICAL in every regime — the
-  * sub-cap condition is what makes an over-cap earlier band (which
-  * only emits star+chain, not the full triangle) NOT suppress the
-  * later grid copy. Star+chain candidates are never filtered (they
-  * are linear in bucket size already). Cost: one extra window
-  * shuffle keyed by id, ~2·nBands longs riding each grid member, and
-  * a short-circuiting `exists` per candidate.
+  * sub-cap bucket — earlier-band VALUES recompute from the two
+  * payloads already in the row via the caller's `bandValSql`
+  * (round-13: the former per-member (bvals, szs) vectors, ~280 B at
+  * 16 bands, multiplied through the 256-member grid block arrays
+  * and OOM'd q38's uncapped gate spelling at sf10/8 GiB; every
+  * leg's band value is a pure function of its payload, so the
+  * vectors were redundant bytes). EXACT, not lossy: the first
+  * sub-cap colliding band always grid-expands the pair, so every
+  * pair the undeduped stream would surface still appears at least
+  * once and the post-`.distinct()` output set is IDENTICAL in every
+  * regime — the sub-cap condition is what makes an over-cap earlier
+  * band (which only emits star+chain, not the full triangle) NOT
+  * suppress the later grid copy. Star+chain candidates are never
+  * filtered (they are linear in bucket size already). Cost: one
+  * extra window shuffle keyed by id, 8 bytes riding each grid
+  * member, and a short-circuiting `exists` (re-hash per earlier
+  * band) per candidate.
   *
   * Input contract: `banded` has exactly the columns
   * (band, bval, id, pay) — `id` the entity id, `pay` any orderable
@@ -120,25 +127,42 @@ object PairGrid {
   // round-2 four-copies trap. Passing None is a conscious statement
   // that the upstream is cheap enough to re-derive (tiny test
   // relations, already-memoized inputs).
+  // `bandValSql`: (payRef, bandRef) => the SQL spelling of the band
+  // value — REQUIRED with firstBandDedup, and it MUST reproduce the
+  // caller's `bval` column from `pay` (the input contract already
+  // fixes bval as a pure function of the payload for every leg:
+  // signature slice hash, simhash bit field, dhash bit field). The
+  // filter recomputes earlier-band values from the two payloads that
+  // already ride every candidate instead of carrying per-band value
+  // vectors on every grid member — round-13: the (bvals, szs) arrays
+  // (~280 B/member at 16 bands) multiplied through the 256-member
+  // block arrays OOM'd q38's uncapped gate spelling at sf10 on the
+  // default heap, where the pre-grid shape ran in 196 s. Sub-cap
+  // status (the one non-derivable input) packs into ONE long bitmask.
   private[graft] def candidatePairs(banded: DataFrame, maxBucket: Int,
                                     observeHubs: DataFrame => DataFrame,
                                     block: Int = Block,
                                     firstBandDedup: Boolean = false,
-                                    memoKey: Option[String]): DataFrame = {
+                                    memoKey: Option[String],
+                                    bandValSql: Option[(String, String) => String] = None,
+                                    nBands: Int = -1): DataFrame = {
+    require(!firstBandDedup || (bandValSql.isDefined && nBands > 0),
+      "firstBandDedup recomputes earlier-band values from the " +
+        "payload — pass bandValSql and nBands")
     val wB = Window.partitionBy(col("band"), col("bval"))
     val withSz0 = banded.withColumn("sz", count(lit(1)).over(wB))
-    // member payload rider: pay alone, or pay + the per-band
-    // (bval, sz) vectors the first-band filter needs
+    // member payload rider: pay alone, or pay + the packed sub-cap
+    // band bitmask the first-band filter needs (bit b set ⇔ the
+    // member's band-b bucket is sub-cap)
     val withSzDerived =
       if (!firstBandDedup) withSz0.withColumn("pd", struct(col("pay")))
       else {
-        val wD = Window.partitionBy(col("id")).orderBy(col("band"))
-          .rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)
+        val wD = Window.partitionBy(col("id"))
         withSz0
           .withColumn("pd", struct(col("pay"),
-            collect_list(col("bval")).over(wD).as("bvals"),
-            collect_list(col("sz")).over(wD).as("szs")))
+            sum(when(col("sz") <= maxBucket,
+                expr("shiftleft(CAST(1 AS BIGINT), band)"))
+              .otherwise(lit(0L))).over(wD).as("subcap")))
       }
     // The banded relation feeds FOUR plan branches (grid x, grid y,
     // star+hubs, chain) — the repo's ≥2-consumers rule applies:
@@ -169,35 +193,62 @@ object PairGrid {
       .groupBy(col("band"), col("bval"), col("blk"))
       .agg(array_sort(collect_list(struct(col("id"), col("pd"))))
         .as("ms"))
-    // no broadcast hint: blocks is corpus-growing — AQE decides (and
+    // X side pre-exploded to MEMBER rows BEFORE the join (round-13:
+    // codegen Generate loops carry no shouldStop() yield points —
+    // verified in the generated source — so everything below one
+    // joined row's consume materializes into BufferedRowIterator
+    // between yields. With block×block cell rows joined first, one
+    // streamed row fanned out to |matched blocks| × block² pairs
+    // (~8M rows at q38's uncapped 31k-member sf10 buckets): 32 tasks
+    // × ~1.2 GB of piled UnsafeRows = the OOM the r13 sweep caught.
+    // Member-level streaming bounds one row's fan-out at
+    // |matched blocks| × block (~31k rows, a few MB) while shuffle
+    // volume and the pair set are unchanged.
+    // No broadcast hint: blocks is corpus-growing — AQE decides (and
     // with the zone in place a re-planned side is a parquet re-read,
     // not a pipeline recompute)
-    val grid = blocks.as("x").join(blocks.as("y"),
-      col("x.band") === col("y.band") &&
-        col("x.bval") === col("y.bval") &&
-        col("x.blk") <= col("y.blk"))
-    // ONE consumer of the grid join: the diagonal cell expands its
-    // triangle via the positional slice, a cross cell expands the
-    // full m × ms2 rectangle — the when() keeps both in a single
-    // two-stage Generate chain (a singleton diagonal cell's empty
-    // slice just explodes to nothing)
+    val xm = blocks
+      .select(col("band"), col("bval"), col("blk").as("xblk"),
+        posexplode(col("ms")).as(Seq("i", "m")))
+    val grid = xm.join(blocks.as("y"),
+      xm("band") === col("y.band") &&
+        xm("bval") === col("y.bval") &&
+        col("xblk") <= col("y.blk"))
+    // the diagonal cell keeps each member's strict upper triangle
+    // (j > i), a cross cell keeps the full member × ms2 rectangle —
+    // ONE posexplode + an index filter, never a slice(): the slice
+    // spelling allocated a fresh up-to-block-sized struct array per
+    // diagonal member row (round-13 — measured as a constant drag on
+    // every sub-cap leg; diagonal cells dominate exactly when
+    // buckets are small)
     val gridPairs0 = grid
-      .select(col("x.band").as("band"),
-        col("x.blk").as("xblk"), col("y.blk").as("yblk"),
-        col("y.ms").as("ms2"), posexplode(col("x.ms")).as(Seq("i", "m")))
-      .select(col("band"), col("m"),
-        explode(when(col("xblk") === col("yblk"),
-            expr("slice(ms2, i + 2, size(ms2) - i - 1)"))
-          .otherwise(col("ms2"))).as("n"))
+      .select(xm("band"), col("xblk"), col("y.blk").as("yblk"),
+        col("i"), col("m"), posexplode(col("y.ms")).as(Seq("j", "n")))
+      .where(col("yblk") > col("xblk") || col("j") > col("i"))
+      .select(col("band"), col("m"), col("n"))
     // keep a grid candidate only at its FIRST sub-cap colliding band
-    // (see the scaladoc: exact — that band always grid-expands it)
-    // NB: the band-0 guard matters — sequence(0, -1) is [0, -1] in
-    // Spark (descending inference), not the empty prefix
+    // (see the scaladoc: exact — that band always grid-expands it).
+    // Earlier-band values recompute from the two payloads in the row
+    // (bandValSql); sub-cap status reads one bit of m's bitmask —
+    // the bucket is shared, so n's mask would say the same. The band
+    // loop is UNROLLED into a literal OR chain (round-13): the
+    // `exists(sequence(0, band-1), …)` spelling is a higher-order
+    // function — CodegenFallback, so it evaluated INTERPRETED with a
+    // fresh sequence array per candidate row, and the candidate
+    // stream is the biggest relation in the engine (~10¹¹ rows at
+    // q38's sf10 gate). Literal band indices keep the whole filter
+    // inside whole-stage codegen and short-circuit on the first
+    // colliding band.
     val gridPairs = (if (!firstBandDedup) gridPairs0
-      else gridPairs0.where(not(expr(
-        s"""band > 0 AND exists(sequence(0, band - 1), b ->
-           |  element_at(m.pd.bvals, b + 1) = element_at(n.pd.bvals, b + 1)
-           |  AND element_at(m.pd.szs, b + 1) <= $maxBucket)""".stripMargin))))
+      else {
+        val bv = bandValSql.get
+        val earlier = (0 until nBands - 1).map { b =>
+          s"""($b < band AND ((m.pd.subcap >> $b) & 1) = 1
+             | AND ${bv("m.pd.pay", b.toString)} = ${bv("n.pd.pay", b.toString)})"""
+            .stripMargin.replace("\n", " ")
+        }.mkString("(", " OR ", ")")
+        gridPairs0.where(not(expr(s"band > 0 AND $earlier")))
+      })
       .select(col("m.id").as("id1"), col("m.pd.pay").as("pay1"),
         col("n.id").as("id2"), col("n.pd.pay").as("pay2"))
     // STAR + CHAIN above the cap, windowed in (pay, id) order —
@@ -218,6 +269,17 @@ object PairGrid {
     val chain = ranked.where(col("rn") > 2)
       .select(col("id").as("id1"), col("pay").as("pay1"),
         col("prev_id").as("id2"), col("prev_pay").as("pay2"))
-    gridPairs.unionByName(star).unionByName(chain)
+    // UNCAPPED mode (q38's gate contract): star/chain are provably
+    // empty (no bucket exceeds Int.MaxValue), so skip the Union —
+    // not just dead plan weight: UnionExec is not codegen-able, so
+    // with it present the caller's post-threshold partial distinct
+    // cannot fuse with the generate chain, the grid branch ends at a
+    // region boundary, and at a 31k-member uncapped bucket the
+    // boundary's row buffering OOM'd q38 at sf10 on the default heap
+    // (round-13, 32M UnsafeRows piled in BufferedRowIterator). With
+    // the union gone the distinct consumes the generate chain inside
+    // ONE whole-stage region and the stream never materializes.
+    if (maxBucket == Int.MaxValue) gridPairs
+    else gridPairs.unionByName(star).unionByName(chain)
   }
 }

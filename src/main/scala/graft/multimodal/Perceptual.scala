@@ -148,7 +148,10 @@ object Perceptual {
     graft.dedup.PairGrid.candidatePairs(banded, maxBucket,
         hubs => graft.util.Caps.observeOvercapHubs(
           hubs, "sz", "perceptual"),
-        block = 256, firstBandDedup = true, memoKey = memoKey)
+        block = 256, firstBandDedup = true, memoKey = memoKey,
+        bandValSql = Some((pay, b) =>
+          s"(shiftright($pay, $b * 7) & 127)"),
+        nBands = 8)
       .withColumn("hamming",
         expr("bit_count(pay1 ^ pay2)").cast("int"))
       .where(col("hamming") <= maxHamming)

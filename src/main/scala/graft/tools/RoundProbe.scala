@@ -15,8 +15,17 @@ object RoundProbe {
     // partition count, so larger SFs need more partitions, not more
     // heap). SPARK_GRAFT_SHUFFLE remains an explicit override.
     val spark = graft.util.Sessions.build(dir, 32, logLevel = "ERROR")
+    // conf=k:v,k:v anywhere in args applies session overrides (the
+    // SrpProbe convention) — bisecting a plan under codegen/AQE
+    // toggles without a rebuild
+    names.filter(_.startsWith("conf=")).foreach { kvs =>
+      kvs.stripPrefix("conf=").split(',').foreach { kv =>
+        val Array(k, v) = kv.split(':')
+        spark.conf.set(k, v)
+      }
+    }
     spark.range(1000000).selectExpr("sum(id)").collect()
-    for (n <- names) {
+    for (n <- names.filterNot(_.startsWith("conf="))) {
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, dir)
