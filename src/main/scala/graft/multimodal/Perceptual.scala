@@ -83,6 +83,12 @@ object Perceptual {
     * exact filter keeps precision 1 regardless. */
   def imageNearDup(s: SparkSession, dir: String,
                    maxHamming: Int = 7): DataFrame =
+    // the gate's `documents` default is the RIGHT proxy here, not an
+    // accident (r13 ADVICE): the rendered media corpus derives 1:1
+    // from documents ([[Multimodal.renderedBlobs]] tiles each doc's
+    // bytes into a raster), so its scale tracks documents.parquet
+    // exactly; a deployment decoding real media files would pass its
+    // own table/threshold via the session dial
     bandedHammingPairs(dhashes(s, dir), maxHamming,
       memoKey = graft.dedup.PairGrid.memoKeyIfLarge(
         s, dir, s"dhash-bands:$dir"))
@@ -145,13 +151,18 @@ object Perceptual {
         explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bval",
         expr("shiftright(pay, band * 7)").bitwiseAND(lit(0x7fL)))
+    // the memo decision doubles as the shape gate (round-14): with
+    // no zone (small corpus / tiny test relations) the simple
+    // self-join beats the grid's fixed plan weight; with a zone the
+    // corpus is at the scale the grid exists for
     graft.dedup.PairGrid.candidatePairs(banded, maxBucket,
         hubs => graft.util.Caps.observeOvercapHubs(
           hubs, "sz", "perceptual"),
         block = 256, firstBandDedup = true, memoKey = memoKey,
         bandValSql = Some((pay, b) =>
           s"(shiftright($pay, $b * 7) & 127)"),
-        nBands = 8)
+        nBands = 8,
+        gridShape = memoKey.isDefined)
       .withColumn("hamming",
         expr("bit_count(pay1 ^ pay2)").cast("int"))
       .where(col("hamming") <= maxHamming)
@@ -232,6 +243,8 @@ object Perceptual {
     * as q122, over the energy-contour hash of REAL decoded PCM. */
   def audioNearDup(s: SparkSession, dir: String,
                    maxHamming: Int = 7): DataFrame =
+    // documents is the right gate proxy — the audio corpus renders
+    // from it (see imageNearDup's note)
     bandedHammingPairs(ahashes(s, dir), maxHamming,
       memoKey = graft.dedup.PairGrid.memoKeyIfLarge(
         s, dir, s"ahash-bands:$dir"))

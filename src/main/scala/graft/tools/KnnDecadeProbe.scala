@@ -102,8 +102,13 @@ object KnnDecadeProbe {
       var recall = Double.NaN
       var ok = false
       var nAnchorRows = 0L
+      // NaN (or a null min from an empty witness) must not reach the
+      // f"%.4f" interpolation — "NaN" is not valid JSON (r13 ADVICE)
+      def recallJson: String =
+        if (recall.isNaN) ""","recall_overall":null"""
+        else f""","recall_overall":$recall%.4f"""
       step("q168_anchored_witness",
-        f""","recall_overall":$recall%.4f,"recall_ok":$ok,"anchor_rows":$nAnchorRows""") {
+        f"""$recallJson,"recall_ok":$ok,"anchor_rows":$nAnchorRows""") {
         // NOTE: extra is by-name — evaluated AFTER the body runs
         val w = graft.sim.Similarity.knnBandedWitness(spark, dir)
         val row = w.agg(
@@ -112,8 +117,8 @@ object KnnDecadeProbe {
           org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)))
           .collect()(0) // bounded: exactly one aggregate row
-        recall = row.getDouble(0)
-        ok = row.getBoolean(1)
+        if (!row.isNullAt(0)) recall = row.getDouble(0)
+        ok = !row.isNullAt(1) && row.getBoolean(1)
         nAnchorRows = row.getLong(2)
       }
     }

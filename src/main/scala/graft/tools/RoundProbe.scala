@@ -20,8 +20,12 @@ object RoundProbe {
     // toggles without a rebuild
     names.filter(_.startsWith("conf=")).foreach { kvs =>
       kvs.stripPrefix("conf=").split(',').foreach { kv =>
-        val Array(k, v) = kv.split(':')
-        spark.conf.set(k, v)
+        // split on the FIRST colon only — conf values may themselves
+        // contain colons (file:/tmp paths, URIs); r13 ADVICE
+        kv.split(":", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(s"conf= entry needs key:value, got '$kv'")
+        }
       }
     }
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -75,6 +75,81 @@ class DedupSpec extends SparkSpec {
     assert(repPairs.forall { case (a, b) => a < 1000000L && b < 1000000L })
   }
 
+  test("q315 rep-level simhash pairs = q38 pairs over the collapsed " +
+    "corpus, and clones collapse before the signature leg") {
+    import spark.implicits._
+    // same clone-doubled fixture discipline as the q314 pin: SimHash
+    // is a pure per-doc function, so collapse-then-hash must equal
+    // hash-over-the-explicitly-collapsed corpus exactly
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shreppairs-").toString
+    val base = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    base.unionByName(
+        base.select(($"doc_id" + 1000000L).as("doc_id"), $"text",
+          $"source"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val repPairs = Dedup.simhashRepPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-shrepbase-").toString
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"text")).orderBy($"doc_id")
+    base.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"doc_id", $"text", $"source")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val expected = Dedup.simhashPairs(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repPairs == expected,
+      s"rep pairs drifted from simhash-over-collapsed: " +
+        s"extra=${(repPairs -- expected).take(3)} " +
+        s"missing=${(expected -- repPairs).take(3)}")
+    assert(repPairs.forall { case (a, b) => a < 1000000L && b < 1000000L })
+  }
+
+  test("collapse identity: the q37/q38 gate spellings (collapse → " +
+    "rep LSH → expand) equal the direct corpus-banded spellings") {
+    // the identity the gate queries ride (round-14): signatures are
+    // pure per-doc functions of text, so collapse-then-band-then-
+    // expand must reproduce the direct spelling EXACTLY — candidate
+    // collisions included — on any corpus (sf() has both clones and
+    // distinct docs)
+    val directM = Dedup.minhashLshPairs(spark, sf(), hash = Md5Prefix)
+      .collect().map(_.toSeq).toSet
+    val collapsedM = Dedup.minhashCollapsedPairs(spark, sf(), hash = Md5Prefix)
+      .collect().map(_.toSeq).toSet
+    assert(collapsedM == directM,
+      s"q37 collapse identity broken: " +
+        s"extra=${(collapsedM -- directM).take(3)} " +
+        s"missing=${(directM -- collapsedM).take(3)}")
+    val directS = Dedup.simhashPairs(spark, sf(), hash = Md5Prefix)
+      .collect().map(_.toSeq).toSet
+    val collapsedS = Dedup.simhashCollapsedPairs(spark, sf(), hash = Md5Prefix)
+      .collect().map(_.toSeq).toSet
+    assert(collapsedS == directS,
+      s"q38 collapse identity broken: " +
+        s"extra=${(collapsedS -- directS).take(3)} " +
+        s"missing=${(directS -- collapsedS).take(3)}")
+  }
+
+  test("q38 shape gate: grid (at-scale) and simple (small) sub-cap " +
+    "expansions are output-identical") {
+    // round-14: below the size gate the simhash leg takes a direct
+    // (band, bval) self-join; forcing the gate low selects the
+    // block-grid + zone + first-band dedup at-scale machinery. Both
+    // must emit the same post-threshold pair set.
+    val simple = Dedup.simhashPairs(spark, sf()).collect()
+      .map(_.toSeq).toSet
+    spark.conf.set(graft.dedup.PairGrid.MemoMinBytesConf, "0")
+    try {
+      val grid = Dedup.simhashPairs(spark, sf()).collect()
+        .map(_.toSeq).toSet
+      assert(grid == simple,
+        s"shapes diverged: extra=${(grid -- simple).take(3)} " +
+          s"missing=${(simple -- grid).take(3)}")
+    } finally spark.conf.unset(graft.dedup.PairGrid.MemoMinBytesConf)
+  }
+
   test("md5-prefix gate hash keeps full minhash-lsh recall") {
     // the oracle-checkable hash must not just agree with DuckDB — it
     // must still FIND the planted near-dups (a broken permutation

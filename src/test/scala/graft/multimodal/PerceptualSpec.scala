@@ -141,6 +141,19 @@ class PerceptualSpec extends SparkSpec {
     val uncapped = Perceptual.bandedHammingPairs(dh, 7, maxBucket = 1000)
       .collect().map(_.toSeq).toSet
     assert(uncapped == brute)
+    // shape gate (round-14): the block-grid spelling (selected by a
+    // memo key — the at-scale regime) and the default simple
+    // self-join must be output-identical, capped and uncapped
+    val gridCapped = Perceptual.bandedHammingPairs(dh, 7,
+        maxBucket = 5, memoKey = Some("shape-pin-capped"))
+      .collect().map(_.toSeq).toSet
+    assert(gridCapped == capped,
+      "grid and simple shapes diverged under a binding cap")
+    val gridUncapped = Perceptual.bandedHammingPairs(dh, 7,
+        maxBucket = 1000, memoKey = Some("shape-pin-uncapped"))
+      .collect().map(_.toSeq).toSet
+    assert(gridUncapped == brute,
+      "grid shape drifted from brute force")
   }
 
   test("q122 banded join equals brute force over all hash pairs") {

@@ -82,7 +82,7 @@ class PlanAuditSpec extends SparkSpec {
         plan)
   }
 
-  test("q37: above the size gate the signature pipeline runs once — " +
+  test("q37: the signature pipeline runs once at EVERY scale — " +
     "every expansion branch reads the bands zone, zero corpus " +
     "re-scans") {
     // round-12 shape: PairGrid's grid/star/chain branches each
@@ -90,33 +90,37 @@ class PlanAuditSpec extends SparkSpec {
     // ≥2-consumers rule) — the expensive scan → shingle explode →
     // 32-min aggregate pipeline materializes the zone exactly once
     // and the query plan itself must not touch documents.parquet.
-    // Round-13 size gate: the zone only builds above
-    // MemoMinInputBytes (at sf0.1 it measured as 3-5 s of pure
-    // write+read tax per leg); force it ON here to pin the at-scale
-    // plan shape at spec scale.
-    spark.conf.set(graft.dedup.PairGrid.MemoMinBytesConf, "0")
-    try {
-      val plan = planOf("q37_minhash_lsh")
-      assert(!plan.contains("documents.parquet"),
-        "a branch re-scanned the corpus instead of the bands zone:\n" +
-          plan)
-      assert(plan.contains("graft-scratch-"),
-        "expected scans of the bands scratch zone:\n" + plan)
-    } finally spark.conf.unset(graft.dedup.PairGrid.MemoMinBytesConf)
+    // Round-14 per-leg memo decision: the MinHash legs memo
+    // UNCONDITIONALLY (no size gate) — their upstream is expensive
+    // at every scale (quiet-box r13: q37 1.12 s zone-on vs 2.95 s
+    // zone-off at sf0.1), unlike the simhash/perceptual legs below.
+    val plan = planOf("q37_minhash_lsh")
+    assert(!plan.contains("documents.parquet"),
+      "a branch re-scanned the corpus instead of the bands zone:\n" +
+        plan)
+    assert(plan.contains("graft-scratch-"),
+      "expected scans of the bands scratch zone:\n" + plan)
   }
 
-  test("q37: below the size gate the bands zone is skipped — the " +
-    "branches re-derive from the (cheap) corpus scan") {
-    // the round-13 adjudication: at sf0.1 the zone was pure tax
-    // (quiet-box bench q38 2.0→6.0 s, q122 1.1→6.1 s, q124
-    // 0.7→3.3 s); below MemoMinInputBytes the memo key is None and
-    // the plan scans documents.parquet directly
+  test("q38: below the size gate the bands zone is skipped — the " +
+    "branches re-derive from the (cheap at this scale) corpus scan") {
+    // the round-13 adjudication: at sf0.1 the zone was pure tax for
+    // the legs whose upstream is an already-memoized hash zone or a
+    // sub-second scan (quiet-box bench q38 2.0→6.0 s, q122
+    // 1.1→6.1 s, q124 0.7→3.3 s); below MemoMinInputBytes the memo
+    // key is None for THOSE legs and the plan scans the corpus
+    // directly. (The MinHash legs are exempt — see the q37 pin.)
     assert(graft.dedup.PairGrid
       .memoKeyIfLarge(spark, sf(), "probe").isEmpty,
       "spec-scale corpus unexpectedly above the memo gate")
-    val plan = planOf("q37_minhash_lsh")
+    val plan = planOf("q38_simhash")
     assert(plan.contains("documents.parquet"),
       "expected direct corpus scans below the gate:\n" + plan)
+    // the digest-members zone (the collapse identity's membership
+    // relation) is always present; the PAIR-BANDS zone is what the
+    // size gate controls
+    assert(!plan.contains("pair-bands-"),
+      "expected no pair-bands zone below the gate:\n" + plan)
   }
 
   test("q102: the split is map-side — one scan, only the output-sort exchange") {
