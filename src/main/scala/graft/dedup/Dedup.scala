@@ -622,7 +622,13 @@ object Dedup {
     }
 
   /** One (doc_id, source, text) row per distinct content — the
-    * digest survivors the rep-level pipelines signature. */
+    * digest survivors the rep-level pipelines signature. NO
+    * repartition here (measured: adding one changed q315's sf10
+    * cell 33.9 → 35.9 s — the signature stage's cost is the 60
+    * per-bit aggregate, not partition skew): the semi-join's output
+    * is already id-hash-partitioned, and at a mostly-distinct 100 TB
+    * corpus a repartition would re-shuffle every document's full
+    * text for nothing. */
   private def digestReps(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .join(digestMembers(s, dir)
