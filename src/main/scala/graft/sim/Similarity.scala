@@ -935,7 +935,22 @@ object Similarity {
     val bandedC = banded.join(all, Seq("vec_id"))
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bandVal")).orderBy(col("vec_id"))
-    val bmem = bandedC.withColumn("rn", row_number().over(wB))
+    // Explicit-count repartition BEFORE the bucket window (r14): the
+    // bucket join downstream expands |bucket|× (~325× at sf0.1), but
+    // its task count is inherited from this exchange — and an
+    // ENSURE_REQUIREMENTS exchange here gets AQE-coalesced from its
+    // MAP-side bytes (~2 MB → 1 partition), which serialized the
+    // whole candidate scoring + per-band top-k sort into one task
+    // (measured: a 5.2M-row, 352 MiB single-task sort; exec 13.6 s →
+    // 1.9 s at sf0.1). A user repartition with an explicit count is
+    // exempt from coalescing; it satisfies the window's required
+    // distribution, so no second exchange is added. Same rule as the
+    // q52 re-key-after-expansion note — partitioning must be sized
+    // for the stage's OUTPUT, which AQE cannot see.
+    val parts = s.sessionState.conf.numShufflePartitions
+    val bmem = bandedC
+      .repartition(parts, col("band"), col("bandVal"))
+      .withColumn("rn", row_number().over(wB))
     val partners = bmem
       .where(col("rn") <= maxBucket + 1)
       .select(col("band"), col("bandVal"),
