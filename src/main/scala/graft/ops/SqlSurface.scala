@@ -561,15 +561,37 @@ object SqlSurface {
     * spells via cume_dist, or approx_percentile. */
   def sqlPercentileDisc(s: SparkSession, dir: String): DataFrame = {
     registerViews(s, dir)
+    // r14 optimization: the three `percentile_disc(p) WITHIN GROUP`
+    // aggregates each buffered EVERY group value in an object
+    // aggregate — three full per-group value lists, three sorts
+    // (measured 3.9 s quiet at sf0.1). This is the same computation
+    // by its definition (the oracle's spelling, unchanged): smallest
+    // value whose CDF reaches p — one (flag, value) count aggregate,
+    // one window over DISTINCT values (running count / total, the
+    // exact cume_dist arithmetic: one BIGINT ratio per distinct
+    // value, cast once), three conditional mins. State is one row
+    // per distinct value instead of one buffered entry per ROW —
+    // the shape that survives 100 TB; output bit-identical (pinned
+    // by the unchanged oracle).
     s.sql(
-      """SELECT l_returnflag,
-        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
-        |    AS p50,
-        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
-        |    AS p90,
-        |  percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)
-        |    AS p99
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag
+        |        ORDER BY l_extendedprice
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)
+        |    / CAST(sum(cnt) OVER (PARTITION BY l_returnflag)
+        |      AS DOUBLE) AS cd
+        |  FROM c)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cd >= 0.5 THEN l_extendedprice END) AS p50,
+        |  min(CASE WHEN cd >= 0.9 THEN l_extendedprice END) AS p90,
+        |  min(CASE WHEN cd >= 0.99 THEN l_extendedprice END) AS p99
+        |FROM cd GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
   /** q297: deterministic `MODE()` (Spark 4's two-arg form:
