@@ -765,9 +765,20 @@ object CorpusStats {
     val sfx = suffixRows(docs, minLen, window)
     val baseParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.min(4096, baseParts * math.max(1, window / 4))
+    // DataFrame-level persist of the SORTED suffix relation (r14):
+    // the boundary-keys pass and the neighbor-LCP pass are two jobs
+    // over the same range shuffle — uncached, the second job re-runs
+    // the explode map stage's shuffle fetch AND the reduce-side sort,
+    // and the range partitioner's sampling job evaluates the explode
+    // a third time. Caching compact UnsafeRow bytes (NOT the decoded
+    // Array[String] tuples — a Java-object RDD cache measured 2×
+    // WORSE from allocation pressure) runs sampling+shuffle+sort once
+    // and streams the rows twice. Intra-query reuse only; blocks are
+    // freed by the ContextCleaner when the returned plan dies.
     val ranged = sfx
       .repartitionByRange(parts, col("key"), col("doc_id"), col("p"))
       .sortWithinPartitions("key", "doc_id", "p")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rdd = ranged.rdd.map(r =>
       (r.getLong(0), r.getInt(1), r.getSeq[String](2).toArray))
     def lcp(a: Array[String], b: Array[String]): Int = lcpTokens(a, b)
