@@ -17,41 +17,36 @@ object QPieces {
       println(f"[pieces] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    def noop(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
-      time(name)(df.write.format("noop").mode("overwrite").save())
+    // job counter
+    var jobs = 0
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      })
 
-    // q313 decomposition
-    val docs = graft.util.Scratch.memo(spark, "span-tokens",
-      s"span-tokens:$dir")(
-      graft.Tables.load(spark, dir, "documents")
-        .select(col("doc_id"),
-          graft.util.Tokens.whitespace(col("text")).as("w")))
-    noop("sfx_explode")(
-      graft.text.CorpusStats.suffixRows(docs, 5, 32))
-    val parts = math.min(4096,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt *
-        math.max(1, 32 / 4))
-    println(s"[pieces] parts=$parts")
-    val ranged = graft.text.CorpusStats.suffixRows(docs, 5, 32)
-      .repartitionByRange(parts, col("key"), col("doc_id"), col("p"))
-      .sortWithinPartitions("key", "doc_id", "p")
-    noop("sfx_ranged_sorted")(ranged)
-    val rdd = ranged.rdd.map(r =>
-      (r.getLong(0), r.getInt(1), r.getSeq[String](2).toArray))
-    time("sfx_rdd_bounds_pass")(rdd.mapPartitionsWithIndex { (i, it) =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val first = it.next(); var last = first
-        while (it.hasNext) last = it.next()
-        Iterator.single((i, first._3, last._3))
-      }
-    }.collect().length)
-    time("q313_full_1")(graft.SparkEntry
-      .queries("q313_dup_substrings")(spark, dir)
-      .write.format("noop").mode("overwrite").save())
-    time("q313_full_2")(graft.SparkEntry
-      .queries("q313_dup_substrings")(spark, dir)
-      .write.format("noop").mode("overwrite").save())
+    // one CC round decomposed, on q193's edge relation
+    val pairs = graft.text.TextVectors.queries("q192_tf_cosine_pairs")(
+      spark, dir).select(col("id1").as("a"), col("id2").as("b"))
+    val canonical = pairs
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var edges = time("cc_root_initial")(
+      graft.util.Checkpoints.root(canonical))
+    for (r <- 1 to 3) {
+      val j0 = jobs
+      val next = time(s"round${r}_contract+checkpoint")(
+        graft.util.Checkpoints.root(
+          graft.dedup.Dedup.starContractRoundProbe(edges)))
+      time(s"round${r}_count2")(
+        (next.count(), edges.count()))
+      time(s"round${r}_exceptAll")(
+        next.exceptAll(edges).isEmpty)
+      println(s"[pieces] round$r jobs=${jobs - j0}")
+      edges = next
+    }
     spark.stop()
   }
 }
