@@ -91,20 +91,31 @@ object Spectral {
     * per vector → hash partial agg on (i, j). The exploded relation
     * never shuffles; only the 2080 per-partition partials do. */
   def covarianceMatrix(s: SparkSession, dir: String): DataFrame = {
-    val pairs = corpus(s, dir)
-      .select(col("vec_id"), rfx.as("r"))
-      .select(explode(expr(
+    // r14 optimization: the dim-pair explode materialized 2080 struct
+    // rows PER VECTOR (4.16M at sf0.1) into a 2080-key hash
+    // aggregate. [[graft.functions.CovMoments]] accumulates the same
+    // BIGINT multiply-adds into one flat constant-size buffer per
+    // task (mergeable partials, one corpus scan, no row expansion);
+    // integer addition is order-independent, so every (n, s_i, s_j,
+    // s_ij) cell is bit-identical to the explode spelling. The 2080
+    // output rows unfold from the single moments array via a literal
+    // triangle-index map (k = i·Dim − i(i−1)/2 + (j−i)).
+    val cm = udaf(new graft.functions.CovMoments(Dim),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Long]]())
+    val m = corpus(s, dir).select(rfx.as("r")).agg(cm(col("r")).as("m"))
+    m.select(explode(expr(
         s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
            |  transform(sequence(i, ${Dim - 1}), j ->
-           |    struct(i AS i, j AS j, r[i] AS ri, r[j] AS rj))))
-           |""".stripMargin)).as("p"))
+           |    struct(i AS i, j AS j,
+           |      CAST(i * ${Dim} - (i * (i - 1)) DIV 2 + (j - i)
+           |        AS INT) AS k))))
+           |""".stripMargin)).as("p"), col("m"))
       .select(col("p.i").as("i"), col("p.j").as("j"),
-        col("p.ri").as("ri"), col("p.rj").as("rj"))
-    pairs.groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("ri")).as("s_i"),
-        sum(col("rj")).as("s_j"),
-        sum(col("ri") * col("rj")).as("s_ij"))
+        element_at(col("m"), lit(1)).as("n"),
+        element_at(col("m"), col("p.i") + lit(2)).as("s_i"),
+        element_at(col("m"), col("p.j") + lit(2)).as("s_j"),
+        element_at(col("m"), col("p.k") + lit(2 + Dim)).as("s_ij"))
       .orderBy("i", "j")
   }
 
