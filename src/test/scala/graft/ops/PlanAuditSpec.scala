@@ -559,22 +559,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "pair scan degraded to a cartesian shuffle:\n" + plan)
   }
-  test("q277/q284/q291: single-scan shapes (one lineitem read each)") {
-    // all three claim ONE corpus scan in their scaladoc: the moment
-    // rollup, the Expand-based multi-distinct profiler, and the
-    // trimmed-mean histogram
-    for (q <- Seq("q277_moment_stats", "q284_column_profile",
-        "q291_trimmed_mean")) {
+  test("q277/q291: single-scan shapes (one lineitem read each)") {
+    // both claim ONE corpus scan in their scaladoc: the moment
+    // rollup and the trimmed-mean histogram
+    for (q <- Seq("q277_moment_stats", "q291_trimmed_mean")) {
       val plan = planOf(q)
       val scans = "Scan parquet".r.findAllIn(plan).length
       assert(scans == 1, s"$q: expected ONE scan, got $scans:\n$plan")
     }
   }
 
-  test("q284: the profiler's multi-distinct plans through Expand") {
+  test("q284: the profiler melts through stack, no Expand multi-distinct") {
+    // r14 shape: the 11-way multi-countDistinct used to plan as
+    // Catalyst's Expand (×12 rows, 12-column grouping key). The melted
+    // spelling is a stack Generate of narrow (column_name, v) rows
+    // into a two-level aggregation; the only extra scan is the
+    // zero-column count(*) side (reads no columns — footer-cheap).
     val plan = planOf("q284_column_profile")
-    assert(plan.contains("Expand"),
-      "expected Catalyst's Expand multi-distinct shape:\n" + plan)
+    assert(!plan.contains("Expand"),
+      "profiler regressed to the Expand multi-distinct shape:\n" + plan)
+    assert(plan.contains("stack"),
+      "expected the stack melt Generate:\n" + plan)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2,
+      s"expected melt scan + count-only scan (2), got $scans:\n$plan")
   }
 
   test("q283: BM25 holds no corpus-growing broadcast and tops out " +
