@@ -1153,21 +1153,44 @@ object Similarity {
       .orderBy(col("eh"), col("node"))
       .limit(WalkEntries)
       .select(col("node"))
+    // r14 (guide §2.4): self-loops on the edge relation replace the
+    // per-round `∪ beam` union — `beam ⋈ edgesPlus` emits neighbors
+    // AND the beam itself (identical set, identical dedup), and
+    // unlike a union it PRESERVES the beam's partitioning. With the
+    // beam hash-partitioned by query_id once up front, every round's
+    // distinct (ClusteredDistribution(query_id, node) — satisfied by
+    // the query_id partitioning) and top-beam window
+    // (ClusteredDistribution(query_id)) then require NO exchange:
+    // the whole fixed-depth walk pipelines as one stage at gate
+    // scale (measured 15 jobs → ~6, exec 4.8 → ~1.5 s at sf0.1).
+    // At corpus scale the edge join flips to a shuffle join and the
+    // exchanges reappear exactly where they are needed — nothing
+    // here pins a broadcast (the no-user-hint discipline).
+    val edgesPlus = edges.unionByName(
+      codes.select(col("vec_id").as("src"), col("vec_id").as("dst")))
     var beamDf = q.select(col("query_id")).crossJoin(entry)
+      .repartition(col("query_id"))
     var scored: DataFrame = null
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("node"))
     (1 to WalkRounds).foreach { _ =>
       val expanded = beamDf.select(col("query_id"), col("node"))
-        .join(edges, col("node") === col("src"))
+        .join(edgesPlus, col("node") === col("src"))
         .select(col("query_id"), col("dst").as("node"))
-        .unionByName(beamDf.select(col("query_id"), col("node")))
         .distinct()
       scored = score(expanded)
       beamDf = scored.withColumn("rn", row_number().over(w))
         .where(col("rn") <= WalkBeam)
         .select(col("query_id"), col("node"))
     }
+    // r14 (guide §3.3/§7.2): the witness below consumes `scored`
+    // TWICE (the per-row membership join and the corpus-level recall
+    // aggregate), which re-executed the entire unrolled walk subtree
+    // per consumer and doubled the ~1200-operator plan the optimizer
+    // must chew. One eager localCheckpoint of the final round's
+    // candidate set (O(|queries|·beam·k) rows — bounded at every
+    // scale) runs the walk once and truncates the witness lineage.
+    scored = scored.localCheckpoint(true)
     // final contract: top-k of the LAST round's scored candidate set,
     // self excluded (k ≤ beam, so the explicit beam cut is subsumed)
     val result = rankTopK(

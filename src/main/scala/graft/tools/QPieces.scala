@@ -26,26 +26,16 @@ object QPieces {
           jobs += 1
       })
 
-    // one CC round decomposed, on q193's edge relation
-    val pairs = graft.text.TextVectors.queries("q192_tf_cosine_pairs")(
-      spark, dir).select(col("id1").as("a"), col("id2").as("b"))
-    val canonical = pairs
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    var edges = time("cc_root_initial")(
-      graft.util.Checkpoints.root(canonical))
-    for (r <- 1 to 3) {
+    // q198 decomposition: zone warm-up, then construction (includes
+    // eager zone memo), planning, execution — twice for noise.
+    val fn = graft.SparkEntry.queries("q198_graph_search")
+    for (pass <- 1 to 2) {
       val j0 = jobs
-      val next = time(s"round${r}_contract+checkpoint")(
-        graft.util.Checkpoints.root(
-          graft.dedup.Dedup.starContractRoundProbe(edges)))
-      time(s"round${r}_count2")(
-        (next.count(), edges.count()))
-      time(s"round${r}_exceptAll")(
-        next.exceptAll(edges).isEmpty)
-      println(s"[pieces] round$r jobs=${jobs - j0}")
-      edges = next
+      val df = time(s"p$pass construct")(fn(spark, dir))
+      time(s"p$pass plan")(df.queryExecution.executedPlan)
+      time(s"p$pass exec")(
+        df.write.format("noop").mode("overwrite").save())
+      println(s"[pieces] p$pass jobs=${jobs - j0}")
     }
     spark.stop()
   }
