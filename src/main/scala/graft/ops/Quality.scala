@@ -266,6 +266,9 @@ object Quality {
     // both gate SFs), so canonical distinct = native distinct and the
     // output is bit-identical. Per-task state is bounded by
     // partitioning (the 100 TB dial) instead of a ×12 Expand.
+    // (r14: a spreadScan here measured flat — the native-struct melt
+    // is cheap enough per row that the extra raw-row shuffle repays
+    // nothing; q308's string-canonical melt is the one that wins.)
     val li = Tables.load(s, dir, "lineitem")
     // NATIVE-typed melt (no stringification — measured: canonical
     // string casts cost as much as the Expand they replaced): each
@@ -366,7 +369,12 @@ object Quality {
   def approxColumnProfile(s: SparkSession, dir: String,
                           withWitness: Boolean = true): DataFrame = {
     import graft.text.Sketches.HashRange
-    val li = Tables.load(s, dir, "lineitem")
+    // r14: the gate file is one row group = one scan task; spread the
+    // ×11 melt + hash (the query's whole CPU) to the derived width
+    // (Sessions.spreadScan — scale-guarded, no-op past scan-parallel
+    // sizes). Melt stage wall 5.2 → 0.6 s at sf0.1.
+    val li = graft.util.Sessions.spreadScan(s, dir,
+      Tables.load(s, dir, "lineitem"))
     val pairs = CanonCols.map { case (c, e) => s"'$c', $e" }
       .mkString(", ")
     val melted = li

@@ -864,7 +864,14 @@ object CorpusStats {
     val w = col("w")
     val tagged = (n: Int, g: Column) =>
       transform(g, x => struct(lit(n).as("n"), Md5Prefix.h(x).as("g")))
-    val grams = Tables.load(s, dir, "documents")
+    // r14: the gate corpus is one parquet row group = one scan task,
+    // so the tokenize + 3×n-gram build + hash (this query's whole
+    // CPU, measured 1.8 s serial at sf0.1) ran on one core. Spread
+    // the raw rows to the derived width first (Sessions.spreadScan —
+    // explicit-count repartition, exempt from AQE coalescing;
+    // scale-guarded no-op once the scan itself is parallel).
+    val grams = graft.util.Sessions.spreadScan(s, dir,
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
       .select(col("doc_id"), explode(concat(
         tagged(1, w),

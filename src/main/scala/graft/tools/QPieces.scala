@@ -1,41 +1,59 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-
-/** Dev probe (r14): piece-level timings for queries under
-  * optimization. Ad-hoc by design; edit per investigation.
-  * Usage: runMain graft.tools.QPieces [sfDir]
+/** Dev probe (r14): per-query cost split — construct (eager
+  * zone/checkpoint work), plan (executedPlan), exec (noop write) —
+  * plus the slowest stages of the exec, two passes so zone builds
+  * land in pass 1.
+  * Usage: runMain graft.tools.QPieces <sfDir> <query> [passes]
   */
 object QPieces {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val name = args(1)
+    val passes = args.drop(2).headOption.map(_.toInt).getOrElse(2)
     val spark = graft.util.Sessions.build(dir, 32, logLevel = "ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[pieces] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-    // job counter
-    var jobs = 0
+    val stages = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, Int)]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs += 1
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val i = e.stageInfo
+          val m = i.taskMetrics
+          stages.synchronized {
+            stages += ((i.stageId,
+              i.completionTime.getOrElse(0L)
+                - i.submissionTime.getOrElse(0L),
+              m.executorRunTime, m.executorCpuTime / 1000000,
+              i.numTasks)): Unit
+          }
+        }
       })
-
-    // q198 decomposition: zone warm-up, then construction (includes
-    // eager zone memo), planning, execution — twice for noise.
-    val fn = graft.SparkEntry.queries("q198_graph_search")
-    for (pass <- 1 to 2) {
-      val j0 = jobs
-      val df = time(s"p$pass construct")(fn(spark, dir))
-      time(s"p$pass plan")(df.queryExecution.executedPlan)
-      time(s"p$pass exec")(
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val fn = graft.SparkEntry.queries(name)
+    for (pass <- 1 to passes) {
+      stages.synchronized(stages.clear())
+      val (df, tc) = time(fn(spark, dir))
+      val (_, tp) = time(df.queryExecution.executedPlan)
+      val (_, te) = time(
         df.write.format("noop").mode("overwrite").save())
-      println(s"[pieces] p$pass jobs=${jobs - j0}")
+      Thread.sleep(200)
+      println(f"[stage] == $name p$pass construct=$tc%.2f " +
+        f"plan=$tp%.2f exec=$te%.2f ==")
+      stages.synchronized {
+        stages.sortBy(-_._2).take(8).foreach {
+          case (id, wall, run, cpu, nt) =>
+            println(f"[stage] id=$id wall=${wall / 1e3}%.2f " +
+              f"taskRun=${run / 1e3}%.2f taskCpu=${cpu / 1e3}%.2f " +
+              f"tasks=$nt")
+        }
+      }
     }
     spark.stop()
   }

@@ -59,6 +59,33 @@ object Sessions {
     env.map(_.toInt).getOrElse(partitionsForBytes(inputBytes(dir), cpus))
   }
 
+  /** Spread a CPU-heavy derivation across cores when the backing
+    * scan cannot (r14). The gate tables are written as ONE parquet
+    * row group per file, and a row group is Spark's atomic scan
+    * unit — so every first stage (the q284/q308 ×11 melt, the text
+    * family's tokenize+hash) ran on ONE core while 31 idled
+    * (measured: q308's melt stage wall 5.2 s ≈ its single real
+    * task). One round-robin repartition moves the raw rows once and
+    * the per-row work runs at the derived width. Scale-guarded: at
+    * dir sizes past cpus × 128 MiB a byte-proportional scan fills
+    * every core by itself (many row groups), the extra full-input
+    * shuffle would be pure waste, and the df passes through
+    * untouched — the dial is the data size, not the deployment. */
+  def spreadScan(s: SparkSession, dir: String,
+                 df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cpus = s.sparkContext.defaultParallelism
+    if (inputBytes(dir) < cpus.toLong * (128L << 20))
+      df.repartition(cpus)
+    else df
+  }
+
+  // (r14 note: a derived spark.sql.files.maxPartitionBytes /
+  // openCostInBytes dial was measured and REVERTED — the gate tables
+  // are one parquet ROW GROUP per file, Spark's atomic scan unit, so
+  // smaller splits only mint empty tasks; scan-side parallelism for
+  // CPU-heavy derivations comes from [[spreadScan]] instead.)
+
   /** The exact conf map `build` applies — factored out so specs pin
     * the policy without fighting getOrCreate session reuse.
     *
