@@ -550,12 +550,21 @@ object CorpusStats {
                       n: Int = 5): DataFrame = {
     // grams hash to 8 bytes map-side (Md5Prefix, oracle-replayed —
     // the q145/q149 discipline): both the distinct-doc aggregate and
-    // the join back key on the hash, never the 5-gram string
-    val grams = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), Tokens.whitespace(col("text")).as("w"))
+    // the join back key on the hash, never the 5-gram string.
+    // r14: the hashes come pre-computed from the shared span-grams
+    // zone — this relation feeds TWO branches (the distinct-doc
+    // aggregate and the join back), and deriving it inline ran the
+    // explode+hash CPU once per branch on the single-row-group scan
+    // task (measured 0.67 + 0.52 s serial at sf0.1). Short docs keep
+    // ngramsOf's whole-doc fallback gram via the explicit union (the
+    // zone stores only the sliding-window regime, q145's guard).
+    val docsZone = spanTokens(s, dir)
+    val short = docsZone.where(size(col("w")) < n)
       .select(col("doc_id"),
-        explode(transform(Tokens.ngramsOf(col("w"), n),
-          g => graft.dedup.Md5Prefix.h(g))).as("g"))
+        graft.dedup.Md5Prefix.h(concat_ws(" ", col("w"))).as("g"))
+    val grams = spanGramZone(s, dir, n)
+      .select(col("doc_id"), col("gh").as("g"))
+      .unionByName(short)
     val shared = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"))
     grams.join(shared, "g")
@@ -592,21 +601,42 @@ object CorpusStats {
     * by q145 (scrub) and q269 (span report): (docs, covered) where
     * covered = DISTINCT (doc_id, pos) for every token position inside
     * a k-gram that occurs verbatim in ANOTHER document. */
-  private def coveredPositions(s: SparkSession, dir: String,
-                               k: Int): (DataFrame, DataFrame) = {
-    import graft.dedup.Md5Prefix
-    val docs = graft.util.Scratch.memo(s, "span-tokens",
+  /** The shared span-tokens scratch zone (one tokenization per
+    * application — the q145/q151 discipline). */
+  private def spanTokens(s: SparkSession, dir: String): DataFrame =
+    graft.util.Scratch.memo(s, "span-tokens",
       s"span-tokens:$dir")(
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
-    // the size >= k guard keeps Tokens.ngramsOf in its sliding-window
-    // branch only — short docs have NO grams (its whole-doc fallback
-    // would fabricate one), matching the oracle's range() emptiness
-    val grams = docs
-      .where(size(col("w")) >= k)
-      .select(col("doc_id"),
-        posexplode(Tokens.ngramsOf(col("w"), k)).as(Seq("p", "g")))
-      .select(col("doc_id"), col("p"), Md5Prefix.h(col("g")).as("gh"))
+
+  /** Positioned k-gram hashes (doc_id, p, gh) over the span-tokens
+    * zone, materialized ONCE per (dir, k) (r14): every caller
+    * (q145's scrub, q269's report, q140's fraction) consumes the
+    * gram relation from TWO plan branches — the corpus-wide shared
+    * aggregate and the join back — and deriving it inline ran the
+    * posexplode + per-gram md5 (the family's whole CPU) once per
+    * branch, serially, on the zone's single-row-group scan task
+    * (measured 1.15 + 0.78 s at sf0.1 in q145 alone). The build
+    * spreads to the derived width first (Sessions.spreadScan);
+    * consumers scan 3 fixed-width columns. The size ≥ k guard keeps
+    * Tokens.ngramsOf in its sliding-window branch only — short docs
+    * have NO rows here (the whole-doc fallback would fabricate one);
+    * callers that NEED the fallback add it explicitly (q140). */
+  private def spanGramZone(s: SparkSession, dir: String,
+                           k: Int): DataFrame =
+    graft.util.Scratch.memo(s, s"span-grams-$k",
+      s"span-grams:$dir:$k")(
+      graft.util.Sessions.spreadScan(s, dir, spanTokens(s, dir))
+        .where(size(col("w")) >= k)
+        .select(col("doc_id"),
+          posexplode(Tokens.ngramsOf(col("w"), k)).as(Seq("p", "g")))
+        .select(col("doc_id"), col("p"),
+          graft.dedup.Md5Prefix.h(col("g")).as("gh")))
+
+  private def coveredPositions(s: SparkSession, dir: String,
+                               k: Int): (DataFrame, DataFrame) = {
+    val docs = spanTokens(s, dir)
+    val grams = spanGramZone(s, dir, k)
     val shared = grams.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") > 1)

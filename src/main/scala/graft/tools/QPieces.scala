@@ -9,8 +9,8 @@ package graft.tools
 object QPieces {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val name = args(1)
-    val passes = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val names = args.drop(1).toSeq
+    val passes = 2
     val spark = graft.util.Sessions.build(dir, 32, logLevel = "ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val stages = scala.collection.mutable.ArrayBuffer
@@ -36,22 +36,24 @@ object QPieces {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    val fn = graft.SparkEntry.queries(name)
-    for (pass <- 1 to passes) {
+    for (name <- names; pass <- 1 to passes) {
+      val fn = graft.SparkEntry.queries(name)
       stages.synchronized(stages.clear())
       val (df, tc) = time(fn(spark, dir))
       val (_, tp) = time(df.queryExecution.executedPlan)
       val (_, te) = time(
         df.write.format("noop").mode("overwrite").save())
       Thread.sleep(200)
-      println(f"[stage] == $name p$pass construct=$tc%.2f " +
-        f"plan=$tp%.2f exec=$te%.2f ==")
-      stages.synchronized {
-        stages.sortBy(-_._2).take(8).foreach {
-          case (id, wall, run, cpu, nt) =>
-            println(f"[stage] id=$id wall=${wall / 1e3}%.2f " +
-              f"taskRun=${run / 1e3}%.2f taskCpu=${cpu / 1e3}%.2f " +
-              f"tasks=$nt")
+      if (pass == passes) {
+        println(f"[stage] == $name p$pass construct=$tc%.2f " +
+          f"plan=$tp%.2f exec=$te%.2f ==")
+        stages.synchronized {
+          stages.sortBy(-_._2).take(4).foreach {
+            case (id, wall, run, cpu, nt) =>
+              println(f"[stage] id=$id wall=${wall / 1e3}%.2f " +
+                f"taskRun=${run / 1e3}%.2f taskCpu=${cpu / 1e3}%.2f " +
+                f"tasks=$nt")
+          }
         }
       }
     }
