@@ -622,8 +622,8 @@ object CorpusStats {
     * Tokens.ngramsOf in its sliding-window branch only — short docs
     * have NO rows here (the whole-doc fallback would fabricate one);
     * callers that NEED the fallback add it explicitly (q140). */
-  private def spanGramZone(s: SparkSession, dir: String,
-                           k: Int): DataFrame =
+  private[text] def spanGramZone(s: SparkSession, dir: String,
+                                 k: Int): DataFrame =
     graft.util.Scratch.memo(s, s"span-grams-$k",
       s"span-grams:$dir:$k")(
       graft.util.Sessions.spreadScan(s, dir, spanTokens(s, dir))

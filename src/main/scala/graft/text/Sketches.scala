@@ -60,17 +60,19 @@ object Sketches {
     * branch (the q145 contract — short docs contribute NO shingles,
     * matching the oracle's `range()` emptiness). */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
-    val zone = graft.util.Scratch.memo(s, "span-tokens",
-      s"span-tokens:$dir")(
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
+    // r14: the 3-gram hashes come from the shared span-grams zone
+    // (CorpusStats.spanGramZone — same span-tokens source, same
+    // size ≥ 3 sliding-window guard, same Md5Prefix hash, built once
+    // at the derived width). q183 consumed this relation from FOUR
+    // plan branches (sketch rollup + the exact witness's sizes and
+    // both self-join sides) and re-ran the explode+hash serially per
+    // branch; now every branch scans two fixed-width zone columns.
     val src = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"))
-    zone.join(src, "doc_id")
-      .where(size(col("w")) >= 3)
-      .select(col("source"),
-        explode(Tokens.ngramsOf(col("w"), 3)).as("g"))
-      .select(col("source"), graft.dedup.Md5Prefix.h(col("g")).as("h"))
+    graft.text.CorpusStats.spanGramZone(s, dir, 3)
+      .select(col("doc_id"), col("gh"))
+      .join(src, "doc_id")
+      .select(col("source"), col("gh").as("h"))
   }
 
   /** q178: per-source KMV distinct-token sketch + estimate + exact
