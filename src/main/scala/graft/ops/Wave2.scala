@@ -160,13 +160,13 @@ object Wave2 {
   def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
     val out = scratch(dir, "json_orders")
-    // r14: the one-row-group source scan serialized the whole JSON
-    // write through one task (0.97 s at sf0.1); spread to the derived
-    // width (scale-guarded no-op once the scan parallelizes itself) —
-    // the read-back re-imposes the schema and the output re-sorts, so
-    // file count is contract-free
-    graft.util.Sessions.spreadScan(s, dir, o)
-      .write.mode("overwrite").json(out)
+    // r14 probe note: spreadScan before this write was tried (q308's
+    // one-row-group fix) and REVERTED on measurement — JSON
+    // serialization of this table is cheaper than the round-robin
+    // exchange plus 32-file commit/read-back it buys (A/B probe with
+    // q07 as load control: 1.10 -> 1.36 s; bench pair 0.81 -> 1.21 s).
+    // The spread pays only where per-row CPU dominates (q308, q149).
+    o.write.mode("overwrite").json(out)
     s.read.schema(o.schema).json(out)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), unix_millis(col("o_orderdate")).as("odate_ms"),
