@@ -554,7 +554,12 @@ object Postings {
     * quadratic); the edge relation is ≤ token-count rows rolled up to
     * (th1, th2) weights; each round is one src-keyed join + one
     * dst-keyed rollup over that edge relation (the q180 iterate
-    * shape); round state is localCheckpoint-ed (the q232 rule). */
+    * shape). The rank chain is SINGLE-consumer (each round reads the
+    * previous rank exactly once), so like q180's PrIters loop it runs
+    * fully unrolled — r14 A/B measured the per-round eager
+    * localCheckpoints as pure job-barrier overhead here (warm 2.70 →
+    * 2.18 s at sf0.1); the q232 checkpoint rule stays for loops whose
+    * round state has MULTIPLE consumers (q273's shift scalars). */
   def textrankTerms(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Md5Prefix
     val toks = graft.util.Scratch.memo(s, "lc-tokens",
@@ -599,7 +604,6 @@ object Postings {
           (lit(TrBase) + expr(
             "(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
-        .localCheckpoint(true) // read twice next round
     }
     rank.join(names, "th")
       .select(col("term"), col("r").as("rank_fp"))
