@@ -791,8 +791,16 @@ object CorpusStats {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), Tokens.whitespace(col("text")).as("w")))
     // one suffix row per position that can hold a minLen-gram; the
-    // key is the window-truncated suffix (what the sort compares)
-    val sfx = suffixRows(docs, minLen, window)
+    // key is the window-truncated suffix (what the sort compares).
+    // The zone is one parquet file = one scan task, and the explode
+    // below materializes a window-token array slice PER POSITION —
+    // this query's map-side CPU — which therefore ran on one core,
+    // twice (the range partitioner's sampling job and the shuffle map
+    // stage both evaluate it). Spread the doc rows to the derived
+    // width first (Sessions.spreadScan: scale-guarded no-op once the
+    // backing scan is parallel on its own).
+    val sfx = suffixRows(
+      graft.util.Sessions.spreadScan(s, dir, docs), minLen, window)
     val baseParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.min(4096, baseParts * math.max(1, window / 4))
     // DataFrame-level persist of the SORTED suffix relation (r14):
