@@ -266,10 +266,8 @@ object Quality {
     // both gate SFs), so canonical distinct = native distinct and the
     // output is bit-identical. Per-task state is bounded by
     // partitioning (the 100 TB dial) instead of a ×12 Expand.
-    // (r14: a spreadScan here measured flat — the native-struct melt
-    // is cheap enough per row that the extra raw-row shuffle repays
-    // nothing; q308's string-canonical melt is the one that wins.)
-    val li = Tables.load(s, dir, "lineitem")
+    val li = graft.util.Sessions.spreadScan(s, dir,
+      Tables.load(s, dir, "lineitem"))
     // NATIVE-typed melt (no stringification — measured: canonical
     // string casts cost as much as the Expand they replaced): each
     // column rides the one slot of a (b, d, s, t) struct that matches
